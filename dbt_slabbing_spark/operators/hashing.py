@@ -1,0 +1,190 @@
+"""Portable hashing primitives: minhash signatures, simhash, hex→int.
+
+Design constraint: every hash here must be computable bit-identically by
+the DuckDB oracle in plain SQL. That rules out xxhash64/crc32 (engine
+specific) and leaves md5, which both engines expose as lowercase hex.
+
+- minhash_i(doc)  = min over shingles of md5(i || '|' || shingle),
+  compared as STRINGS (lexicographic min of hex = min of the 128-bit
+  value, since the hex strings are fixed-length lowercase).
+- simhash(doc)    = 32-bit sign-aggregate of per-token md5 bits.
+- hex→int         = Spark ``conv(hex, 16, 10)`` ⟷ DuckDB
+  ``('0x' || hex)::BIGINT`` (≤15 hex chars so the BIGINT can't overflow;
+  we use 8 → 32 bits).
+
+Scale notes (100 TB): the minhash pipeline is explode(shingles) →
+per-(doc, seed) min — Spark computes partial mins map-side before the
+shuffle, so shuffle volume is #docs × #seeds, independent of document
+length. Banding then turns candidate generation into an equi-join on
+band keys, which AQE can broadcast or shuffle-hash as density dictates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..rounding import dround
+from .text import word_shingles
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def hex_to_long(col: Column) -> Column:
+    """Hex string (≤15 chars) → non-negative bigint."""
+    return F.conv(col, 16, 10).cast("long")
+
+
+def md5_long32(col: Column) -> Column:
+    """First 32 bits of md5 as a bigint in [0, 2^32)."""
+    return hex_to_long(F.substring(F.md5(col), 1, 8))
+
+
+def seeded_md5(seed: Column | int, col: Column) -> Column:
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    return F.md5(F.concat(seed_col.cast("string"), F.lit("|"), col))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string>) — per-doc minhash signature.
+
+    The signature component ``sig[i]`` is the minimum ``md5(i|'|'|s)``
+    over the doc's word shingles. Docs with no shingle (fewer than
+    ``shingle_words`` tokens) are dropped — they have no signature.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("_shingle"),
+    )
+    seeds = docs.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("_seed"))
+    # explode × seeds, then min per (doc, seed): partial aggregation
+    # happens before the shuffle, so shuffle rows = docs × num_hashes.
+    per_seed = (
+        shingled.crossJoin(F.broadcast(seeds))
+        .groupBy("_id", "_seed")
+        .agg(F.min(seeded_md5(F.col("_seed"), F.col("_shingle"))).alias("_h"))
+    )
+    return (
+        per_seed.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_seed", "_h"))),
+                lambda s: s["_h"],
+            ).alias("sig")
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def minhash_band_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """LSH banding: (id_a, id_b) candidate pairs sharing ≥1 band.
+
+    Band key = concat of ``rows_per_band`` consecutive signature
+    components. Self-join on the band key; ``id_a < id_b`` dedups the
+    symmetric pair and banding dups are removed with ``distinct``.
+    """
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
+    banded = signatures.select(F.col(id_col).alias("_bid"), F.col("sig"), band_idx).select(
+        "_bid",
+        "_band",
+        F.concat_ws(
+            "",
+            *[F.element_at(F.col("sig"), F.col("_band") * rows_per_band + i + 1) for i in range(rows_per_band)],
+        ).alias("_band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._band_key") == F.col("r._band_key"))
+            & (F.col("l._bid") < F.col("r._bid")),
+        )
+        .select(F.col("l._bid").alias("id_a"), F.col("r._bid").alias("id_b"))
+        .distinct()
+    )
+
+
+def signature_similarity(pairs: DataFrame, signatures: DataFrame, id_col: str) -> DataFrame:
+    """Attach est_jaccard = fraction of equal signature components."""
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
+    matched = F.size(F.filter(F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda a, b: a == b), lambda x: x))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", dround(matched.cast("double") / F.size(F.col("_sig_a")), 4))
+        .drop("_sig_a", "_sig_b")
+    )
+
+
+def simhash_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 32-bit simhash per document, as bigint.
+
+    bit b of the result is set iff #{t : md5_32(t) has bit b} > n/2 —
+    the sign of a per-bit ±1 vote over all tokens (duplicates counted).
+
+    Shape: explode tokens → ×32 bit positions → two-level groupBy.
+    Both aggregations combine map-side, so shuffle volume is
+    docs × 32 rows regardless of document length — this is the form
+    that survives 100 TB, unlike a per-row expression that re-walks the
+    token array 32 times.
+    """
+    from .text import words
+
+    spark = docs.sparkSession
+    tok = docs.select(F.col(id_col).alias("_id"), F.explode(words(F.col(text_col))).alias("_t"))
+    hashed = tok.select("_id", md5_long32(F.col("_t")).alias("h"))
+    bit_positions = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    per_bit = (
+        hashed.crossJoin(F.broadcast(bit_positions))
+        .groupBy("_id", "b")
+        .agg(
+            F.sum(F.expr("int(shiftright(h, b) & 1)")).alias("ones"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "bitval",
+            F.when(F.col("ones") * 2 > F.col("n"), F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+    )
+    return (
+        per_bit.groupBy("_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- SQL fragments for the DuckDB oracle (kept next to the Spark code so
+# the two definitions can only drift in one file) -------------------------
+
+SQL_NORMALIZE = "regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+SQL_WORDS = f"string_split({SQL_NORMALIZE}, ' ')"
+
+
+def sql_word_shingles(col: str, k: int) -> str:
+    """DuckDB expression: array of k-word shingles of ``col``."""
+    w = SQL_WORDS.format(col=col)
+    parts = " || ' ' || ".join(f"_w[_i + {j}]" for j in range(k))
+    return (
+        f"(SELECT coalesce(list({parts} ORDER BY _i), []) FROM (SELECT {w} AS _w) _t, "
+        f"range(1, len(_w) - {k - 2}) _r(_i))"
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis expressions: tokenization, shingling, quality stats,
+language-ID, fingerprinting.
+
+All pure Column expressions (``pyspark.sql.functions``) so they run
+inside whole-stage codegen and scale linearly with no Python boundary —
+at 100 TB the per-doc cost is what dominates, not the shuffle.
+
+Reference parity: the reference has no text operators (SURVEY.md §2.6);
+these are the north-star LLM-pipeline extensions over ``documents``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..rounding import dround
+
+#: Tiny multilingual marker lexicons for the heuristic language ID.
+#: Deterministic and SQL-portable (the oracle uses the same lists).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "las", "y"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+#: Stopwords for the quality score (subset of en markers — the synthetic
+#: corpus vocabulary is English-ish regardless of the ``lang`` tag).
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "in", "to")
+
+
+def normalized(col: Column) -> Column:
+    """Lowercased, trimmed, whitespace-collapsed text."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def words(col: Column) -> Column:
+    """Array of word tokens of normalized text ('' input → empty array)."""
+    n = normalized(col)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(F.split(n, " "))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def word_shingles(col: Column, k: int) -> Column:
+    """Array of k-word shingles (space-joined); empty if < k tokens.
+
+    Built with ``transform`` over a ``sequence`` of start offsets —
+    stays in codegen, no explode until the caller wants one.
+    """
+    w = words(col)
+    # NB: sequence(1, 0) in Spark is the DESCENDING [1, 0], so the
+    # short-doc case must be handled explicitly, not via greatest().
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Array of character n-grams of the normalized text."""
+    s = normalized(col)
+    return F.when(
+        F.length(s) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(s) - (n - 1)), lambda i: F.substring(s, i, n)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_ratio(col: Column) -> Column:
+    w = words(col)
+    stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(w) > 0, stop.cast("double") / F.size(w)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(col: Column) -> Column:
+    w = words(col)
+    total = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(w) > 0, total.cast("double") / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic doc-quality heuristic in [0, 1]:
+    rewards mid-length docs, mid-range stopword density, and plausible
+    token lengths. The exact formula is mirrored in the DuckDB oracle.
+    """
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop = stopword_ratio(col)
+    stop_score = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.1)), F.lit(1.0))
+    atl = avg_token_len(col)
+    atl_score = F.when((atl >= 2.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return dround((len_score + stop_score + atl_score) / F.lit(3.0), 4)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    w = words(col)
+    return {
+        lang: F.size(F.filter(w, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(col: Column) -> Column:
+    """argmax of marker counts with fixed precedence order (en, fr, de,
+    es, zh); 'und' when no marker hits at all. Ties resolve to the first
+    language in precedence order — mirrored exactly in the oracle SQL.
+    """
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build the when-chain in reverse so earlier langs win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column, k: int = 4) -> Column:
+    """Winnowing-style document fingerprint: the minimum md5 over all
+    k-word shingles (falls back to md5 of the whole normalized text for
+    short docs). Equal fingerprints → near-dup candidates.
+    """
+    sh = word_shingles(col, k)
+    return F.when(
+        F.size(sh) > 0,
+        F.array_min(F.transform(sh, F.md5)),
+    ).otherwise(F.md5(normalized(col)))

@@ -1,0 +1,267 @@
+"""Deduplication operators over ``documents`` (north-star LLM pipeline).
+
+Five tiers, each with a cross-engine-portable definition so the DuckDB
+oracle can verify the Spark implementation bit-for-bit:
+
+- exact:        sha256 of raw text
+- normalized:   md5 of lower/trim/whitespace-collapsed text
+- minhash LSH:  8 seeded-md5 minhashes over distinct 3-word shingles,
+                4 bands × 2 rows, est. Jaccard = matching components / 8
+- n-gram Jaccard: exact Jaccard over distinct 3-word shingles for pairs
+                sharing ≥1 shingle
+- simhash:      32-bit sign-aggregated md5 over tokens + Hamming pairs
+
+Scale design: every pipeline is explode → partial-agg → equi-join.
+Minhash shuffle volume is docs × 8 rows regardless of doc length
+(map-side partial min); candidate generation is an equi-join on band
+keys / shingles — no O(n²) cross join anywhere. The only quadratic step
+(pair verification) runs on LSH-filtered candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.hashing import (
+    minhash_band_pairs,
+    minhash_signatures,
+    signature_similarity,
+    simhash_df,
+)
+from ..operators.text import normalized, word_shingles
+from . import dround, register
+
+# DuckDB-side normalized words (must mirror operators/text.py exactly).
+_SQL_WORDS = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+
+@register(
+    "dedup_exact_sha256",
+    """
+    SELECT sha256(text) AS content_hash,
+           min(doc_id)  AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    """,
+    "exact dedup: group by content hash, keep lowest doc_id",
+    tags=("dedup",),
+)
+def dedup_exact_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_normalized_md5",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    "normalized dedup: surviving rows after case/whitespace-insensitive hash dedup",
+    tags=("dedup",),
+)
+def dedup_normalized_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(normalized(F.col("text")).cast("binary"))).orderBy("doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    shingle AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM norm
+        )
+    ),
+    minh AS (
+        SELECT doc_id, s.seed,
+               min(md5(CAST(s.seed AS VARCHAR) || '|' || sh)) AS h
+        FROM shingle, range(0, 8) s(seed)
+        GROUP BY doc_id, s.seed
+    ),
+    sig AS (
+        SELECT doc_id, list(h ORDER BY seed) AS sig FROM minh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b.band, sig[2*b.band + 1] || sig[2*b.band + 2] AS band_key
+        FROM sig, range(0, 4) b(band)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l
+        JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+                     AND l.doc_id < r.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round((len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) / 8.0) * 10000.0) / 10000.0
+               AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    WHERE len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) >= 4
+    """,
+    "MinHash+LSH near-dup: shingle → 8 seeded minhashes → 4×2 bands → "
+    "band-join candidates → signature similarity ≥ 0.5",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_words=3)
+    pairs = minhash_band_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
+    return signature_similarity(pairs, sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    shingle AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM norm
+        )
+    ),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0) / 10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+    """,
+    "exact n-gram Jaccard: shingle-join candidates + set-overlap ratio ≥ 0.05",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    shingle = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("sh"),
+    )
+    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingle.alias("a")
+    b = shingle.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.05)
+        .select("id_a", "id_b", dround(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(w) AS t FROM norm
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, b.b,
+               CASE WHEN 2 * count(*) FILTER (WHERE (h >> b.b) & 1 = 1) > count(*)
+                    THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+        FROM hashed, range(0, 32) b(b)
+        GROUP BY doc_id, b.b
+    )
+    SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    "32-bit simhash per document (sign-aggregate of token md5 bits)",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash_df(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(w) AS t FROM norm
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, b.b,
+               CASE WHEN 2 * count(*) FILTER (WHERE (h >> b.b) & 1 = 1) > count(*)
+                    THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+        FROM hashed, range(0, 32) b(b)
+        GROUP BY doc_id, b.b
+    ),
+    sh AS (
+        SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    "simhash near-dup pairs: Hamming distance ≤ 6 over 32-bit simhashes",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = simhash_df(docs, "doc_id", "text")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )

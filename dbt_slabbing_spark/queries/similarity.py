@@ -1,0 +1,179 @@
+"""Similarity search over ``embeddings`` (array<float>, dim 64).
+
+- brute-force cosine top-k: the exactness baseline (O(Q·N), Q broadcast)
+- hyperplane-LSH bucketing: the scale path — bucket id from sign bits
+  against 8 fixed hyperplanes (the first 8 vectors of the table, so the
+  oracle can reconstruct them without shared random state), candidates
+  restricted to the query's bucket.
+- threshold pair scan: embedding-cosine near-dup detection.
+
+All vector math accumulates in double, in list order, on both engines
+(Spark ``aggregate`` fold ⟷ DuckDB ``list_dot_product`` over
+double-cast lists) so cosines agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.similarity import brute_force_topk, cosine, dot
+from . import dround, register
+
+_SQL_DVEC = "list_transform({col}, x -> CAST(x AS DOUBLE))"
+_SQL_COS = (
+    "round((list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))) * 1000000.0) / 1000000.0"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {_SQL_DVEC.format(col="embedding")} AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_SQL_COS.format(a="q.qv", b=_SQL_DVEC.format(col="e.embedding"))} AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    "brute-force cosine top-5 neighbors for query vectors (vec_id < 5)",
+    tags=("similarity",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "sim_lsh_bucket_histogram",
+    f"""
+    WITH planes AS (
+        SELECT vec_id AS pid, {_SQL_DVEC.format(col="embedding")} AS pv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    bucketed AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product({_SQL_DVEC.format(col="e.embedding")}, p.pv) > 0
+                             THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e, planes p
+        GROUP BY e.vec_id
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM bucketed GROUP BY bucket
+    """,
+    "hyperplane-LSH bucket assignment (8 sign bits) + occupancy histogram",
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    bucketed = (
+        emb.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(dot(F.col("embedding"), F.col("pv")) > 0, F.expr("shiftleft(cast(1 as bigint), pid)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
+    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@register(
+    "sim_ann_topk_lsh",
+    f"""
+    WITH planes AS (
+        SELECT vec_id AS pid, {_SQL_DVEC.format(col="embedding")} AS pv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    bucketed AS (
+        SELECT e.vec_id, {_SQL_DVEC.format(col="any_value(e.embedding)")} AS v,
+               CAST(sum(CASE WHEN list_dot_product({_SQL_DVEC.format(col="e.embedding")}, p.pv) > 0
+                             THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e, planes p
+        GROUP BY e.vec_id
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               {_SQL_COS.format(a="q.v", b="c.v")} AS cos
+        FROM bucketed q JOIN bucketed c
+          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, vec_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    "approximate top-3 via LSH bucket equi-join (scale path: no cross join)",
+    tags=("similarity", "lsh"),
+)
+def sim_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    bucketed = (
+        emb.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(F.col("embedding")).alias("v"),
+            F.sum(
+                F.when(dot(F.col("embedding"), F.col("pv")) > 0, F.expr("shiftleft(cast(1 as bigint), pid)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    q = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("_qv"), F.col("bucket").alias("_qb")
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), (F.col("bucket") == F.col("_qb")) & (F.col("vec_id") != F.col("query_id")))
+        .withColumn("cos", dround(cosine(F.col("_qv"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos")
+    )
+
+
+@register(
+    "sim_neardup_pairs",
+    f"""
+    WITH v AS (
+        SELECT vec_id, {_SQL_DVEC.format(col="embedding")} AS dv FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_SQL_COS.format(a="a.dv", b="b.dv")} AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a="a.dv", b="b.dv")} >= 0.9
+    """,
+    "embedding-cosine near-dup pairs (cos ≥ 0.9)",
+    tags=("similarity", "dedup"),
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cos = dround(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.9)
+        .select("id_a", "id_b", "cos")
+    )

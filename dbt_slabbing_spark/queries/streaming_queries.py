@@ -1,0 +1,74 @@
+"""Streaming corpus entries.
+
+The windowed aggregations have exact batch twins, so they get real
+DuckDB oracles (streaming semantics over bounded input == batch
+semantics once every window closes). The stateful ops (session windows,
+within-watermark dedup, custom state) are not ANSI-SQL-expressible →
+rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import jobs
+from . import register
+
+
+@register(
+    "stream_hourly_type_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round((sum(value)) * 100.0) / 100.0 AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    "streaming tumbling-window agg (1h windows, 2h watermark) vs its batch twin",
+    tags=("streaming",),
+)
+def stream_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.hourly_type_counts(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_user_activity",
+    None,  # sliding windows double-count rows; no single-pass SQL twin.
+    "streaming sliding-window agg (2h window / 1h slide)",
+    tags=("streaming",),
+)
+def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.sliding_user_activity(spark, sf_dir)
+
+
+@register(
+    "stream_session_windows",
+    None,  # stateful session assignment — checked in tests against the batch sessionizer.
+    "streaming session windows (30-min gap) per user",
+    tags=("streaming", "stateful"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.session_windows(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id, ts)
+    GROUP BY event_type
+    """,
+    "dropDuplicatesWithinWatermark on event_id → per-type counts",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_dedup(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_levels",
+    None,  # custom applyInPandasWithState — no SQL twin.
+    "custom stateful operator: cumulative purchase-value level crossings",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stateful_high_value_flags(spark, sf_dir)

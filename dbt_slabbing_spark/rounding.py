@@ -1,0 +1,27 @@
+"""Cross-engine-stable double rounding.
+
+Spark's ``round(double, n)`` goes through exact BigDecimal HALF_UP while
+DuckDB multiplies into double space first — they disagree whenever
+``x·10ⁿ`` rounds INTO an exact ``.5`` (e.g. avg = 28.846249999999998:
+DuckDB → 28.8463, Spark → 28.8462). Both engines agree on
+``round(x·10ⁿ)/10ⁿ`` computed explicitly in double space, so every
+corpus query rounds doubles this way and every oracle spells the same
+formula (:func:`sql_round`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dround(col: Column | str, n: int) -> Column:
+    if isinstance(col, str):
+        col = F.col(col)
+    p = float(10**n)
+    return F.round(col * p) / p
+
+
+def sql_round(expr: str, n: int) -> str:
+    p = float(10**n)
+    return f"round(({expr}) * {p}) / {p}"

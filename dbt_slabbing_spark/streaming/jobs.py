@@ -1,0 +1,144 @@
+"""Structured Streaming jobs over ``events`` replayed as a file stream.
+
+Each job builds a ``readStream`` over the parquet events table (the
+local stand-in for kafka), applies watermarked/windowed/stateful logic,
+and runs to completion against the bounded input via a memory sink
+(``processAllAvailable``), returning the materialized result DataFrame.
+
+Scale notes: watermarks bound state; the windowed aggregations shuffle
+on (window, key) exactly like their batch equivalents; session windows
+and dropDuplicatesWithinWatermark keep per-key state that the watermark
+expires. On a real cluster the same code points at kafka + a real sink;
+nothing below depends on local mode.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..rounding import dround
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS): read raw nanos as long and
+    # truncate to a µs timestamp (see catalog.table for rationale).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def _run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:
+    """Drive the streaming query over the bounded input; return the sink."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type with a 2-hour watermark."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+def sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every 1 hour, per user bucket."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), (F.col("user_id") % 10).alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "user_bucket", "n")
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dround(F.sum("value"), 2).alias("session_value"))
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("session_start"), "user_id", "n_events", "session_value"
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-style dedup on event_id within the watermark, then a
+    running per-type count — the streaming twin of exact dedup."""
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_completion(deduped, "complete")
+    return out
+
+
+def stateful_high_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per user,
+    emit cumulative purchase value whenever it crosses 100-unit levels.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        total = state.get[0] if state.exists else 0.0
+        crossings = []
+        for pdf in pdf_iter:
+            for v in pdf.sort_values("ts")["value"]:
+                before = int(total // 100)
+                total += float(v)
+                after = int(total // 100)
+                if after > before:
+                    crossings.append(after * 100)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [user_id] * len(crossings), "level": crossings})
+
+    stream = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    flagged = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id bigint, level bigint",
+            stateStructType="total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_completion(flagged, "append")
