@@ -60,6 +60,7 @@ def register(
 
 _MODULES = (
     "relational",
+    "relational_extra",
     "aggregates",
     "windows",
     "setops",

@@ -239,15 +239,19 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01'
+    )
     """,
-    "left-anti join (NOT EXISTS): customers with no orders at all",
+    "left-anti join (NOT EXISTS): customers with no orders since 2001",
     tags=("join", "subquery"),
 )
 def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+    recent = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
 
 
 @register(

@@ -161,9 +161,9 @@ def sim_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_SQL_COS.format(a="a.dv", b="b.dv")} AS cos
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE {_SQL_COS.format(a="a.dv", b="b.dv")} >= 0.9
+    WHERE {_SQL_COS.format(a="a.dv", b="b.dv")} >= 0.35
     """,
-    "embedding-cosine near-dup pairs (cos ≥ 0.9)",
+    "embedding-cosine near-dup pairs (cos ≥ 0.35)",
     tags=("similarity", "dedup"),
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +174,6 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.9)
+        .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")
     )

@@ -1,0 +1,66 @@
+"""Streaming semantics tests beyond the rows-only gate: the stateful
+streaming operators must agree with their batch twins on bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_slabbing_spark.streaming import jobs
+from tests.conftest import SF_SMOKE
+
+
+def test_session_windows_match_batch_sessionizer(spark):
+    """session_window(30 min) over the bounded stream must produce the
+    same per-user session count and event total as the batch
+    lag/cumsum sessionizer (identical gap rule; exact-30:00 gaps are
+    measure-zero in µs data)."""
+    from dbt_slabbing_spark.queries import registry
+
+    stream = jobs.session_windows(spark, SF_SMOKE)
+    stream_per_user = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    batch = registry()["window_sessionize_batch"].fn(spark, SF_SMOKE)
+    batch_per_user = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    assert stream_per_user == batch_per_user
+
+
+def test_streaming_dedup_counts_match_batch(spark):
+    stream = {r["event_type"]: r["n"] for r in jobs.streaming_dedup(spark, SF_SMOKE).collect()}
+    from dbt_slabbing_spark.catalog import table
+
+    batch = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF_SMOKE, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_stateful_levels_deterministic(spark):
+    """applyInPandasWithState: crossings are a pure function of the
+    per-user purchase sequence — two runs must agree exactly."""
+    a = sorted(map(tuple, jobs.stateful_high_value_flags(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, jobs.stateful_high_value_flags(spark, SF_SMOKE).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_hourly_counts_total_conservation(spark):
+    """Windowed totals must conserve the global event count."""
+    out = jobs.hourly_type_counts(spark, SF_SMOKE)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    from dbt_slabbing_spark.catalog import table
+
+    assert total == table(spark, SF_SMOKE, "events").count()
