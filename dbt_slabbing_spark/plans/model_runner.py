@@ -1,0 +1,100 @@
+"""dbt-style SQL model runner: ``{{ ref('model') }}`` /
+``{{ source('table') }}`` templated SQL → dependency DAG → Spark SQL.
+
+This is the "dbt SQL → Spark SQL" translation path stated as the
+project's north star (BASELINE.json): a dbt project is, mechanically, a
+set of SELECT statements wired by ref(); on Spark each model becomes a
+temp view (ephemeral materialization) or a persisted table, and
+Catalyst sees the WHOLE chain — views inline into one optimized plan,
+so staging models cost nothing at runtime (no intermediate
+materialization unless asked for).
+
+Deliberately minimal: ref/source resolution, cycle detection,
+topological execution, view/table materialization. No jinja beyond the
+two macros — config blocks, tests and snapshots live a layer above.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}")
+_SOURCE_RE = re.compile(r"\{\{\s*source\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}")
+
+
+class ModelError(ValueError):
+    pass
+
+
+def load_model_dir(path: str) -> dict[str, str]:
+    """Read ``*.sql`` files as models named by file stem."""
+    models = {}
+    for p in sorted(pathlib.Path(path).glob("*.sql")):
+        models[p.stem] = p.read_text()
+    return models
+
+
+def model_refs(sql: str) -> tuple[set[str], set[str]]:
+    return set(_REF_RE.findall(sql)), set(_SOURCE_RE.findall(sql))
+
+
+def topo_order(models: dict[str, str]) -> list[str]:
+    """Dependency order; raises on unknown refs and cycles."""
+    deps = {name: model_refs(sql)[0] for name, sql in models.items()}
+    for name, d in deps.items():
+        unknown = d - set(models)
+        if unknown:
+            raise ModelError(f"model {name!r} refs unknown model(s): {sorted(unknown)}")
+    order: list[str] = []
+    state: dict[str, int] = {}  # 0=unvisited 1=visiting 2=done
+
+    def visit(n: str, chain: tuple[str, ...]) -> None:
+        if state.get(n) == 2:
+            return
+        if state.get(n) == 1:
+            cycle = " -> ".join(chain[chain.index(n):] + (n,))
+            raise ModelError(f"ref cycle: {cycle}")
+        state[n] = 1
+        for d in sorted(deps[n]):
+            visit(d, chain + (n,))
+        state[n] = 2
+        order.append(n)
+
+    for n in sorted(models):
+        visit(n, ())
+    return order
+
+
+def run_models(
+    spark: SparkSession,
+    models: dict[str, str],
+    sources: dict[str, DataFrame],
+    materialize: str = "view",
+    view_prefix: str = "model_",
+) -> dict[str, DataFrame]:
+    """Execute the model DAG; returns {model_name: DataFrame}.
+
+    ``materialize='view'`` registers each model as a temp view —
+    downstream models and Catalyst inline them (one fused plan).
+    ``materialize='cache'`` additionally caches hot intermediate models
+    (the Spark analogue of a dbt table materialization for iterative
+    use of the same upstream).
+    """
+    if materialize not in ("view", "cache"):
+        raise ModelError(f"unknown materialization {materialize!r}")
+    for name, df in sources.items():
+        df.createOrReplaceTempView(f"src_{name}")
+
+    out: dict[str, DataFrame] = {}
+    for name in topo_order(models):
+        sql = _REF_RE.sub(lambda m: f"{view_prefix}{m.group(1)}", models[name])
+        sql = _SOURCE_RE.sub(lambda m: f"src_{m.group(1)}", sql)
+        df = spark.sql(sql)
+        if materialize == "cache":
+            df = df.cache()
+        df.createOrReplaceTempView(f"{view_prefix}{name}")
+        out[name] = df
+    return out

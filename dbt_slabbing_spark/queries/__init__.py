@@ -66,6 +66,8 @@ _MODULES = (
     "setops",
     "scalar_functions",
     "joins_advanced",
+    "udf_surface",
+    "model_chain",
     "dedup",
     "similarity",
     "textanalysis",

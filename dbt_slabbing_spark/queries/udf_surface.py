@@ -1,0 +1,93 @@
+"""Corpus entries exercising every Python-function extension point,
+each verified against a pure-SQL oracle (the UDF computes something the
+oracle can recompute — that's the point: the mechanism is what's under
+test, not the math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.python_udfs import ChunkText, group_ols_slope, slow_row_udf_upper, utf8_byte_len
+from . import dround, register
+
+
+@register(
+    "udf_pandas_scalar_bytelen",
+    """
+    SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len
+    FROM documents
+    """,
+    "Arrow-vectorized scalar pandas_udf (UTF-8 byte length)",
+    tags=("udf", "pandas_udf"),
+)
+def udf_pandas_scalar_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select("doc_id", utf8_byte_len()("text").alias("byte_len"))
+
+
+@register(
+    "udf_grouped_ols_slope",
+    """
+    SELECT user_id,
+           round((regr_slope(value, epoch_ms(ts) / 3600000.0)) * 10000.0) / 10000.0 AS slope
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+    "custom UDAF via applyInPandas (per-group OLS fit) vs closed-form regr_slope",
+    tags=("udf", "udaf", "pandas_udf"),
+)
+def udf_grouped_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", (F.unix_millis("ts") / 3600000.0).alias("hours"), "value")
+    )
+    with_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+    eligible = ev.join(F.broadcast(with_counts.filter(F.col("_n") >= 2)), "user_id").drop("_n")
+    fitted = eligible.groupBy("user_id").applyInPandas(group_ols_slope, schema="user_id bigint, slope double")
+    return fitted.select("user_id", dround(F.col("slope"), 4).alias("slope"))
+
+
+@register(
+    "udf_udtf_chunk_text",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(w[i*25 + 1 : i*25 + 25], ' ') AS chunk
+    FROM (
+        SELECT doc_id, w,
+               unnest(range(0, CAST(ceil(len(w) / 25.0) AS BIGINT))) AS i
+        FROM norm
+    )
+    """,
+    "Python UDTF (one doc → many token chunks) via LATERAL join",
+    tags=("udf", "udtf"),
+)
+def udf_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    chunker = udtf(ChunkText, returnType="chunk_idx int, chunk string")
+    spark.udtf.register("chunk_text", chunker)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk FROM _udtf_docs d, LATERAL chunk_text(d.text, 25) c"
+    )
+
+
+@register(
+    "udf_row_at_a_time_upper",
+    "SELECT c_custkey, upper(c_name) AS name_upper FROM customer",
+    "row-at-a-time Python UDF (the documented slow path; oracle = built-in upper)",
+    tags=("udf", "slow_path"),
+)
+def udf_row_at_a_time_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    up = slow_row_udf_upper()
+    return table(spark, sf_dir, "customer").select("c_custkey", up("c_name").alias("name_upper"))

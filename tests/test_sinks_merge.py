@@ -1,0 +1,98 @@
+"""Sink round-trips (partitioned parquet with pruning, CSV, JSON) and
+merge/SCD2 emulation semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dbt_slabbing_spark.catalog import table
+from dbt_slabbing_spark.operators.merge import dedup_updates, scd2_apply, upsert
+from dbt_slabbing_spark.sinks import HAS_DELTA, write_csv, write_json, write_parquet
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
+    out = str(tmp_path / "orders_parted")
+    orders = table(spark, SF_SMOKE, "orders").withColumn("o_year", F.year("o_orderdate"))
+    write_parquet(orders, out, partition_by=["o_year"], target_files=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    pruned = back.filter(F.col("o_year") == 1997)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must hit the directory layout, not the row scan
+    assert "PartitionFilters: [isnotnull(o_year" in plan, plan[:800]
+    assert pruned.count() == orders.filter(F.year("o_orderdate") == 1997).count()
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    nation = table(spark, SF_SMOKE, "nation")
+    write_csv(nation, str(tmp_path / "nation_csv"))
+    write_json(nation, str(tmp_path / "nation_json"))
+    csv_back = spark.read.csv(str(tmp_path / "nation_csv"), header=True, inferSchema=True)
+    json_back = spark.read.json(str(tmp_path / "nation_json"))
+    assert csv_back.count() == 25 and json_back.count() == 25
+    assert sorted(r["n_name"] for r in csv_back.collect()) == sorted(r["n_name"] for r in json_back.collect())
+
+
+def test_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")], schema="k int, v string"
+    )
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="NEW")], schema="k int, v string")
+    merged = {r["k"]: r["v"] for r in upsert(target, updates, "k").collect()}
+    assert merged == {1: "a", 2: "B2", 3: "c", 9: "NEW"}
+
+
+def test_cdc_compaction_last_wins(spark):
+    updates = spark.createDataFrame(
+        [Row(k=1, v="old", seq=1), Row(k=1, v="new", seq=2), Row(k=2, v="x", seq=1)],
+        schema="k int, v string, seq int",
+    )
+    got = {r["k"]: r["v"] for r in dedup_updates(updates, "k", "seq").collect()}
+    assert got == {1: "new", 2: "x"}
+
+
+def test_scd2_versions(spark):
+    dim = spark.createDataFrame(
+        [Row(k=1, seg="GOLD", valid_from=None, valid_to=None, is_current=True)],
+        schema="k int, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, seg="SILVER", changed_at="2024-02-01 00:00:00"),  # real change
+            Row(k=2, seg="NEW", changed_at="2024-02-02 00:00:00"),     # brand-new key
+        ],
+        schema="k int, seg string, changed_at string",
+    ).withColumn("changed_at", F.col("changed_at").cast("timestamp"))
+
+    out = scd2_apply(dim, changes, "k", "changed_at", ["seg"]).collect()
+    by = {(r["k"], r["seg"]): r for r in out}
+    assert len(out) == 3
+    old = by[(1, "GOLD")]
+    assert old["is_current"] is False and str(old["valid_to"]).startswith("2024-02-01")
+    assert by[(1, "SILVER")]["is_current"] is True
+    assert by[(2, "NEW")]["is_current"] is True
+
+
+def test_scd2_noop_change_dropped(spark):
+    dim = spark.createDataFrame(
+        [Row(k=1, seg="GOLD", valid_from=None, valid_to=None, is_current=True)],
+        schema="k int, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    changes = spark.createDataFrame([Row(k=1, seg="GOLD", changed_at=None)], schema="k int, seg string, changed_at timestamp")
+    out = scd2_apply(dim, changes, "k", "changed_at", ["seg"]).collect()
+    assert len(out) == 1 and out[0]["is_current"] is True
+
+
+def test_delta_gated(spark, tmp_path):
+    if HAS_DELTA:
+        return  # environment has delta; nothing to gate
+    import pytest
+
+    from dbt_slabbing_spark.sinks import merge_into
+
+    with pytest.raises(NotImplementedError):
+        merge_into(spark, str(tmp_path), spark.range(1), "id")
