@@ -265,3 +265,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "dedup_mllib_minhash_lsh",
+    None,  # Spark-internal hash family — deterministic (seeded) but not SQL-reproducible.
+    "MLlib MinHashLSH.approxSimilarityJoin near-dup pairs (production-scale path)",
+    tags=("dedup", "lsh", "mllib"),
+)
+def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mllib_lsh import mllib_minhash_pairs
+
+    return mllib_minhash_pairs(table(spark, sf_dir, "documents"))
