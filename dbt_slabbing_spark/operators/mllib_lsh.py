@@ -20,7 +20,7 @@ def mllib_minhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hash_tables: int = 8,
-    max_jaccard_distance: float = 0.95,
+    max_jaccard_distance: float = 0.7,
     num_features: int = 1 << 18,
     seed: int = 42,
 ) -> DataFrame:

@@ -61,6 +61,7 @@ def register(
 _MODULES = (
     "relational",
     "relational_extra",
+    "tpch_extra",
     "aggregates",
     "windows",
     "setops",
@@ -68,6 +69,7 @@ _MODULES = (
     "joins_advanced",
     "udf_surface",
     "model_chain",
+    "training_pipeline",
     "dedup",
     "similarity",
     "textanalysis",

@@ -1,0 +1,67 @@
+"""Bucketing: pre-shuffled table layout so repeated joins on the bucket
+key are exchange-free (SCALE.md join policy; pyspark_guide.md
+"Bucketing"). At 100 TB this is the difference between shuffling the
+fact table on every join vs once at write time."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbt_slabbing_spark.catalog import table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def bucketed_tables(spark):
+    orders = table(spark, SF_SMOKE, "orders")
+    customer = table(spark, SF_SMOKE, "customer")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("t_orders_bucketed")
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("t_customer_bucketed")
+    )
+    yield "t_orders_bucketed", "t_customer_bucketed"
+    spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_customer_bucketed")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    t_orders, t_customer = bucketed_tables
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # force a non-broadcast join so the shuffle question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        joined = (
+            spark.table(t_orders)
+            .join(spark.table(t_customer), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]  # below the agg: the join subtree
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, join_section[:1500]
+        # and it still computes the right thing
+        expected = (
+            table(spark, SF_SMOKE, "orders")
+            .join(table(spark, SF_SMOKE, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        got = {r["c_mktsegment"]: r["n"] for r in joined.collect()}
+        exp = {r["c_mktsegment"]: r["count"] for r in expected.collect()}
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
