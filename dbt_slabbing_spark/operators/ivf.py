@@ -1,0 +1,90 @@
+"""IVF-style approximate nearest neighbor: k-means coarse quantizer →
+probe the closest ``nprobe`` cells only.
+
+The third leg of the similarity-search stool (SCALE.md):
+
+- brute force (`operators/similarity.py::brute_force_topk`): exact,
+  O(Q·N) — the correctness baseline;
+- hyperplane LSH (`lsh_topk`): data-independent buckets, equi-join;
+- IVF (this): data-DEPENDENT partitioning — k-means centroids adapt to
+  the embedding distribution, so cells are balanced where LSH buckets
+  can be badly skewed. The classic FAISS IVF-flat layout, expressed as
+  Spark ops: assignment is a broadcast-centroid argmin (one narrow
+  pass), the probe is an equi-join on cell id.
+
+Centroids come from MLlib KMeans (seeded → deterministic run-to-run,
+but not SQL-reproducible → rows-only in the gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..rounding import dround
+from .similarity import cosine, dot
+
+
+def _cell_distances(vec_col: str, centroids: list[tuple[int, list[float]]]):
+    """array<struct<d, cell>> of squared distances to every centroid.
+
+    NB: linear-size expression. A chained when(d < best_dist, …)
+    formulation re-inlines the running best per step and the tree grows
+    2^k — it hung the analyzer outright at k=16.
+    """
+    per_cell = []
+    for cid, c in centroids:
+        c_col = F.array(*[F.lit(float(x)) for x in c])
+        d = dot(F.col(vec_col), F.col(vec_col)) - 2 * dot(F.col(vec_col), c_col) + dot(c_col, c_col)
+        per_cell.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
+    return F.array(*per_cell)
+
+
+def _cell_assignment(vectors: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str):
+    """argmin-distance cell id (ties → lowest cell id, deterministic)."""
+    return F.element_at(F.array_sort(_cell_distances(vec_col, centroids)), 1)["cell"]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(query_id, vec_id, cos): approximate top-k, probing the query's
+    ``nprobe`` nearest cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(feats)
+    centroids = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+
+    assigned = vectors.withColumn("_cell", _cell_assignment(vectors, centroids, vec_col))
+
+    # query → its nprobe closest cells (explode: query appears once per probed cell)
+    def probe_cells(df: DataFrame) -> DataFrame:
+        ranked = F.slice(F.array_sort(_cell_distances(vec_col, centroids)), 1, nprobe)
+        return df.withColumn("_probe", F.explode(F.transform(ranked, lambda s: s["cell"])))
+
+    q = probe_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), F.col(vec_col))
+    ).select("query_id", "_qvec", "_probe")
+
+    scored = (
+        assigned.join(F.broadcast(q), (F.col("_cell") == F.col("_probe")) & (F.col(id_col) != F.col("query_id")))
+        .withColumn("cos", dround(cosine(F.col("_qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col, "cos")
+    )

@@ -177,3 +177,16 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")
     )
+
+
+@register(
+    "sim_ivf_topk",
+    None,  # k-means centroids are MLlib-internal — deterministic (seeded) but not SQL-reproducible.
+    "IVF ANN: k-means coarse quantizer, probe 2 nearest cells, top-3 by cosine",
+    tags=("similarity", "ivf", "mllib"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5))

@@ -39,19 +39,32 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:
-    """Drive the streaming query over the bounded input; return the sink."""
-    name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    """Drive the streaming query over the bounded input; return the sink.
+
+    State-store partition count is fixed by shuffle.partitions at the
+    FIRST micro-batch; a vanilla session's 200 partitions means 200
+    state stores for a 10k-row replay (pure scheduling overhead, ~10 s
+    per query). Cap it for the run, restore after — on a real cluster
+    the session owner sizes this to the key cardinality.
+    """
     spark = result.sparkSession
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    try:
+        if int(old_shuffle) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return spark.table(name)
 
 

@@ -1,0 +1,59 @@
+"""Physical-plan regression guards: the plans we tuned for must STAY
+the plans (a correctness-preserving refactor that silently drops a
+broadcast or a pushed filter is a 100 TB regression local tests would
+never feel)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_slabbing_spark.queries import registry
+from tests.conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_joins_all_broadcast(spark):
+    plan = _executed_plan(registry()["q5_local_supplier"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "a dim join fell back to sort-merge"
+
+
+def test_q1_filter_pushed_and_pruned(spark):
+    plan = _executed_plan(registry()["q1_pricing_summary"].fn(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unreferenced wide columns must not be read
+    assert "l_partkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_minhash_partial_aggregation(spark):
+    """The per-(doc, seed) min must partial-aggregate before its
+    exchange (shuffle volume docs×seeds, not shingles×seeds)."""
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.operators.hashing import minhash_signatures
+
+    sigs = minhash_signatures(table(spark, SF_SMOKE, "documents"), "doc_id", "text")
+    plan = _executed_plan(sigs)
+    before_exchange = plan.split("Exchange")[-1]  # deepest section = pre-shuffle
+    assert "partial_min" in before_exchange or "partial_min" in plan, plan[:2000]
+
+
+def test_ivf_deterministic_and_bounded(spark):
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.operators.ivf import ivf_topk
+    from dbt_slabbing_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(emb, queries).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries).collect()))
+    assert a == b and len(a) > 0
+    # ANN cosines can never beat the exact top-1
+    exact_best = {
+        r["query_id"]: r["cos"]
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    for qid, _vid, cos in a:
+        assert cos <= exact_best[qid] + 1e-9
