@@ -1,0 +1,144 @@
+"""Fourth wave: the remaining §2.6 cells — RIGHT join, map-typed JSON,
+salted hot-key aggregation (the manual skew pattern), and q15/q17
+TPC-H shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import dround, register
+
+
+@register(
+    "join_right_suppliers_per_nation",
+    """
+    SELECT n_name, CAST(count(s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "right outer join preserving nations with zero suppliers",
+    tags=("join",),
+)
+def join_right_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "fn_map_from_json",
+    """
+    SELECT event_id,
+           json_keys(props)[1]                              AS first_key,
+           CAST(json_extract_string(props, '$.k') AS INT)   AS k_value,
+           CAST(len(json_keys(props)) AS INT)               AS n_keys
+    FROM events
+    """,
+    "map-typed JSON: parse props to map<string,int>, keys/values access",
+    tags=("scalar", "json", "map"),
+)
+def fn_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("_m", F.from_json("props", "map<string,int>"))
+    keys = F.map_keys(F.col("_m"))
+    return ev.select(
+        "event_id",
+        F.element_at(F.array_sort(keys), 1).alias("first_key"),
+        F.element_at(F.col("_m"), "k").alias("k_value"),
+        F.size(keys).alias("n_keys"),
+    )
+
+
+@register(
+    "agg_salted_hot_keys",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round((sum(value)) * 100.0) / 100.0 AS total
+    FROM events GROUP BY event_type
+    """,
+    "two-phase salted aggregation over 5 hot keys (manual skew pattern; "
+    "result identical to the plain groupBy oracle)",
+    tags=("agg", "skew"),
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Phase 1: aggregate on (key, salt) — hot keys split across 8
+    # reducers; phase 2: merge the partials per key. On skewed data the
+    # first shuffle is what melts; salting bounds any reducer's share of
+    # a hot key at 1/8. (AQE skew-join handles the join case; this is
+    # the groupBy-side version it doesn't cover.)
+    ev = table(spark, sf_dir, "events").withColumn("_salt", F.pmod(F.col("event_id"), F.lit(8)))
+    partial = ev.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").cast("bigint").alias("n"), dround(F.sum("_sum"), 2).alias("total")
+    )
+
+
+@register(
+    "q15_top_revenue_suppliers",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "TPC-H Q15-style: revenue view + scalar-max subquery (top supplier)",
+    tags=("subquery", "agg", "join"),
+)
+def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round((sum(l_extendedprice) / 7.0) * 10000.0) / 10000.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg_qty
+          FROM lineitem GROUP BY l_partkey) t
+      ON p_partkey = t.pk
+    WHERE p_brand = 'Brand#1' AND l_quantity < half_avg_qty
+    """,
+    "TPC-H Q17-style: correlated avg-quantity threshold (decorrelated join)",
+    tags=("subquery", "agg", "join"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    half_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(half_avg, F.col("p_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(dround(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )

@@ -64,3 +64,32 @@ def test_hourly_counts_total_conservation(spark):
     from dbt_slabbing_spark.catalog import table
 
     assert total == table(spark, SF_SMOKE, "events").count()
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Exactly-once bookkeeping: restarting a query on the same
+    checkpoint must NOT re-emit the already-processed input (the file
+    source records consumed files in the checkpoint's offset log)."""
+    from dbt_slabbing_spark.streaming.jobs import _events_stream
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        rows = _events_stream(spark, SF_SMOKE).select("event_id", "event_type")
+        q = (
+            rows.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out).count()
+
+    assert run_once() == 1000  # sf0.001 events fully written once
+    # restart on the same checkpoint: input already consumed → no dupes
+    assert run_once() == 1000
