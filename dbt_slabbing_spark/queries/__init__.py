@@ -62,6 +62,7 @@ _MODULES = (
     "relational",
     "relational_extra",
     "tpch_extra",
+    "tpch_extra2",
     "coverage_extra",
     "aggregates",
     "windows",
