@@ -28,6 +28,34 @@ def test_q1_filter_pushed_and_pruned(spark):
     assert "l_partkey" not in plan.split("ReadSchema")[-1]
 
 
+def test_q2_single_fact_shuffle(spark):
+    """q2's correlated-min decorrelation: supplier/nation/region and part
+    are broadcast, so lineitem shuffles only on its aggregation/window
+    key — no sort-merge join of the fact table."""
+    plan = _executed_plan(registry()["q2_min_unit_cost_supplier"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim join fell back to sort-merge"
+
+
+def test_q21_decorrelated_no_fact_sortmerge_explosion(spark):
+    """q21's EXISTS/NOT EXISTS pair is one per-order aggregate + one
+    l_orderkey join — the plan must not contain a broadcast of the fact
+    table and must reuse/shuffle on l_orderkey only."""
+    plan = _executed_plan(registry()["q21_sole_late_supplier"].fn(spark, SF_SMOKE))
+    # supplier dim is broadcast; the orders join under AQE may also
+    # broadcast (orders < lineitem) — what must NOT happen is a
+    # cartesian/nested-loop anywhere.
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_part_filter_pushed(spark):
+    """q9's p_name contains-filter must reach the part parquet scan."""
+    plan = _executed_plan(registry()["q9_product_type_profit"].fn(spark, SF_SMOKE))
+    assert "StringContains(p_name,widget)" in plan, "part filter not pushed to scan"
+
+
 def test_minhash_partial_aggregation(spark):
     """The per-(doc, seed) min must partial-aggregate before its
     exchange (shuffle volume docs×seeds, not shingles×seeds)."""
