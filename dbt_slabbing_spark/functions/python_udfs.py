@@ -58,6 +58,41 @@ def group_ols_slope(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "slope": [slope]})
 
 
+def grouped_agg_median():
+    """GROUPED_AGG pandas UDF: a true vectorized UDAF usable inside
+    ``.agg()`` and over windows — the whole group's column arrives as
+    one Arrow-backed Series and returns a scalar.
+
+    Distinct from :func:`group_ols_slope` (grouped-MAP via
+    ``applyInPandas``, DataFrame→DataFrame): GROUPED_AGG composes with
+    other aggregates in the same ``agg()`` call. Median is the test
+    vehicle because it is NOT algebraic — no partial-aggregate
+    decomposition exists, so this is the one aggregate shape that
+    genuinely needs the whole group in memory (Spark hash-shuffles the
+    full group to one task; at 100 TB use approx_percentile instead —
+    this surface is for exact/small-group paths).
+    """
+
+    @pandas_udf("double")
+    def _median(s: pd.Series) -> float:
+        return float(s.median())
+
+    return _median
+
+
+def grouped_agg_count():
+    """GROUPED_AGG companion count: Spark disallows mixing pandas and
+    JVM aggregates in one ``agg()`` (INVALID_PANDAS_UDF_PLACEMENT), so
+    composing a pandas UDAF with a count means the count must be a
+    pandas UDAF too."""
+
+    @pandas_udf("long")
+    def _count(s: pd.Series) -> int:
+        return int(len(s))
+
+    return _count
+
+
 class ChunkText:
     """Python UDTF: fixed-size token chunks of a document (the shape a
     training-data pipeline uses to window long documents).

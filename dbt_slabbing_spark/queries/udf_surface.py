@@ -10,7 +10,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.python_udfs import ChunkText, group_ols_slope, slow_row_udf_upper, utf8_byte_len
+from ..functions.python_udfs import (
+    ChunkText,
+    group_ols_slope,
+    grouped_agg_count,
+    grouped_agg_median,
+    slow_row_udf_upper,
+    utf8_byte_len,
+)
 from . import dround, register
 
 
@@ -50,6 +57,31 @@ def udf_grouped_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = ev.join(F.broadcast(with_counts.filter(F.col("_n") >= 2)), "user_id").drop("_n")
     fitted = eligible.groupBy("user_id").applyInPandas(group_ols_slope, schema="user_id bigint, slope double")
     return fitted.select("user_id", dround(F.col("slope"), 4).alias("slope"))
+
+
+@register(
+    "udf_grouped_agg_median",
+    """
+    SELECT l_returnflag,
+           round((median(l_extendedprice)) * 10000.0) / 10000.0 AS median_price,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "GROUPED_AGG pandas UDFs (vectorized UDAFs composed in one .agg()) "
+    "vs DuckDB median",
+    tags=("udf", "udaf", "pandas_udf"),
+)
+def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    med, cnt = grouped_agg_median(), grouped_agg_count()
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dround(med("l_extendedprice"), 4).alias("median_price"),
+            cnt("l_extendedprice").alias("n_lines"),
+        )
+    )
 
 
 @register(
