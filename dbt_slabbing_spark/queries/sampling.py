@@ -1,0 +1,145 @@
+"""Reproducible sampling / splitting operators for training-data
+pipelines. Random sampling (``df.sample``, ``TABLESAMPLE``) is
+nondeterministic across engines, partitionings, and reruns — a training
+pipeline needs SAMPLES THAT ARE A PURE FUNCTION OF THE KEY, so every
+operator here buckets rows by a portable md5 of the key (same idiom as
+the dedup suite: Spark ``conv(substr(md5,1,8),16,10)`` ⟷ DuckDB
+``('0x'||substr(md5,1,8))::BIGINT``) and filters on the bucket.
+
+Scale notes (100 TB): bernoulli-by-hash and weighted-mixture are pure
+per-row filters — zero shuffles, fully parallel, and compose with column
+pruning (the scan reads only key + projected columns). The train/test
+split is the same filter followed by a partial-aggregated count. Only
+the stratified per-group quota shuffles (one exchange on the stratum
+key); at scale the stratum histogram is the skew to watch — mitigate by
+pre-filtering with an over-sampled bernoulli pass so the window sees
+quota×fudge rows per stratum, not the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.hashing import md5_long32
+from . import register
+
+# DuckDB twin of operators.hashing.md5_long32 over a seeded key.
+_DUCK_BUCKET = "(('0x' || substr(md5({key}), 1, 8))::BIGINT % 100)"
+
+
+def _bucket(col, seed: str = "") -> F.Column:
+    """Deterministic bucket in [0, 100) from a key column + seed."""
+    key = F.concat(F.lit(seed), col.cast("string")) if seed else col.cast("string")
+    return md5_long32(key) % 100
+
+
+@register(
+    "sample_hash_bernoulli",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_DUCK_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 10
+    """,
+    "reproducible 10% bernoulli sample keyed on md5(doc_id) — a pure "
+    "filter, rerun-stable on any partitioning",
+    tags=("sampling", "training"),
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(_bucket(F.col("doc_id")) < 10).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_train_test_split",
+    f"""
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE WHEN {_DUCK_BUCKET.format(key="'split|' || CAST(doc_id AS VARCHAR)")} < 80
+                        THEN 'train'
+                    WHEN {_DUCK_BUCKET.format(key="'split|' || CAST(doc_id AS VARCHAR)")} < 90
+                        THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split, lang
+    """,
+    "80/10/10 train/valid/test assignment as a pure function of the doc "
+    "key (seeded so it is independent of other sampling decisions)",
+    tags=("sampling", "training"),
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _bucket(F.col("doc_id"), seed="split|")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(split, "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "sample_stratified_quota",
+    """
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    """,
+    "stratified sample: 20 docs per language, chosen by deterministic "
+    "hash order (equal representation regardless of stratum skew)",
+    tags=("sampling", "training", "window"),
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order_key = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(order_key, "doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "sample_weighted_mixture",
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM (
+        SELECT source,
+               CASE WHEN source IN ('src0', 'src1') THEN 80
+                    WHEN source IN ('src2', 'src3') THEN 50
+                    ELSE 10 END AS rate,
+               {_DUCK_BUCKET.format(key="'mix|' || CAST(doc_id AS VARCHAR)")} AS b
+        FROM documents
+    )
+    WHERE b < rate
+    GROUP BY source
+    """,
+    "training-mixture sampling: per-source keep-rates (up-weight curated "
+    "sources, down-weight bulk web) as one shuffle-free filter",
+    tags=("sampling", "training"),
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rate = (
+        F.when(F.col("source").isin("src0", "src1"), 80)
+        .when(F.col("source").isin("src2", "src3"), 50)
+        .otherwise(10)
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(_bucket(F.col("doc_id"), seed="mix|") < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
