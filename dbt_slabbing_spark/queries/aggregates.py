@@ -226,3 +226,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+@register(
+    "agg_approx_percentiles",
+    None,  # GK sketches differ across engines — bounded-error pytest instead.
+    "percentile_approx (Greenwald-Khanna quantile sketch) per group — "
+    "the mergeable 100 TB path where exact median cannot scale",
+    tags=("agg", "approx"),
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), 10000
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(qs.alias("price_quartiles"))
+    )

@@ -65,6 +65,24 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreach_batch_totals",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round((sum(value)) * 100.0) / 100.0 AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "foreachBatch → batch_id-partitioned parquet sink with dynamic "
+    "overwrite (idempotent under batch replay) → cross-batch rollup",
+    tags=("streaming", "sink"),
+)
+def stream_foreach_batch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    sink = tempfile.mkdtemp(prefix="foreach_batch_sink_")
+    return jobs.foreach_batch_totals(spark, sf_dir, sink)
+
+
+@register(
     "stream_stateful_levels",
     None,  # custom applyInPandasWithState — no SQL twin.
     "custom stateful operator: cumulative purchase-value level crossings",

@@ -122,6 +122,59 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def batch_partition_writer(sink_dir: str):
+    """The foreachBatch body: write this micro-batch's per-type totals
+    to a parquet sink partitioned by batch_id, with DYNAMIC partition
+    overwrite. Idempotence argument: a retried micro-batch re-runs with
+    the SAME batch_id, so its rewrite replaces exactly its own partition
+    — no double counting. This is the standard exactly-once recipe when
+    the sink is a plain object store (no transactional table format).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            # raw per-batch sums — rounding happens ONLY in the final
+            # rollup, else per-batch rounding error accumulates
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+
+    return write_batch
+
+
+def foreach_batch_totals(spark: SparkSession, sf_dir: str, sink_dir: str) -> DataFrame:
+    """foreachBatch sink job: stream events → per-batch totals in a
+    batch_id-partitioned parquet sink → cross-batch rollup.
+
+    The rollup over the sink equals the batch-mode aggregate no matter
+    how the input was micro-batched (sum of per-batch counts/sums), and
+    stays correct under batch replay — asserted by the test suite.
+    """
+    stream = _events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(batch_partition_writer(sink_dir))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            dround(F.sum("total_value"), 2).alias("total_value"),
+        )
+    )
+
+
 def stateful_high_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per user,
     emit cumulative purchase value whenever it crosses 100-unit levels.

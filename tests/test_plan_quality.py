@@ -85,3 +85,27 @@ def test_ivf_deterministic_and_bounded(spark):
     }
     for qid, _vid, cos in a:
         assert cos <= exact_best[qid] + 1e-9
+
+
+def test_approx_percentiles_bounded_error(spark):
+    """The GK sketch has a rank-error guarantee (≤ n/accuracy). With
+    accuracy=10000 on sf0.001 (~6k rows/group) the rank error is < 1,
+    so each sketch output must land within one exact-order-statistic
+    neighbor of the true quantile."""
+    from dbt_slabbing_spark.catalog import table
+
+    approx = {
+        r["l_returnflag"]: r["price_quartiles"]
+        for r in registry()["agg_approx_percentiles"].fn(spark, SF_SMOKE).collect()
+    }
+    rows = table(spark, SF_SMOKE, "lineitem").select("l_returnflag", "l_extendedprice").collect()
+    by_flag: dict[str, list[float]] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for flag, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        for p, got in zip([0.25, 0.5, 0.75, 0.95], approx[flag]):
+            rank = int(p * n)
+            lo, hi = vals[max(rank - 2, 0)], vals[min(rank + 2, n - 1)]
+            assert lo <= got <= hi, (flag, p, got, lo, hi)

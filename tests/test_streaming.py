@@ -93,3 +93,43 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     assert run_once() == 1000  # sf0.001 events fully written once
     # restart on the same checkpoint: input already consumed → no dupes
     assert run_once() == 1000
+
+
+def test_foreach_batch_replay_idempotent(spark, tmp_path):
+    """The foreachBatch writer must be idempotent under micro-batch
+    replay: re-invoking it with the SAME batch_id (what the engine does
+    after a mid-batch failure) leaves the sink rollup unchanged."""
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.streaming.jobs import batch_partition_writer, foreach_batch_totals
+
+    sink = str(tmp_path / "sink")
+    first = {
+        r["event_type"]: (r["n"], r["total_value"])
+        for r in foreach_batch_totals(spark, SF_SMOKE, sink).collect()
+    }
+    batch = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {t: n for t, (n, _) in first.items()} == batch
+
+    # replay batch 0: same input, same batch_id → dynamic partition
+    # overwrite replaces its own output, so nothing double-counts
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    batch_partition_writer(sink)(events, 0)
+    after = {
+        r["event_type"]: (r["n"], r["total_value"])
+        for r in spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            (F.round(F.sum("total_value") * 100.0) / 100.0).alias("total_value"),
+        )
+        .collect()
+    }
+    assert {t: n for t, (n, _) in after.items()} == batch
