@@ -98,3 +98,67 @@ def run_models(
         df.createOrReplaceTempView(f"{view_prefix}{name}")
         out[name] = df
     return out
+
+
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+_IS_INCR_RE = re.compile(
+    r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.S
+)
+
+
+def run_incremental(
+    spark: SparkSession,
+    model_sql: str,
+    target_path: str,
+    sources: dict[str, DataFrame],
+    unique_key: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """dbt-style INCREMENTAL materialization — the 100 TB workhorse:
+    recompute only new rows, never the history.
+
+    Macros supported, with dbt semantics:
+    - ``{% if is_incremental() %} … {% endif %}`` — the block is
+      STRIPPED on the first run (full build) and inlined when the
+      target exists; the block's WHERE clause restricts the scan to
+      rows past the model's high watermark, so at scale the predicate
+      prunes partitions and cost tracks the DELTA, not the history;
+    - ``{{ this }}`` → the existing target (for
+      ``WHERE ts > (SELECT max(ts) FROM {{ this }})``) — only valid
+      inside the is_incremental block.
+
+    Append-only when ``unique_key`` is None; otherwise upsert by key
+    (latest-change-wins via ``order_col`` CDC compaction first). The
+    rewrite goes to a staging dir then swaps in, so a failed run never
+    corrupts the target (poor man's transactionality; on a real
+    deployment use a transactional table format).
+    """
+    import shutil
+
+    from ..operators.merge import dedup_updates, upsert
+
+    target = pathlib.Path(target_path)
+    exists = target.exists()
+    for name, df in sources.items():
+        df.createOrReplaceTempView(f"src_{name}")
+    sql = _SOURCE_RE.sub(lambda m: f"src_{m.group(1)}", model_sql)
+    sql = _IS_INCR_RE.sub((lambda m: m.group(1)) if exists else "", sql)
+    if exists:
+        spark.read.parquet(str(target)).createOrReplaceTempView("_incr_this")
+    sql = _THIS_RE.sub("_incr_this", sql)
+    delta = spark.sql(sql)
+
+    if not exists:
+        delta.write.mode("overwrite").parquet(str(target))
+    else:
+        if unique_key is not None:
+            if order_col is not None:
+                delta = dedup_updates(delta, unique_key, order_col)
+            merged = upsert(spark.read.parquet(str(target)), delta, unique_key)
+        else:
+            merged = spark.read.parquet(str(target)).unionByName(delta)
+        staging = str(target) + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(str(target))
+        pathlib.Path(staging).rename(target)
+    return spark.read.parquet(str(target))

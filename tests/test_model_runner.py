@@ -52,3 +52,58 @@ def test_load_model_dir(tmp_path):
     (tmp_path / "m2.sql").write_text("SELECT * FROM {{ ref('m1') }}")
     models = load_model_dir(str(tmp_path))
     assert set(models) == {"m1", "m2"}
+
+
+def test_incremental_append_watermark(spark, tmp_path):
+    """Incremental model: first run full-builds; second run sees the
+    is_incremental block, reads only rows past max(ts) in the target,
+    and appends — final state equals a from-scratch build."""
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.plans.model_runner import run_incremental
+
+    events = table(spark, SF_SMOKE, "events").select("event_id", "ts", "event_type", "value")
+    first_half = events.filter(F.col("event_id") < 500)
+    model = """
+        SELECT event_id, ts, event_type, value
+        FROM src_events
+        {% if is_incremental() %}
+        WHERE ts > (SELECT max(ts) FROM {{ this }})
+        {% endif %}
+    """
+    target = str(tmp_path / "incr_events")
+
+    out1 = run_incremental(spark, model, target, sources={"events": first_half})
+    n1 = out1.count()
+    assert n1 == first_half.count()
+
+    out2 = run_incremental(spark, model, target, sources={"events": events})
+    # watermark append: history kept, late rows added exactly once —
+    # except rows whose ts ties the old max (strictly-greater predicate
+    # is the standard dbt trade-off); with µs timestamps none tie here
+    assert out2.count() == events.count()
+    assert sorted(r["event_id"] for r in out2.collect()) == sorted(
+        r["event_id"] for r in events.collect()
+    )
+
+
+def test_incremental_upsert_by_key(spark, tmp_path):
+    """unique_key incremental: re-delivered keys UPDATE in place (CDC
+    compaction keeps the latest change), new keys INSERT."""
+    from dbt_slabbing_spark.plans.model_runner import run_incremental
+
+    cols = "k int, v string, seq int"
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], cols)
+    model = "SELECT k, v, seq FROM src_changes"
+    target = str(tmp_path / "incr_upsert")
+
+    run_incremental(spark, model, target, sources={"changes": base}, unique_key="k", order_col="seq")
+    updates = spark.createDataFrame(
+        [(2, "b_stale", 1), (2, "b_new", 2), (3, "c", 1)], cols
+    )
+    out = run_incremental(
+        spark, model, target, sources={"changes": updates}, unique_key="k", order_col="seq"
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "a", 2: "b_new", 3: "c"}
