@@ -107,3 +107,58 @@ def test_incremental_upsert_by_key(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == {1: "a", 2: "b_new", 3: "c"}
+
+
+def test_dbt_style_data_checks(spark):
+    """unique / not_null / accepted_values / relationships over the
+    testdata star schema: clean keys pass, injected violations count."""
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.plans.checks import (
+        accepted_values_check,
+        not_null_check,
+        relationships_check,
+        run_checks,
+        unique_check,
+    )
+
+    orders = table(spark, SF_SMOKE, "orders")
+    nation = table(spark, SF_SMOKE, "nation")
+    customer = table(spark, SF_SMOKE, "customer")
+    results = {
+        r.name: r.failures
+        for r in run_checks(
+            [
+                unique_check(orders, "o_orderkey"),
+                not_null_check(orders, "o_custkey"),
+                accepted_values_check(orders, "o_orderstatus", ["O", "F", "P"]),
+                relationships_check(customer, "c_nationkey", nation, "n_nationkey"),
+            ]
+        )
+    }
+    assert results == {
+        "unique:o_orderkey": 0,
+        "not_null:o_custkey": 0,
+        "accepted_values:o_orderstatus": 0,
+        "relationships:c_nationkey": 0,
+    }
+
+    # violations are counted, not just flagged
+    dirty = orders.limit(2).withColumn("o_orderkey", F.lit(1)).unionByName(orders)
+    bad = {
+        r.name: r.failures
+        for r in run_checks(
+            [
+                unique_check(dirty, "o_orderkey"),
+                relationships_check(
+                    customer.withColumn("c_nationkey", F.col("c_nationkey") + 1000),
+                    "c_nationkey",
+                    nation,
+                    "n_nationkey",
+                ),
+            ]
+        )
+    }
+    assert bad["unique:o_orderkey"] >= 3  # the two injected + original key 1
+    assert bad["relationships:c_nationkey"] == customer.count()

@@ -109,3 +109,42 @@ def test_approx_percentiles_bounded_error(spark):
             rank = int(p * n)
             lo, hi = vals[max(rank - 2, 0)], vals[min(rank + 2, n - 1)]
             assert lo <= got <= hi, (flag, p, got, lo, hi)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The 100 TB skew stance (SCALE.md): heavily skewed shuffle joins
+    are healed by AQE splitting the hot partition. Build a join where
+    one key owns ~95% of rows, force the sort-merge path, and assert
+    the adaptive final plan marked the join skew=true."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(100_000).selectExpr(
+            "CASE WHEN id % 20 = 0 THEN id % 7 ELSE 0 END AS k", "id AS payload"
+        )
+        dim = spark.range(7).selectExpr("id AS k", "id AS other")
+        # no aggregation downstream of the join: skew-split changes the
+        # join's output partitioning, so AQE (with forceOptimize off)
+        # only applies it when nothing downstream requires that
+        # partitioning — same reason a skewed groupBy needs salting
+        # (queries/coverage_extra.py::agg_salted_hot_keys) rather than AQE.
+        joined = hot.join(dim, "k")
+        joined.collect()  # AQE re-plans at runtime; materialize first
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
