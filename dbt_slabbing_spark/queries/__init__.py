@@ -78,6 +78,7 @@ _MODULES = (
     "textanalysis",
     "multimodal",
     "streaming_queries",
+    "advanced_sql",
 )
 
 

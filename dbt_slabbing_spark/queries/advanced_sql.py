@@ -1,0 +1,345 @@
+"""Advanced SQL surface: recursive CTEs, lateral joins, exact
+distribution aggregates, deterministic mode, fuzzy string matching, and
+time-series gap filling.
+
+These extend the §2.6 capability inventory (SURVEY.md) with the SQL
+shapes a dbt-style model layer leans on most: date spines (recursive
+CTE), per-group top-k via LATERAL, percentile/median reporting, and
+zero-filled time series. The reference itself has none of these (it has
+no SQL surface at all — SURVEY.md §2.6); they are engine capabilities
+validated against the DuckDB oracle.
+
+Spark-first notes (100 TB):
+- The recursive CTE produces a tiny driver-side spine (84 rows) that
+  Catalyst broadcasts into the join against the aggregated fact — the
+  fact table is reduced by a partial agg BEFORE touching the spine.
+- LATERAL top-k decorrelates into a ranked window join in Catalyst
+  (``RewriteLateralSubquery``); no per-row re-execution happens.
+- Gap filling builds the dense grid from ``sequence()`` + ``explode``
+  on an already-aggregated frame: grid size = hours x types, never a
+  function of raw event count.
+- The fuzzy join is dim x dim only. At scale, levenshtein joins on a
+  fact table must be blocked/prefiltered first (length bands, q-gram
+  prefilter) — levenshtein is O(len^2) per pair and not pushdown-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import register
+
+# ---------------------------------------------------------------------------
+# recursive CTE: month spine + zero-filled order counts
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL = """
+WITH RECURSIVE spine(month) AS (
+    SELECT TIMESTAMP '1995-01-01'
+    UNION ALL
+    SELECT month + INTERVAL 1 MONTH FROM spine WHERE month < TIMESTAMP '2001-12-01'
+),
+counts AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           count(*) AS n,
+           round((sum(o_totalprice)) * 100.0) / 100.0 AS revenue
+    FROM {orders} GROUP BY 1
+)
+SELECT s.month,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders,
+       round((coalesce(c.revenue, 0.0)) * 100.0) / 100.0 AS revenue,
+       CAST(sum(coalesce(c.n, 0)) OVER (ORDER BY s.month) AS BIGINT) AS cum_orders
+FROM spine s LEFT JOIN counts c ON c.month = s.month
+"""
+
+
+@register(
+    "sql_recursive_month_spine",
+    _SPINE_SQL.format(orders="orders"),
+    "recursive CTE month spine (1995-01..2001-12) left-joined to monthly "
+    "order counts, zero-filled, with a running total",
+    tags=("sql", "recursive", "timeseries"),
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4 executes WITH RECURSIVE natively (UnionLoop); the spine is
+    # 84 rows, the orders side is partial-aggregated before the join.
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_adv_orders")
+    return spark.sql(_SPINE_SQL.format(orders="_adv_orders"))
+
+
+# ---------------------------------------------------------------------------
+# LATERAL: top-2 customers by balance per nation
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, top.c_name, top.c_acctbal
+FROM {nation} n JOIN LATERAL (
+    SELECT c_name, c_acctbal
+    FROM {customer}
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT 2
+) top ON true
+"""
+
+
+@register(
+    "sql_lateral_topn_per_nation",
+    _LATERAL_SQL.format(nation="nation", customer="customer"),
+    "correlated LATERAL subquery with ORDER BY + LIMIT: top-2 customers "
+    "by account balance per nation (c_name tiebreak)",
+    tags=("sql", "lateral", "topk"),
+)
+def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("_adv_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_adv_customer")
+    return spark.sql(_LATERAL_SQL.format(nation="_adv_nation", customer="_adv_customer"))
+
+
+# ---------------------------------------------------------------------------
+# exact distribution aggregates: median / percentile_cont / percentile_disc
+# ---------------------------------------------------------------------------
+
+_DIST_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round((median(l_extendedprice)) * 100.0) / 100.0 AS median_price,
+       round((percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 AS p25,
+       round((percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 AS p75,
+       round((percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 AS p90_disc
+FROM {lineitem}
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_exact_distribution",
+    _DIST_SQL.format(lineitem="lineitem"),
+    "exact median + percentile_cont(0.25/0.75) + percentile_disc(0.9) "
+    "per return flag (sort-based exact percentiles, not sketches)",
+    tags=("agg", "percentile"),
+)
+def agg_exact_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact percentiles sort within each group — at 100 TB prefer the
+    # approx_percentile sketch gate (agg_approx_percentiles) unless the
+    # group count is high enough that per-group sorts stay small.
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_adv_lineitem")
+    return spark.sql(_DIST_SQL.format(lineitem="_adv_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic mode (most frequent value, explicit tiebreak)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode_priority_by_status",
+    """
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+    "modal order priority per status — mode() tie order is engine-defined, "
+    "so the mode is spelled as count + row_number with a value tiebreak",
+    tags=("agg",),
+)
+def agg_mode_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching: levenshtein pairs over a dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    """,
+    "fuzzy self-join: nation-name pairs within levenshtein distance 2",
+    tags=("join", "fuzzy"),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dim x dim only (25 x 25). On a fact table this needs blocking
+    # (length bands / q-gram prefilter) before the quadratic verify.
+    a = table(spark, sf_dir, "nation").select(F.col("n_name").alias("name_a"))
+    b = table(spark, sf_dir, "nation").select(F.col("n_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 2)
+        .select("name_a", "name_b", dist.cast("int").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill: dense hourly grid, zero-fill, running total
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_gap_fill_hourly",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.hour, g.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           CAST(sum(coalesce(c.n, 0)) OVER (PARTITION BY g.event_type ORDER BY g.hour) AS BIGINT) AS cum_n
+    FROM (SELECT hour, event_type FROM spine CROSS JOIN types) g
+    LEFT JOIN counts c ON c.hour = g.hour AND c.event_type = g.event_type
+    """,
+    "gap-filled hourly event counts: sequence() spine x type grid, "
+    "left join, zero-fill, cumulative sum over the dense series",
+    tags=("timeseries", "window"),
+)
+def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    )
+    # grid size = hours x types (independent of raw row count); the fact
+    # side is reduced by the partial agg before it ever meets the grid.
+    bounds = ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .withColumn("cum_n", F.sum("n").over(w).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bivariate statistics: corr / covar / linear regression aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr_regression",
+    """
+    SELECT l_returnflag,
+           round((corr(l_quantity, l_extendedprice)) * 10000.0) / 10000.0 AS corr_qty_price,
+           round((covar_samp(l_quantity, l_extendedprice)) * 100.0) / 100.0 AS covar_qty_price,
+           round((regr_slope(l_extendedprice, l_quantity)) * 10000.0) / 10000.0 AS slope,
+           round((regr_intercept(l_extendedprice, l_quantity)) * 100.0) / 100.0 AS intercept,
+           round((regr_r2(l_extendedprice, l_quantity)) * 10000.0) / 10000.0 AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "bivariate stats per return flag: corr, covar_samp, OLS slope/"
+    "intercept/r2 via the SQL regression aggregates (single-pass, "
+    "map-side partial — contrast with udf_grouped_ols_slope)",
+    tags=("agg", "stats"),
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    from . import dround
+
+    return li.groupBy("l_returnflag").agg(
+        dround(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        dround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        dround(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        dround(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        dround(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward fill over a gap-filled series (last_value IGNORE NULLS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_forward_fill_hourly",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round((avg(value)) * 10000.0) / 10000.0 AS avg_v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.hour, g.event_type, h.avg_v,
+           last_value(h.avg_v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_v_ffill
+    FROM (SELECT hour, event_type FROM spine CROSS JOIN types) g
+    LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type
+    """,
+    "forward fill: dense hourly grid of avg event value, gaps carried "
+    "forward with last_value(... IGNORE NULLS) over an ordered frame",
+    tags=("timeseries", "window"),
+)
+def ts_forward_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dround
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type", "value"
+    )
+    bounds = ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy("hour", "event_type").agg(dround(F.avg("value"), 4).alias("avg_v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            "avg_v",
+            F.last("avg_v", ignorenulls=True).over(w).alias("avg_v_ffill"),
+        )
+    )

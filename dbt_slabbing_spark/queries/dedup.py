@@ -277,3 +277,117 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mllib_lsh import mllib_minhash_pairs
 
     return mllib_minhash_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    shingle AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM norm
+        )
+    ),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+        SELECT s AS n, s AS label FROM sym
+        UNION
+        SELECT sym.d, reach.label FROM reach JOIN sym ON sym.s = reach.n
+    )
+    SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY n
+    """,
+    "near-dup clustering: Jaccard>=0.2 shingle pairs -> undirected graph "
+    "-> connected components (min doc_id = component id); the oracle "
+    "computes the same closure with a recursive CTE",
+    tags=("dedup", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate documents into clusters, not just pairs.
+
+    Pair lists (dedup_ngram_jaccard et al.) are not directly actionable
+    for dedup — keeping "one doc per pair" over-deletes when A~B~C but
+    A!~C. The actionable unit is the connected component: keep one doc
+    per component.
+
+    Spark-first design: iterative min-label propagation (the standard
+    Spark CC formulation — each round every node takes the min label in
+    its closed neighborhood; converges in O(graph diameter) rounds,
+    which for near-dup clusters is tiny). Each round is one equi-join +
+    groupBy — all shuffle-partitioned, nothing driver-side except the
+    convergence check (a 1-row count). ``localCheckpoint`` truncates the
+    lineage so plans stay flat across iterations. For web-scale graphs
+    with giant components, swap the loop body for the large-star /
+    small-star rounds of Kiveris et al. ("Connected Components in
+    MapReduce and Beyond", SoCC'14) — same harness, fewer rounds.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shingle = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("sh"),
+    )
+    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingle.alias("a")
+    b = shingle.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+    edges = (
+        inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.2).select("id_a", "id_b")
+    )
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("src").alias("n")).distinct().withColumn("label", F.col("n"))
+    for _ in range(25):  # >= diameter of any near-dup cluster in practice
+        neigh = (
+            sym.join(labels, sym["src"] == labels["n"])
+            .groupBy(F.col("dst").alias("m"))
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        merged = (
+            labels.join(neigh, labels["n"] == neigh["m"], "left")
+            .select(
+                labels["n"],
+                F.col("label").alias("old_label"),
+                F.least(F.col("label"), F.coalesce("neigh_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("label") < F.col("old_label")).limit(1).count()
+        labels = merged.select("n", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("label").cast("long").alias("component"))

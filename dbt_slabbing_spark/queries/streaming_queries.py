@@ -90,3 +90,24 @@ def stream_foreach_batch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stateful_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stateful_high_value_flags(spark, sf_dir)
+
+
+@register(
+    "stream_stream_interval_join",
+    """
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    "stream-stream interval join (purchase <- clicks within 1h, per user) "
+    "with two-sided watermarks; equals its batch join over bounded input",
+    tags=("streaming", "join"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.purchase_click_attribution(spark, sf_dir)

@@ -208,3 +208,49 @@ def stateful_high_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_completion(flagged, "append")
+
+
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding hour.
+
+    Both sides carry a watermark so the join state is bounded: a click
+    can be evicted once the purchase-side watermark passes click_ts +
+    1 hour (Spark derives the eviction bound from the time-range join
+    condition). Over the bounded replay the inner join emits exactly
+    the batch-join result, so this query has a real SQL oracle.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = _run_to_completion(joined, "append")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("click_ts"))).alias("lag_us"),
+    )
