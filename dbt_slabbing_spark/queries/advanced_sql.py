@@ -343,3 +343,96 @@ def ts_forward_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_v", ignorenulls=True).over(w).alias("avg_v_ffill"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tri-valued logic: null-safe equality join, NOT IN vs NOT EXISTS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_null_safe_equality",
+    """
+    SELECT coalesce(ck, -1) AS key_group, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (SELECT nullif(c_nationkey % 5, 0) AS ck FROM customer) c
+    JOIN (SELECT nullif(s_nationkey % 5, 0) AS sk FROM supplier) s
+      ON ck IS NOT DISTINCT FROM sk
+    GROUP BY coalesce(ck, -1)
+    """,
+    "null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing, counted per key group",
+    tags=("join", "nulls"),
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eqNullSafe compiles to a plain hash-join key (null is just another
+    # key value) — unlike OR-of-isNull rewrites, which break pushdown.
+    c = table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("ck")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("sk")
+    )
+    return (
+        c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+        .groupBy(F.coalesce("ck", F.lit(-1)).alias("key_group"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_NOT_IN_SQL = """
+SELECT
+    (SELECT count(*) FROM {customer} c
+     WHERE NOT EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey)
+    ) AS n_not_exists,
+    (SELECT count(*) FROM {customer} c
+     WHERE c.c_custkey NOT IN (SELECT nullif(o.o_custkey, 7) FROM {orders} o)
+    ) AS n_not_in
+"""
+
+
+@register(
+    "subquery_not_in_null_semantics",
+    _NOT_IN_SQL.format(customer="customer", orders="orders"),
+    "ANSI tri-valued NOT IN: one NULL in the subquery makes NOT IN "
+    "return zero rows while NOT EXISTS still anti-joins — both engines "
+    "must agree on the pair of counts",
+    tags=("subquery", "nulls"),
+)
+def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark plans the NOT IN branch as a null-aware anti join (NAAJ);
+    # NOT EXISTS stays a plain left-anti. Semantics, not plan, is the
+    # point here: the NULL poisons every NOT IN comparison.
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_adv_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_adv_orders2")
+    return spark.sql(_NOT_IN_SQL.format(customer="_adv_customer", orders="_adv_orders2"))
+
+
+# ---------------------------------------------------------------------------
+# semi-structured VARIANT: parse once, typed extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_variant_json",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    "Spark 4 VARIANT ingestion: parse_json once per row, variant_get "
+    "typed path extraction (open-schema alternative to from_json)",
+    tags=("scalar", "json", "variant"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VARIANT keeps the parsed binary form; repeated variant_get calls
+    # don't re-parse the JSON text (unlike chained get_json_object).
+    # Use it when props has no stable schema; from_json when it does.
+    ev = table(spark, sf_dir, "events").withColumn("_v", F.parse_json("props"))
+    k = F.variant_get(F.col("_v"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )

@@ -148,3 +148,35 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lateral_topn_decorrelates_to_window_join(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT 2 per nation) must
+    decorrelate into a ranked-window + equi-join plan — per-row subquery
+    re-execution would show up as a nested-loop join."""
+    plan = _executed_plan(registry()["sql_lateral_topn_per_nation"].fn(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_spine_native_loop_and_preagg(spark):
+    """WITH RECURSIVE must run as Spark 4's native UnionLoop, and the
+    orders side must be hash-aggregated BEFORE joining the 84-row spine
+    (the spine joins an aggregate, never the raw fact)."""
+    plan = _executed_plan(registry()["sql_recursive_month_spine"].fn(spark, SF_SMOKE))
+    assert "UnionLoop" in plan
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_grid_stays_broadcast(spark):
+    """Gap filling joins the dense grid against a PRE-AGGREGATED counts
+    frame: the tiny types/grid sides broadcast; a CartesianProduct or a
+    sort-merge of raw events would be the 100 TB regression."""
+    plan = _executed_plan(registry()["ts_gap_fill_hourly"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
