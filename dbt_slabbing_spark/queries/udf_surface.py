@@ -123,3 +123,49 @@ def udf_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_row_at_a_time_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     up = slow_row_udf_upper()
     return table(spark, sf_dir, "customer").select("c_custkey", up("c_name").alias("name_upper"))
+
+
+def _arrow_l2_norms(batches):
+    """mapInArrow worker: per-vector L2 norm, sequential-fold accumulation.
+
+    The fold order matters: the cross-engine contract (see
+    queries/similarity.py) is "accumulate in double, in list order" —
+    numpy's pairwise summation would differ from the oracle's
+    ``list_dot_product`` in the last ulp, so the reduction is an
+    explicit left fold. 64 elements x batch rows stays cheap; the win
+    of mapInArrow over a pandas_udf is zero pandas conversion overhead
+    (RecordBatch in, RecordBatch out).
+    """
+    import pyarrow as pa
+
+    for batch in batches:
+        vec_ids = batch.column("vec_id")
+        norms = []
+        for emb in batch.column("embedding").to_pylist():
+            acc = 0.0
+            for x in emb:  # float32 widened exactly to double
+                acc += x * x
+            norms.append(acc**0.5)
+        yield pa.RecordBatch.from_arrays(
+            [vec_ids, pa.array(norms, type=pa.float64())], ["vec_id", "l2_norm"]
+        )
+
+
+@register(
+    "udf_map_in_arrow_norms",
+    """
+    SELECT vec_id,
+           round((sqrt(list_dot_product(dv, dv))) * 1000000.0) / 1000000.0 AS l2_norm
+    FROM (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    )
+    """,
+    "mapInArrow batch transform (RecordBatch-native L2 norms, no pandas "
+    "conversion) vs the oracle's list_dot_product",
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInArrow(_arrow_l2_norms, "vec_id bigint, l2_norm double")
+    return out.select("vec_id", dround(F.col("l2_norm"), 6).alias("l2_norm"))

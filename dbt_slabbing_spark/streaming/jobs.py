@@ -254,3 +254,62 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("click_ts"))).alias("lag_us"),
     )
+
+
+def stateful_levels_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`stateful_high_value_flags` (same semantics, new API).
+
+    The new stateful-processor API gives named state variables
+    (value/list/map state), timers, and TTL — strictly more expressive
+    than ``applyInPandasWithState``'s single state tuple — and runs on
+    the RocksDB state store.
+
+    Requires the ``protobuf`` Python package (the processor protocol is
+    protobuf-framed); environments without it raise ImportError and the
+    ``applyInPandasWithState`` path above remains the supported one.
+    The calling test skips accordingly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor  # noqa: F401
+    import google.protobuf.descriptor  # noqa: F401  — hard dep of the TWS python worker
+
+    class LevelProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._total = handle.getValueState("total", "total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            crossings = []
+            for pdf in rows:
+                for v in pdf.sort_values("ts")["value"]:
+                    before = int(total // 100)
+                    total += float(v)
+                    after = int(total // 100)
+                    if after > before:
+                        crossings.append(after * 100)
+            self._total.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]] * len(crossings), "level": crossings})
+
+        def close(self):
+            pass
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=LevelProcessor(),
+            outputStructType="user_id bigint, level bigint",
+            outputMode="Append",
+            timeMode="None",
+        )
+        return _run_to_completion(out, "append")
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

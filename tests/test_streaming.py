@@ -4,6 +4,7 @@ streaming operators must agree with their batch twins on bounded input.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_slabbing_spark.streaming import jobs
@@ -133,3 +134,15 @@ def test_foreach_batch_replay_idempotent(spark, tmp_path):
         .collect()
     }
     assert {t: n for t, (n, _) in after.items()} == batch
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark):
+    """Spark 4 transformWithStateInPandas must emit the same level
+    crossings as the applyInPandasWithState twin. Requires the protobuf
+    python package (the TWS worker protocol); skipped where absent."""
+    pytest.importorskip("google.protobuf")
+    a = sorted(map(tuple, jobs.stateful_high_value_flags(spark, SF_SMOKE).collect()))
+    b = sorted(
+        map(tuple, jobs.stateful_levels_transform_with_state(spark, SF_SMOKE).collect())
+    )
+    assert a == b
