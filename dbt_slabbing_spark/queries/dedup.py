@@ -334,17 +334,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     A!~C. The actionable unit is the connected component: keep one doc
     per component.
 
-    Spark-first design: iterative min-label propagation (the standard
-    Spark CC formulation — each round every node takes the min label in
-    its closed neighborhood; converges in O(graph diameter) rounds,
-    which for near-dup clusters is tiny). Each round is one equi-join +
-    groupBy — all shuffle-partitioned, nothing driver-side except the
-    convergence check (a 1-row count). ``localCheckpoint`` truncates the
-    lineage so plans stay flat across iterations. For web-scale graphs
-    with giant components, swap the loop body for the large-star /
-    small-star rounds of Kiveris et al. ("Connected Components in
-    MapReduce and Beyond", SoCC'14) — same harness, fewer rounds.
+    Spark-first design: iterative min-label propagation via
+    ``operators/graph.py::connected_components`` (see its docstring for
+    the convergence and web-scale story; topology unit tests in
+    ``test_graph_components.py``).
     """
+    from ..operators.graph import connected_components
     docs = table(spark, sf_dir, "documents")
     shingle = docs.select(
         F.col("doc_id"),
@@ -364,30 +359,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.2).select("id_a", "id_b")
     )
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    labels = connected_components(edges, src="id_a", dst="id_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
     )
-    labels = sym.select(F.col("src").alias("n")).distinct().withColumn("label", F.col("n"))
-    for _ in range(25):  # >= diameter of any near-dup cluster in practice
-        neigh = (
-            sym.join(labels, sym["src"] == labels["n"])
-            .groupBy(F.col("dst").alias("m"))
-            .agg(F.min("label").alias("neigh_label"))
-        )
-        merged = (
-            labels.join(neigh, labels["n"] == neigh["m"], "left")
-            .select(
-                labels["n"],
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("neigh_label", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = merged.filter(F.col("label") < F.col("old_label")).limit(1).count()
-        labels = merged.select("n", "label")
-        if changed == 0:
-            break
-    return labels.select(F.col("n").alias("doc_id"), F.col("label").cast("long").alias("component"))
