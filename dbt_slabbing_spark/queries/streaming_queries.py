@@ -32,7 +32,21 @@ def stream_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding_user_activity",
-    None,  # sliding windows double-count rows; no single-pass SQL twin.
+    # A 2h/1h sliding window assigns every event to EXACTLY two
+    # hourly-aligned windows: floor_hour(ts) and floor_hour(ts) - 1h.
+    # The SQL twin materializes both memberships with UNION ALL.
+    """
+    SELECT window_start, user_bucket, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT date_trunc('hour', ts) AS window_start,
+               user_id % 10 AS user_bucket
+        FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start,
+               user_id % 10 AS user_bucket
+        FROM events
+    ) GROUP BY window_start, user_bucket
+    """,
     "streaming sliding-window agg (2h window / 1h slide)",
     tags=("streaming",),
 )
@@ -42,7 +56,29 @@ def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_windows",
-    None,  # stateful session assignment — checked in tests against the batch sessionizer.
+    # session_window(30 min) == gaps-and-islands with "new session when
+    # gap > 30:00" (exact-boundary ties are measure-zero in µs data;
+    # equivalence proven in test_session_windows_match_batch_sessionizer).
+    # session_start is the first event's ts (Spark's session start).
+    """
+    WITH gapped AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, event_id, value,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gapped
+    )
+    SELECT min(ts) AS session_start, user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round((sum(value)) * 100.0) / 100.0 AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
     "streaming session windows (30-min gap) per user",
     tags=("streaming", "stateful"),
 )
