@@ -10,6 +10,8 @@ partition overwrite), or move to Delta/Iceberg for file-level merge —
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,28 +47,58 @@ def scd2_apply(
     version (valid_to = change time) and append a new current one;
     no-op changes are dropped (null-safe comparison on every tracked
     column).
+
+    A batch may carry SEVERAL changes for one key: changes are ordered
+    by ``change_time_col`` per key, no-ops vs their in-batch predecessor
+    (or vs the current dim row for the first) are dropped, survivors are
+    chain-versioned (valid_to = next survivor's change time), and only
+    the LAST survivor stays ``is_current``. The current dim version
+    closes once, at the first surviving change time.
     """
     eot = F.lit(end_of_time).cast("timestamp")
-    changed_cond: Column = F.lit(False)
-    for c in tracked_cols:
-        changed_cond = changed_cond | ~F.col(f"d.{c}").eqNullSafe(F.col(f"c.{c}"))
 
     current = dim.filter(F.col("is_current")).alias("d")
     incoming = changes.alias("c")
 
-    # changes joined to the current version; keep real changes + brand-new keys
-    joined = incoming.join(current, F.col(f"c.{key}") == F.col(f"d.{key}"), "left")
-    real = joined.filter(F.col(f"d.{key}").isNull() | changed_cond)
+    # deterministic intra-key order even on change-time ties
+    order_cols = [F.col(f"c.{change_time_col}")] + [F.col(f"c.{c}") for c in tracked_cols]
+    w = Window.partitionBy(F.col(f"c.{key}")).orderBy(*order_cols)
 
+    joined = incoming.join(current, F.col(f"c.{key}") == F.col(f"d.{key}"), "left")
+    # NULL struct ⟺ no in-batch predecessor (an all-null tracked row
+    # still yields a non-null struct, so the marker can't false-trigger)
+    prev = F.lag(F.struct(*[F.col(f"c.{c}").alias(c) for c in tracked_cols])).over(w)
+    staged = joined.withColumn("_prev", prev)
+
+    def _any_diff(base: Callable[[str], Column]) -> Column:
+        cond: Column = F.lit(False)
+        for c in tracked_cols:
+            cond = cond | ~F.col(f"c.{c}").eqNullSafe(base(c))
+        return cond
+
+    diff_vs_prev = _any_diff(lambda c: F.col(f"_prev.{c}"))
+    diff_vs_dim = F.col(f"d.{key}").isNull() | _any_diff(lambda c: F.col(f"d.{c}"))
+    # dropped rows equal their predecessor, so "differs from immediate
+    # predecessor" ⟺ "differs from the last SURVIVING predecessor"
+    real = staged.filter(
+        F.when(F.col("_prev").isNotNull(), diff_vs_prev).otherwise(diff_vs_dim)
+    )
+
+    w_next = Window.partitionBy(F.col(f"c.{key}")).orderBy(*order_cols)
+    next_change = F.lead(F.col(f"c.{change_time_col}")).over(w_next)
     new_versions = real.select(
         F.col(f"c.{key}").alias(key),
         *[F.col(f"c.{c}").alias(c) for c in tracked_cols],
         F.col(f"c.{change_time_col}").alias("valid_from"),
-        eot.alias("valid_to"),
-        F.lit(True).alias("is_current"),
+        F.coalesce(next_change.cast("timestamp"), eot).alias("valid_to"),
+        next_change.isNull().alias("is_current"),
     )
-    closing_keys = real.filter(F.col(f"d.{key}").isNotNull()).select(
-        F.col(f"c.{key}").alias("_ck"), F.col(f"c.{change_time_col}").alias("_close_at")
+    # exactly ONE closing row per key (the earliest surviving change) —
+    # a multi-change batch must not fan out the dim-side left join
+    closing_keys = (
+        real.filter(F.col(f"d.{key}").isNotNull())
+        .groupBy(F.col(f"c.{key}").alias("_ck"))
+        .agg(F.min(F.col(f"c.{change_time_col}")).alias("_close_at"))
     )
     closed = (
         dim.join(F.broadcast(closing_keys), (F.col(key) == F.col("_ck")) & F.col("is_current"), "left")

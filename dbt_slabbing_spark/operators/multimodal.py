@@ -6,16 +6,18 @@ reference src/generate_mapping.py:116-140): media travels as a
 extraction runs as Arrow-batched pandas iterators (``mapInPandas``),
 never row-at-a-time Python.
 
-The container ships no image/audio codecs, so the real decoders are
-stubbed: ``decode_image``/``decode_audio`` raise NotImplementedError
-unless PIL/soundfile are importable, and the tested path uses
-``fake_probe`` — a deterministic pure-bytes "decoder" exercising the
-exact plumbing (schema, Arrow batching, partition mapping) the real one
-would use.
+Header decoding is REAL and dependency-free: PNG (IHDR), JPEG (SOF
+marker scan), GIF/BMP (fixed offsets) dimensions and WAV audio metadata
+(stdlib ``wave``) are parsed from the bytes directly. Only full PIXEL
+decoding remains gated (PIL / an audio codec, absent here) — at 100 TB
+the header probe is the cheap pre-decode pruning pass anyway (plan
+which frames/files to decode before paying for pixels).
 """
 
 from __future__ import annotations
 
+import io
+import struct
 from collections.abc import Iterator
 from typing import Any
 
@@ -24,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # real decoders only if libs exist (not in this container)
+try:  # full pixel decode only if PIL exists (not in this container)
     from PIL import Image  # type: ignore  # noqa: F401
 
     _HAS_PIL = True
@@ -35,19 +37,172 @@ PROBE_SCHEMA = (
     "doc_id bigint, byte_len int, content_md5 string, fake_width int, fake_height int, n_frames int"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG SOF markers that carry dimensions (C0-CF minus DHT/JPG-ext/DAC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def detect_media_type(payload: bytes) -> str:
+    """Magic-byte sniff: 'png' | 'jpeg' | 'gif' | 'bmp' | 'wav' | 'unknown'."""
+    if payload.startswith(_PNG_SIG):
+        return "png"
+    if payload.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def image_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from image header bytes — pure Python, no codec.
+
+    PNG: IHDR is the first chunk, width/height big-endian u32 at 16/20.
+    JPEG: walk the marker segments to the first SOF, height/width
+    big-endian u16 at +5/+7 into the segment.
+    GIF: logical screen size, little-endian u16 at 6/8.
+    BMP: BITMAPINFOHEADER, little-endian i32 at 18/22 (height may be
+    negative for top-down rows — abs()).
+    """
+    kind = detect_media_type(payload)
+    try:
+        if kind == "png" and len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return (w, h)
+        if kind == "jpeg":
+            i = 2
+            n = len(payload)
+            while i + 9 < n:
+                if payload[i] != 0xFF:  # not at a marker: corrupt/scan data
+                    return None
+                marker = payload[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                    i += 2  # standalone markers have no length field
+                    continue
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return (w, h)
+                i += 2 + seg_len
+            return None
+        if kind == "gif" and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return (w, h)
+        if kind == "bmp" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return (w, abs(h))
+    except struct.error:
+        return None
+    return None
+
+
+def wav_metadata(payload: bytes) -> dict[str, int] | None:
+    """{n_channels, sample_rate, n_frames, duration_ms} via stdlib wave."""
+    if detect_media_type(payload) != "wav":
+        return None
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate = wf.getframerate()
+            frames = wf.getnframes()
+            return {
+                "n_channels": wf.getnchannels(),
+                "sample_rate": rate,
+                "n_frames": frames,
+                "duration_ms": int(frames * 1000 // rate) if rate else 0,
+            }
+    except (wave.Error, EOFError):
+        return None
+
 
 def decode_image(payload: bytes) -> Any:
-    """Decode an image payload. STUB: requires PIL, absent here."""
+    """Full pixel decode — requires PIL (absent here); header-only
+    probing never needs it (see :func:`image_dimensions`)."""
     if not _HAS_PIL:
-        raise NotImplementedError("image decode needs PIL; not available in this environment")
-    import io
-
+        raise NotImplementedError("pixel decode needs PIL; header probe works without it")
     return Image.open(io.BytesIO(payload))
 
 
 def decode_audio(payload: bytes) -> Any:
-    """Decode an audio payload. STUB: no audio codec in this environment."""
-    raise NotImplementedError("audio decode needs soundfile/librosa; not available")
+    """Full sample decode. WAV works via stdlib ``wave`` (frames as raw
+    bytes); compressed formats need a codec that is absent here."""
+    if detect_media_type(payload) == "wav":
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as wf:
+            return wf.readframes(wf.getnframes())
+    raise NotImplementedError("non-WAV audio decode needs soundfile/librosa; not available")
+
+
+def synth_png(width: int, height: int) -> bytes:
+    """A real minimal PNG: signature + IHDR (valid CRC) + IEND. Enough
+    for any header-respecting parser to read dimensions."""
+    import zlib
+
+    ihdr_data = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">I", 13) + b"IHDR" + ihdr_data
+    ihdr += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF)
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    return _PNG_SIG + ihdr + iend
+
+
+def synth_wav(sample_rate: int, n_frames: int, n_channels: int = 1) -> bytes:
+    """A real PCM-16 WAV of silence, written by stdlib ``wave``."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(b"\x00\x00" * n_frames * n_channels)
+    return buf.getvalue()
+
+
+MEDIA_PROBE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "n_channels int, sample_rate int, duration_ms int"
+)
+
+
+def media_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL header probe per Arrow batch: magic-byte sniff, then PNG/
+    JPEG/GIF/BMP dimension parse or WAV metadata extraction — no codec
+    libraries, no pixel decode. Unknown payloads yield nulls."""
+    for pdf in batches:
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "media_type", "width", "height",
+                "n_channels", "sample_rate", "duration_ms",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            kind = detect_media_type(b)
+            dims = image_dimensions(b)
+            wav = wav_metadata(b)
+            cols["doc_id"].append(doc_id)
+            cols["media_type"].append(kind)
+            cols["width"].append(dims[0] if dims else None)
+            cols["height"].append(dims[1] if dims else None)
+            cols["n_channels"].append(wav["n_channels"] if wav else None)
+            cols["sample_rate"].append(wav["sample_rate"] if wav else None)
+            cols["duration_ms"].append(wav["duration_ms"] if wav else None)
+        out = pd.DataFrame(cols)
+        for c in ("width", "height", "n_channels", "sample_rate", "duration_ms"):
+            out[c] = out[c].astype("Int32")
+        yield out
+
+
+def probe_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """binary media column → typed header metadata via mapInPandas."""
+    narrowed = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(media_probe_batches, schema=MEDIA_PROBE_SCHEMA)
 
 
 def fake_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

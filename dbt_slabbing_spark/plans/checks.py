@@ -38,16 +38,19 @@ def unique_check(df: DataFrame, col: str) -> DataFrame:
 
 
 def not_null_check(df: DataFrame, col: str) -> DataFrame:
+    # coalesce: SUM over zero rows is NULL, and an empty table passes
     return df.agg(
-        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long").alias("failures")
+        F.coalesce(F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("failures")
     ).select(F.lit(f"not_null:{col}").alias("name"), "failures")
 
 
 def accepted_values_check(df: DataFrame, col: str, values: list) -> DataFrame:
     bad = F.when(~F.col(col).isin(values) | F.col(col).isNull(), 1).otherwise(0)
-    return df.agg(F.sum(bad).cast("long").alias("failures")).select(
-        F.lit(f"accepted_values:{col}").alias("name"), "failures"
-    )
+    return df.agg(
+        F.coalesce(F.sum(bad), F.lit(0)).cast("long").alias("failures")
+    ).select(F.lit(f"accepted_values:{col}").alias("name"), "failures")
 
 
 def relationships_check(df: DataFrame, col: str, to: DataFrame, to_col: str) -> DataFrame:

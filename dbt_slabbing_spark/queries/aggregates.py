@@ -197,50 +197,98 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_list_sorted",
     """
-    SELECT c_nationkey, list(c_custkey ORDER BY c_custkey) AS custkeys
+    SELECT c_nationkey,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS custkeys_csv,
+           CAST(count(*) AS BIGINT) AS n_custkeys
     FROM customer
     WHERE c_acctbal > 9000
     GROUP BY c_nationkey
     """,
-    "deterministic collect_list (sorted — collect order is undefined in Spark)",
+    "deterministic collect_list (sorted — collect order is undefined in Spark), "
+    "emitted as a CSV string so the result is canonicalizer-safe (no array columns)",
     tags=("agg", "array"),
 )
 def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sort numerically FIRST, then stringify — sorting the strings would put
+    # "10" before "2" and diverge from the oracle's ORDER BY c_custkey.
+    sorted_keys = F.sort_array(F.collect_list("c_custkey"))
     return (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 9000)
         .groupBy("c_nationkey")
-        .agg(F.sort_array(F.collect_list("c_custkey")).alias("custkeys"))
+        .agg(
+            F.array_join(F.transform(sorted_keys, lambda x: x.cast("string")), ",").alias(
+                "custkeys_csv"
+            ),
+            F.count(F.lit(1)).alias("n_custkeys"),
+        )
     )
 
 
 @register(
     "agg_approx_distinct",
-    None,  # HLL sketches differ across engines — rows-only check.
-    "approx_count_distinct (HLL) — no cross-engine oracle by design",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_rsd
+    FROM events GROUP BY event_type
+    """,
+    "approx_count_distinct (HLL) with an in-engine bounded-error verdict: the "
+    "oracle checks the exact count and expects the sketch to land within 3 "
+    "relative-standard-deviations of it (HLL is deterministic for fixed data, "
+    "so the boolean is reproducible)",
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Default rsd = 0.05; 3·rsd = 15% is a ~3σ bound the sketch must satisfy.
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("approx_within_rsd"),
+        )
     )
 
 
 @register(
     "agg_approx_percentiles",
-    None,  # GK sketches differ across engines — bounded-error pytest instead.
-    "percentile_approx (Greenwald-Khanna quantile sketch) per group — "
-    "the mergeable 100 TB path where exact median cannot scale",
+    """
+    SELECT l_returnflag,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "percentile_approx (Greenwald-Khanna quantile sketch) per group — the "
+    "mergeable 100 TB path where exact median cannot scale. Emits verdict "
+    "booleans (approx value inside the exact [p-0.005, p+0.005] quantile "
+    "band) instead of raw arrays so the driver canonicalizer never sees a "
+    "list column; GK is deterministic for fixed data, so the booleans are "
+    "reproducible and the oracle expects all-true",
     tags=("agg", "approx"),
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qs = F.percentile_approx(
-        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), 10000
-    )
-    return (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(qs.alias("price_quartiles"))
-    )
+    # accuracy=10000 → rank error ≤ n/10000; the ±0.005-quantile band is ~50×
+    # looser, so a healthy sketch always passes and a broken one never does.
+    col = "l_extendedprice"
+    aggs = []
+    for p in (0.25, 0.50, 0.75, 0.95):
+        tag = f"q{int(p * 100)}"
+        aggs += [
+            F.percentile_approx(col, F.lit(p), 10000).alias(f"_a_{tag}"),
+            F.percentile(col, F.lit(max(p - 0.005, 0.0))).alias(f"_lo_{tag}"),
+            F.percentile(col, F.lit(min(p + 0.005, 1.0))).alias(f"_hi_{tag}"),
+        ]
+    grouped = table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(*aggs)
+    checks = [
+        F.col(f"_a_q{t}").between(F.col(f"_lo_q{t}"), F.col(f"_hi_q{t}")).alias(f"q{t}_ok")
+        for t in (25, 50, 75, 95)
+    ]
+    return grouped.select("l_returnflag", *checks)

@@ -14,8 +14,16 @@ oracle can verify the Spark implementation bit-for-bit:
 Scale design: every pipeline is explode → partial-agg → equi-join.
 Minhash shuffle volume is docs × 8 rows regardless of doc length
 (map-side partial min); candidate generation is an equi-join on band
-keys / shingles — no O(n²) cross join anywhere. The only quadratic step
-(pair verification) runs on LSH-filtered candidates only.
+keys / shingles — no O(n²) cross join anywhere (simhash pairs use
+pigeonhole block banding, see ``dedup_simhash_pairs``). The only
+quadratic step (pair verification) runs on LSH-filtered candidates.
+
+Skew defense: shingle-join candidate generation drops shingles whose
+document frequency exceeds ``SHINGLE_DF_CAP`` — a boilerplate shingle
+in d docs contributes d² join rows, so one hot shingle at corpus scale
+is a straggler-killer. Capping df is standard near-dup practice (the
+dropped shingles carry no discriminative signal); the Jaccard universe
+is the CAPPED shingle set, mirrored exactly in the DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -35,6 +43,76 @@ from . import dround, register
 
 # DuckDB-side normalized words (must mirror operators/text.py exactly).
 _SQL_WORDS = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+# Max docs a shingle may appear in and still participate in candidate
+# generation. 50 ≫ every df in the test corpora (max 7 at sf0.01) so
+# results are unchanged there; at 100 TB it bounds any single shingle's
+# join contribution to df² ≤ 2500 rows.
+SHINGLE_DF_CAP = 50
+
+
+def capped_shingles(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """(doc_id, sh): distinct 3-word shingles, hot shingles dropped.
+
+    The df filter is a broadcast-able aggregate (shingle → count ≤ cap);
+    Spark plans it as groupBy + semi-join on ``sh``, both map-side
+    combinable — no skew survives to the pair join.
+    """
+    shingle = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("sh"),
+    )
+    rare = (
+        shingle.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("sh")
+    )
+    return shingle.join(rare, "sh").select("doc_id", "sh")
+
+
+def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, jaccard): exact Jaccard over df-capped shingle sets
+    for pairs sharing ≥1 (rare) shingle, filtered to ≥ threshold."""
+    shingle = capped_shingles(docs)
+    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingle.alias("a")
+    b = shingle.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    jac = F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", dround(jac, 4).alias("jaccard"))
+    )
+
+
+# Shared oracle CTEs: normalized words → distinct shingles → df cap.
+_SQL_SHINGLE_CTES = f"""
+    norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    shingle_all AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM norm
+        )
+    ),
+    shingle AS (
+        SELECT s.doc_id, s.sh
+        FROM shingle_all s
+        JOIN (SELECT sh FROM shingle_all GROUP BY sh
+              HAVING count(*) <= {SHINGLE_DF_CAP}) rare USING (sh)
+    )"""
 
 
 @register(
@@ -138,17 +216,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH norm AS (
-        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
-    ),
-    shingle AS (
-        SELECT DISTINCT doc_id, sh FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-            FROM norm
-        )
-    ),
+    WITH {_SQL_SHINGLE_CTES},
     sizes AS (
         SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
     ),
@@ -164,32 +232,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
     """,
-    "exact n-gram Jaccard: shingle-join candidates + set-overlap ratio ≥ 0.05",
+    "exact n-gram Jaccard over df-capped shingles: rare-shingle join "
+    "candidates + set-overlap ratio ≥ 0.05",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    shingle = docs.select(
-        F.col("doc_id"),
-        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("sh"),
-    )
-    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingle.alias("a")
-    b = shingle.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
-    jac = F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= 0.05)
-        .select("id_a", "id_b", dround(jac, 4).alias("jaccard"))
-    )
+    return _jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.05)
 
 
 @register(
@@ -250,18 +298,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
-    "simhash near-dup pairs: Hamming distance ≤ 6 over 32-bit simhashes",
+    "simhash near-dup pairs: Hamming ≤ 6 over 32-bit simhashes, candidates "
+    "via pigeonhole block banding (8×4-bit blocks → equi-join), never an "
+    "all-pairs scan. The oracle states the O(n²) definition; the engine "
+    "computes the identical set with a shuffle join",
     tags=("dedup", "simhash"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole banding: split the 32-bit simhash into 8 blocks of 4
+    bits. A pair with Hamming ≤ 6 differs in at most 6 blocks, so it
+    MUST agree exactly on ≥ 2 of the 8 — an equi-join on
+    (block_idx, block_value) finds every qualifying pair (recall 1.0),
+    and the exact Hamming filter then removes false candidates. Shuffle
+    volume is docs × 8 rows vs the n²/2 BroadcastNestedLoop the naive
+    theta join costs (the round-1 plan this replaces).
+    """
     docs = table(spark, sf_dir, "documents")
     sh = simhash_df(docs, "doc_id", "text")
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(15)).cast("int")
+                    for i in range(8)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"), "block_idx", "block_val"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"), "block_idx", "block_val"
+    )
+    cand = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()  # a pair may share several blocks; emit it once
+    )
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham)
+        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
@@ -269,30 +349,93 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_mllib_minhash_lsh",
-    None,  # Spark-internal hash family — deterministic (seeded) but not SQL-reproducible.
-    "MLlib MinHashLSH.approxSimilarityJoin near-dup pairs (production-scale path)",
+    # The hash family is Spark-internal (seeded → deterministic but not
+    # SQL-reproducible), so the oracle verifies deterministic INVARIANTS
+    # of the pair set instead of raw pairs: (1) the corpus size the LSH
+    # ran over, (2) the exact count of identical-after-normalization
+    # pairs — identical token sets hash identically in every table, so
+    # approxSimilarityJoin finds ALL of them (recall 1 on exact dups;
+    # DuckDB counts them combinatorially from md5 groups), and (3) every
+    # emitted pair's reported distance agrees with the exact token-set
+    # Jaccard within a hash-collision tolerance (precision).
+    """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS n
+        FROM documents
+    ), nonempty AS (
+        SELECT doc_id, n FROM norm WHERE n <> ''
+    ), grp AS (
+        SELECT md5(n) AS h, count(*) AS c FROM nonempty GROUP BY h
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nonempty) AS n_docs,
+           (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) FROM grp)
+               AS n_exact_dup_pairs_found,
+           TRUE AS precision_ok
+    """,
+    "MLlib MinHashLSH.approxSimilarityJoin near-dup pairs (production-"
+    "scale path) — oracle-checked via exact-dup recall + distance-"
+    "precision verdict columns",
     tags=("dedup", "lsh", "mllib"),
 )
 def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mllib_lsh import mllib_minhash_pairs
+    from ..operators.text import normalized
 
-    return mllib_minhash_pairs(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    pairs = mllib_minhash_pairs(docs)  # id_a, id_b, jaccard_distance
+
+    norm = docs.select("doc_id", normalized(F.col("text")).alias("_n")).filter(
+        F.col("_n") != ""
+    )
+    n_docs = norm.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    # exact-dup ground truth: pairs with identical normalized text
+    hashed = norm.select("doc_id", F.md5(F.col("_n").cast("binary")).alias("_h"))
+    exact_pairs = (
+        hashed.alias("x")
+        .join(hashed.alias("y"), (F.col("x._h") == F.col("y._h")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    )
+    found = exact_pairs.join(pairs, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_exact_dup_pairs_found")
+    )
+
+    # precision: reported hashed-feature distance ⟷ exact token Jaccard
+    toks = norm.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("_n"), " "))).alias("_t")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_tok"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("_t"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("_t"))
+    common = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "_t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("_n_tok").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("_n_tok").alias("_nb"))
+    exact_jac = F.col("_n_common") / (F.col("_na") + F.col("_nb") - F.col("_n_common"))
+    precision = (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            (
+                F.abs((1 - F.col("jaccard_distance")) - F.coalesce(exact_jac, F.lit(0.0)))
+                <= 0.05
+            ).alias("_ok")
+        )
+        .agg(F.coalesce(F.min(F.col("_ok").cast("int")), F.lit(1)).alias("_all_ok"))
+        .select((F.col("_all_ok") == 1).alias("precision_ok"))
+    )
+    return n_docs.crossJoin(found).crossJoin(precision)
 
 
 @register(
     "dedup_connected_components",
     f"""
-    WITH RECURSIVE norm AS (
-        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
-    ),
-    shingle AS (
-        SELECT DISTINCT doc_id, sh FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-            FROM norm
-        )
-    ),
+    WITH RECURSIVE {_SQL_SHINGLE_CTES},
     sizes AS (
         SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
     ),
@@ -321,9 +464,9 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS component
     FROM reach GROUP BY n
     """,
-    "near-dup clustering: Jaccard>=0.2 shingle pairs -> undirected graph "
-    "-> connected components (min doc_id = component id); the oracle "
-    "computes the same closure with a recursive CTE",
+    "near-dup clustering: Jaccard>=0.2 df-capped shingle pairs -> "
+    "undirected graph -> connected components (min doc_id = component "
+    "id); the oracle computes the same closure with a recursive CTE",
     tags=("dedup", "graph"),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,24 +483,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_graph_components.py``).
     """
     from ..operators.graph import connected_components
-    docs = table(spark, sf_dir, "documents")
-    shingle = docs.select(
-        F.col("doc_id"),
-        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("sh"),
-    )
-    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingle.alias("a")
-    b = shingle.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
-    jac = F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common"))
-    edges = (
-        inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.2).select("id_a", "id_b")
+
+    edges = _jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.2).select(
+        "id_a", "id_b"
     )
     labels = connected_components(edges, src="id_a", dst="id_b")
     return labels.select(

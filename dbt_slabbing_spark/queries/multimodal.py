@@ -48,10 +48,12 @@ def mm_probe_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_frames,
-           list_transform(range(0, CAST(n_frames AS BIGINT), 2), x -> CAST(x AS INT)) AS frame_indices
+           array_to_string(list_transform(range(0, CAST(n_frames AS BIGINT), 2),
+                                          x -> CAST(x AS VARCHAR)), ',') AS frame_indices_csv
     FROM meta
     """,
-    "frame-sampling plan: every 2nd frame index per media row",
+    "frame-sampling plan: every 2nd frame index per media row (CSV string "
+    "output so the driver canonicalizer never sees an array column)",
     tags=("multimodal",),
 )
 def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +62,63 @@ def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = probe_binary(docs).select("doc_id", "n_frames")
     return frame_sample_plan(meta).select(
-        "doc_id", "n_frames", F.col("frame_indices").cast("array<int>").alias("frame_indices")
+        "doc_id",
+        "n_frames",
+        F.array_join(
+            F.transform(F.col("frame_indices"), lambda x: x.cast("string")), ","
+        ).alias("frame_indices_csv"),
+    )
+
+
+@register(
+    "mm_decode_dimensions",
+    # Even doc_ids become a real PNG whose IHDR encodes (len%640+1,
+    # len%480+1); odd doc_ids a real PCM WAV at 8 kHz with (len%1000+1)*8
+    # frames → duration exactly len%1000+1 ms. The engine builds the
+    # actual bytes and parses them back with the dependency-free header
+    # decoders (operators/multimodal.py); the oracle recomputes the
+    # arithmetic the payloads were built from.
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(strlen(text) % 640 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(strlen(text) % 480 + 1 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS INT) END AS n_channels,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(strlen(text) % 1000 + 1 AS INT) END AS duration_ms
+    FROM documents
+    """,
+    "real header decoders (PNG IHDR / WAV stdlib) over synthesized real "
+    "media bytes, Arrow-batched mapInPandas",
+    tags=("multimodal", "pandas_udf"),
+)
+def mm_decode_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import media_probe_batches, synth_png, synth_wav
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("_len")
+    )
+
+    def synth_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["_len"]):
+                n = int(n)
+                if doc_id % 2 == 0:
+                    payloads.append(synth_png(n % 640 + 1, n % 480 + 1))
+                else:
+                    payloads.append(synth_wav(8000, (n % 1000 + 1) * 8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth_batches, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        media_probe_batches,
+        schema=(
+            "doc_id bigint, media_type string, width int, height int, "
+            "n_channels int, sample_rate int, duration_ms int"
+        ),
     )
 
 

@@ -181,12 +181,46 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_topk",
-    None,  # k-means centroids are MLlib-internal — deterministic (seeded) but not SQL-reproducible.
-    "IVF ANN: k-means coarse quantizer, probe 2 nearest cells, top-3 by cosine",
+    # k-means centroids are MLlib-internal (seeded → deterministic but
+    # not SQL-reproducible), so the oracle checks deterministic VERDICT
+    # columns instead of raw neighbor ids: the ANN result must return a
+    # full k=3, place ≥1 of its picks inside the exact top-10, and never
+    # report a cosine above the exact best. (The synthetic embeddings are
+    # near-uniform random, so probing 2/16 cells legitimately caps recall
+    # — the floor is set below the observed minimum at sf0.001/0.01; a
+    # broken quantizer/cosine kernel still flips the booleans.)
+    """
+    SELECT vec_id AS query_id,
+           TRUE AS k_complete, TRUE AS recall_ok, TRUE AS no_overshoot
+    FROM embeddings WHERE vec_id < 5
+    """,
+    "IVF ANN: k-means coarse quantizer, probe 2 nearest cells, top-3 by "
+    "cosine — oracle-checked via recall/overshoot verdict columns",
     tags=("similarity", "ivf", "mllib"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5))
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = ivf_topk(emb, queries, k=3)
+    exact10 = brute_force_topk(emb, queries, k=10)
+
+    ann_g = ann.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n_ann"),
+        F.collect_set("vec_id").alias("_ann_ids"),
+        F.max("cos").alias("_ann_best"),
+    )
+    exact_g = exact10.groupBy("query_id").agg(
+        F.collect_set("vec_id").alias("_exact_ids"),
+        F.max("cos").alias("_exact_best"),
+    )
+    return (
+        ann_g.join(exact_g, "query_id")
+        .select(
+            "query_id",
+            (F.col("_n_ann") == 3).alias("k_complete"),
+            (F.size(F.array_intersect("_ann_ids", "_exact_ids")) >= 1).alias("recall_ok"),
+            (F.col("_ann_best") <= F.col("_exact_best") + F.lit(1e-9)).alias("no_overshoot"),
+        )
+    )

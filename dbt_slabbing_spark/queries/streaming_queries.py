@@ -57,15 +57,17 @@ def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_windows",
     # session_window(30 min) == gaps-and-islands with "new session when
-    # gap > 30:00" (exact-boundary ties are measure-zero in µs data;
-    # equivalence proven in test_session_windows_match_batch_sessionizer).
+    # gap >= 30:00" — Spark's session window end (last_ts + gap) is
+    # EXCLUSIVE, so an event exactly 30:00 later starts a new session.
+    # µs precision (epoch_us) so sub-millisecond gaps match too;
+    # equivalence proven in test_session_windows_match_batch_sessionizer.
     # session_start is the first event's ts (Spark's session start).
     """
     WITH gapped AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                         > 1800000
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         >= 1800000000
                     THEN 1 ELSE 0 END AS is_start
         FROM events
     ), sessions AS (
@@ -120,8 +122,31 @@ def stream_foreach_batch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_levels",
-    None,  # custom applyInPandasWithState — no SQL twin.
-    "custom stateful operator: cumulative purchase-value level crossings",
+    # The stateful loop emits floor(cum/100)*100 whenever an event raises
+    # the floor of the user's running purchase total — i.e. the DISTINCT
+    # prefix-floor values, NOT every multiple of 100 (a single event can
+    # jump several levels and emits only the one it lands on). Over
+    # bounded input processed in (ts, arrival) order that equals this
+    # gaps-and-islands twin. Values are all positive and every prefix sum
+    # sits ≥0.01 away from a level boundary at sf≤0.1, so cross-engine
+    # float accumulation can't flip a floor.
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id, value,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM events WHERE event_type = 'purchase'
+    ), marked AS (
+        SELECT user_id, cum,
+               coalesce(lag(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                   AS prev_cum
+        FROM p
+    )
+    SELECT user_id, CAST(CAST(floor(cum / 100) AS BIGINT) * 100 AS BIGINT) AS level
+    FROM marked WHERE floor(cum / 100) > floor(prev_cum / 100)
+    """,
+    "custom stateful operator (applyInPandasWithState): cumulative "
+    "purchase-value level crossings; batch-twin SQL oracle",
     tags=("streaming", "stateful"),
 )
 def stream_stateful_levels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,7 +97,11 @@ def _pydicom_parse(path: str, content: bytes) -> dict:
 
     n_frames = tag(lambda: int(ds.NumberOfFrames))
     rows, cols = tag(lambda: int(ds.Rows)), tag(lambda: int(ds.Columns))
-    if n_frames is not None and rows is not None:
+    # NumberOfFrames == 1 behaves like an absent tag: pydicom's
+    # pixel_array.shape is 2-D (rows, cols) for single-frame files, so a
+    # [1, rows, cols] here would wrongly pass the reference's 3-D filter
+    # (reference src/generate_mapping.py P2 semantics).
+    if n_frames is not None and n_frames > 1 and rows is not None:
         shape = [n_frames, rows, cols]
     elif rows is not None:
         shape = [rows, cols]

@@ -30,9 +30,9 @@ def _union_find(edges):
     return dict(sorted(comp.items()))
 
 
-def _spark_cc(spark, edges):
+def _spark_cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    out = connected_components(df)
+    out = connected_components(df, **kw)
     return {r["node"]: r["component"] for r in out.collect()}
 
 
@@ -51,8 +51,47 @@ def test_topologies(spark):
         assert _spark_cc(spark, edges) == _union_find(edges), name
 
 
+def test_topologies_star_algorithm(spark):
+    for name, edges in CASES.items():
+        got = _spark_cc(spark, edges, algorithm="star")
+        assert got == _union_find(edges), f"star:{name}"
+
+
 def test_random_graph_matches_union_find(spark):
     rng = random.Random(42)
     nodes = list(range(60))
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
     assert _spark_cc(spark, edges) == _union_find(edges)
+    assert _spark_cc(spark, edges, algorithm="star") == _union_find(edges)
+
+
+def test_star_converges_on_deep_path_where_label_cannot(spark):
+    """A 60-node path has diameter ≫ the label algorithm's round budget:
+    label propagation must now REFUSE (unconverged = RuntimeError, the
+    silent-wrong-labels fix), while large-star/small-star converges in
+    O(log² n) rounds and returns one component."""
+    import pytest
+
+    deep = [(i, i + 1) for i in range(60)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _spark_cc(spark, deep, max_iter=5)
+
+    got = _spark_cc(spark, deep, algorithm="star", max_iter=12)
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_giant_component_with_satellites(spark):
+    """Giant star-of-chains component (hub 0, four chains of 12) plus
+    two satellite pairs — the web-crawl-dedup shape the star algorithm
+    exists for."""
+    edges = []
+    nid = 1
+    for _ in range(4):
+        prev = 0
+        for _ in range(12):
+            edges.append((prev, nid))
+            prev = nid
+            nid += 1
+    edges += [(1000, 1001), (2000, 2001)]
+    got = _spark_cc(spark, edges, algorithm="star", max_iter=12)
+    assert got == _union_find(edges)

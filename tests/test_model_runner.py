@@ -162,3 +162,25 @@ def test_dbt_style_data_checks(spark):
     }
     assert bad["unique:o_orderkey"] >= 3  # the two injected + original key 1
     assert bad["relationships:c_nationkey"] == customer.count()
+
+    # an EMPTY table trivially passes every check (SUM over zero rows is
+    # NULL; the checks must coalesce it to 0, not report failures=None)
+    empty = orders.limit(0)
+    empties = {
+        r.name: r.failures
+        for r in run_checks(
+            [
+                unique_check(empty, "o_orderkey"),
+                not_null_check(empty, "o_custkey"),
+                accepted_values_check(empty, "o_orderstatus", ["O", "F", "P"]),
+            ]
+        )
+    }
+    assert empties == {
+        "unique:o_orderkey": 0,
+        "not_null:o_custkey": 0,
+        "accepted_values:o_orderstatus": 0,
+    }
+    assert all(
+        run_checks([not_null_check(empty, "o_custkey")])[0].passed for _ in range(1)
+    )

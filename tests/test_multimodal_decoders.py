@@ -1,0 +1,85 @@
+"""Dependency-free media header decoders: real PNG/JPEG/GIF/BMP/WAV
+bytes in, dimensions/audio metadata out — no PIL, no codecs."""
+
+from __future__ import annotations
+
+import struct
+
+from dbt_slabbing_spark.operators.multimodal import (
+    detect_media_type,
+    image_dimensions,
+    synth_png,
+    synth_wav,
+    wav_metadata,
+)
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + APP0(JFIF) + SOF0 carrying the dimensions."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_png_roundtrip():
+    b = synth_png(321, 47)
+    assert detect_media_type(b) == "png"
+    assert image_dimensions(b) == (321, 47)
+
+
+def test_jpeg_sof_scan():
+    b = _jpeg_bytes(640, 480)
+    assert detect_media_type(b) == "jpeg"
+    assert image_dimensions(b) == (640, 480)
+
+
+def test_jpeg_progressive_sof2():
+    b = _jpeg_bytes(100, 50).replace(b"\xff\xc0", b"\xff\xc2")  # SOF2
+    assert image_dimensions(b) == (100, 50)
+
+
+def test_gif_and_bmp():
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 4
+    assert detect_media_type(gif) == "gif"
+    assert image_dimensions(gif) == (12, 34)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 77, -88) + b"\x00" * 8
+    assert detect_media_type(bmp) == "bmp"
+    assert image_dimensions(bmp) == (77, 88)  # negative height = top-down
+
+
+def test_wav_metadata_roundtrip():
+    b = synth_wav(8000, 1234, n_channels=2)
+    assert detect_media_type(b) == "wav"
+    meta = wav_metadata(b)
+    assert meta == {
+        "n_channels": 2,
+        "sample_rate": 8000,
+        "n_frames": 1234,
+        "duration_ms": 1234 * 1000 // 8000,
+    }
+
+
+def test_garbage_yields_none():
+    assert detect_media_type(b"not media") == "unknown"
+    assert image_dimensions(b"not media") is None
+    assert wav_metadata(b"not media") is None
+    # truncated PNG: signature but no IHDR
+    assert image_dimensions(b"\x89PNG\r\n\x1a\n") is None
+    # JPEG with no SOF before EOF
+    assert image_dimensions(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") is None
+
+
+def test_media_probe_query_matches_oracle(spark, duck):
+    from dbt_slabbing_spark.queries import registry
+    from tests.canonical import assert_frames_match
+    from tests.conftest import SF_SMOKE
+
+    q = registry()["mm_decode_dimensions"]
+    assert_frames_match(q.fn(spark, SF_SMOKE).toPandas(), duck.sql(q.oracle).df(), q.name)

@@ -77,6 +77,38 @@ def test_scd2_versions(spark):
     assert by[(2, "NEW")]["is_current"] is True
 
 
+def test_scd2_multi_change_per_key_in_one_batch(spark):
+    """A batch with several changes for one key must chain-version them:
+    old row closes ONCE at the first real change, intermediate versions
+    get valid_to = next change, only the last is is_current, and
+    intra-batch no-ops are dropped."""
+    dim = spark.createDataFrame(
+        [Row(k=1, seg="GOLD", valid_from=None, valid_to=None, is_current=True)],
+        schema="k int, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, seg="SILVER", changed_at="2024-02-01 00:00:00"),
+            Row(k=1, seg="SILVER", changed_at="2024-02-02 00:00:00"),  # intra-batch no-op
+            Row(k=1, seg="BRONZE", changed_at="2024-03-01 00:00:00"),
+        ],
+        schema="k int, seg string, changed_at string",
+    ).withColumn("changed_at", F.col("changed_at").cast("timestamp"))
+
+    out = scd2_apply(dim, changes, "k", "changed_at", ["seg"]).collect()
+    assert len(out) == 3, out  # GOLD (closed), SILVER (closed), BRONZE (current)
+    by_seg = {r["seg"]: r for r in out}
+    assert by_seg["GOLD"]["is_current"] is False
+    assert str(by_seg["GOLD"]["valid_to"]).startswith("2024-02-01")
+    assert by_seg["SILVER"]["is_current"] is False
+    assert str(by_seg["SILVER"]["valid_from"]).startswith("2024-02-01")
+    assert str(by_seg["SILVER"]["valid_to"]).startswith("2024-03-01")
+    assert by_seg["BRONZE"]["is_current"] is True
+    assert str(by_seg["BRONZE"]["valid_to"]).startswith("9999-12-31")
+    # exactly one current row per key
+    assert sum(1 for r in out if r["is_current"]) == 1
+
+
 def test_scd2_noop_change_dropped(spark):
     dim = spark.createDataFrame(
         [Row(k=1, seg="GOLD", valid_from=None, valid_to=None, is_current=True)],
