@@ -54,16 +54,25 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 2,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """(query_id, vec_id, cos): approximate top-k, probing the query's
-    ``nprobe`` nearest cells."""
+    ``nprobe`` nearest cells.
+
+    ``max_iter=8`` (vs MLlib's default 20): the quantizer only needs a
+    coarse Voronoi partition — recall is governed by nprobe, not by
+    fully-converged centroids, and every extra iteration is a full pass
+    over the vectors at 100 TB.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = vectors.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell")
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="_cell"
+    )
     model = km.fit(feats)
     centroids = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
 

@@ -132,3 +132,36 @@ def fingerprint(col: Column, k: int = 4) -> Column:
         F.size(sh) > 0,
         F.array_min(F.transform(sh, F.md5)),
     ).otherwise(F.md5(normalized(col)))
+
+
+#: PII patterns, shared verbatim with the DuckDB oracle. Restricted to
+#: the regex subset Java (Spark) and RE2 (DuckDB) agree on: character
+#: classes, counted repeats, alternation-free literals — no lookaround,
+#: no backrefs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("number", r"[0-9]{7,}", "<NUM>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Redact URLs, emails, then long digit runs (training-data
+    scrubbing). Order matters: a URL may contain an email-shaped or
+    digit-run substring, so it is replaced first."""
+    out = col
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII match counts (same patterns as redact_pii);
+    counted against the SAME progressively-redacted text the replace
+    chain sees, so counts always equal replacements made."""
+    counts: dict[str, Column] = {}
+    cur = col
+    for name, pattern, token in PII_PATTERNS:
+        counts[name] = F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    return counts

@@ -72,6 +72,7 @@ _MODULES = (
     "udf_surface",
     "model_chain",
     "training_pipeline",
+    "packing",
     "sampling",
     "dedup",
     "similarity",

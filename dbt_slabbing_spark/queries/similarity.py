@@ -180,6 +180,64 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_neardup_pairs_lsh",
+    # The SCALE path for embedding near-dup: candidates restricted to
+    # same-LSH-bucket pairs (equi-join on the 8-sign-bit bucket id), so
+    # the n²/2 scan of sim_neardup_pairs (the exact-baseline contract)
+    # becomes a per-bucket join. Recall < 1 by design — candidates must
+    # agree on all 8 hyperplane signs — and the SAME definition runs on
+    # both engines, so the check is still exact.
+    f"""
+    WITH planes AS (
+        SELECT vec_id AS pid, {_SQL_DVEC.format(col="embedding")} AS pv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    bucketed AS (
+        SELECT e.vec_id, {_SQL_DVEC.format(col="any_value(e.embedding)")} AS v,
+               CAST(sum(CASE WHEN list_dot_product({_SQL_DVEC.format(col="e.embedding")}, p.pv) > 0
+                             THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e, planes p
+        GROUP BY e.vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_SQL_COS.format(a="a.v", b="b.v")} AS cos
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= 0.35
+    """,
+    "embedding near-dup pairs via LSH bucket equi-join (cos ≥ 0.35, "
+    "same-bucket candidates — the 100 TB path next to the exact scan)",
+    tags=("similarity", "dedup", "lsh"),
+)
+def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    bucketed = (
+        emb.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(F.col("embedding")).alias("v"),
+            F.sum(
+                F.when(dot(F.col("embedding"), F.col("pv")) > 0, F.expr("shiftleft(cast(1 as bigint), pid)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    a = bucketed.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"), F.col("bucket"))
+    b = bucketed.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"), F.col("bucket"))
+    cos = dround(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+@register(
     "sim_ivf_topk",
     # k-means centroids are MLlib-internal (seeded → deterministic but
     # not SQL-reproducible), so the oracle checks deterministic VERDICT

@@ -177,3 +177,107 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@register(
+    "text_redact_pii",
+    # Deterministic PII is appended in-engine (same concat on both
+    # sides) so the redaction regexes have real matches to scrub, then
+    # both engines must produce the identical redacted text and match
+    # counts. Patterns live in operators/text.py::PII_PATTERNS and use
+    # only the Java-regex ∩ RE2 subset. DuckDB regexp_replace needs the
+    # 'g' flag to match Spark's replace-all semantics.
+    """
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+                    || ' ref ' || CAST(1000000 + doc_id * 7919 AS VARCHAR) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   'https?://\\S+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS INT) AS n_url,
+           CAST(len(regexp_extract_all(regexp_replace(t, 'https?://\\S+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t,
+                   'https?://\\S+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{7,}')) AS INT) AS n_number
+    FROM pii
+    """,
+    "PII scrubbing for training data: URL/email/long-number redaction "
+    "with per-category match counts (pure regexp expressions, codegen)",
+    tags=("text", "pii", "training"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref "),
+            (F.lit(1000000) + F.col("doc_id") * 7919).cast("string"),
+        ).alias("t"),
+    )
+    counts = T.pii_counts(F.col("t"))
+    return docs.select(
+        "doc_id",
+        F.md5(T.redact_pii(F.col("t")).cast("binary")).alias("redacted_md5"),
+        counts["url"].cast("int").alias("n_url"),
+        counts["email"].cast("int").alias("n_email"),
+        counts["number"].cast("int").alias("n_number"),
+    )
+
+
+@register(
+    "text_decontaminate_flags",
+    # Benchmark decontamination: documents sharing any 3-word shingle
+    # with the "benchmark" seed set (doc_id < 5) are contamination
+    # candidates. Candidate generation is a distinct-shingle equi-join
+    # against the (broadcastable) seed shingle set — at 100 TB the seed
+    # side is the benchmark corpus, small by construction.
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    shingle AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM norm
+        )
+    ),
+    blocklist AS (
+        SELECT DISTINCT sh FROM shingle WHERE doc_id < 5
+    )
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits, TRUE AS contaminated
+    FROM shingle s JOIN blocklist b USING (sh)
+    WHERE s.doc_id >= 5
+    GROUP BY s.doc_id
+    """,
+    "training-data decontamination: flag docs overlapping the benchmark "
+    "seed set by ≥1 exact 3-gram (broadcast seed-shingle join)",
+    tags=("text", "dedup", "training"),
+)
+def text_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    shingle = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias("sh"),
+    )
+    blocklist = shingle.filter(F.col("doc_id") < 5).select("sh").distinct()
+    return (
+        shingle.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(blocklist), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn("contaminated", F.lit(True))
+    )

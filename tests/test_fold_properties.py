@@ -60,7 +60,7 @@ lesion_rows = st.lists(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     rows=lesion_rows,
     image_lat=st.sampled_from(["R", "L", None]),

@@ -45,16 +45,22 @@ CASES = {
     "reversed_chain": [(i + 1, i) for i in range(10, 0, -1)],
 }
 
+# All cases as ONE disjoint graph (node ids offset per case) — a single
+# connected_components run covers every topology, and correctness per
+# case is untouched because components can't span the offset gap.
+ALL_CASES = [
+    (a + i * 1000, b + i * 1000)
+    for i, edges in enumerate(CASES.values())
+    for a, b in edges
+]
+
 
 def test_topologies(spark):
-    for name, edges in CASES.items():
-        assert _spark_cc(spark, edges) == _union_find(edges), name
+    assert _spark_cc(spark, ALL_CASES) == _union_find(ALL_CASES)
 
 
 def test_topologies_star_algorithm(spark):
-    for name, edges in CASES.items():
-        got = _spark_cc(spark, edges, algorithm="star")
-        assert got == _union_find(edges), f"star:{name}"
+    assert _spark_cc(spark, ALL_CASES, algorithm="star") == _union_find(ALL_CASES)
 
 
 def test_random_graph_matches_union_find(spark):

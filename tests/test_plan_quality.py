@@ -142,6 +142,19 @@ def test_simhash_pairs_banded_no_nested_loop(spark):
             assert "Cross" in line, line
 
 
+def test_concat_chunk_prefix_sum_is_distributed(spark):
+    """The concat-and-chunk global offset must come from the two-pass
+    range-partition + broadcast-offsets scheme: the doc-sized side is
+    range-partitioned and joined by broadcast; the ONLY single-partition
+    exchange allowed is the partitions-sized offsets table."""
+    plan = _executed_plan(registry()["train_pack_concat_chunks"].fn(spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the single-partition window may appear exactly once (tiny offsets
+    # table) — a second one would mean the doc stream went global
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
+
+
 def test_shingle_df_cap_bounds_hot_shingle_join(spark):
     """One boilerplate shingle shared by every document must NOT create
     O(n²) candidate pairs: capped_shingles drops it, so two documents
