@@ -1,0 +1,58 @@
+"""Physical layout operators: z-order (Morton) clustering for
+multi-dimensional data skipping.
+
+Parquet scans prune files and row groups by min/max statistics. Sorting
+by ONE column makes its stats tight but leaves every other column's
+range per file ~full-width. Interleaving the bits of several columns
+(the Morton / z-order curve) makes EVERY participating column's per-file
+range narrow, so conjunctive filters on any subset of the z-ordered
+columns skip most files — the same layout trick Delta's OPTIMIZE ZORDER
+applies, expressed as plain Spark: key expression → repartitionByRange →
+sortWithinPartitions → parquet write.
+
+Pure Column expressions (bit ops in codegen); no UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton-interleave ``bits`` low bits of each (non-negative int)
+    column into one bigint sort key. Callers bucket/rank floats or
+    strings into ints first — the key only needs ORDER, not meaning."""
+    n = len(cols)
+    clamped = [
+        F.greatest(F.least(c.cast("long"), F.lit((1 << bits) - 1)), F.lit(0)) for c in cols
+    ]
+    parts = []
+    for bit in range(bits):
+        for j, c in enumerate(clamped):
+            parts.append((c.bitwiseAND(F.lit(1 << bit)) != 0).cast("long") * F.lit(1 << (bit * n + j)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 16,
+    target_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered on the z-order curve of
+    ``zcols``: range-partition on the Morton key (contiguous curve
+    segments per file) and sort within partitions so row-group stats are
+    tight too."""
+    keyed = df.withColumn("_zkey", zorder_key([F.col(c) for c in zcols], bits=bits))
+    (
+        keyed.repartitionByRange(target_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

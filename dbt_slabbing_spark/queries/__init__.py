@@ -106,12 +106,9 @@ _PRIORITY = (
     # set operations
     "setop_union_all_parties",
     "setop_intersect_nations",
-    "setop_except_nations",
     # scalar function suites
     "fn_string_suite",
     "fn_date_suite",
-    "fn_math_suite",
-    "fn_null_handling",
     "fn_json_extract",
     "fn_array_suite",
     # as-of / range joins
@@ -122,9 +119,11 @@ _PRIORITY = (
     "udf_grouped_agg_median",
     "udf_udtf_chunk_text",
     "udf_map_in_arrow_norms",
-    # dbt model chain + training-data pipeline
+    # dbt model chain + training-data pipeline + sequence packing
     "model_chain_segment_revenue",
     "training_chunks_pipeline",
+    "train_pack_concat_chunks",
+    "train_pack_next_fit",
     # reproducible sampling
     "sample_hash_bernoulli",
     "sample_stratified_quota",
@@ -139,13 +138,14 @@ _PRIORITY = (
     "sim_cosine_topk",
     "sim_ann_topk_lsh",
     "sim_ivf_topk",
-    # text analysis
+    # text analysis (incl. training-data scrubbing/decontamination)
     "text_token_stats",
     "text_quality_scores",
-    "text_langid_confusion",
-    # multimodal
+    "text_redact_pii",
+    "text_decontaminate_flags",
+    # multimodal (incl. real header decoders)
     "mm_probe_metadata",
-    "mm_size_stats_by_source",
+    "mm_decode_dimensions",
     # streaming
     "stream_hourly_type_counts",
     "stream_session_windows",

@@ -72,3 +72,60 @@ def merge_into(spark, target_path: str, updates: DataFrame, key: str) -> None:
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+# --- versioned snapshots (Delta-style time travel over plain parquet) ----
+
+def _version_dirs(spark, path: str) -> list[int]:
+    """Committed snapshot versions under ``path`` (ascending)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return []
+    versions = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            # a snapshot counts only once its _SUCCESS marker exists —
+            # half-written directories are invisible to readers
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                versions.append(int(name[2:]))
+    return sorted(versions)
+
+
+def write_snapshot(df: DataFrame, path: str, target_files: int | None = None) -> int:
+    """Append an immutable snapshot version of ``df`` under
+    ``path/v=N`` and return N (0-based, monotonically increasing).
+
+    Delta-style time travel over plain parquet: every write is a new
+    directory, readers pin a version, nothing is ever mutated — so a
+    reader halfway through v=3 is untouched by a concurrent v=4 commit.
+    The ``_SUCCESS`` marker (written last by the Hadoop committer) is
+    the commit point; crashed half-writes are never listed.
+    """
+    spark = df.sparkSession
+    existing = _version_dirs(spark, path)
+    version = (existing[-1] + 1) if existing else 0
+    if target_files:
+        df = df.repartition(target_files)
+    df.write.mode("errorifexists").parquet(f"{path}/v={version}")
+    return version
+
+
+def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read snapshot ``version`` (default: latest committed)."""
+    versions = _version_dirs(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    return spark.read.parquet(f"{path}/v={version}")
+
+
+def snapshot_history(spark, path: str) -> list[int]:
+    """All committed versions, oldest first (the audit surface)."""
+    return _version_dirs(spark, path)

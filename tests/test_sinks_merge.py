@@ -128,3 +128,47 @@ def test_delta_gated(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         merge_into(spark, str(tmp_path), spark.range(1), "id")
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """write_snapshot appends immutable v=N directories; read_snapshot
+    pins a version (default latest); history lists commits in order."""
+    from dbt_slabbing_spark.sinks import read_snapshot, snapshot_history, write_snapshot
+
+    path = str(tmp_path / "dim_versions")
+    v0 = write_snapshot(spark.range(3).withColumn("tag", F.lit("a")), path)
+    v1 = write_snapshot(spark.range(5).withColumn("tag", F.lit("b")), path)
+    assert (v0, v1) == (0, 1)
+    assert snapshot_history(spark, path) == [0, 1]
+
+    assert read_snapshot(spark, path).count() == 5  # latest
+    old = read_snapshot(spark, path, version=0)
+    assert old.count() == 3 and old.select("tag").distinct().collect()[0][0] == "a"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, version=7)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "nowhere"))
+
+    # a half-written (no _SUCCESS) directory is invisible to readers
+    import os
+
+    broken = tmp_path / "dim_versions" / "v=2"
+    os.makedirs(broken)
+    (broken / "part-00000.parquet").write_bytes(b"garbage")
+    assert snapshot_history(spark, path) == [0, 1]
+    assert read_snapshot(spark, path).count() == 5
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Appended snapshots may ADD columns; mergeSchema reads the union
+    schema with nulls for files written before the column existed."""
+    path = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS v").write.parquet(path + "/b=0")
+    spark.range(3).selectExpr("id", "id * 2 AS v", "'x' AS note").write.parquet(path + "/b=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "note", "b"}
+    assert merged.count() == 6
+    assert merged.filter(F.col("note").isNull()).count() == 3
