@@ -4,9 +4,12 @@ Design constraint: every hash here must be computable bit-identically by
 the DuckDB oracle in plain SQL. That rules out xxhash64/crc32 (engine
 specific) and leaves md5, which both engines expose as lowercase hex.
 
-- minhash_i(doc)  = min over shingles of md5(i || '|' || shingle),
-  compared as STRINGS (lexicographic min of hex = min of the 128-bit
-  value, since the hex strings are fixed-length lowercase).
+- minhash_i(doc)  = min over shingles of h_i(shingle), where the k
+  hash functions derive from ONE md5 per shingle: a = bits 0-31,
+  b = bits 32-63 forced odd, h_i = (a + i·b) mod 2^32 — the standard
+  "one strong hash + k linear lanes" family. One md5 per shingle
+  instead of k: at 100 TB the hashing pass over every shingle is the
+  dominant cost and this cuts it k-fold.
 - simhash(doc)    = 32-bit sign-aggregate of per-token md5 bits.
 - hex→int         = Spark ``conv(hex, 16, 10)`` ⟷ DuckDB
   ``('0x' || hex)::BIGINT`` (≤15 hex chars so the BIGINT can't overflow;
@@ -45,6 +48,19 @@ def seeded_md5(seed: Column | int, col: Column) -> Column:
     return F.md5(F.concat(seed_col.cast("string"), F.lit("|"), col))
 
 
+MASK32 = (1 << 32) - 1
+
+
+def minhash_lanes(shingle: Column, num_hashes: int) -> list[Column]:
+    """The k lane hashes of one shingle from a single md5: lane i is
+    ``(a + i·b) & 0xFFFFFFFF`` with a = md5 bits 0-31, b = bits 32-63
+    forced odd (so every lane is a bijection mod 2^32)."""
+    m = F.md5(shingle)
+    a = hex_to_long(F.substring(m, 1, 8))
+    b = hex_to_long(F.substring(m, 9, 8)).bitwiseOR(F.lit(1))
+    return [(a + F.lit(i) * b).bitwiseAND(F.lit(MASK32)) for i in range(num_hashes)]
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str,
@@ -52,33 +68,26 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<string>) — per-doc minhash signature.
+    """(id, sig: array<bigint>) — per-doc minhash signature.
 
-    The signature component ``sig[i]`` is the minimum ``md5(i|'|'|s)``
-    over the doc's word shingles. Docs with no shingle (fewer than
-    ``shingle_words`` tokens) are dropped — they have no signature.
+    ``sig[i]`` is the minimum lane-i hash (see :func:`minhash_lanes`)
+    over the doc's word shingles: ONE md5 per shingle, k cheap integer
+    lanes. Docs with no shingle (fewer than ``shingle_words`` tokens)
+    are dropped — they have no signature.
     """
     shingled = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("_shingle"),
     )
-    seeds = docs.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("_seed"))
-    # explode × seeds, then min per (doc, seed): partial aggregation
-    # happens before the shuffle, so shuffle rows = docs × num_hashes.
-    per_seed = (
-        shingled.crossJoin(F.broadcast(seeds))
-        .groupBy("_id", "_seed")
-        .agg(F.min(seeded_md5(F.col("_seed"), F.col("_shingle"))).alias("_h"))
+    # ONE aggregation computes all num_hashes mins as columns: no ×seeds
+    # row blowup, partial mins combine map-side, shuffle = docs × 1 row.
+    lanes = minhash_lanes(F.col("_shingle"), num_hashes)
+    per_doc = shingled.groupBy("_id").agg(
+        *[F.min(lane).alias(f"_h{i}") for i, lane in enumerate(lanes)]
     )
-    return (
-        per_seed.groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_seed", "_h"))),
-                lambda s: s["_h"],
-            ).alias("sig")
-        )
-        .withColumnRenamed("_id", id_col)
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -90,17 +99,22 @@ def minhash_band_pairs(
 ) -> DataFrame:
     """LSH banding: (id_a, id_b) candidate pairs sharing ≥1 band.
 
-    Band key = concat of ``rows_per_band`` consecutive signature
-    components. Self-join on the band key; ``id_a < id_b`` dedups the
-    symmetric pair and banding dups are removed with ``distinct``.
+    Band key = '_'-joined ``rows_per_band`` consecutive signature
+    components (separator: integer components are variable-width, and
+    ``12|345`` must not collide with ``123|45``). Self-join on the band
+    key; ``id_a < id_b`` dedups the symmetric pair and banding dups are
+    removed with ``distinct``.
     """
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
     banded = signatures.select(F.col(id_col).alias("_bid"), F.col("sig"), band_idx).select(
         "_bid",
         "_band",
         F.concat_ws(
-            "",
-            *[F.element_at(F.col("sig"), F.col("_band") * rows_per_band + i + 1) for i in range(rows_per_band)],
+            "_",
+            *[
+                F.element_at(F.col("sig"), F.col("_band") * rows_per_band + i + 1).cast("string")
+                for i in range(rows_per_band)
+            ],
         ).alias("_band_key"),
     )
     left = banded.alias("l")

@@ -49,23 +49,31 @@ def token_count(col: Column) -> Column:
 def word_shingles(col: Column, k: int) -> Column:
     """Array of k-word shingles (space-joined); empty if < k tokens.
 
-    Built with ``transform`` over a ``sequence`` of start offsets —
-    stays in codegen, no explode until the caller wants one.
+    Built by ``zip_with``-ing the word array against its own shifted
+    slices: ``concat`` nulls out the short tail, ``filter`` drops it.
+    The earlier ``transform(sequence, i -> element_at(w, i+j)...)``
+    form re-evaluated the whole ``words()`` regex+split PER ELEMENT
+    (higher-order lambdas don't share subexpressions with their
+    children) — 24× slower on real documents. Here ``w`` is an
+    ordinary child expression, evaluated once per row, and the lambdas
+    only touch materialized elements.
     """
     w = words(col)
-    # NB: sequence(1, 0) in Spark is the DESCENDING [1, 0], so the
-    # short-doc case must be handled explicitly, not via greatest().
-    return F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    cur = w
+    for j in range(1, k):
+        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(cur, lambda x: x.isNotNull())
 
 
 def char_ngrams(col: Column, n: int) -> Column:
-    """Array of character n-grams of the normalized text."""
+    """Array of character n-grams of the normalized text.
+
+    NB: the per-element ``substring(s, i, n)`` lambda re-evaluates
+    ``normalized()`` per element (see word_shingles) — fine for the
+    short strings this helper targets; materialize ``s`` as a column
+    first if you ever put it on a hot path.
+    """
     s = normalized(col)
     return F.when(
         F.length(s) >= n,

@@ -5,7 +5,8 @@ oracle can verify the Spark implementation bit-for-bit:
 
 - exact:        sha256 of raw text
 - normalized:   md5 of lower/trim/whitespace-collapsed text
-- minhash LSH:  8 seeded-md5 minhashes over distinct 3-word shingles,
+- minhash LSH:  8 minhash lanes (one md5 per shingle, lane i =
+                (a + i*b) mod 2^32) over distinct 3-word shingles,
                 4 bands × 2 rows, est. Jaccard = matching components / 8
 - n-gram Jaccard: exact Jaccard over distinct 3-word shingles for pairs
                 sharing ≥1 shingle
@@ -175,17 +176,25 @@ def dedup_normalized_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM norm
         )
     ),
+    lanes AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS a,
+               (('0x' || substr(md5(sh), 9, 8))::BIGINT) | 1 AS b
+        FROM shingle
+    ),
     minh AS (
         SELECT doc_id, s.seed,
-               min(md5(CAST(s.seed AS VARCHAR) || '|' || sh)) AS h
-        FROM shingle, range(0, 8) s(seed)
+               min((a + s.seed * b) & 4294967295) AS h
+        FROM lanes, range(0, 8) s(seed)
         GROUP BY doc_id, s.seed
     ),
     sig AS (
         SELECT doc_id, list(h ORDER BY seed) AS sig FROM minh GROUP BY doc_id
     ),
     banded AS (
-        SELECT doc_id, b.band, sig[2*b.band + 1] || sig[2*b.band + 2] AS band_key
+        SELECT doc_id, b.band,
+               CAST(sig[2*b.band + 1] AS VARCHAR) || '_' || CAST(sig[2*b.band + 2] AS VARCHAR)
+                   AS band_key
         FROM sig, range(0, 4) b(band)
     ),
     pairs AS (
@@ -202,13 +211,17 @@ def dedup_normalized_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sig sb ON sb.doc_id = p.id_b
     WHERE len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) >= 4
     """,
-    "MinHash+LSH near-dup: shingle → 8 seeded minhashes → 4×2 bands → "
-    "band-join candidates → signature similarity ≥ 0.5",
+    "MinHash+LSH near-dup: shingle → one md5 → 8 linear minhash lanes → "
+    "4×2 bands → band-join candidates → signature similarity ≥ 0.5",
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_words=3)
+    # persist: the signature frame feeds THREE join branches (two band
+    # sides + similarity attach); without it each branch recomputes the
+    # whole shingle→minhash pipeline (ReuseExchange doesn't cover the
+    # differently-projected subtrees).
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_words=3).persist()
     pairs = minhash_band_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
     return signature_similarity(pairs, sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
 

@@ -146,3 +146,24 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
         map(tuple, jobs.stateful_levels_transform_with_state(spark, SF_SMOKE).collect())
     )
     assert a == b
+
+
+def test_stateful_levels_on_rocksdb_state_store(spark):
+    """The production state-store backend (RocksDB) must produce the
+    same level crossings as the default HDFS-backed store — state
+    semantics cannot depend on the provider."""
+    baseline = sorted(map(tuple, jobs.stateful_high_value_flags(spark, SF_SMOKE).collect()))
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = sorted(map(tuple, jobs.stateful_high_value_flags(spark, SF_SMOKE).collect()))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert rocks == baseline and len(rocks) > 0
