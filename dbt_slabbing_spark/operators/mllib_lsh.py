@@ -1,12 +1,21 @@
 """MLlib-backed LSH operators (SURVEY.md §2.6 north-star row):
-``MinHashLSH.approxSimilarityJoin`` over hashed token sets.
+``MinHashLSH.approxSimilarityJoin`` over hashed 3-gram shingle sets.
 
 Relationship to operators/hashing.py: the md5-portable minhash exists
 so the DuckDB oracle can verify the algorithm bit-for-bit; THIS module
 is the production-scale path — JVM-side hashing, no Python in the loop,
 and ``approxSimilarityJoin`` plans the band join natively. Seeded →
 deterministic across runs, but the hash family is Spark-internal, so
-the correctness gate records it rows-only.
+the correctness gate checks invariants (exact-dup recall, distance
+precision) instead of raw pairs.
+
+Features are word 3-GRAMS, not unigrams: with unigram features a
+common word ("the") becomes the min hash of thousands of documents,
+every one of them lands in the same bucket, and the candidate join
+goes quadratic — measured as a multi-minute hang at just 5000 docs on
+a near-dup-heavy corpus. Shingles make bucket membership track actual
+content overlap, the same reason the portable pipeline (and every
+production near-dup system) shingles first.
 """
 
 from __future__ import annotations
@@ -24,20 +33,23 @@ def mllib_minhash_pairs(
     num_features: int = 1 << 18,
     seed: int = 42,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard_distance) candidate near-dup pairs."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    """(id_a, id_b, jaccard_distance) candidate near-dup pairs over
+    distinct 3-gram shingle sets (docs with < 3 tokens have no shingle
+    and are excluded — MinHashLSH requires ≥ 1 non-zero feature)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     from .text import normalized
 
     prepped = docs.select(F.col(id_col).alias("_id"), normalized(F.col(text_col)).alias("_norm")).filter(
         F.length("_norm") > 0
     )
-    tokens = Tokenizer(inputCol="_norm", outputCol="_tokens").transform(prepped).filter(
-        F.size("_tokens") > 0  # MinHashLSH requires ≥1 non-zero feature
+    tokens = Tokenizer(inputCol="_norm", outputCol="_tokens").transform(prepped)
+    grams = NGram(n=3, inputCol="_tokens", outputCol="_shingles").transform(tokens).filter(
+        F.size("_shingles") > 0
     )
-    # binary=True → set semantics (Jaccard over distinct tokens)
-    tf = HashingTF(inputCol="_tokens", outputCol="_features", numFeatures=num_features, binary=True)
-    feats = tf.transform(tokens)
+    # binary=True → set semantics (Jaccard over distinct shingles)
+    tf = HashingTF(inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True)
+    feats = tf.transform(grams)
     lsh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_distance")

@@ -365,22 +365,24 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hash family is Spark-internal (seeded → deterministic but not
     # SQL-reproducible), so the oracle verifies deterministic INVARIANTS
     # of the pair set instead of raw pairs: (1) the corpus size the LSH
-    # ran over, (2) the exact count of identical-after-normalization
-    # pairs — identical token sets hash identically in every table, so
-    # approxSimilarityJoin finds ALL of them (recall 1 on exact dups;
-    # DuckDB counts them combinatorially from md5 groups), and (3) every
-    # emitted pair's reported distance agrees with the exact token-set
-    # Jaccard within a hash-collision tolerance (precision).
+    # ran over (docs with ≥1 shingle, i.e. ≥3 tokens), (2) the exact
+    # count of identical-after-normalization pairs — identical shingle
+    # sets hash identically in every table, so approxSimilarityJoin
+    # finds ALL of them (recall 1 on exact dups; DuckDB counts them
+    # combinatorially from md5 groups), and (3) every emitted pair's
+    # reported distance agrees with the exact shingle-set Jaccard within
+    # a hash-collision tolerance (precision).
     """
     WITH norm AS (
         SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS n
         FROM documents
-    ), nonempty AS (
-        SELECT doc_id, n FROM norm WHERE n <> ''
+    ), eligible AS (
+        SELECT doc_id, n FROM norm
+        WHERE n <> '' AND len(string_split(n, ' ')) >= 3
     ), grp AS (
-        SELECT md5(n) AS h, count(*) AS c FROM nonempty GROUP BY h
+        SELECT md5(n) AS h, count(*) AS c FROM eligible GROUP BY h
     )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nonempty) AS n_docs,
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM eligible) AS n_docs,
            (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) FROM grp)
                AS n_exact_dup_pairs_found,
            TRUE AS precision_ok
@@ -397,8 +399,10 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = mllib_minhash_pairs(docs)  # id_a, id_b, jaccard_distance
 
+    # eligible corpus = docs with ≥1 shingle (≥3 tokens), matching the
+    # operator's feature filter
     norm = docs.select("doc_id", normalized(F.col("text")).alias("_n")).filter(
-        F.col("_n") != ""
+        (F.col("_n") != "") & (F.size(F.split(F.col("_n"), " ")) >= 3)
     )
     n_docs = norm.agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -413,9 +417,10 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_exact_dup_pairs_found")
     )
 
-    # precision: reported hashed-feature distance ⟷ exact token Jaccard
+    # precision: reported hashed-feature distance ⟷ exact shingle Jaccard
     toks = norm.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("_n"), " "))).alias("_t")
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("_n"), 3))).alias("_t"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_tok"))
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("_t"))
