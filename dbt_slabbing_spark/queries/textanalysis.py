@@ -281,3 +281,44 @@ def text_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .withColumn("contaminated", F.lit(True))
     )
+
+
+@register(
+    "text_bpe_token_estimate",
+    # BPE-style subword-token ESTIMATE without a tokenizer model: count
+    # lexer pieces with a GPT-2-like pretokenizer regex (letter runs,
+    # digit runs, single punctuation) and apply the ~4-chars-per-token
+    # length correction for long words (a BPE merges long words into
+    # several subwords). Pattern uses the Java-regex ∩ RE2 subset.
+    """
+    WITH pieces AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS p
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(p) AS INT) AS n_pieces,
+           CAST(len(p) + coalesce(list_sum(list_transform(p,
+                    x -> greatest(CAST(ceil(length(x) / 4.0) AS BIGINT) - 1, 0))), 0)
+                AS INT) AS est_bpe_tokens
+    FROM pieces
+    """,
+    "BPE-ish token-count estimate: GPT-2-style pretokenizer regex + "
+    "length correction (pure regexp + array expressions, codegen)",
+    tags=("text", "tokens", "training"),
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    extra = F.aggregate(
+        F.transform(
+            pieces,
+            lambda x: F.greatest(F.ceil(F.length(x) / 4.0).cast("long") - 1, F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        (F.size(pieces) + extra).cast("int").alias("est_bpe_tokens"),
+    )
