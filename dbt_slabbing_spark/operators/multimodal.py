@@ -43,7 +43,8 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0
 
 
 def detect_media_type(payload: bytes) -> str:
-    """Magic-byte sniff: 'png' | 'jpeg' | 'gif' | 'bmp' | 'wav' | 'unknown'."""
+    """Magic-byte sniff:
+    'png' | 'jpeg' | 'gif' | 'bmp' | 'tiff' | 'wav' | 'mp4' | 'unknown'."""
     if payload.startswith(_PNG_SIG):
         return "png"
     if payload.startswith(b"\xff\xd8"):
@@ -52,8 +53,12 @@ def detect_media_type(payload: bytes) -> str:
         return "gif"
     if payload.startswith(b"BM"):
         return "bmp"
+    if payload.startswith((b"II*\x00", b"MM\x00*")):
+        return "tiff"
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "wav"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -94,9 +99,78 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
         if kind == "bmp" and len(payload) >= 26:
             w, h = struct.unpack("<ii", payload[18:26])
             return (w, abs(h))
+        if kind == "tiff":
+            return _tiff_dimensions(payload)
     except struct.error:
         return None
     return None
+
+
+def _tiff_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Walk IFD0: tag 256 = ImageWidth, 257 = ImageLength; SHORT/LONG
+    values ≤ 4 bytes are stored inline in the entry."""
+    endian = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
+    width = height = None
+    for i in range(n_entries):
+        e = ifd_off + 2 + i * 12
+        if e + 12 > len(payload):
+            break
+        tag, typ, _cnt = struct.unpack(endian + "HHI", payload[e : e + 8])
+        if typ == 3:  # SHORT
+            (val,) = struct.unpack(endian + "H", payload[e + 8 : e + 10])
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack(endian + "I", payload[e + 8 : e + 12])
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+    return (width, height) if width is not None and height is not None else None
+
+
+def mp4_metadata(payload: bytes) -> dict[str, int] | None:
+    """{timescale, duration, duration_ms} from the moov/mvhd box —
+    top-level box walk, no codec, no frame parsing."""
+    if detect_media_type(payload) != "mp4":
+        return None
+
+    def find_box(buf: bytes, name: bytes) -> bytes | None:
+        i = 0
+        while i + 8 <= len(buf):
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            if size < 8:
+                return None
+            if buf[i + 4 : i + 8] == name:
+                return buf[i + 8 : i + size]
+            i += size
+        return None
+
+    moov = find_box(payload, b"moov")
+    if moov is None:
+        return None
+    mvhd = find_box(moov, b"mvhd")
+    if mvhd is None or len(mvhd) < 20:
+        return None
+    version = mvhd[0]
+    try:
+        if version == 1:
+            timescale, duration = struct.unpack(">IQ", mvhd[20:32])
+        else:
+            timescale, duration = struct.unpack(">II", mvhd[12:20])
+    except struct.error:
+        return None
+    if not timescale:
+        return None
+    return {
+        "timescale": timescale,
+        "duration": duration,
+        "duration_ms": int(duration * 1000 // timescale),
+    }
 
 
 def wav_metadata(payload: bytes) -> dict[str, int] | None:

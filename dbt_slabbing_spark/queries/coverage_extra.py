@@ -142,3 +142,29 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(dround(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
+
+
+@register(
+    "agg_approx_topk_event_types",
+    # approx_top_k with maxItemsTracked ≥ column cardinality tracks
+    # EVERY item exactly, so the sketch output equals the exact GROUP BY
+    # — the oracle states the exact form; the engine must surface the
+    # sketch's (item, count) pairs bit-for-bit. (On a high-cardinality
+    # column the same sketch returns estimates; this gate pins the API
+    # + exact regime.)
+    """
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    "approx_top_k frequent-items sketch (exact regime: tracked ≥ cardinality)",
+    tags=("agg", "approx", "topk"),
+)
+def agg_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("_topk_events")
+    return spark.sql(
+        """
+        SELECT pair.item AS item, pair.count AS n
+        FROM (SELECT explode(approx_top_k(event_type, 10, 10000)) AS pair
+              FROM _topk_events)
+        """
+    )

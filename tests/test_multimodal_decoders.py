@@ -83,3 +83,40 @@ def test_media_probe_query_matches_oracle(spark, duck):
 
     q = registry()["mm_decode_dimensions"]
     assert_frames_match(q.fn(spark, SF_SMOKE).toPandas(), duck.sql(q.oracle).df(), q.name)
+
+
+def _tiff_bytes(width: int, height: int, little: bool = True) -> bytes:
+    e = "<" if little else ">"
+    head = (b"II*\x00" if little else b"MM\x00*") + struct.pack(e + "I", 8)
+    entries = struct.pack(e + "H", 2)
+    entries += struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "H", width) + b"\x00\x00"
+    entries += struct.pack(e + "HHI", 257, 4, 1) + struct.pack(e + "I", height)
+    return head + entries + struct.pack(e + "I", 0)
+
+
+def _mp4_bytes(timescale: int, duration: int) -> bytes:
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    mvhd_body = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", timescale, duration)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_tiff_dimensions_both_endians():
+    from dbt_slabbing_spark.operators.multimodal import image_dimensions
+
+    le = _tiff_bytes(800, 600, little=True)
+    be = _tiff_bytes(123, 456, little=False)
+    assert detect_media_type(le) == "tiff" and detect_media_type(be) == "tiff"
+    assert image_dimensions(le) == (800, 600)
+    assert image_dimensions(be) == (123, 456)
+
+
+def test_mp4_mvhd_duration():
+    from dbt_slabbing_spark.operators.multimodal import mp4_metadata
+
+    b = _mp4_bytes(timescale=1000, duration=5432)
+    assert detect_media_type(b) == "mp4"
+    assert mp4_metadata(b) == {"timescale": 1000, "duration": 5432, "duration_ms": 5432}
+    # truncated / moov-less file yields None, not an exception
+    assert mp4_metadata(b[:16]) is None
