@@ -22,8 +22,16 @@ from pyspark.sql import functions as F
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     """Morton-interleave ``bits`` low bits of each (non-negative int)
     column into one bigint sort key. Callers bucket/rank floats or
-    strings into ints first — the key only needs ORDER, not meaning."""
+    strings into ints first — the key only needs ORDER, not meaning.
+
+    ``len(cols) * bits`` must fit a signed 64-bit key (≤ 63): 2 cols at
+    16 bits, 3 at 21, 4 at 15 — reduce ``bits`` for more columns."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols × {bits} bits = {n * bits} bits exceeds the "
+            f"63-bit signed key; lower bits to ≤ {63 // n}"
+        )
     clamped = [
         F.greatest(F.least(c.cast("long"), F.lit((1 << bits) - 1)), F.lit(0)) for c in cols
     ]

@@ -80,9 +80,14 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
         if kind == "jpeg":
             i = 2
             n = len(payload)
-            while i + 9 < n:
+            while i + 9 <= n:
                 if payload[i] != 0xFF:  # not at a marker: corrupt/scan data
                     return None
+                # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may
+                # precede a marker — skip pads, don't misread a length
+                if payload[i + 1] == 0xFF:
+                    i += 1
+                    continue
                 marker = payload[i + 1]
                 if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                     i += 2  # standalone markers have no length field
@@ -97,8 +102,12 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
             w, h = struct.unpack("<HH", payload[6:10])
             return (w, h)
         if kind == "bmp" and len(payload) >= 26:
+            (dib_size,) = struct.unpack("<I", payload[14:18])
+            if dib_size == 12:  # BITMAPCOREHEADER (OS/2): u16 dims
+                w16, h16 = struct.unpack("<HH", payload[18:22])
+                return (w16, h16)
             w, h = struct.unpack("<ii", payload[18:26])
-            return (w, abs(h))
+            return (w, abs(h))  # negative height = top-down rows
         if kind == "tiff":
             return _tiff_dimensions(payload)
     except struct.error:
@@ -143,10 +152,19 @@ def mp4_metadata(payload: bytes) -> dict[str, int] | None:
         i = 0
         while i + 8 <= len(buf):
             (size,) = struct.unpack(">I", buf[i : i + 4])
-            if size < 8:
+            header = 8
+            if size == 1:  # 64-bit extended size (mandatory > 4 GiB —
+                # the common mdat-before-moov layout for big media)
+                if i + 16 > len(buf):
+                    return None
+                (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                header = 16
+            elif size == 0:  # box extends to end of file
+                size = len(buf) - i
+            if size < header:
                 return None
             if buf[i + 4 : i + 8] == name:
-                return buf[i + 8 : i + size]
+                return buf[i + header : i + size]
             i += size
         return None
 

@@ -220,7 +220,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the signature frame feeds THREE join branches (two band
     # sides + similarity attach); without it each branch recomputes the
     # whole shingle→minhash pipeline (ReuseExchange doesn't cover the
-    # differently-projected subtrees).
+    # differently-projected subtrees). The cache entry (5k rows/call)
+    # outlives the call — acceptable for a query-at-a-time driver;
+    # long-lived sessions reclaim it via spark.catalog.clearCache()
+    # (bench.py does exactly that between timed runs).
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_words=3).persist()
     pairs = minhash_band_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
     return signature_similarity(pairs, sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)

@@ -95,7 +95,7 @@ def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ..operators.multimodal import media_probe_batches, synth_png, synth_wav
+    from ..operators.multimodal import probe_media, synth_png, synth_wav
 
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("_len")
@@ -113,13 +113,7 @@ def mm_decode_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(synth_batches, schema="doc_id bigint, payload binary")
-    return media.mapInPandas(
-        media_probe_batches,
-        schema=(
-            "doc_id bigint, media_type string, width int, height int, "
-            "n_channels int, sample_rate int, duration_ms int"
-        ),
-    )
+    return probe_media(media)
 
 
 @register(

@@ -186,8 +186,15 @@ def stateful_high_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (user_id,) = key
         total = state.get[0] if state.exists else 0.0
         crossings = []
-        for pdf in pdf_iter:
-            for v in pdf.sort_values("ts")["value"]:
+        # Concatenate the group's Arrow chunks BEFORE sorting — chunk
+        # delivery order is not event-time order — and pin tied
+        # timestamps with event_id (stable across engines; a bare
+        # ts-only unstable sort diverges from the batch-twin oracle's
+        # ORDER BY ts, event_id whenever two purchases share a ts).
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            for v in batch["value"]:
                 before = int(total // 100)
                 total += float(v)
                 after = int(total // 100)
@@ -281,8 +288,12 @@ def stateful_levels_transform_with_state(spark: SparkSession, sf_dir: str) -> Da
         def handleInputRows(self, key, rows, timer_values):
             total = self._total.get()[0] if self._total.exists() else 0.0
             crossings = []
-            for pdf in rows:
-                for v in pdf.sort_values("ts")["value"]:
+            # same chunk-concat + (ts, event_id) ordering as the
+            # applyInPandasWithState twin — see track() above
+            chunks = [pdf for pdf in rows]
+            if chunks:
+                batch = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+                for v in batch["value"]:
                     before = int(total // 100)
                     total += float(v)
                     after = int(total // 100)

@@ -120,3 +120,51 @@ def test_mp4_mvhd_duration():
     assert mp4_metadata(b) == {"timescale": 1000, "duration": 5432, "duration_ms": 5432}
     # truncated / moov-less file yields None, not an exception
     assert mp4_metadata(b[:16]) is None
+
+
+def test_jpeg_fill_bytes_and_eof_boundary():
+    """ITU T.81 allows 0xFF fill bytes before a marker; a SOF ending
+    exactly at EOF must also parse."""
+    from dbt_slabbing_spark.operators.multimodal import image_dimensions
+
+    b = _jpeg_bytes(320, 200)
+    # inject a fill byte before the SOF marker (after APP0)
+    padded = b[:20] + b"\xff" + b[20:]
+    assert image_dimensions(padded) == (320, 200)
+    # truncate to exactly the end of the SOF dimension bytes
+    sof_at = b.index(b"\xff\xc0")
+    exact_eof = b[: sof_at + 9]
+    assert image_dimensions(exact_eof) == (320, 200)
+
+
+def test_bmp_core_header_os2():
+    """BITMAPCOREHEADER (12-byte DIB) stores u16 dims — must not be
+    misread as the 40-byte header's i32 fields."""
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 100, 50) + b"\x00" * 8
+    assert detect_media_type(core) == "bmp"
+    assert image_dimensions(core) == (100, 50)
+
+
+def test_mp4_extended_size_and_to_eof_boxes():
+    """size==1 boxes carry a 64-bit largesize (mandatory > 4 GiB; the
+    common big-file mdat-before-moov layout); size==0 means to-EOF."""
+    from dbt_slabbing_spark.operators.multimodal import mp4_metadata
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    payload = b"\x00" * 32
+    mdat_ext = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    mvhd_body = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", 600, 1234)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 0) + b"moov" + mvhd  # size 0 = to EOF
+    meta = mp4_metadata(ftyp + mdat_ext + moov)
+    assert meta == {"timescale": 600, "duration": 1234, "duration_ms": 1234 * 1000 // 600}
+
+
+def test_zorder_key_bit_budget_guard():
+    import pytest
+
+    from pyspark.sql import functions as F
+    from dbt_slabbing_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_key([F.col(c) for c in "abcd"], bits=16)
