@@ -282,3 +282,85 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_ann_best") <= F.col("_exact_best") + F.lit(1e-9)).alias("no_overshoot"),
         )
     )
+
+
+@register(
+    "sim_brp_euclidean_topk",
+    # MLlib BucketedRandomProjectionLSH (Euclidean LSH — the SURVEY §2.6
+    # named alternative): seeded → deterministic but Spark-internal, so
+    # the oracle checks verdict columns like sim_ivf_topk: full k=3
+    # returned, ≥1 pick inside the exact Euclidean top-10, and no
+    # reported distance below the true nearest distance.
+    """
+    SELECT vec_id AS query_id,
+           TRUE AS k_complete, TRUE AS recall_ok, TRUE AS no_undershoot
+    FROM embeddings WHERE vec_id < 5
+    """,
+    "BucketedRandomProjectionLSH ANN: Euclidean top-3 via bucket join, "
+    "verdict-checked against exact brute-force distances",
+    tags=("similarity", "lsh", "mllib"),
+)
+def sim_brp_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from ..operators.similarity import dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("_features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="_features", outputCol="_hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = brp.fit(feats)
+    queries = feats.filter(F.col("vec_id") < 5)
+    joined = model.approxSimilarityJoin(feats, queries, 100.0, distCol="dist")
+    cand = (
+        joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetB.vec_id").alias("query_id"),
+            F.col("datasetA.vec_id").alias("vec_id"),
+            F.col("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    ann = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 3)
+
+    # exact Euclidean top-10 via JVM expressions (dist² monotone in dist)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    d2 = (
+        dot(F.col("_qv"), F.col("_qv"))
+        + dot(F.col("embedding"), F.col("embedding"))
+        - 2 * dot(F.col("_qv"), F.col("embedding"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_d2", d2)
+    )
+    we = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    exact10 = scored.withColumn("_rn", F.row_number().over(we)).filter(F.col("_rn") <= 10)
+
+    ann_g = ann.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.collect_set("vec_id").alias("_ann_ids"),
+        F.min("dist").alias("_ann_best"),
+    )
+    exact_g = exact10.groupBy("query_id").agg(
+        F.collect_set("vec_id").alias("_exact_ids"),
+        F.min(F.sqrt(F.col("_d2"))).alias("_exact_best"),
+    )
+    return (
+        ann_g.join(exact_g, "query_id")
+        .select(
+            "query_id",
+            (F.col("_n") == 3).alias("k_complete"),
+            (F.size(F.array_intersect("_ann_ids", "_exact_ids")) >= 1).alias("recall_ok"),
+            (F.col("_ann_best") >= F.col("_exact_best") - F.lit(1e-9)).alias("no_undershoot"),
+        )
+    )

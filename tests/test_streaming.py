@@ -167,3 +167,44 @@ def test_stateful_levels_on_rocksdb_state_store(spark):
         else:
             spark.conf.set(key, old)
     assert rocks == baseline and len(rocks) > 0
+
+
+def test_update_mode_incremental_counts_fold_to_batch(spark, tmp_path):
+    """UPDATE output mode over a multi-microbatch replay must emit
+    monotonically growing per-key counts whose FINAL value equals the
+    batch GROUP BY — exercising incremental state across batches (the
+    single-file corpus replay runs everything in one batch, so this
+    builds a 4-file copy and feeds it one file per trigger)."""
+    import uuid
+
+    from dbt_slabbing_spark.catalog import table
+
+    src = str(tmp_path / "events_files")
+    events = table(spark, SF_SMOKE, "events")
+    events.repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    counts = stream.groupBy("event_type").count()
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = counts.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sink = spark.sql(f"SELECT * FROM {name}")
+    emitted = sink.collect()
+    batch = {r["event_type"]: r["count"] for r in events.groupBy("event_type").count().collect()}
+    # several micro-batches → more emissions than final keys
+    assert len(emitted) > len(batch)
+    # counts only grow; the max per key is the final state == batch twin
+    final = {}
+    for r in emitted:
+        final[r["event_type"]] = max(final.get(r["event_type"], 0), r["count"])
+    assert final == batch
