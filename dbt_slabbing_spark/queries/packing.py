@@ -85,3 +85,55 @@ def train_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return next_fit_packs(
         table(spark, sf_dir, "documents"), budget=_BUDGET, n_buckets=_N_BUCKETS
     )
+
+
+@register(
+    "train_curriculum_order",
+    # Curriculum ordering: feed highest-quality documents first. The
+    # global position comes from operators/ordering.py::global_row_number
+    # (range-partition + broadcast offsets), never a single-partition
+    # window; quality is the text-suite heuristic already proven against
+    # the oracle (text_quality_scores).
+    """
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len(w) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(w, t -> list_contains(['the', 'a', 'of', 'and', 'in', 'to'], t))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) AS stop_ratio,
+               CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) AS atl
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents)
+        WHERE len(w) > 0
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(((least(n_tok / 50.0, 1.0)
+                      + (1.0 - least(abs(stop_ratio - 0.1), 1.0))
+                      + (CASE WHEN atl >= 2.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                     ) / 3.0) * 10000.0) / 10000.0 AS quality
+        FROM feat
+    )
+    SELECT doc_id, quality,
+           CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS position
+    FROM scored
+    """,
+    "curriculum ordering: quality-descending global training positions "
+    "via the distributed two-pass row number (no global window)",
+    tags=("training", "curriculum", "window"),
+)
+def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.ordering import global_row_number
+    from ..operators.text import quality_score, token_count
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(token_count(F.col("text")) > 0)
+        .select("doc_id", quality_score(F.col("text")).alias("quality"))
+    )
+    return global_row_number(
+        docs, [F.desc("quality"), F.asc("doc_id")], out_col="position"
+    ).select("doc_id", "quality", "position")
