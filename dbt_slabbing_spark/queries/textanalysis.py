@@ -322,3 +322,77 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).alias("n_pieces"),
         (F.size(pieces) + extra).cast("int").alias("est_bpe_tokens"),
     )
+
+
+@register(
+    "text_rolling_hash_fingerprint",
+    # True Rabin-Karp ROLLING-hash fingerprint: polynomial hash
+    # sum(code(c[i+j]) * (B^(K-1-j) mod M)) mod M over every 16-char
+    # window of the normalized text; document fingerprint = the minimum
+    # window hash (winnowing). B=131, M=1e9+7; the powers are
+    # PRECOMPUTED mod M (raw B^15 ~ 6e31 would overflow BIGINT), so
+    # every term stays < 2^16 * M ~ 7e13 and the 16-term sum < 2^50.
+    # Short docs (< 16 chars) fall back to a positional weighted sum.
+    # Both expressions are generated from the same Python constants so
+    # the engines cannot drift.
+    """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CASE WHEN length(s) >= 16 THEN
+                 list_min(list_transform(range(1, length(s) - 14),
+                   i -> (CAST(ascii(substr(s, CAST(i + 0 AS INT), 1)) AS BIGINT) * 493200928 + CAST(ascii(substr(s, CAST(i + 1 AS INT), 1)) AS BIGINT) * 507581690 + CAST(ascii(substr(s, CAST(i + 2 AS INT), 1)) AS BIGINT) * 736699102 + CAST(ascii(substr(s, CAST(i + 3 AS INT), 1)) AS BIGINT) * 685012975 + CAST(ascii(substr(s, CAST(i + 4 AS INT), 1)) AS BIGINT) * 989961938 + CAST(ascii(substr(s, CAST(i + 5 AS INT), 1)) AS BIGINT) * 977022617 + CAST(ascii(substr(s, CAST(i + 6 AS INT), 1)) AS BIGINT) * 908221553 + CAST(ascii(substr(s, CAST(i + 7 AS INT), 1)) AS BIGINT) * 861894827 + CAST(ascii(substr(s, CAST(i + 8 AS INT), 1)) AS BIGINT) * 617266377 + CAST(ascii(substr(s, CAST(i + 9 AS INT), 1)) AS BIGINT) * 913108910 + CAST(ascii(substr(s, CAST(i + 10 AS INT), 1)) AS BIGINT) * 579489385 + CAST(ascii(substr(s, CAST(i + 11 AS INT), 1)) AS BIGINT) * 294499921 + CAST(ascii(substr(s, CAST(i + 12 AS INT), 1)) AS BIGINT) * 2248091 + CAST(ascii(substr(s, CAST(i + 13 AS INT), 1)) AS BIGINT) * 17161 + CAST(ascii(substr(s, CAST(i + 14 AS INT), 1)) AS BIGINT) * 131 + CAST(ascii(substr(s, CAST(i + 15 AS INT), 1)) AS BIGINT) * 1) % 1000000007))
+               ELSE
+                 list_sum(list_transform(range(1, length(s) + 1),
+                          j -> CAST(ascii(substr(s, CAST(j AS INT), 1)) AS BIGINT) * (1 + (j % 7)))) % 1000000007
+               END AS fp
+        FROM norm
+    )
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+    FROM hashed GROUP BY fp
+    """,
+    "Rabin-Karp rolling-hash document fingerprint (min 16-char window "
+    "hash, winnowing-style) + collision groups",
+    tags=("text", "fingerprint", "rollinghash"),
+)
+def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B, M, K = 131, 1000000007, 16
+    powers = [pow(B, K - 1 - j, M) for j in range(K)]
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    docs = table(spark, sf_dir, "documents").select("doc_id", norm.alias("s"))
+    # one pass to char codes, then windows index the materialized array
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("s")), lambda j: F.ascii(F.col("s").substr(j, F.lit(1)))
+    )
+    docs = docs.withColumn("_codes", codes)
+    win = F.transform(
+        F.sequence(F.lit(1), F.length("s") - (K - 1)),
+        lambda i: sum(
+            (
+                F.element_at(F.col("_codes"), i + j).cast("long") * F.lit(powers[j])
+                for j in range(1, K)
+            ),
+            F.element_at(F.col("_codes"), i).cast("long") * F.lit(powers[0]),
+        )
+        % M,
+    )
+    short_fb = (
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s")),
+                lambda j: F.element_at(F.col("_codes"), j).cast("long") * (1 + (j % 7)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        % M
+    )
+    fp = F.when(F.length("s") >= K, F.array_min(win)).otherwise(short_fb)
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
