@@ -31,15 +31,21 @@ def global_row_number(
     ties across a partition boundary would otherwise get range-split
     arbitrarily — same contract as SQL's ROW_NUMBER determinism.
     """
-    parted = df.repartitionByRange(*order_exprs).withColumn("_pid", F.spark_partition_id())
-    psizes = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    w_tiny = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # uuid-suffixed temp names: a caller column named "_pid"/"_offset"
+    # must survive untouched (this is a reusable operator)
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    pid, off = f"_pid_{sfx}", f"_offset_{sfx}"
+    parted = df.repartitionByRange(*order_exprs).withColumn(pid, F.spark_partition_id())
+    psizes = parted.groupBy(pid).agg(F.count(F.lit(1)).alias("_n"))
+    w_tiny = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
     offsets = psizes.withColumn(
-        "_offset", F.coalesce(F.sum("_n").over(w_tiny), F.lit(0)).cast("long")
-    ).select("_pid", "_offset")
-    w_intra = Window.partitionBy("_pid").orderBy(*order_exprs)
+        off, F.coalesce(F.sum("_n").over(w_tiny), F.lit(0)).cast("long")
+    ).select(pid, off)
+    w_intra = Window.partitionBy(pid).orderBy(*order_exprs)
     return (
-        parted.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_offset") + F.row_number().over(w_intra)).cast("long"))
-        .drop("_pid", "_offset")
+        parted.join(F.broadcast(offsets), pid)
+        .withColumn(out_col, (F.col(off) + F.row_number().over(w_intra)).cast("long"))
+        .drop(pid, off)
     )

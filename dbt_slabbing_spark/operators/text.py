@@ -173,3 +173,67 @@ def pii_counts(col: Column) -> dict[str, Column]:
         counts[name] = F.regexp_count(cur, F.lit(pattern))
         cur = F.regexp_replace(cur, pattern, token)
     return counts
+
+
+def rolling_min_hash(
+    col: Column, k: int = 16, base: int = 131, mod: int = 1_000_000_007
+) -> Column:
+    """Minimum Rabin-Karp hash over all ``k``-char windows of the
+    normalized text — a TRUE rolling computation: the first window is
+    summed directly, every later window updates in O(1) via
+    ``h' = (h - c_out·B^(k-1))·B + c_in (mod M)``, so a document costs
+    O(L) multiply-adds, not O(k·L).
+
+    NULL for empty text; a positional weighted sum for docs shorter
+    than ``k`` (mirrored by the oracle SQL in queries/textanalysis.py).
+    """
+    # Every fold below iterates over a MATERIALIZED array child — never
+    # index back into an expression from inside a lambda (higher-order
+    # lambdas re-evaluate captured expressions per element; that trap
+    # turned word_shingles O(L²), see its docstring).
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+    p_top = powers[0]
+    s = normalized(col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)), lambda j: F.ascii(s.substr(j, F.lit(1))).cast("long")
+    )
+    powers_arr = F.array(*[F.lit(p).cast("long") for p in powers])
+
+    first = (
+        F.aggregate(
+            F.zip_with(F.slice(codes, 1, k), powers_arr, lambda cc, p: cc * p),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        % mod
+    )
+    n_steps = F.greatest(F.length(s) - k, F.lit(0))
+    steps = F.zip_with(
+        F.slice(codes, k + 1, n_steps),  # incoming char per roll
+        F.slice(codes, 1, n_steps),  # outgoing char per roll
+        lambda cin, cout: F.struct(cin.alias("cin"), cout.alias("cout")),
+    )
+    acc0 = F.struct(first.alias("h"), first.alias("mn"))
+
+    def step(acc, p):
+        h2 = F.pmod((acc["h"] - p["cout"] * F.lit(p_top)) * base + p["cin"], F.lit(mod))
+        return F.struct(h2.alias("h"), F.least(acc["mn"], h2).alias("mn"))
+
+    rolled = F.aggregate(steps, acc0, step, lambda acc: acc["mn"])
+    short_fb = (
+        F.aggregate(
+            F.zip_with(
+                codes,
+                F.transform(F.sequence(F.lit(1), F.length(s)), lambda j: (1 + F.pmod(j, F.lit(7))).cast("long")),
+                lambda cc, w: cc * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        % mod
+    )
+    return (
+        F.when(F.length(s) == 0, F.lit(None).cast("long"))
+        .when(F.length(s) < k, short_fb)
+        .otherwise(rolled)
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import table
 from ..operators.packing import concat_chunk_spans, next_fit_packs
 from . import register
+from .textanalysis import _SQL_STOP_LIST, _SQL_WORDS  # shared oracle fragments
 
 _BUDGET = 256
 _N_BUCKETS = 8
@@ -94,18 +95,19 @@ def train_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (range-partition + broadcast offsets), never a single-partition
     # window; quality is the text-suite heuristic already proven against
     # the oracle (text_quality_scores).
-    """
+    f"""
     WITH feat AS (
         SELECT doc_id,
                CAST(len(w) AS DOUBLE) AS n_tok,
-               CAST(len(list_filter(w, t -> list_contains(['the', 'a', 'of', 'and', 'in', 'to'], t))) AS DOUBLE)
+               CAST(len(list_filter(w, t -> list_contains({_SQL_STOP_LIST}, t))) AS DOUBLE)
                    / CAST(len(w) AS DOUBLE) AS stop_ratio,
                CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
                    / CAST(len(w) AS DOUBLE) AS atl
-        FROM (SELECT doc_id,
-                     string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
-              FROM documents)
-        WHERE len(w) > 0
+        -- DuckDB string_split('', ' ') is [''], not []: the empty-doc
+        -- guard tests the normalized TEXT (inside the projection, where
+        -- text is still in scope), mirroring Spark's token_count > 0
+        FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+              WHERE regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') <> '')
     ),
     scored AS (
         SELECT doc_id,

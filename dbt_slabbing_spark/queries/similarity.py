@@ -353,7 +353,10 @@ def sim_brp_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_g = exact10.groupBy("query_id").agg(
         F.collect_set("vec_id").alias("_exact_ids"),
-        F.min(F.sqrt(F.col("_d2"))).alias("_exact_best"),
+        # greatest(,0): the dot-product expansion can go ~-1e-13 for
+        # (near-)duplicate vectors; sqrt(negative)=NaN would silently
+        # drop the true nearest distance from min()
+        F.min(F.sqrt(F.greatest(F.col("_d2"), F.lit(0.0)))).alias("_exact_best"),
     )
     return (
         ann_g.join(exact_g, "query_id")

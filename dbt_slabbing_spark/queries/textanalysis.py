@@ -326,15 +326,13 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_rolling_hash_fingerprint",
-    # True Rabin-Karp ROLLING-hash fingerprint: polynomial hash
-    # sum(code(c[i+j]) * (B^(K-1-j) mod M)) mod M over every 16-char
-    # window of the normalized text; document fingerprint = the minimum
-    # window hash (winnowing). B=131, M=1e9+7; the powers are
-    # PRECOMPUTED mod M (raw B^15 ~ 6e31 would overflow BIGINT), so
-    # every term stays < 2^16 * M ~ 7e13 and the 16-term sum < 2^50.
-    # Short docs (< 16 chars) fall back to a positional weighted sum.
-    # Both expressions are generated from the same Python constants so
-    # the engines cannot drift.
+    # Rabin-Karp rolling-hash fingerprint: min polynomial window hash
+    # (B=131, M=1e9+7, 16-char windows; winnowing). The ORACLE states
+    # the O(k*L) direct-sum definition with powers precomputed mod M
+    # (raw B^15 ~ 6e31 would overflow BIGINT); the ENGINE computes the
+    # identical values with the true O(L) rolling recurrence
+    # (operators/text.py::rolling_min_hash). Empty docs hash to NULL on
+    # both sides; short docs fall back to a positional weighted sum.
     """
     WITH norm AS (
         SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
@@ -359,40 +357,10 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "fingerprint", "rollinghash"),
 )
 def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    B, M, K = 131, 1000000007, 16
-    powers = [pow(B, K - 1 - j, M) for j in range(K)]
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    docs = table(spark, sf_dir, "documents").select("doc_id", norm.alias("s"))
-    # one pass to char codes, then windows index the materialized array
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length("s")), lambda j: F.ascii(F.col("s").substr(j, F.lit(1)))
-    )
-    docs = docs.withColumn("_codes", codes)
-    win = F.transform(
-        F.sequence(F.lit(1), F.length("s") - (K - 1)),
-        lambda i: sum(
-            (
-                F.element_at(F.col("_codes"), i + j).cast("long") * F.lit(powers[j])
-                for j in range(1, K)
-            ),
-            F.element_at(F.col("_codes"), i).cast("long") * F.lit(powers[0]),
-        )
-        % M,
-    )
-    short_fb = (
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.length("s")),
-                lambda j: F.element_at(F.col("_codes"), j).cast("long") * (1 + (j % 7)),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        % M
-    )
-    fp = F.when(F.length("s") >= K, F.array_min(win)).otherwise(short_fb)
+    fp = T.rolling_min_hash(F.col("text"), k=16, base=131, mod=1_000_000_007)
     return (
-        docs.select("doc_id", fp.alias("fp"))
+        table(spark, sf_dir, "documents")
+        .select("doc_id", fp.alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )

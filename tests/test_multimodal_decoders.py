@@ -168,3 +168,4 @@ def test_zorder_key_bit_budget_guard():
 
     with pytest.raises(ValueError, match="63-bit"):
         zorder_key([F.col(c) for c in "abcd"], bits=16)
+

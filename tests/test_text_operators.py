@@ -1,0 +1,58 @@
+"""Edge cases for the text rolling-hash fingerprint and the
+distributed global row-number operator."""
+
+from __future__ import annotations
+
+def test_rolling_min_hash_edge_cases(spark):
+    """Empty/whitespace docs hash to NULL (matching the oracle's empty
+    list_sum), short docs use the fallback, and the O(L) rolling
+    recurrence must agree with a direct per-window computation."""
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.operators.text import rolling_min_hash
+
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "short"),
+        (4, "exactly16chars!!"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", rolling_min_hash(F.col("text")).alias("fp")).collect()}
+    assert got[1] is None and got[2] is None
+
+    B, M, K = 131, 1_000_000_007, 16
+
+    def direct(text):
+        s = " ".join(text.strip().lower().split())
+        if not s:
+            return None
+        if len(s) < K:
+            return sum(ord(c) * (1 + (j % 7)) for j, c in enumerate(s, start=1)) % M
+        best = None
+        for i in range(len(s) - K + 1):
+            h = 0
+            for j in range(K):
+                h += ord(s[i + j]) * pow(B, K - 1 - j, M)
+            h %= M
+            best = h if best is None else min(best, h)
+        return best
+
+    for doc_id, text in rows:
+        assert got[doc_id] == direct(text), (doc_id, text)
+
+
+def test_global_row_number_preserves_caller_columns(spark):
+    """A caller column named _pid must survive the operator's temp
+    columns (uuid-suffixed internals)."""
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.operators.ordering import global_row_number
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("_pid"))
+    out = global_row_number(df, [F.asc("id")], out_col="rn")
+    assert set(out.columns) == {"id", "_pid", "rn"}
+    rows = sorted((r["rn"], r["id"], r["_pid"]) for r in out.collect())
+    assert [t[0] for t in rows] == list(range(1, 101))
+    assert all(t[2] == t[1] % 3 for t in rows)
