@@ -167,10 +167,22 @@ def sim_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import norm
+
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    cos = dround(cosine(F.col("_va"), F.col("_vb")), 6)
+    # Precompute each vector's norm ONCE (n rows) instead of inside the
+    # pair expression (n²/2 pairs × 2 norms): the naive cosine() does
+    # THREE 64-element folds per pair; this does one. Bit-identical —
+    # sqrt(dot(v,v)) is the same float whether computed per row or per
+    # pair, and the oracle rounds only the final ratio.
+    withn = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("_n"))
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    cos = dround(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cos)
