@@ -26,10 +26,16 @@ TABLES = (
     "embeddings",
 )
 
-#: Dimension tables that are always small relative to the facts; query code
-#: broadcasts these explicitly so the 100 TB plan never sort-merge-joins a
-#: 5-row region table against a shuffled fact.
+#: Dimension tables. Only ``region`` (5 rows) and ``nation`` (25 rows) are
+#: BOUNDED and safe to broadcast unconditionally; query code hints those with
+#: ``F.broadcast`` so even a stats-less plan never sort-merge-joins them.
+#: ``customer``/``supplier``/``part`` grow linearly with the fact tables
+#: (TPC-H scaling) — at the 100 TB design point they are terabytes, so a
+#: hard-coded broadcast would OOM every executor. Their join strategy is left
+#: to ``spark.sql.autoBroadcastJoinThreshold`` (picks broadcast from file-size
+#: stats at test SF) and AQE's runtime broadcast conversion at scale.
 DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+BOUNDED_DIM_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -37,22 +43,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one TESTDATA table as a DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read it as raw nanos
-    (``nanosAsLong``) and truncate to a microsecond timestamp — the
-    generator emits µs-aligned values, so no information is lost and the
-    DuckDB oracle (which reads TIMESTAMP_NS natively) sees identical
-    instants.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader only accepts as raw nanos via ``nanosAsLong``) and
+    TIMESTAMP(MICROS) without the UTC-adjustment flag (which Spark reads
+    as TIMESTAMP_NTZ). Both are normalized here to a session-TZ
+    TIMESTAMP: the session pins UTC (session.py), so the NTZ→LTZ cast
+    re-interprets the naive values as UTC instants — exactly how the
+    DuckDB oracle treats them — and downstream event-time code
+    (watermarks, ``unix_millis``, window frames) sees one stable type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return _normalize_event_time(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Coerce ``ts`` to TIMESTAMP (LTZ) whatever the parquet encoding."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype == "timestamp_ntz":  # TIMESTAMP(MICROS), isAdjustedToUTC=false
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

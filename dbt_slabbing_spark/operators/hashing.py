@@ -131,6 +131,63 @@ def minhash_band_pairs(
     )
 
 
+def minhash_band_similarity_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Fused LSH banding + signature similarity: ONE self-join.
+
+    Carries both full signature arrays through the band-key self-join
+    (dedup via ``distinct`` over pair + sigs — sigs are functionally
+    dependent on the ids, so this equals a pair-only distinct), then
+    computes ``est_jaccard`` directly from the carried arrays. Compared
+    to :func:`minhash_band_pairs` + :func:`signature_similarity` this
+    removes the two post-hoc signature joins — and with them the need to
+    ``persist`` the signature frame: the self-join's two sides are
+    identical subplans shuffling on the same band key, so Spark plans
+    one Exchange and a ReusedExchange instead of two signature builds.
+    Shuffle rows stay docs × bands; each row carries the extra ~8·8-byte
+    sig payload, a constant factor far below the two joins it replaces.
+    """
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
+    banded = signatures.select(F.col(id_col).alias("_bid"), F.col("sig"), band_idx).select(
+        "_bid",
+        "sig",
+        "_band",
+        F.concat_ws(
+            "_",
+            *[
+                F.element_at(F.col("sig"), F.col("_band") * rows_per_band + i + 1).cast("string")
+                for i in range(rows_per_band)
+            ],
+        ).alias("_band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._band_key") == F.col("r._band_key"))
+            & (F.col("l._bid") < F.col("r._bid")),
+        )
+        .select(
+            F.col("l._bid").alias("id_a"),
+            F.col("r._bid").alias("id_b"),
+            F.col("l.sig").alias("_sig_a"),
+            F.col("r.sig").alias("_sig_b"),
+        )
+        .distinct()
+    )
+    matched = F.size(F.filter(F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda a, b: a == b), lambda x: x))
+    return (
+        pairs.withColumn("est_jaccard", dround(matched.cast("double") / F.size(F.col("_sig_a")), 4))
+        .drop("_sig_a", "_sig_b")
+    )
+
+
 def signature_similarity(pairs: DataFrame, signatures: DataFrame, id_col: str) -> DataFrame:
     """Attach est_jaccard = fraction of equal signature components."""
     sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))

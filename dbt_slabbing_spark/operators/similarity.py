@@ -20,6 +20,37 @@ from pyspark.sql import functions as F
 from ..rounding import dround
 
 
+#: Ceiling for the exact all-pairs scans. n²/2 comparisons at 100k rows is
+#: already 5·10⁹ vector dots — beyond that the exact baseline stops being a
+#: baseline and becomes an outage. The LSH-bucketed twins are the scale path.
+EXACT_SCAN_MAX_ROWS = 100_000
+
+
+class ExactScanTooLarge(ValueError):
+    """Raised when an O(n²) exactness-baseline operator is pointed at a
+    frame too large for an all-pairs scan."""
+
+
+def require_exact_scan_small(
+    df: DataFrame, max_rows: int = EXACT_SCAN_MAX_ROWS, what: str = "exact pair scan"
+) -> DataFrame:
+    """Guard an O(n²) exact-baseline operator with a row-count ceiling.
+
+    The count is one cheap job (count-star over a pruned scan) — noise
+    next to the quadratic work it gates. Mirrors the df-cap defense the
+    shingle join uses (queries/dedup.py::capped_shingles): an unbounded
+    all-pairs computation must never be reachable by accident at scale.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ExactScanTooLarge(
+            f"{what}: {n} rows exceeds the exact-baseline ceiling of {max_rows}. "
+            "This operator is the O(n²) exactness contract for small frames; "
+            "use its LSH-bucketed twin (e.g. sim_neardup_pairs_lsh) at scale."
+        )
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

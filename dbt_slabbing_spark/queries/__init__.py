@@ -82,80 +82,78 @@ _MODULES = (
     "advanced_sql",
 )
 
-# The driver's correctness gate checks the registry PREFIX (50 entries in
-# round 1), so the first block must span EVERY operator family — one or
-# more green representatives each of: relational/agg/join/subquery,
-# windows, set ops, scalar-fn suites, as-of/range joins, the UDF surface,
-# dbt-model chain, training pipeline, sampling, dedup (incl. LSH/simhash/
-# graph), similarity/ANN, text analysis, multimodal, streaming, and
-# advanced SQL (recursive CTE / LATERAL / VARIANT). Depth queries
-# (TPC-H shape corpus, remaining suite variants) follow after.
+# The driver's correctness gate checks the registry PREFIX (50 entries),
+# so the prefix is rotated each round toward full coverage-ever:
+# rounds 1+2 green-checked 94 distinct queries (CORRECTNESS_r01/r02);
+# round 3's prefix = the 40 queries never yet driver-checked, plus 10
+# re-checks of queries whose source changed this round (broadcast-hint
+# removal, q3/q21/minhash plan rewrites). The 94 already-checked entries
+# stay regression-covered by tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = (
-    # relational / agg / join / subquery (family reps; rest ride later)
+    # -- the 40 never-driver-checked queries (VERDICT r2 "What's missing" #1) --
+    # aggregates depth
+    "agg_approx_topk_event_types",
+    "agg_exact_distribution",
+    "agg_mode_priority_by_status",
+    "agg_corr_regression",
+    # window depth variants
+    "window_lag_lead_gaps",
+    "window_range_hourly_sum",
+    "window_rank_dense_percent",
+    "window_ntile_quartiles",
+    "window_first_last_order",
+    # set ops depth
+    "setop_except_nations",
+    "setop_union_by_name",
+    # scalar-fn suites depth
+    "fn_math_suite",
+    "fn_null_handling",
+    "fn_hash_suite",
+    "fn_case_classification",
+    # UDF surface depth
+    "udf_grouped_ols_slope",
+    "udf_row_at_a_time_upper",
+    # text analysis depth
+    "text_token_histogram",
+    "text_langid_confusion",
+    "text_fingerprint_groups",
+    "text_bpe_token_estimate",
+    "text_rolling_hash_fingerprint",
+    # curriculum / sampling depth
+    "train_curriculum_order",
+    "sample_train_test_split",
+    "sample_weighted_mixture",
+    # dedup depth
+    "dedup_normalized_md5",
+    "dedup_simhash",
+    # similarity depth
+    "sim_lsh_bucket_histogram",
+    "sim_neardup_pairs",
+    "sim_neardup_pairs_lsh",
+    "sim_brp_euclidean_topk",
+    # multimodal depth
+    "mm_frame_sample_plan",
+    "mm_size_stats_by_source",
+    # streaming depth
+    "stream_sliding_user_activity",
+    "stream_foreach_batch_totals",
+    # joins / time-series / subquery depth
+    "join_fuzzy_levenshtein",
+    "join_null_safe_equality",
+    "ts_gap_fill_hourly",
+    "ts_forward_fill_hourly",
+    "subquery_not_in_null_semantics",
+    # -- 10 re-checks: source modified in round 3 --
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_local_supplier",
-    "subquery_orders_above_cust_avg",
-    # canonicalizer-safe array/approx aggregates
-    "agg_collect_list_sorted",
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    # window functions + frames + sessionization
+    "q9_product_type_profit",
+    "q21_sole_late_supplier",
     "window_topk_orders_per_customer",
-    "window_running_revenue",
-    "window_sessionize_batch",
-    # set operations
-    "setop_union_all_parties",
-    "setop_intersect_nations",
-    # scalar function suites
-    "fn_string_suite",
-    "fn_date_suite",
-    "fn_json_extract",
-    "fn_array_suite",
-    # as-of / range joins
-    "asof_purchase_attribution",
-    "range_join_error_context",
-    # UDF surface (pandas scalar / grouped agg / UDTF / mapInArrow)
-    "udf_pandas_scalar_bytelen",
-    "udf_grouped_agg_median",
-    "udf_udtf_chunk_text",
-    "udf_map_in_arrow_norms",
-    # dbt model chain + training-data pipeline + sequence packing
-    "model_chain_segment_revenue",
-    "training_chunks_pipeline",
-    "train_pack_concat_chunks",
-    "train_pack_next_fit",
-    # reproducible sampling
-    "sample_hash_bernoulli",
-    "sample_stratified_quota",
-    # dedup stack
-    "dedup_exact_sha256",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_connected_components",
-    "dedup_mllib_minhash_lsh",
-    # similarity / ANN
-    "sim_cosine_topk",
-    "sim_ann_topk_lsh",
-    "sim_ivf_topk",
-    # text analysis (incl. training-data scrubbing/decontamination)
-    "text_token_stats",
-    "text_quality_scores",
-    "text_redact_pii",
-    "text_decontaminate_flags",
-    # multimodal (incl. real header decoders)
-    "mm_probe_metadata",
-    "mm_decode_dimensions",
-    # streaming
     "stream_hourly_type_counts",
-    "stream_session_windows",
-    "stream_dedup_counts",
-    "stream_stream_interval_join",
-    "stream_stateful_levels",
-    # advanced SQL
-    "sql_recursive_month_spine",
-    "sql_lateral_topn_per_nation",
-    "fn_variant_json",
+    "dedup_minhash_lsh",
+    "q7_nation_trade",
+    "q14_promo_revenue_ratio",
 )
 
 

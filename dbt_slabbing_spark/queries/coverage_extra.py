@@ -136,7 +136,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")),
+        li.join(table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1"),
                 li.l_partkey == F.col("p_partkey"))
         .join(half_avg, F.col("p_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))

@@ -34,9 +34,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.hashing import (
-    minhash_band_pairs,
+    minhash_band_similarity_pairs,
     minhash_signatures,
-    signature_similarity,
     simhash_df,
 )
 from ..operators.text import normalized, word_shingles
@@ -217,16 +216,15 @@ def dedup_normalized_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # persist: the signature frame feeds THREE join branches (two band
-    # sides + similarity attach); without it each branch recomputes the
-    # whole shingle→minhash pipeline (ReuseExchange doesn't cover the
-    # differently-projected subtrees). The cache entry (5k rows/call)
-    # outlives the call — acceptable for a query-at-a-time driver;
-    # long-lived sessions reclaim it via spark.catalog.clearCache()
-    # (bench.py does exactly that between timed runs).
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_words=3).persist()
-    pairs = minhash_band_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
-    return signature_similarity(pairs, sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+    # Fused band-join: the signature arrays ride through the band-key
+    # self-join, so similarity needs no extra joins and nothing is
+    # persisted (round 2 leaked a .persist() here). The self-join's two
+    # sides are the same subplan shuffling on the same key — Spark
+    # builds the signatures ONCE and feeds the other side from a
+    # ReusedExchange (asserted in test_plan_quality).
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_words=3)
+    pairs = minhash_band_similarity_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
+    return pairs.filter(F.col("est_jaccard") >= 0.5)
 
 
 @register(

@@ -2,10 +2,12 @@
 flavor, and the TPC-H-style headline queries from BASELINE.md.
 
 Spark-first notes (100 TB):
-- Dimension tables are broadcast explicitly (``F.broadcast``) — the fact
-  side never shuffles for a dim lookup. AQE would usually get this right
-  from stats, but at the 100 TB tier we don't gamble the 6-table join on
-  an estimate.
+- Only the BOUNDED dims (``region``: 5 rows, ``nation``: 25 rows) carry
+  an explicit ``F.broadcast`` hint. ``customer``/``supplier``/``part``
+  scale linearly with the facts, so a hard-coded broadcast OOMs at the
+  100 TB design point; their strategy is left to
+  ``autoBroadcastJoinThreshold`` (file-size stats → broadcast at test
+  SF) and AQE's runtime broadcast conversion at scale.
 - Filters are expressed directly on scan columns so Catalyst pushes them
   into the parquet reader (verify: ``PushedFilters`` in ``.explain``).
 - Top-k uses ``orderBy(...).limit(k)`` which Spark executes as
@@ -83,14 +85,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "headline"),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    # Round-3 shape: aggregate lineitem revenue per order key BEFORE the
+    # joins. The group key contains the join key, so the aggregation is
+    # pushed below the join losslessly — the map-side partial agg then
+    # shrinks lineitem's shuffle ~4× (lines → orders) and the join fans
+    # out pre-reduced rows. No join hints: customer/orders sizes scale
+    # with SF, so strategy is left to the threshold planner locally and
+    # AQE's runtime sizes at 100 TB.
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    osel = orders.join(cust, orders.o_custkey == cust.c_custkey).drop("o_custkey", "c_custkey")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    rev = li.groupBy("l_orderkey").agg(
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        rev.join(osel, rev.l_orderkey == osel.o_orderkey)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -129,8 +143,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every dimension hop is a broadcast — one shuffle total.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -184,7 +198,7 @@ def join_inner_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), dround(F.sum("o_totalprice"), 2).alias("total_value"))
     )

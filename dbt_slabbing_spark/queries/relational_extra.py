@@ -47,8 +47,8 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(table(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(table(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(table(spark, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -84,7 +84,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(table(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))

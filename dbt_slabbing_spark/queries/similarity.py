@@ -163,13 +163,20 @@ def sim_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE {_SQL_COS.format(a="a.dv", b="b.dv")} >= 0.35
     """,
-    "embedding-cosine near-dup pairs (cos ≥ 0.35)",
-    tags=("similarity", "dedup"),
+    "embedding-cosine near-dup pairs (cos ≥ 0.35) — EXACT BASELINE: "
+    "O(n²/2) all-pairs scan, row-count-guarded; the 100 TB path is "
+    "sim_neardup_pairs_lsh",
+    tags=("similarity", "dedup", "exact-baseline"),
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import norm
+    from ..operators.similarity import norm, require_exact_scan_small
 
-    emb = table(spark, sf_dir, "embeddings")
+    # The guard is the contract: this query IS an n²/2 BroadcastNestedLoop
+    # scan (the exactness oracle next to the LSH twin below). The ceiling
+    # makes the scale misuse loud instead of an executor-melting surprise.
+    emb = require_exact_scan_small(
+        table(spark, sf_dir, "embeddings"), what="sim_neardup_pairs"
+    )
     # Precompute each vector's norm ONCE (n rows) instead of inside the
     # pair expression (n²/2 pairs × 2 norms): the naive cosine() does
     # THREE 64-element folds per pair; this does one. Bit-identical —

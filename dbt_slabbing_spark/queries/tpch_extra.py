@@ -66,7 +66,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     df = (
         li.join(table(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), li.l_suppkey == F.col("s_suppkey"))
+        .join(table(spark, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(table(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "EUROPE")
@@ -160,7 +160,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(table(spark, sf_dir, "part")), li.l_partkey == F.col("p_partkey"))
+        li.join(table(spark, sf_dir, "part"), li.l_partkey == F.col("p_partkey"))
         .agg(
             dround(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev), 4
@@ -210,7 +210,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 40))

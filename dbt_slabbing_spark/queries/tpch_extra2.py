@@ -12,8 +12,13 @@ order date). What is preserved is the OPERATOR shape:
 - q21: EXISTS + correlated NOT EXISTS self-joins, decorrelated into a
   single per-order aggregate pass
 
-Scale notes: dims (part/supplier/nation/region) broadcast; lineitem is
-only shuffled on its aggregation key; q21 computes the per-order
+Scale notes: only the truly bounded dims (nation: 25 rows, region: 5)
+carry an explicit ``F.broadcast`` hint. part/supplier/customer grow
+linearly with the fact tables in TPC-H, so a hard-coded broadcast OOMs
+executors at the 100 TB design point; those joins are left to
+``autoBroadcastJoinThreshold`` (file-size stats pick broadcast at test
+SF) and AQE's runtime broadcast conversion at scale. lineitem is only
+shuffled on its aggregation key; q21 computes the per-order
 supplier/late-supplier counts in ONE groupBy over the late-flagged join
 instead of two correlated scans of lineitem.
 """
@@ -64,7 +69,7 @@ def q2_min_unit_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     costs = (
-        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_name")
         .agg(F.min("_uc").alias("unit_cost"))
     )
@@ -75,7 +80,7 @@ def q2_min_unit_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         costs.withColumn("_best", best)
         .filter(F.col("unit_cost") == F.col("_best"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",
             F.col("l_suppkey").alias("s_suppkey"),
@@ -113,8 +118,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(table(spark, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
         .join(
             F.broadcast(table(spark, sf_dir, "nation")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -156,7 +161,7 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem")
     pv = (
-        li.join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        li.join(asia_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )
@@ -196,8 +201,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -229,7 +234,7 @@ def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
     )
     heavy = (
-        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(red_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 50)
@@ -241,7 +246,7 @@ def q20_heavy_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     return (
         supp.join(F.broadcast(nations), supp.s_nationkey == F.col("n_nationkey"), "left_semi")
-        .join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(heavy, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
 
@@ -284,19 +289,29 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("late"),
     )
     # EXISTS(other supplier) ⇔ n_supp > 1; NOT EXISTS(other late
-    # supplier) given l1 is late ⇔ n_late_supp = 1. One groupBy replaces
-    # both correlated scans; the flagged→per_order→join chain shuffles
-    # lineitem on l_orderkey once and reuses that exchange.
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # supplier) given l1 is late ⇔ n_late_supp = 1. Two stacked
+    # aggregates replace both correlated scans AND the round-2 join-back
+    # of the late lines onto the per-order counts: when exactly one
+    # supplier is late, max(when(any_late, suppkey)) IS that supplier
+    # and sum(when(any_late, late_cnt)) IS its late-line count, so the
+    # per-order frame already carries everything the final rollup needs.
+    # Both groupBys reuse the join's hash(l_orderkey) partitioning (their
+    # keys are supersets), so lineitem is shuffled exactly once — and no
+    # count_distinct Expand doubles the aggregation input.
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late"),
+        F.sum(F.col("late").cast("long")).alias("late_cnt"),
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("any_late").cast("long")).alias("n_late_supp"),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("sole_late_supp"),
+        F.sum(F.when(F.col("any_late"), F.col("late_cnt"))).alias("late_lines"),
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flagged.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(supp, F.col("sole_late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").cast("long").alias("numwait"))
     )

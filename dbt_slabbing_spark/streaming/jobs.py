@@ -23,8 +23,11 @@ from ..rounding import dround
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS): read raw nanos as long and
-    # truncate to a µs timestamp (see catalog.table for rationale).
+    # events.ts ships as either TIMESTAMP(NANOS) or NTZ micros depending
+    # on the testdata generation; normalize to a session-TZ TIMESTAMP so
+    # watermarks accept it (see catalog._normalize_event_time).
+    from ..catalog import _normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -33,9 +36,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    return _normalize_event_time(stream)
 
 
 def _run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:

@@ -68,6 +68,28 @@ def test_minhash_partial_aggregation(spark):
     assert "partial_min" in before_exchange or "partial_min" in plan, plan[:2000]
 
 
+def test_minhash_fused_band_join_reuses_exchange_no_cache(spark):
+    """dedup_minhash_lsh must (a) leave NO cache entry behind (round 2
+    leaked a .persist()), and (b) build the signature pipeline once:
+    the fused band self-join's two sides are identical subplans, so the
+    executed plan must contain a ReusedExchange instead of a second
+    shingle→minhash build."""
+    q = registry()["dedup_minhash_lsh"]
+    jsc = spark.sparkContext._jsc.sc()
+    # delta, not absolute: the shared test session may hold other tests'
+    # localCheckpoint blocks until GC
+    before = jsc.getPersistentRDDs().size()
+    df = q.fn(spark, SF_SMOKE)
+    df.collect()
+    assert jsc.getPersistentRDDs().size() <= before, "minhash query left a cache entry"
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final[:3000]
+    # exactly one signature build in the executed (final) plan: the
+    # documents scan feeding the shingle explode appears once; the other
+    # join side reads the reused shuffle output
+    assert final.count("FileScan parquet [doc_id") == 1, final[:3000]
+
+
 def test_ivf_deterministic_and_bounded(spark):
     from dbt_slabbing_spark.catalog import table
     from dbt_slabbing_spark.operators.ivf import ivf_topk
