@@ -80,6 +80,7 @@ _MODULES = (
     "multimodal",
     "streaming_queries",
     "advanced_sql",
+    "analytics_extra",
 )
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
@@ -143,17 +144,17 @@ _PRIORITY = (
     "ts_gap_fill_hourly",
     "ts_forward_fill_hourly",
     "subquery_not_in_null_semantics",
-    # -- 10 re-checks: source modified in round 3 --
-    "q1_pricing_summary",
+    # -- 6 re-checks (source modified in round 3) + 4 round-3 additions --
     "q3_shipping_priority",
     "q5_local_supplier",
     "q9_product_type_profit",
     "q21_sole_late_supplier",
-    "window_topk_orders_per_customer",
     "stream_hourly_type_counts",
     "dedup_minhash_lsh",
-    "q7_nation_trade",
-    "q14_promo_revenue_ratio",
+    "ts_retention_cohorts",
+    "ts_funnel_conversion",
+    "sample_weighted_noreplacement",
+    "dedup_cluster_representatives",
 )
 
 

@@ -1,0 +1,379 @@
+"""Fifth wave: product-analytics shapes over ``events`` (retention
+cohorts, funnel conversion) and training-corpus curation ops over
+``documents`` (weighted sampling without replacement, dedup-cluster
+representative selection, column profiling).
+
+These are the workhorse queries of a large-scale event warehouse /
+LLM-data pipeline that the earlier waves didn't cover (SURVEY.md §2.6
+"operators the reference does not implement" — the engine ships the
+general surface):
+
+Scale notes:
+- cohorts/funnel shuffle events on ``user_id`` once and aggregate to
+  tiny frames before any join; nothing joins raw events to raw events.
+- weighted sampling is the Efraimidis-Spirakis exponential-key trick:
+  a deterministic per-row key, one global top-k (TakeOrdered) — no
+  shuffle beyond the k-row result; weights come from data, the
+  uniform draw from md5(doc_id), so both engines pick the same rows.
+- cluster representatives reuse the df-capped Jaccard pair graph and
+  the iterative connected-components operator (operators/graph.py);
+  the representative argmax is a per-component window, partition-local
+  after one shuffle on the component id.
+- the profiler is one pass over the table (every stat is an
+  aggregate), emitted long-format via an explode of struct rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import dround, register
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_retention_cohorts",
+    """
+    WITH cohorts AS (
+        SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_day,
+               datediff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           day_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    "retention cohorts: first-seen day per user, distinct active users "
+    "per (cohort, day-offset) for the first week",
+    tags=("timeseries", "agg", "join"),
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("_day")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("_day").alias("cohort_day"))
+    # events ⋈ cohorts on user_id: both sides hash on user_id (the groupBy
+    # exchange is reused for the join side), then the distinct + count
+    # collapse to (cohort, offset) — tiny output, map-side combinable.
+    return (
+        ev.join(cohorts, "user_id")
+        .select("user_id", "cohort_day", F.datediff("_day", "cohort_day").alias("day_offset"))
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+        .groupBy(
+            # string-typed on both engines: pandas maps a DuckDB DATE to a
+            # midnight Timestamp, which would hash-mismatch a Spark date
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS tc
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.tv
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS tp
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users, 1 AS ord FROM v
+        UNION ALL
+        SELECT 'view>click', CAST(count(*) AS BIGINT), 2 FROM c
+        UNION ALL
+        SELECT 'view>click>purchase', CAST(count(*) AS BIGINT), 3 FROM p
+    ) ORDER BY ord
+    """,
+    "ordered funnel: users who viewed, then clicked after first view, "
+    "then purchased after first qualifying click",
+    tags=("timeseries", "agg", "join"),
+)
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("tv"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    # every per-stage frame hashes on user_id — one partitioning reused
+    # down the chain; the final counts are single-row aggregates.
+    rows = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view").alias("stage"), "n_users", F.lit(1).alias("_ord"))
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view>click").alias("stage"), "n_users", F.lit(2).alias("_ord"))
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users", F.lit(3).alias("_ord")
+            )
+        )
+    )
+    return rows.orderBy("_ord").select("stage", "n_users")
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+_SQL_U01 = "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) / 4294967296.0)"
+
+
+@register(
+    "sample_weighted_noreplacement",
+    f"""
+    SELECT doc_id, lang, n_chars,
+           round(key * 1000000000.0) / 1000000000.0 AS key
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               -ln({_SQL_U01}) / n_chars AS key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    ORDER BY round(key * 1000000000.0) / 1000000000.0, doc_id
+    LIMIT 50
+    """,
+    "weighted sampling WITHOUT replacement (Efraimidis-Spirakis): "
+    "deterministic exponential key -ln(u)/w with u from md5(doc_id), "
+    "w = n_chars; global smallest-50 = one weighted draw of 50 docs",
+    tags=("sampling",),
+)
+def sample_weighted_noreplacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # u ∈ (0, 1]: first 32 md5 bits of the id, +1 so ln never sees 0.
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") + 1) / F.lit(
+        4294967296.0
+    )
+    key = dround(-F.log(u) / F.col("n_chars"), 9)
+    # Exponential-key trick: P(doc in sample) ∝ n_chars, sample is one
+    # consistent draw (no replacement). TakeOrderedAndProject keeps the
+    # global top-k per partition — no full sort, no extra shuffle. The
+    # key is rounded to 9 dp on BOTH engines before ranking (with doc_id
+    # tiebreak) so cross-engine libm ulps can't flip the selected set.
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("key"))
+        .orderBy(F.asc("key"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup-cluster representative selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_representatives",
+    # Reuses the df-capped shingle CTEs + recursive-CTE closure of the
+    # dedup_connected_components oracle, then picks one KEEP doc per
+    # component: longest text wins, doc_id breaks ties.
+    """
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ),
+    shingle_all AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM norm
+        )
+    ),
+    shingle AS (
+        SELECT s.doc_id, s.sh
+        FROM shingle_all s
+        JOIN (SELECT sh FROM shingle_all GROUP BY sh HAVING count(*) <= 50) rare USING (sh)
+    ),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+        SELECT s AS n, s AS label FROM sym
+        UNION
+        SELECT sym.d, reach.label FROM reach JOIN sym ON sym.s = reach.n
+    ),
+    comp AS (
+        SELECT n AS doc_id, CAST(min(label) AS BIGINT) AS component
+        FROM reach GROUP BY n
+    ),
+    ranked AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT component, doc_id AS keep_doc_id, CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+    "actionable dedup: one representative per near-dup cluster "
+    "(longest text, doc_id tiebreak) with the member count",
+    tags=("dedup", "graph", "window"),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from .dedup import _jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    edges = _jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keep_doc_id"), "n_members")
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-hierarchy rollup (hypertable-style continuous aggregate shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_rollup_time_hierarchy",
+    """
+    SELECT CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) * 100.0) / 100.0 AS total_value
+    FROM events
+    GROUP BY ROLLUP (y, m)
+    """,
+    "time-hierarchy rollup: per-month, per-year, and grand-total event "
+    "counts/value in one pass (hypertable continuous-aggregate shape)",
+    tags=("timeseries", "agg", "rollup"),
+)
+def ts_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # ROLLUP = one scan + Expand(3 grouping sets); partial aggregation
+    # still combines map-side per grouping set, so shuffle volume is
+    # #distinct (y, m) × 3, independent of event count.
+    return (
+        ev.rollup(F.year("ts").alias("y"), F.month("ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dround(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-pass column profiler
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_orders_columns",
+    """
+    WITH stats AS (
+        SELECT
+            count(*) AS n_rows,
+            sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_custkey,
+            count(DISTINCT o_custkey) AS nd_custkey,
+            sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+            count(DISTINCT o_orderstatus) AS nd_status,
+            sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_priority,
+            count(DISTINCT o_orderpriority) AS nd_priority,
+            sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_date,
+            count(DISTINCT o_orderdate) AS nd_date
+        FROM orders
+    )
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(null_cnt AS BIGINT) AS null_cnt,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM (
+        SELECT 'o_custkey' AS col_name, n_rows, nn_custkey AS null_cnt, nd_custkey AS n_distinct FROM stats
+        UNION ALL
+        SELECT 'o_orderstatus', n_rows, nn_status, nd_status FROM stats
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, nn_priority, nd_priority FROM stats
+        UNION ALL
+        SELECT 'o_orderdate', n_rows, nn_date, nd_date FROM stats
+    )
+    """,
+    "one-pass column profiler: per-column null count + exact distinct "
+    "over orders, emitted long-format",
+    tags=("agg", "profiling"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    # ONE aggregation computes every stat (Spark plans the multi-distinct
+    # via Expand — still a single pass over the scan); the long format
+    # comes from exploding a literal struct array over the 1-row result.
+    stats = orders.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_nn_{c}").alias("null_cnt"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        stats.select("n_rows", F.explode(entries).alias("e"))
+        .select("e.col_name", "n_rows", "e.null_cnt", "e.n_distinct")
+    )
