@@ -79,10 +79,24 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_words))).alias("_shingle"),
     )
+    # Materialize the md5-derived (a, b) pair ONCE per shingle in the
+    # projection below the aggregate: aggregate-function codegen does not
+    # reliably common-subexpression-eliminate across the 8 lanes, and an
+    # un-CSE'd form recomputes the md5 16× per shingle — the dominant
+    # cost of the whole pipeline at any scale.
+    m = F.md5(F.col("_shingle"))
+    ab = shingled.select(
+        "_id",
+        hex_to_long(F.substring(m, 1, 8)).alias("_a"),
+        hex_to_long(F.substring(m, 9, 8)).bitwiseOR(F.lit(1)).alias("_b"),
+    )
     # ONE aggregation computes all num_hashes mins as columns: no ×seeds
     # row blowup, partial mins combine map-side, shuffle = docs × 1 row.
-    lanes = minhash_lanes(F.col("_shingle"), num_hashes)
-    per_doc = shingled.groupBy("_id").agg(
+    lanes = [
+        (F.col("_a") + F.lit(i) * F.col("_b")).bitwiseAND(F.lit(MASK32))
+        for i in range(num_hashes)
+    ]
+    per_doc = ab.groupBy("_id").agg(
         *[F.min(lane).alias(f"_h{i}") for i, lane in enumerate(lanes)]
     )
     return per_doc.select(

@@ -54,16 +54,25 @@ def word_shingles(col: Column, k: int) -> Column:
     The earlier ``transform(sequence, i -> element_at(w, i+j)...)``
     form re-evaluated the whole ``words()`` regex+split PER ELEMENT
     (higher-order lambdas don't share subexpressions with their
-    children) — 24× slower on real documents. Here ``w`` is an
-    ordinary child expression, evaluated once per row, and the lambdas
-    only touch materialized elements.
+    children) — 24× slower on real documents.
+
+    The word array itself is let-bound through a 1-element
+    ``transform`` lambda: the k-shingle expression references the
+    array 2k-1 times, and outside whole-stage codegen (``Generate``,
+    i.e. every ``explode(word_shingles(...))`` call site) each
+    reference would re-run the regex+split over the full text —
+    measured 5× the scan cost at k=3. A lambda variable is evaluated
+    once however many times the body reads it.
     """
-    w = words(col)
-    cur = w
-    for j in range(1, k):
-        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
-        cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.filter(cur, lambda x: x.isNotNull())
+
+    def shingles_of(w: Column) -> Column:
+        cur = w
+        for j in range(1, k):
+            shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+            cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.filter(cur, lambda x: x.isNotNull())
+
+    return F.element_at(F.transform(F.array(words(col)), shingles_of), 1)
 
 
 def char_ngrams(col: Column, n: int) -> Column:
