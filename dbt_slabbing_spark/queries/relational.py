@@ -103,8 +103,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_orderkey").agg(
         dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
+    # merge hint = STRATEGY, not a size bet: without it the stats-less
+    # static planner broadcasts the pre-aggregated fact side (a driver
+    # round-trip of every order key — measured +200 ms locally, an OOM
+    # at scale). Sort-merge reuses rev's hash(l_orderkey) partitioning
+    # (sort only, no new exchange) and can never blow a build side up.
     return (
-        rev.join(osel, rev.l_orderkey == osel.o_orderkey)
+        rev.join(osel.hint("merge"), rev.l_orderkey == osel.o_orderkey)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)

@@ -28,6 +28,19 @@ def test_q1_filter_pushed_and_pruned(spark):
     assert "l_partkey" not in plan.split("ReadSchema")[-1]
 
 
+def test_q3_preagg_below_join_no_fact_broadcast(spark):
+    """q3's revenue aggregation must sit BELOW the orders join (partial
+    agg on the scan side of the exchange), and the pre-aggregated fact
+    side must never be broadcast (the stats-less static planner would —
+    a driver round-trip locally, an OOM at 100 TB; pinned by the merge
+    hint)."""
+    plan = _executed_plan(registry()["q3_shipping_priority"].fn(spark, SF_SMOKE))
+    assert "partial_sum" in plan, plan[:3000]
+    assert "SortMergeJoin [l_orderkey" in plan, plan[:3000]
+    # the only broadcasts allowed are the genuinely small sides (cust)
+    assert "BroadcastExchange" not in plan.split("SortMergeJoin")[0], plan[:3000]
+
+
 def test_q2_single_fact_shuffle(spark):
     """q2's correlated-min decorrelation: supplier/nation/region and part
     are broadcast, so lineitem shuffles only on its aggregation/window
