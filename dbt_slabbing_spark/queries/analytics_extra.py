@@ -315,6 +315,68 @@ def ts_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# re-aggregatable HLL sketches (build per group, union-merge upward)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    # Sketch bytes are engine-internal, so the oracle checks the exact
+    # distinct counts plus verdict booleans asserting the sketch
+    # estimates landed within the HLL error envelope (lgConfigK=12 →
+    # ~1.6% relative standard error; 5% bound ≈ 3σ).
+    """
+    SELECT o_orderpriority AS scope,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+           TRUE AS est_ok
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__ALL__', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+    FROM orders
+    """,
+    "re-aggregatable HLL sketches: per-priority distinct-customer "
+    "sketches union-merged to the global estimate WITHOUT rescanning "
+    "raw rows — the 100 TB hierarchical-rollup pattern; estimates "
+    "verdict-checked against exact counts",
+    tags=("agg", "sketch"),
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    # Build ONCE per group: sketch + exact (exact only for the verdict;
+    # a production rollup would carry the sketch alone). The global
+    # level merges the per-group SKETCHES (hll_union_agg) — raw data is
+    # not rescanned, which is the point: at 100 TB the daily/partition
+    # sketches are tiny and every coarser rollup is a merge of bytes.
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("_sk"),
+        F.count_distinct("o_custkey").alias("exact_nd"),
+    )
+    bound = 0.05
+    per_rows = per.select(
+        F.col("o_orderpriority").alias("scope"),
+        "exact_nd",
+        (
+            F.abs(F.hll_sketch_estimate("_sk") - F.col("exact_nd"))
+            <= F.col("exact_nd") * bound
+        ).alias("est_ok"),
+    )
+    global_exact = orders.agg(F.count_distinct("o_custkey").alias("exact_nd"))
+    global_row = (
+        per.agg(F.hll_union_agg("_sk").alias("_u"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("__ALL__").alias("scope"),
+            "exact_nd",
+            (
+                F.abs(F.hll_sketch_estimate("_u") - F.col("exact_nd"))
+                <= F.col("exact_nd") * bound
+            ).alias("est_ok"),
+        )
+    )
+    return per_rows.unionByName(global_row)
+
+
+# ---------------------------------------------------------------------------
 # one-pass column profiler
 # ---------------------------------------------------------------------------
 

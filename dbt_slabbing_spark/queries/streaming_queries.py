@@ -31,6 +31,23 @@ def stream_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    """
+    SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round((sum(e.value)) * 100.0) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY window_start, c.c_mktsegment
+    """,
+    "stream-static join (event stream enriched by the customer dim "
+    "per micro-batch) + tumbling rollup by segment vs its batch twin",
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stream_static_enrichment(spark, sf_dir)
+
+
+@register(
     "stream_sliding_user_activity",
     # A 2h/1h sliding window assigns every event to EXACTLY two
     # hourly-aligned windows: floor_hour(ts) and floor_hour(ts) - 1h.

@@ -109,6 +109,34 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per-microbatch by a
+    static dimension (customer segment on user_id = c_custkey), then a
+    windowed rollup by segment.
+
+    The static side is re-planned each micro-batch (Spark joins it as an
+    ordinary batch relation — broadcast here, since the dim is small),
+    so dimension updates between batches are picked up automatically; no
+    state is kept for the join itself, only for the windowed aggregate.
+    At 100 TB the same code holds: the stream shuffles on the aggregate
+    key only, and the dim join strategy is the planner's per-batch call.
+    """
+    from ..catalog import table
+
+    seg = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .join(seg, "user_id")  # stream-static inner join: stateless
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "c_mktsegment", "n", "total_value")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once-style dedup on event_id within the watermark, then a
     running per-type count — the streaming twin of exact dedup."""
