@@ -238,3 +238,34 @@ def fn_case_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("outcome_class")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "fn_try_error_safe_suite",
+    # DuckDB: TRY_CAST + guarded expressions; Spark: the try_* family.
+    # Semantics: malformed input → NULL instead of a runtime error — the
+    # difference between a 100 TB job dying at hour 9 on one bad row and
+    # a null you can quarantine.
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT)       AS k_int,
+           TRY_CAST(event_type AS INT)                              AS type_as_int,
+           CASE WHEN value = 0 THEN NULL
+                ELSE round((100.0 / value) * 10000.0) / 10000.0 END AS per_value,
+           CASE WHEN value >= 0
+                THEN round((sqrt(value)) * 10000.0) / 10000.0 END   AS sqrt_value
+    FROM events
+    """,
+    "error-safe evaluation: try_cast on malformed input, try_divide by "
+    "zero, guarded sqrt — bad rows become NULLs, not job failures",
+    tags=("scalar", "null"),
+)
+def fn_try_error_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        dround(F.try_divide(F.lit(100.0), F.nullif(F.col("value"), F.lit(0.0))), 4).alias("per_value"),
+        dround(F.when(F.col("value") >= 0, F.sqrt("value")), 4).alias("sqrt_value"),
+    )

@@ -41,6 +41,16 @@ def test_q3_preagg_below_join_no_fact_broadcast(spark):
     assert "BroadcastExchange" not in plan.split("SortMergeJoin")[0], plan[:3000]
 
 
+def test_window_topk_group_limit_pushed_below_exchange(spark):
+    """The rank-filter top-k must run as WindowGroupLimit on BOTH sides
+    of the exchange (partial before the shuffle, final after): only ≤k
+    rows per group cross the wire. Losing the partial pass (e.g. by
+    filtering on a derived column Catalyst can't see through) would
+    shuffle the whole fact at 100 TB."""
+    plan = _executed_plan(registry()["window_topk_orders_per_customer"].fn(spark, SF_SMOKE))
+    assert plan.count("WindowGroupLimit") >= 2, plan[:3000]
+
+
 def test_q2_single_fact_shuffle(spark):
     """q2's correlated-min decorrelation: supplier/nation/region and part
     are broadcast, so lineitem shuffles only on its aggregation/window
