@@ -1,0 +1,152 @@
+"""Property-based tests for the round-3 analytics operators: the Spark
+funnel / cohort / weighted-sample queries must agree with direct Python
+fold models on ARBITRARY event streams, not just the shipped testdata.
+
+Mirrors the test_fold_properties.py pattern: hypothesis generates small
+in-memory tables, a plain-Python model computes the expected answer,
+and the same DataFrame pipeline the registry query uses runs on a
+parallelized frame.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_T0 = dt.datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # user_id
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(min_value=0, max_value=10_000),  # minutes offset
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _funnel_model(rows):
+    """view → first click after first view → first purchase after that."""
+    by_user: dict[int, list[tuple[str, int]]] = {}
+    for uid, typ, m in rows:
+        by_user.setdefault(uid, []).append((typ, m))
+    v = c = p = 0
+    for evs in by_user.values():
+        tv = min((m for t, m in evs if t == "view"), default=None)
+        if tv is None:
+            continue
+        v += 1
+        tc = min((m for t, m in evs if t == "click" and m > tv), default=None)
+        if tc is None:
+            continue
+        c += 1
+        tp = min((m for t, m in evs if t == "purchase" and m > tc), default=None)
+        if tp is not None:
+            p += 1
+    return {"view": v, "view>click": c, "view>click>purchase": p}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_events)
+def test_funnel_matches_python_fold(spark, rows):
+    df = spark.createDataFrame(
+        [(uid, typ, _T0 + dt.timedelta(minutes=m)) for uid, typ, m in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    ev = df.select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("tv"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    got = {"view": v.count(), "view>click": c.count(), "view>click>purchase": p.count()}
+    assert got == _funnel_model(rows)
+
+
+def _cohort_model(rows):
+    """first-seen day per user → distinct (cohort, offset≤7) user counts."""
+    first: dict[int, int] = {}
+    for uid, _typ, m in rows:
+        day = m // (24 * 60)
+        first[uid] = min(first.get(uid, day), day)
+    seen = set()
+    for uid, _typ, m in rows:
+        off = m // (24 * 60) - first[uid]
+        if off <= 7:
+            seen.add((first[uid], off, uid))
+    out: dict[tuple[int, int], int] = {}
+    for cohort, off, _uid in seen:
+        out[(cohort, off)] = out.get((cohort, off), 0) + 1
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_events)
+def test_retention_cohorts_match_python_fold(spark, rows):
+    df = spark.createDataFrame(
+        [(uid, _T0 + dt.timedelta(minutes=m)) for uid, _typ, m in rows],
+        "user_id long, ts timestamp",
+    )
+    ev = df.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("_day"))
+    cohorts = ev.groupBy("user_id").agg(F.min("_day").alias("cohort_day"))
+    got_rows = (
+        ev.join(cohorts, "user_id")
+        .select("user_id", "cohort_day", F.datediff("_day", "cohort_day").alias("day_offset"))
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .collect()
+    )
+    got = {
+        ((r["cohort_day"] - _T0.date()).days, r["day_offset"]): r["n_users"] for r in got_rows
+    }
+    assert got == _cohort_model(rows)
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    # Deterministic: same input → same draw, twice.
+    docs = [(i, 10 if i < 50 else 1000) for i in range(100)]
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    pick = lambda: tuple(
+        r["doc_id"]
+        for r in df.select("doc_id", key.alias("k"))
+        .orderBy(F.asc("k"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    a, b = pick(), pick()
+    assert a == b
+    # Weight bias: heavy docs (w=1000, half the corpus) should dominate
+    # the draw. P(light doc ranked above heavy) is tiny at 100:1 odds.
+    heavy = sum(1 for d in a if d >= 50)
+    assert heavy >= 15, a
+    # And the exponential-key model reproduces the exact same ranking.
+    def py_key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1
+        return round(-math.log(h / 4294967296.0) / w, 9)
+
+    expected = tuple(
+        d for d, _w in sorted(docs, key=lambda t: (py_key(t[0], t[1]), t[0]))[:20]
+    )
+    assert a == expected
