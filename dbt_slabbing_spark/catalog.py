@@ -9,6 +9,8 @@ partitioned by ``o_orderdate`` month); nothing here assumes local files.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +42,37 @@ BOUNDED_DIM_TABLES = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile`` (once per
+    SparkContext).
+
+    Module-level UDF callables (applyInPandas bodies, UDTF classes,
+    mapInPandas/mapInArrow iterators) are cloudpickled BY REFERENCE, so
+    the worker process must be able to ``import dbt_slabbing_spark``.
+    When the consumer drives a vanilla session from a cwd that doesn't
+    contain the repo (the round driver's contract), the worker's
+    sys.path has no such entry and every one of those queries dies with
+    a worker ImportError. The zip lands on each worker's sys.path — cwd
+    and PYTHONPATH no longer matter.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dbt_slabbing_pyfiled", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"dbt_slabbing_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._dbt_slabbing_pyfiled = True
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one TESTDATA table as a DataFrame.
 
@@ -55,6 +88,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_workers_can_import(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -86,10 +86,14 @@ _MODULES = (
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward full coverage-ever:
 # rounds 1+2 green-checked 94 distinct queries (CORRECTNESS_r01/r02);
-# round 3's prefix = the 40 queries never yet driver-checked, plus 10
+# round 3's prefix = the 40 queries never yet driver-checked, plus 6
 # re-checks of queries whose source changed this round (broadcast-hint
-# removal, q3/q21/minhash plan rewrites). The 94 already-checked entries
-# stay regression-covered by tests/test_oracle_parity.py at sf0.001.
+# removal, q3/q21/minhash plan rewrites, events-ts normalization) and 4
+# of the round-3 additions. The already-checked entries stay
+# regression-covered by tests/test_oracle_parity.py at sf0.001; the 5
+# round-3 additions that didn't fit the window (profile_orders_columns,
+# ts_rollup_time_hierarchy, stream_static_enrich, agg_hll_sketch_rollup,
+# fn_try_error_safe_suite) rotate in next round.
 _PRIORITY = (
     # -- the 40 never-driver-checked queries (VERDICT r2 "What's missing" #1) --
     # aggregates depth
