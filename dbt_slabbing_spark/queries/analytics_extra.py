@@ -377,6 +377,167 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact distinct via re-aggregatable bitmaps (the exact twin of the HLL
+# rollup: per-bucket bitmaps OR-merge upward with no raw rescan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitmap_exact_distinct_rollup",
+    """
+    SELECT o_orderpriority AS scope,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__ALL__', CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+    "EXACT distinct customers per priority + global via re-aggregatable "
+    "bitmaps: per-(group, bucket) bitmap_construct_agg, counts summed "
+    "over buckets, global level OR-merges the bitmaps — no second scan "
+    "of raw rows and no count_distinct Expand",
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_exact_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    # One scan: keys → (bucket, bit) → per-(priority, bucket) bitmaps.
+    # Each coarser level merges BITMAPS (bitmap_or_agg), not rows — the
+    # exact-distinct analogue of the HLL rollup, with shuffle volume
+    # bounded by #groups × #buckets × 4 KB whatever the row count.
+    per_bucket = orders.groupBy(
+        "o_orderpriority", F.bitmap_bucket_number("o_custkey").alias("_bk")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("_bm"))
+    per_group = (
+        per_bucket.groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("_bm")).alias("n_distinct"))
+        .select(F.col("o_orderpriority").alias("scope"), "n_distinct")
+    )
+    global_row = (
+        per_bucket.groupBy("_bk")
+        .agg(F.bitmap_or_agg("_bm").alias("_bm"))
+        .agg(F.sum(F.bitmap_count("_bm")).alias("n_distinct"))
+        .select(F.lit("__ALL__").alias("scope"), "n_distinct")
+    )
+    return per_group.unionByName(global_row)
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP shape: each reading weighted by how long
+# it was the latest one)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_time_weighted_avg",
+    """
+    WITH stepped AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts)
+                   / 1000000.0 AS dt_s
+        FROM events
+    )
+    SELECT user_id,
+           round((sum(value * dt_s) / sum(dt_s)) * 10000.0) / 10000.0 AS twa_value,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM stepped
+    WHERE dt_s IS NOT NULL AND dt_s > 0
+    GROUP BY user_id
+    """,
+    "time-weighted average per user: each value weighted by the seconds "
+    "until the next event (lead window), zero-length intervals dropped",
+    tags=("timeseries", "window", "agg"),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # One shuffle on user_id serves both the lead window and the groupBy
+    # (the aggregation key is the partition key, so the exchange is
+    # reused) — the standard TWAP plan at any scale.
+    dt_s = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ) / F.lit(1_000_000.0)
+    return (
+        ev.withColumn("dt_s", dt_s)
+        .filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+        .groupBy("user_id")
+        .agg(
+            dround(F.sum(F.col("value") * F.col("dt_s")) / F.sum("dt_s"), 4).alias("twa_value"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the near-dup edge graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH norm AS (
+        SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ),
+    shingle_all AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM norm
+        )
+    ),
+    shingle AS (
+        SELECT s.doc_id, s.sh
+        FROM shingle_all s
+        JOIN (SELECT sh FROM shingle_all GROUP BY sh HAVING count(*) <= 50) rare USING (sh)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM edges e1
+                 JOIN edges e2 ON e1.id_b = e2.id_a
+                 JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+                AS BIGINT) AS n_triangles
+    """,
+    "triangle count of the near-dup document graph: oriented edges "
+    "(a<b) joined twice — each triangle a<b<c counted exactly once; "
+    "density signal for dedup-cluster quality",
+    tags=("graph", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    edges = _jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    # Orienting every edge low→high id means each triangle {a,b,c}
+    # exists in exactly ONE wedge orientation (a<b<c), so two equi-joins
+    # count it once — no /6 correction, no symmetric-edge blowup. The
+    # wedge join (e1.id_b = e2.id_a) is the standard distributed plan;
+    # at web scale its skew defense is the same df-cap idea used for
+    # shingles (cap node degree before the wedge join).
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, "b")
+    triangles = wedges.join(e3, ["a", "c"])
+    n_e = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_t = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_e.crossJoin(n_t)
+
+
+# ---------------------------------------------------------------------------
 # one-pass column profiler
 # ---------------------------------------------------------------------------
 

@@ -36,6 +36,7 @@ _SINGLE_PARTITION_BUDGET = {
     "ts_funnel_conversion": 3,  # three 1-row stage counts unioned
     "dedup_mllib_minhash_lsh": 3,  # three 1-row verdict aggregates
     "agg_hll_sketch_rollup": 2,  # global sketch-union + exact-count, both 1-row
+    "graph_triangle_count": 2,  # edge-count + triangle-count, both 1-row
 }
 
 # Streaming jobs execute on build (memory-sink materialization) and are
