@@ -90,10 +90,9 @@ _MODULES = (
 # re-checks of queries whose source changed this round (broadcast-hint
 # removal, q3/q21/minhash plan rewrites, events-ts normalization) and 4
 # of the round-3 additions. The already-checked entries stay
-# regression-covered by tests/test_oracle_parity.py at sf0.001; the 5
-# round-3 additions that didn't fit the window (profile_orders_columns,
-# ts_rollup_time_hierarchy, stream_static_enrich, agg_hll_sketch_rollup,
-# fn_try_error_safe_suite) rotate in next round.
+# regression-covered by tests/test_oracle_parity.py at sf0.001; round-3
+# additions that didn't fit the window rotate in next round (find them:
+# registry keys minus CORRECTNESS_r0*.json keys minus this prefix).
 _PRIORITY = (
     # -- the 40 never-driver-checked queries (VERDICT r2 "What's missing" #1) --
     # aggregates depth
