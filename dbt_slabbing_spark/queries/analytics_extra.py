@@ -538,6 +538,49 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hourly anomaly detection (z-score of per-hour volume vs the type's norm)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_anomaly_hourly_zscore",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*) AS n
+        FROM events GROUP BY event_type, window_start
+    ),
+    scored AS (
+        SELECT event_type, window_start, CAST(n AS BIGINT) AS n,
+               round(((n - avg(n) OVER (PARTITION BY event_type))
+                      / stddev_pop(n) OVER (PARTITION BY event_type)) * 10000.0) / 10000.0 AS z
+        FROM hourly
+    )
+    SELECT event_type, window_start, n, z
+    FROM scored WHERE abs(z) > 2.0
+    """,
+    "hourly volume anomalies: per-type z-score of each hour's event "
+    "count against that type's mean/stddev; |z| > 2 flagged",
+    tags=("timeseries", "window", "agg"),
+)
+def ts_anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # The stats window partitions by event_type over the HOURLY rollup
+    # (≈ hours × types rows), not raw events — the aggregation runs
+    # first, so the window state is tiny at any scale.
+    w = Window.partitionBy("event_type")
+    z = dround((F.col("n") - F.avg("n").over(w)) / F.stddev_pop("n").over(w), 4)
+    return (
+        hourly.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("event_type", "window_start", "n", "z")
+    )
+
+
+# ---------------------------------------------------------------------------
 # one-pass column profiler
 # ---------------------------------------------------------------------------
 
