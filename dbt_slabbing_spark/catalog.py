@@ -59,9 +59,11 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     if getattr(sc, "_dbt_slabbing_pyfiled", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"dbt_slabbing_spark_pkg_{os.getpid()}.zip"
-    )
+    # mkstemp, not a predictable /tmp name: a pid-keyed shared path can
+    # be pre-created/symlinked by another local user or collide on pid
+    # reuse and ship a stale zip into a fresh context.
+    fd, zip_path = tempfile.mkstemp(prefix="dbt_slabbing_spark_pkg_", suffix=".zip")
+    os.close(fd)
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:

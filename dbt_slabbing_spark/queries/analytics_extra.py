@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from . import dround, register
+from .dedup import _SQL_SHINGLE_CTES
 
 # ---------------------------------------------------------------------------
 # retention cohorts
@@ -201,27 +202,13 @@ def sample_weighted_noreplacement(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "dedup_cluster_representatives",
-    # Reuses the df-capped shingle CTEs + recursive-CTE closure of the
-    # dedup_connected_components oracle, then picks one KEEP doc per
-    # component: longest text wins, doc_id breaks ties.
-    """
-    WITH RECURSIVE norm AS (
-        SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
-        FROM documents
-    ),
-    shingle_all AS (
-        SELECT DISTINCT doc_id, sh FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-            FROM norm
-        )
-    ),
-    shingle AS (
-        SELECT s.doc_id, s.sh
-        FROM shingle_all s
-        JOIN (SELECT sh FROM shingle_all GROUP BY sh HAVING count(*) <= 50) rare USING (sh)
-    ),
+    # Reuses the df-capped shingle CTEs (dedup._SQL_SHINGLE_CTES — ONE
+    # definition shared with every Jaccard-graph oracle so the cap /
+    # normalization can't silently diverge) + the recursive-CTE closure
+    # of the dedup_connected_components oracle, then picks one KEEP doc
+    # per component: longest text wins, doc_id breaks ties.
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTES},
     sizes AS (
         SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
     ),
@@ -322,55 +309,72 @@ def ts_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_hll_sketch_rollup",
     # Sketch bytes are engine-internal, so the oracle checks the exact
-    # distinct counts plus verdict booleans asserting the sketch
-    # estimates landed within the HLL error envelope (lgConfigK=12 →
-    # ~1.6% relative standard error; 5% bound ≈ 3σ).
+    # distinct counts. The 5%-envelope verdict on the estimates lives in
+    # pytest (test_hll_sketch_estimate_envelope) rather than the gated
+    # output: it is a TAIL-probabilistic property (~3σ at lgConfigK=12)
+    # and the driver regenerates testdata between rounds, so shipping it
+    # through the exact-hash gate would flip red nondeterministically.
     """
     SELECT o_orderpriority AS scope,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
-           TRUE AS est_ok
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd
     FROM orders GROUP BY o_orderpriority
     UNION ALL
-    SELECT '__ALL__', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+    SELECT '__ALL__', CAST(count(DISTINCT o_custkey) AS BIGINT)
     FROM orders
     """,
     "re-aggregatable HLL sketches: per-priority distinct-customer "
     "sketches union-merged to the global estimate WITHOUT rescanning "
-    "raw rows — the 100 TB hierarchical-rollup pattern; estimates "
-    "verdict-checked against exact counts",
+    "raw rows — the 100 TB hierarchical-rollup pattern; estimate "
+    "envelope asserted in pytest (gated output is the exact counts)",
     tags=("agg", "sketch"),
 )
 def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    # Build ONCE per group: sketch + exact (exact only for the verdict;
-    # a production rollup would carry the sketch alone). The global
-    # level merges the per-group SKETCHES (hll_union_agg) — raw data is
-    # not rescanned, which is the point: at 100 TB the daily/partition
-    # sketches are tiny and every coarser rollup is a merge of bytes.
+    # Build ONCE per group: sketch + exact. The global level merges the
+    # per-group SKETCHES (hll_union_agg) — raw data is not rescanned,
+    # which is the point: at 100 TB the daily/partition sketches are
+    # tiny and every coarser rollup is a merge of bytes. The estimate
+    # column is kept in the executed plan via an always-true predicate
+    # (a sketch estimate is never negative) so the driver run still
+    # exercises sketch build + union + estimate end-to-end, while the
+    # hashed output stays deterministic under testdata regeneration.
     per = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("_sk"),
         F.count_distinct("o_custkey").alias("exact_nd"),
     )
-    bound = 0.05
-    per_rows = per.select(
-        F.col("o_orderpriority").alias("scope"),
-        "exact_nd",
-        (
-            F.abs(F.hll_sketch_estimate("_sk") - F.col("exact_nd"))
-            <= F.col("exact_nd") * bound
-        ).alias("est_ok"),
+    per_rows = per.filter(F.hll_sketch_estimate("_sk") >= 0).select(
+        F.col("o_orderpriority").alias("scope"), "exact_nd"
     )
     global_exact = orders.agg(F.count_distinct("o_custkey").alias("exact_nd"))
     global_row = (
         per.agg(F.hll_union_agg("_sk").alias("_u"))
         .crossJoin(F.broadcast(global_exact))
+        .filter(F.hll_sketch_estimate("_u") >= 0)
+        .select(F.lit("__ALL__").alias("scope"), "exact_nd")
+    )
+    return per_rows.unionByName(global_row)
+
+
+def hll_sketch_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scope HLL estimate vs exact — consumed by pytest's envelope
+    assertion (test_hll_sketch_estimate_envelope), not the driver gate."""
+    orders = table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("_sk"),
+        F.count_distinct("o_custkey").alias("exact_nd"),
+    )
+    per_rows = per.select(
+        F.col("o_orderpriority").alias("scope"),
+        "exact_nd",
+        F.hll_sketch_estimate("_sk").alias("est_nd"),
+    )
+    global_row = (
+        per.agg(F.hll_union_agg("_sk").alias("_u"))
+        .crossJoin(F.broadcast(orders.agg(F.count_distinct("o_custkey").alias("exact_nd"))))
         .select(
             F.lit("__ALL__").alias("scope"),
             "exact_nd",
-            (
-                F.abs(F.hll_sketch_estimate("_u") - F.col("exact_nd"))
-                <= F.col("exact_nd") * bound
-            ).alias("est_ok"),
+            F.hll_sketch_estimate("_u").alias("est_nd"),
         )
     )
     return per_rows.unionByName(global_row)
@@ -476,24 +480,10 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_triangle_count",
-    """
-    WITH norm AS (
-        SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
-        FROM documents
-    ),
-    shingle_all AS (
-        SELECT DISTINCT doc_id, sh FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-            FROM norm
-        )
-    ),
-    shingle AS (
-        SELECT s.doc_id, s.sh
-        FROM shingle_all s
-        JOIN (SELECT sh FROM shingle_all GROUP BY sh HAVING count(*) <= 50) rare USING (sh)
-    ),
+    # Edge CTEs built from dedup._SQL_SHINGLE_CTES (single shared
+    # definition of normalization + df cap).
+    f"""
+    WITH {_SQL_SHINGLE_CTES},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -553,7 +543,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT event_type, window_start, CAST(n AS BIGINT) AS n,
                round(((n - avg(n) OVER (PARTITION BY event_type))
-                      / stddev_pop(n) OVER (PARTITION BY event_type)) * 10000.0) / 10000.0 AS z
+                      / NULLIF(stddev_pop(n) OVER (PARTITION BY event_type), 0.0)) * 10000.0) / 10000.0 AS z
         FROM hourly
     )
     SELECT event_type, window_start, n, z
@@ -572,7 +562,11 @@ def ts_anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (≈ hours × types rows), not raw events — the aggregation runs
     # first, so the window state is tiny at any scale.
     w = Window.partitionBy("event_type")
-    z = dround((F.col("n") - F.avg("n").over(w)) / F.stddev_pop("n").over(w), 4)
+    # nullif-guard the divisor: a zero-variance type (all hourly counts
+    # equal) must drop out on BOTH engines — under ANSI mode a bare /0
+    # would throw here, and DuckDB's IEEE NaN compares greater-than-all.
+    sd = F.stddev_pop("n").over(w)
+    z = dround((F.col("n") - F.avg("n").over(w)) / F.nullif(sd, F.lit(0.0)), 4)
     return (
         hourly.withColumn("z", z)
         .filter(F.abs(F.col("z")) > 2.0)

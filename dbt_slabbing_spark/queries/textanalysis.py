@@ -344,8 +344,11 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_min(list_transform(range(1, length(s) - 14),
                    i -> (CAST(ascii(substr(s, CAST(i + 0 AS INT), 1)) AS BIGINT) * 493200928 + CAST(ascii(substr(s, CAST(i + 1 AS INT), 1)) AS BIGINT) * 507581690 + CAST(ascii(substr(s, CAST(i + 2 AS INT), 1)) AS BIGINT) * 736699102 + CAST(ascii(substr(s, CAST(i + 3 AS INT), 1)) AS BIGINT) * 685012975 + CAST(ascii(substr(s, CAST(i + 4 AS INT), 1)) AS BIGINT) * 989961938 + CAST(ascii(substr(s, CAST(i + 5 AS INT), 1)) AS BIGINT) * 977022617 + CAST(ascii(substr(s, CAST(i + 6 AS INT), 1)) AS BIGINT) * 908221553 + CAST(ascii(substr(s, CAST(i + 7 AS INT), 1)) AS BIGINT) * 861894827 + CAST(ascii(substr(s, CAST(i + 8 AS INT), 1)) AS BIGINT) * 617266377 + CAST(ascii(substr(s, CAST(i + 9 AS INT), 1)) AS BIGINT) * 913108910 + CAST(ascii(substr(s, CAST(i + 10 AS INT), 1)) AS BIGINT) * 579489385 + CAST(ascii(substr(s, CAST(i + 11 AS INT), 1)) AS BIGINT) * 294499921 + CAST(ascii(substr(s, CAST(i + 12 AS INT), 1)) AS BIGINT) * 2248091 + CAST(ascii(substr(s, CAST(i + 13 AS INT), 1)) AS BIGINT) * 17161 + CAST(ascii(substr(s, CAST(i + 14 AS INT), 1)) AS BIGINT) * 131 + CAST(ascii(substr(s, CAST(i + 15 AS INT), 1)) AS BIGINT) * 1) % 1000000007))
                ELSE
-                 list_sum(list_transform(range(1, length(s) + 1),
-                          j -> CAST(ascii(substr(s, CAST(j AS INT), 1)) AS BIGINT) * (1 + (j % 7)))) % 1000000007
+                 -- list_sum returns HUGEINT; without the cast the whole CASE
+                 -- is typed HUGEINT -> pandas float64 and the driver's
+                 -- type-strict value hash diverges from the engine's int64.
+                 CAST(list_sum(list_transform(range(1, length(s) + 1),
+                          j -> CAST(ascii(substr(s, CAST(j AS INT), 1)) AS BIGINT) * (1 + (j % 7)))) % 1000000007 AS BIGINT)
                END AS fp
         FROM norm
     )

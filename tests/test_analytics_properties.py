@@ -150,3 +150,16 @@ def test_weighted_sample_is_deterministic_and_weight_biased(spark):
         d for d, _w in sorted(docs, key=lambda t: (py_key(t[0], t[1]), t[0]))[:20]
     )
     assert a == expected
+
+
+def test_hll_sketch_estimate_envelope(spark, sf_dir):
+    # The probabilistic verdict lives HERE, not in the driver-gated
+    # output (the driver's value hash is exact and testdata regenerates
+    # between rounds; a ~3σ tail miss would flip the gate red for no
+    # engine reason). lgConfigK=12 → ~1.6% RSE; 5% ≈ 3σ.
+    from dbt_slabbing_spark.queries.analytics_extra import hll_sketch_estimate_report
+
+    rows = hll_sketch_estimate_report(spark, sf_dir).collect()
+    assert len(rows) >= 2  # per-priority scopes + __ALL__
+    for r in rows:
+        assert abs(r["est_nd"] - r["exact_nd"]) <= max(0.05 * r["exact_nd"], 2), r
