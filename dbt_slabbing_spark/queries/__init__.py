@@ -81,83 +81,72 @@ _MODULES = (
     "streaming_queries",
     "advanced_sql",
     "analytics_extra",
+    "reference_pipeline",
 )
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
-# so the prefix is rotated each round toward full coverage-ever:
-# rounds 1+2 green-checked 94 distinct queries (CORRECTNESS_r01/r02);
-# round 3's prefix = the 40 queries never yet driver-checked, plus 6
-# re-checks of queries whose source changed this round (broadcast-hint
-# removal, q3/q21/minhash plan rewrites, events-ts normalization) and 4
-# of the round-3 additions. The already-checked entries stay
-# regression-covered by tests/test_oracle_parity.py at sf0.001; round-3
-# additions that didn't fit the window rotate in next round (find them:
-# registry keys minus CORRECTNESS_r0*.json keys minus this prefix).
+# so the prefix is rotated each round toward full coverage-ever AND
+# re-validation of the stalest greens. Round-4 prefix = the one r3 red
+# (text_rolling_hash_fingerprint, oracle CAST fixed) + the two NEW
+# reference-pipeline gates + the 9 queries never driver-checked after
+# r1-r3 + one oracle-refactor re-check (dedup_cluster_representatives,
+# shingle CTEs now shared) + 37 re-checks of queries last checked in
+# round 1 (the stalest cohort; 4 of the 41 r1-only queries defer to
+# round 5: agg_count_distinct, distinct_flag_status,
+# join_inner_segment_counts, sort_limit_top_orders). After this round
+# every registry query has a driver CORRECTNESS row; find stale ones:
+# registry keys vs max round per key across CORRECTNESS_r0*.json.
 _PRIORITY = (
-    # -- the 40 never-driver-checked queries (VERDICT r2 "What's missing" #1) --
-    # aggregates depth
-    "agg_approx_topk_event_types",
-    "agg_exact_distribution",
-    "agg_mode_priority_by_status",
-    "agg_corr_regression",
-    # window depth variants
-    "window_lag_lead_gaps",
-    "window_range_hourly_sum",
-    "window_rank_dense_percent",
-    "window_ntile_quartiles",
-    "window_first_last_order",
-    # set ops depth
-    "setop_except_nations",
-    "setop_union_by_name",
-    # scalar-fn suites depth
-    "fn_math_suite",
-    "fn_null_handling",
-    "fn_hash_suite",
-    "fn_case_classification",
-    # UDF surface depth
-    "udf_grouped_ols_slope",
-    "udf_row_at_a_time_upper",
-    # text analysis depth
-    "text_token_histogram",
-    "text_langid_confusion",
-    "text_fingerprint_groups",
-    "text_bpe_token_estimate",
     "text_rolling_hash_fingerprint",
-    # curriculum / sampling depth
-    "train_curriculum_order",
-    "sample_train_test_split",
-    "sample_weighted_mixture",
-    # dedup depth
-    "dedup_normalized_md5",
-    "dedup_simhash",
-    # similarity depth
-    "sim_lsh_bucket_histogram",
-    "sim_neardup_pairs",
-    "sim_neardup_pairs_lsh",
-    "sim_brp_euclidean_topk",
-    # multimodal depth
-    "mm_frame_sample_plan",
-    "mm_size_stats_by_source",
-    # streaming depth
-    "stream_sliding_user_activity",
-    "stream_foreach_batch_totals",
-    # joins / time-series / subquery depth
-    "join_fuzzy_levenshtein",
-    "join_null_safe_equality",
-    "ts_gap_fill_hourly",
-    "ts_forward_fill_hourly",
-    "subquery_not_in_null_semantics",
-    # -- 6 re-checks (source modified in round 3) + 4 round-3 additions --
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q9_product_type_profit",
-    "q21_sole_late_supplier",
-    "stream_hourly_type_counts",
-    "dedup_minhash_lsh",
-    "ts_retention_cohorts",
-    "ts_funnel_conversion",
-    "sample_weighted_noreplacement",
+    "ref_mapping_truth_labels",
+    "ref_ground_truth_labels",
+    "profile_orders_columns",
+    "ts_rollup_time_hierarchy",
+    "stream_static_enrich",
+    "agg_hll_sketch_rollup",
+    "agg_bitmap_exact_distinct_rollup",
+    "ts_time_weighted_avg",
+    "graph_triangle_count",
+    "ts_anomaly_hourly_zscore",
+    "fn_try_error_safe_suite",
     "dedup_cluster_representatives",
+    "agg_cube_priority_status",
+    "agg_filtered_counts",
+    "agg_grouping_sets",
+    "agg_histogram_buckets",
+    "agg_last_state_per_user",
+    "agg_pivot_status",
+    "agg_rollup_flag_status",
+    "agg_salted_hot_keys",
+    "agg_stats_moments",
+    "agg_string_join",
+    "fn_map_from_json",
+    "fn_regexp_suite",
+    "join_anti_dormant_customers",
+    "join_full_outer_nation_presence",
+    "join_left_order_counts",
+    "join_right_suppliers_per_nation",
+    "join_semi_active_customers",
+    "q10_returned_revenue",
+    "q11_part_value_concentration",
+    "q12_shipmode_priority_classes",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_revenue_suppliers",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_ranges",
+    "q20_heavy_part_shippers",
+    "q22_dormant_rich_customers",
+    "q2_min_unit_cost_supplier",
+    "q4_late_shipment_orders",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "setop_unpivot_price_stats",
+    "sql_api_priority_stats",
+    "text_term_frequencies",
 )
 
 
