@@ -296,3 +296,16 @@ def test_gap_fill_grid_stays_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bitmap_rollup_expand_free_and_scan_shared(spark):
+    """The exact-distinct bitmap rollup (bench `bitmap_rollup`) must stay
+    Expand-free (no count_distinct rewrite — the whole point is that
+    coarser levels merge bitmaps, not rows) and the per-(group, bucket)
+    bitmap exchange must be REUSED by the global level, so orders is
+    scanned/bucketed once for both rollup levels."""
+    df = registry()["agg_bitmap_exact_distinct_rollup"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE: exchange reuse appears in the final plan
+    plan = _executed_plan(df)
+    assert "Expand" not in plan, plan[:3000]
+    assert "ReusedExchange" in plan, plan[:3000]
