@@ -283,7 +283,17 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+    # shuffle_hash on the orders side = STRATEGY pin, round 4: without
+    # it the stats-less static planner BROADCASTS the F-filtered orders
+    # slice at sf0.1 (file-size stats) — orders is a fact, so that
+    # collect-to-driver is an OOM at the 100 TB design point. Shuffled
+    # hash keeps the exchange topology (both sides hash(l_orderkey),
+    # which the two stacked aggregates below reuse — group keys are
+    # supersets, so lineitem still shuffles exactly once) and, unlike
+    # the merge alternative, needs NO sort of either side; the build
+    # side is the 2-column pre-filtered orders partition, bounded by
+    # shuffle-partition sizing + AQE skew splitting at scale.
+    flagged = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("late"),

@@ -62,13 +62,16 @@ def test_q2_single_fact_shuffle(spark):
 
 def test_q21_decorrelated_no_fact_sortmerge_explosion(spark):
     """q21's EXISTS/NOT EXISTS pair is one per-order aggregate + one
-    l_orderkey join — the plan must not contain a broadcast of the fact
-    table and must reuse/shuffle on l_orderkey only."""
+    l_orderkey join. Round 4 pins the lineitem⋈orders join to shuffled
+    hash: the static planner otherwise BROADCASTS the F-filtered orders
+    fact at sf0.1 (OOM at scale), and merge would add two sorts the
+    stacked aggregates don't need. Supplier (true dim) stays broadcast;
+    lineitem shuffles exactly once (aggregate keys are supersets of the
+    join key, so the exchange is reused)."""
     plan = _executed_plan(registry()["q21_sole_late_supplier"].fn(spark, SF_SMOKE))
-    # supplier dim is broadcast; the orders join under AQE may also
-    # broadcast (orders < lineitem) — what must NOT happen is a
-    # cartesian/nested-loop anywhere.
-    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin [l_orderkey" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the supplier dim join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
