@@ -77,6 +77,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "textanalysis",
+    "textsearch",
     "multimodal",
     "streaming_queries",
     "advanced_sql",

@@ -168,3 +168,31 @@ def agg_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM _topk_events)
         """
     )
+
+
+@register(
+    "sink_orc_roundtrip",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round((sum(o_totalprice)) * 100.0) / 100.0 AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "ORC sink + source roundtrip (SURVEY §2.6 scans/sinks): aggregate, "
+    "write ORC, read back — the returned frame is the ORC scan, so the "
+    "gate hash-checks the full format roundtrip against the oracle",
+    tags=("sink", "source", "orc"),
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="dbt_slabbing_orc_") + "/orders_by_status"
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

@@ -1,0 +1,230 @@
+"""Full-text relevance scoring and repetition profiling over
+``documents``: BM25 ranked retrieval and Gopher-style n-gram
+repetition quality signals.
+
+Reference parity: the reference has no text operators (SURVEY.md §2.6);
+these extend the north-star LLM-pipeline text stack (textanalysis.py)
+with the two remaining standard tools — a ranked-retrieval scorer and
+the repetition filters every large-scale pretraining pipeline applies.
+
+100 TB story:
+- BM25 corpus statistics (doc count, avg doc length, per-term document
+  frequencies) reduce to ONE scalar aggregate broadcast back to the
+  scan — per-doc scoring is then map-side only (no shuffle carries the
+  corpus), and the final top-k is a partial-top-k-per-partition +
+  single-reduce sort, which Spark plans automatically for ORDER+LIMIT.
+- Repetition profiling shuffles (doc_id, ngram) counts — keyed by
+  doc_id so the reduce is pre-partitioned for the follow-up per-doc
+  max/sum; no global state, scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import text as T
+from . import dround, register
+from .textanalysis import _SQL_WORDS
+
+#: Fixed query-term set for the BM25 gate (drawn from the synthetic
+#: corpus vocabulary so every term has non-trivial document frequency).
+BM25_TERMS: tuple[str, ...] = ("table", "scan", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _term_eq(term: str):
+    def pred(x: "F.Column") -> "F.Column":
+        return x == F.lit(term)
+
+    return pred
+
+
+def _sql_bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(w, t -> t = '{term}')) AS BIGINT) AS tf{i}"
+        for i, term in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = "\n             + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {BM25_K1 + 1.0}) / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH feat AS (
+        SELECT doc_id, CAST(len(w) AS INT) AS dl,
+               {tf_cols}
+        FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+        WHERE len(w) > 0
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               avg(dl) AS avgdl,
+               {df_cols}
+        FROM feat
+    ),
+    scored AS (
+        SELECT doc_id, dl,
+               round(({score}) * 10000.0) / 10000.0 AS score
+        FROM feat CROSS JOIN stats
+    )
+    SELECT doc_id, dl, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register(
+    "text_bm25_topk",
+    _sql_bm25_oracle(),
+    "BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed term set: "
+    "corpus stats as ONE broadcast scalar aggregate, map-side scoring, "
+    "sort+limit top-k (doc_id tiebreaker)",
+    tags=("text", "search", "training"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", T.words(F.col("text")).alias("w"))
+        .withColumn("dl", F.size("w"))
+        .filter(F.col("dl") > 0)
+    )
+    feat = docs.select(
+        "doc_id",
+        "dl",
+        *[
+            # NB: a two-arg lambda means (element, index) to F.filter, so
+            # the term is bound via a closure factory, not a default arg.
+            F.size(F.filter(F.col("w"), _term_eq(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ],
+    )
+    # Corpus statistics: one scalar row, broadcast back to the scan.
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        norm = F.col(f"tf{i}") + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        part = idf * (F.col(f"tf{i}") * (BM25_K1 + 1.0)) / norm
+        score = part if score is None else score + part
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", dround(score, 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "text_repetition_profile",
+    # Gopher-style repetition quality signals: the fraction of tokens
+    # covered by the most frequent unigram and of bigram slots covered
+    # by the most frequent bigram. Thresholds mirror the published
+    # heuristic shape (top-unigram > 0.2 or top-bigram > 0.05 →
+    # repetitive) — the values, not the thresholds, are what the gate
+    # hash-checks.
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token, CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(w) AS tok FROM norm)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram, CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM (
+            SELECT doc_id, sh, count(*) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+                FROM norm WHERE len(w) >= 2
+            )
+            GROUP BY doc_id, sh
+        ) GROUP BY doc_id
+    )
+    SELECT uni.doc_id,
+           n_tokens, top_token,
+           round((CAST(top_token AS DOUBLE) / n_tokens) * 10000.0) / 10000.0 AS top_token_frac,
+           n_bigrams, top_bigram,
+           round((CAST(top_bigram AS DOUBLE) / n_bigrams) * 10000.0) / 10000.0 AS top_bigram_frac,
+           (CAST(top_token AS DOUBLE) / n_tokens > 0.2
+            OR CAST(top_bigram AS DOUBLE) / n_bigrams > 0.05) AS repetitive
+    FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+    "Gopher-style repetition profile: top-unigram / top-bigram coverage "
+    "fractions per doc + repetitive flag (explode → two keyed "
+    "aggregations, both pre-partitioned by doc_id)",
+    tags=("text", "quality", "training"),
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("w")
+    )
+    uni = (
+        docs.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_token"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+    )
+    # Bigrams built inline from the already-materialized token array
+    # ("w" is a column, not a re-evaluated expression — the
+    # word_shingles() let-binding trap doesn't apply here).
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+        ),
+    )
+    bi = (
+        docs.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_bigram"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    tt = F.col("top_token").cast("double") / F.col("n_tokens")
+    tb = F.col("top_bigram").cast("double") / F.col("n_bigrams")
+    return uni.join(bi, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_token",
+        dround(tt, 4).alias("top_token_frac"),
+        "n_bigrams",
+        "top_bigram",
+        dround(tb, 4).alias("top_bigram_frac"),
+        ((tt > 0.2) | (tb > 0.05)).alias("repetitive"),
+    )

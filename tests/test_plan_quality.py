@@ -312,3 +312,26 @@ def test_bitmap_rollup_expand_free_and_scan_shared(spark):
     plan = _executed_plan(df)
     assert "Expand" not in plan, plan[:3000]
     assert "ReusedExchange" in plan, plan[:3000]
+
+
+def test_bm25_stats_broadcast_and_topk_single_reduce(spark):
+    """BM25's corpus statistics (N, avgdl, per-term df) are ONE scalar
+    row broadcast back over the feature scan — the corpus must never be
+    shuffled to meet its own statistics — and the final top-k must plan
+    as TakeOrderedAndProject (partial top-k per partition + single
+    reduce), not a global sort."""
+    plan = _executed_plan(registry()["text_bm25_topk"].fn(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_repetition_profile_aggs_keyed_by_doc(spark):
+    """Both repetition aggregations key by doc_id, so the second-level
+    per-doc max/sum must reuse the (doc_id, ngram) exchange partitioning
+    instead of reshuffling, and nothing may cartesian-join."""
+    plan = _executed_plan(registry()["text_repetition_profile"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # (doc_id, tok) -> doc_id: partial aggregation before the reduce
+    assert "partial_max" in plan or "partial_count" in plan, plan[:3000]
