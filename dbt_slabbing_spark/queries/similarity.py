@@ -386,3 +386,133 @@ def sim_brp_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_ann_best") >= F.col("_exact_best") - F.lit(1e-9)).alias("no_undershoot"),
         )
     )
+
+
+@register(
+    "sim_pq_adc_topk",
+    # Product quantization with a FIXED codebook (the subvectors of
+    # vec_id 0..15), so — unlike the k-means IVF/BRP gates — the whole
+    # operator is SQL-reproducible and the gate hash-checks codes AND
+    # top-k, not just verdict columns. m=4 subspaces × 16 dims, 16 codes
+    # each; ADC: per-query distance table joined to the code table,
+    # subspace parts pivoted to fixed columns so the 4-way float sum has
+    # one addition order on both engines.
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, s, dv[s*16+1 : (s+1)*16] AS sv
+        FROM v, (SELECT unnest(range(4)) AS s)
+    ),
+    cb AS (
+        SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < 16
+    ),
+    enc AS (
+        SELECT vec_id, s, code,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY list_dot_product(sv, sv) + list_dot_product(cv, cv)
+                            - 2 * list_dot_product(sv, cv), code
+               ) AS rn
+        FROM sub JOIN cb USING (s)
+    ),
+    codes AS (
+        SELECT vec_id, s, code FROM enc WHERE rn = 1
+    ),
+    dtable AS (
+        SELECT q.vec_id AS query_id, cb.s, cb.code,
+               list_dot_product(q.sv, q.sv) + list_dot_product(cb.cv, cb.cv)
+               - 2 * list_dot_product(q.sv, cb.cv) AS part
+        FROM sub q JOIN cb ON q.s = cb.s
+        WHERE q.vec_id < 5
+    ),
+    adc AS (
+        SELECT d.query_id, c.vec_id,
+               sum(CASE WHEN c.s = 0 THEN d.part END) AS p0,
+               sum(CASE WHEN c.s = 1 THEN d.part END) AS p1,
+               sum(CASE WHEN c.s = 2 THEN d.part END) AS p2,
+               sum(CASE WHEN c.s = 3 THEN d.part END) AS p3
+        FROM codes c JOIN dtable d ON c.s = d.s AND c.code = d.code
+        GROUP BY d.query_id, c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, vec_id,
+               round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 AS approx_d2
+        FROM adc WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, approx_d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d2, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    "product-quantization ANN (m=4 × 16-dim subspaces, 16 fixed codes): "
+    "encode once (argmin vs broadcast codebook), then asymmetric-"
+    "distance top-3 via a broadcast per-query distance table — the "
+    "serving path where only m bytes per vector are touched at query "
+    "time",
+    tags=("similarity", "pq", "ann"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC (Jégou et al., TPAMI 2011) as pure DataFrame ops.
+
+    100 TB story: the codebook (m·ks subvectors) and the per-query
+    distance tables (q·m·ks doubles) are both broadcast; the corpus-
+    sized frames only ever flow through linear, map-side joins plus one
+    (vec_id, s)-keyed argmin aggregation at encode time. Queries touch
+    the m-byte code table, never the raw vectors — that is the point of
+    ADC at scale (encode once, search compressed).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("embedding"), s * 16 + 1, 16).cast("array<double>")
+                for s in range(4)
+            ])
+        ).alias("s", "sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cv")
+    )
+    l2 = (
+        dot(F.col("sv"), F.col("sv"))
+        + dot(F.col("cv"), F.col("cv"))
+        - 2 * dot(F.col("sv"), F.col("cv"))
+    )
+    # argmin over the 16 codes: min(struct(d2, code)) = lexicographic,
+    # so exact-tie codes resolve to the smallest code on both engines.
+    codes = (
+        sub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", F.struct(l2.alias("_d2"), F.col("code")).alias("_sc"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("_sc").getField("code").alias("code"))
+    )
+    dtable = (
+        sub.filter(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "s")
+        .select("query_id", "s", "code", l2.alias("part"))
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(*[
+            F.sum(F.when(F.col("s") == s, F.col("part"))).alias(f"p{s}")
+            for s in range(4)
+        ])
+    )
+    scored = adc.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        dround(F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3"), 6).alias("approx_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("query_id", "vec_id", "approx_d2")
+    )

@@ -228,3 +228,53 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(tb, 4).alias("top_bigram_frac"),
         ((tt > 0.2) | (tb > 0.05)).alias("repetitive"),
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    # Unigram language-model quality signal (the KenLM-style perplexity
+    # filter's cheapest sibling): mean token surprisal -ln p(w) under
+    # the corpus's own unigram distribution. High mean surprisal = the
+    # doc is lexically atypical for the corpus.
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(w) AS tok
+        FROM (SELECT doc_id, {{words}} AS w FROM documents)
+        WHERE len(w) > 0
+    ),
+    freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t FROM freq
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round((avg(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))) * 10000.0) / 10000.0
+               AS mean_surprisal
+    FROM tok JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """.replace("{words}", _SQL_WORDS),
+    "unigram-LM mean token surprisal per doc (corpus term frequencies "
+    "as a broadcast dimension; lexical-typicality quality signal)",
+    tags=("text", "quality", "training"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", T.words(F.col("text")).alias("w"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", F.explode("w").alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    surprisal = -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            dround(F.avg(surprisal), 4).alias("mean_surprisal"),
+        )
+    )

@@ -335,3 +335,14 @@ def test_repetition_profile_aggs_keyed_by_doc(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # (doc_id, tok) -> doc_id: partial aggregation before the reduce
     assert "partial_max" in plan or "partial_count" in plan, plan[:3000]
+
+
+def test_pq_adc_codebook_and_dtable_broadcast(spark):
+    """PQ/ADC: the codebook join at encode time and the per-query
+    distance-table join at search time must both be broadcasts — the
+    corpus-sized frames (subvectors, codes) may never be on the build
+    side of a join, and nothing may cartesian-join."""
+    plan = _executed_plan(registry()["sim_pq_adc_topk"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
