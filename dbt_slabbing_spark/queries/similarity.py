@@ -465,54 +465,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the m-byte code table, never the raw vectors — that is the point of
     ADC at scale (encode once, search compressed).
     """
+    from ..operators.pq import pq_adc_topk
+
     emb = table(spark, sf_dir, "embeddings")
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[
-                F.slice(F.col("embedding"), s * 16 + 1, 16).cast("array<double>")
-                for s in range(4)
-            ])
-        ).alias("s", "sv"),
-    )
-    cb = sub.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("code"), "s", F.col("sv").alias("cv")
-    )
-    l2 = (
-        dot(F.col("sv"), F.col("sv"))
-        + dot(F.col("cv"), F.col("cv"))
-        - 2 * dot(F.col("sv"), F.col("cv"))
-    )
-    # argmin over the 16 codes: min(struct(d2, code)) = lexicographic,
-    # so exact-tie codes resolve to the smallest code on both engines.
-    codes = (
-        sub.join(F.broadcast(cb), "s")
-        .select("vec_id", "s", F.struct(l2.alias("_d2"), F.col("code")).alias("_sc"))
-        .groupBy("vec_id", "s")
-        .agg(F.min("_sc").getField("code").alias("code"))
-    )
-    dtable = (
-        sub.filter(F.col("vec_id") < 5)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cb), "s")
-        .select("query_id", "s", "code", l2.alias("part"))
-    )
-    adc = (
-        codes.join(F.broadcast(dtable), ["s", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(*[
-            F.sum(F.when(F.col("s") == s, F.col("part"))).alias(f"p{s}")
-            for s in range(4)
-        ])
-    )
-    scored = adc.filter(F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        "vec_id",
-        dround(F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3"), 6).alias("approx_d2"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 3)
-        .select("query_id", "vec_id", "approx_d2")
+    return pq_adc_topk(
+        emb, n_queries=5, k=3, m=4, sub_dim=16, ks=16, round_fn=lambda c: dround(c, 6)
     )
