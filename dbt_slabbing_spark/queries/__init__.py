@@ -89,18 +89,28 @@ _MODULES = (
 # so the prefix is rotated each round toward full coverage-ever AND
 # re-validation of the stalest greens. Round-4 prefix = the one r3 red
 # (text_rolling_hash_fingerprint, oracle CAST fixed) + the two NEW
-# reference-pipeline gates + the 9 queries never driver-checked after
-# r1-r3 + one oracle-refactor re-check (dedup_cluster_representatives,
-# shingle CTEs now shared) + 37 re-checks of queries last checked in
-# round 1 (the stalest cohort; 4 of the 41 r1-only queries defer to
-# round 5: agg_count_distinct, distinct_flag_status,
-# join_inner_segment_counts, sort_limit_top_orders). After this round
-# every registry query has a driver CORRECTNESS row; find stale ones:
+# reference-pipeline gates + the SIX queries added in round 4 (never
+# driver-checked by definition) + the 9 queries never driver-checked
+# after r1-r3 + one oracle-refactor re-check
+# (dedup_cluster_representatives, shingle CTEs now shared) + 31
+# re-checks of queries last checked in round 1 (the stalest cohort; 10
+# of the 41 r1-only queries defer to round 5: agg_count_distinct,
+# distinct_flag_status, join_inner_segment_counts,
+# sort_limit_top_orders, q6_forecast_revenue, q7_nation_trade,
+# q8_market_share, setop_unpivot_price_stats, sql_api_priority_stats,
+# text_term_frequencies). After this round every registry query except
+# those 10 r1-greens has a driver CORRECTNESS row; find stale ones:
 # registry keys vs max round per key across CORRECTNESS_r0*.json.
 _PRIORITY = (
     "text_rolling_hash_fingerprint",
     "ref_mapping_truth_labels",
     "ref_ground_truth_labels",
+    "text_bm25_topk",
+    "text_repetition_profile",
+    "text_unigram_surprisal",
+    "sim_pq_adc_topk",
+    "model_incremental_hourly_mart",
+    "sink_orc_roundtrip",
     "profile_orders_columns",
     "ts_rollup_time_hierarchy",
     "stream_static_enrich",
@@ -142,12 +152,6 @@ _PRIORITY = (
     "q22_dormant_rich_customers",
     "q2_min_unit_cost_supplier",
     "q4_late_shipment_orders",
-    "q6_forecast_revenue",
-    "q7_nation_trade",
-    "q8_market_share",
-    "setop_unpivot_price_stats",
-    "sql_api_priority_stats",
-    "text_term_frequencies",
 )
 
 
