@@ -189,3 +189,39 @@ def stream_stateful_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.purchase_click_attribution(spark, sf_dir)
+
+
+@register(
+    "stream_stream_left_outer_join",
+    # Oracle = batch LEFT join restricted to the same watermark-safe
+    # horizon the engine applies (purchases ≥ 4h before max event time):
+    # inside that region every unmatched purchase has provably been
+    # state-evicted and emitted its null-augmented row, so the stream
+    # result equals the batch left join exactly; at the stream's tail
+    # the two would legitimately differ (rows still held in state).
+    """
+    WITH mx AS (
+        SELECT least(max(ts) FILTER (event_type = 'click'),
+                     max(ts) FILTER (event_type = 'purchase')) AS mx
+        FROM events
+    )
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           c.event_id IS NOT NULL AS matched
+    FROM events p
+    LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    CROSS JOIN mx
+    WHERE p.event_type = 'purchase'
+      AND p.ts <= mx.mx - INTERVAL 4 HOURS
+    """,
+    "stream-stream LEFT OUTER interval join: unmatched purchases emit "
+    "null-augmented rows on watermark-driven state eviction; compared "
+    "to the batch left join inside the watermark-safe horizon",
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.purchase_click_attribution_outer(spark, sf_dir)

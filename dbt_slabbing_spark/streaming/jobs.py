@@ -354,3 +354,73 @@ def stateful_levels_transform_with_state(spark: SparkSession, sf_dir: str) -> Da
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def purchase_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, matched
+    to preceding-hour clicks or emitted with a NULL click once the
+    watermark proves no match can still arrive.
+
+    The outer semantics are the point: an unmatched purchase sits in
+    state until the watermark passes its eviction bound, THEN emits its
+    null-augmented row — so rows whose bound the final watermark never
+    passes stay in state forever and are NOT in the result. To keep the
+    gate deterministic the result is restricted (identically in the SQL
+    oracle) to purchases at least 4 hours before the stream's max event
+    time: far inside the final watermark (max_ts - 2h), where every
+    unmatched purchase has provably been evicted and emitted.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out = _run_to_completion(joined, "append")
+    # Horizon bound computed batch-side (identical in the SQL oracle).
+    # The global watermark is the MIN of the two sides' watermarks, and
+    # each side tracks the max event time of the rows reaching ITS
+    # watermark operator (post-filter: clicks resp. purchases) — so the
+    # safe region hangs off least(max click ts, max purchase ts), not
+    # the global max event time (at small SFs the last click can trail
+    # the last event by hours).
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("mx")
+    )
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .filter(F.col("p_ts") <= F.col("mx") - F.expr("INTERVAL 4 HOURS"))
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.col("click_id").isNotNull().alias("matched"),
+        )
+    )
