@@ -92,16 +92,17 @@ _MODULES = (
 # reference-pipeline gates + the SIX queries added in round 4 (never
 # driver-checked by definition) + the 9 queries never driver-checked
 # after r1-r3 + one oracle-refactor re-check
-# (dedup_cluster_representatives, shingle CTEs now shared) + 30
-# re-checks of queries last checked in round 1 (the stalest cohort; 11
+# (dedup_cluster_representatives, shingle CTEs now shared) + 28
+# re-checks of queries last checked in round 1 (the stalest cohort; 13
 # of the 41 r1-only queries defer to round 5: agg_count_distinct,
 # distinct_flag_status, join_inner_segment_counts,
-# sort_limit_top_orders, q4_late_shipment_orders, q6_forecast_revenue,
-# q7_nation_trade, q8_market_share, setop_unpivot_price_stats,
-# sql_api_priority_stats, text_term_frequencies). After this round
-# every registry query except those 11 r1-greens has a driver
-# CORRECTNESS row; find stale ones: registry keys vs max round per key
-# across CORRECTNESS_r0*.json.
+# sort_limit_top_orders, q2_min_unit_cost_supplier,
+# q4_late_shipment_orders, q6_forecast_revenue, q7_nation_trade,
+# q8_market_share, q22_dormant_rich_customers,
+# setop_unpivot_price_stats, sql_api_priority_stats,
+# text_term_frequencies). After this round every registry query except
+# those 13 r1-greens has a driver CORRECTNESS row; find stale ones:
+# registry keys vs max round per key across CORRECTNESS_r0*.json.
 _PRIORITY = (
     "text_rolling_hash_fingerprint",
     "ref_mapping_truth_labels",
@@ -113,6 +114,8 @@ _PRIORITY = (
     "model_incremental_hourly_mart",
     "sink_orc_roundtrip",
     "stream_stream_left_outer_join",
+    "fn_sql_udf_surface",
+    "sample_group_aware_split",
     "profile_orders_columns",
     "ts_rollup_time_hierarchy",
     "stream_static_enrich",
@@ -151,8 +154,6 @@ _PRIORITY = (
     "q18_large_volume_orders",
     "q19_disjunctive_ranges",
     "q20_heavy_part_shippers",
-    "q22_dormant_rich_customers",
-    "q2_min_unit_cost_supplier",
 )
 
 

@@ -143,3 +143,81 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+def _sql_group_split_oracle() -> str:
+    from .dedup import _SQL_SHINGLE_CTES
+
+    bucket = _DUCK_BUCKET.format(
+        key="'groupsplit|' || CAST(coalesce(c.component, d.doc_id) AS VARCHAR)"
+    )
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTES},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+        SELECT s AS n, s AS label FROM sym
+        UNION
+        SELECT sym.d, reach.label FROM reach JOIN sym ON sym.s = reach.n
+    ),
+    comp AS (
+        SELECT n AS doc_id, min(label) AS component FROM reach GROUP BY n
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_id,
+           CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
+@register(
+    "sample_group_aware_split",
+    _sql_group_split_oracle(),
+    "leakage-safe train/valid/test split: near-duplicate documents "
+    "(Jaccard>=0.2 connected components) are assigned AS A GROUP — a "
+    "per-doc split would put one near-dup in train and its twin in "
+    "test, leaking eval data; singletons group as themselves",
+    tags=("sampling", "dedup", "training"),
+)
+def sample_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of the dedup stack and hash-splitting: the split key is
+    the near-dup CLUSTER id, not the doc id, so a whole cluster lands in
+    one split (the standard benchmark-leakage defence in pretraining
+    pipelines). At 100 TB the components come from the banded/df-capped
+    edge generation (see dedup.py); the split itself stays a pure
+    per-row hash filter on the group key."""
+    from ..operators.graph import connected_components
+    from .dedup import _jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    edges = _jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    comp = connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
+    )
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("bigint").alias("group_id"),
+    )
+    b = _bucket(F.col("group_id"), seed="groupsplit|")
+    split = F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    return grouped.select("doc_id", "group_id", split.alias("split"))

@@ -269,3 +269,57 @@ def fn_try_error_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.try_divide(F.lit(100.0), F.nullif(F.col("value"), F.lit(0.0))), 4).alias("per_value"),
         dround(F.when(F.col("value") >= 0, F.sqrt("value")), 4).alias("sqrt_value"),
     )
+
+
+@register(
+    "fn_sql_udf_surface",
+    # Oracle inlines the UDF bodies — the gate proves the SQL-UDF
+    # indirection is semantically transparent (Catalyst inlines SQL UDFs
+    # into the calling plan; they are declarative macros, not a Python
+    # boundary, so whole-stage codegen is preserved at any scale).
+    """
+    WITH tvf AS (
+        SELECT sum(i) AS tvf_check FROM (SELECT unnest(range(1, 5)) AS i)
+    )
+    SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
+                WHEN l_extendedprice < 45000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue,
+           CAST(any_value(tvf_check) AS BIGINT) AS tvf_check
+    FROM lineitem CROSS JOIN tvf
+    WHERE l_quantity >= 10
+    GROUP BY band
+    """,
+    "Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN): scalar UDFs in a "
+    "grouped aggregate, a SQL table UDF via scalar subquery, and a "
+    "parameterized query (named :minqty arg) — all inlined by Catalyst, "
+    "no Python boundary",
+    tags=("sql", "udf", "function"),
+)
+def fn_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sqludf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p < 20000 THEN 'low' WHEN p < 45000 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ints_to(n INT) RETURNS TABLE(i INT) "
+        "RETURN SELECT explode(sequence(1, n))"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(l_extendedprice) AS band,
+               CAST(count(*) AS BIGINT) AS n,
+               round((sum(disc_price(l_extendedprice, l_discount))) * 100.0) / 100.0 AS revenue,
+               CAST((SELECT sum(i) FROM ints_to(4)) AS BIGINT) AS tvf_check
+        FROM _sqludf_lineitem
+        WHERE l_quantity >= :minqty
+        GROUP BY band
+        """,
+        args={"minqty": 10},
+    )

@@ -217,3 +217,18 @@ def test_incremental_model_split_invariance(spark, tmp_path, frac):
     got = {(r["hour"], r["event_type"]): r["n_events"] for r in final.collect()}
     expect = {(r["hour"], r["event_type"]): r["n_events"] for r in full.collect()}
     assert got == expect
+
+
+def test_group_aware_split_is_leak_free_and_nonvacuous(spark):
+    """No near-dup group may span two splits (the leakage property the
+    operator exists for), and the check must be non-vacuous: the corpus
+    must contain at least one multi-doc group."""
+    rows = _REG["sample_group_aware_split"].fn(spark, SF_SMOKE).collect()
+    by_group: dict[int, set[str]] = {}
+    sizes: Counter = Counter()
+    for r in rows:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+        sizes[r["group_id"]] += 1
+    assert all(len(s) == 1 for s in by_group.values()), "a group spans splits"
+    assert max(sizes.values()) >= 2, "no multi-doc group — leakage check vacuous"
+    assert {r["split"] for r in rows} == {"train", "valid", "test"}
