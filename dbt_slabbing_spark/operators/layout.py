@@ -64,3 +64,37 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ⌈total_bytes / target⌉ files. Returns the new file count.
+
+    The small-files problem is the steady-state killer of streaming /
+    incremental sinks at scale: a 100 TB table appended in 10k-row
+    micro-batches becomes millions of KB-sized files, and every scan
+    pays per-file open cost + a starved split planner. Compaction is
+    the maintenance pass that restores scan efficiency; pair with
+    z-order (above) when re-clustering is wanted too.
+
+    Staging-then-swap like model_runner.run_incremental: a failed
+    rewrite never corrupts the live directory.
+    """
+    import pathlib
+    import shutil
+
+    p = pathlib.Path(path)
+    total = sum(f.stat().st_size for f in p.glob("*.parquet"))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(str(p))
+    staging = str(p) + ".compacting"
+    # repartition (round-robin) over coalesce: coalesce(1) would also
+    # collapse the PARALLELISM of any computation fused upstream; a
+    # rewrite is scan→write, so the exchange is the whole cost either
+    # way and repartition balances output file sizes.
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(str(p))
+    pathlib.Path(staging).rename(p)
+    return int(n_files)

@@ -1,0 +1,70 @@
+"""Maintenance + optimizer-statistics coverage: small-files compaction
+and ANALYZE TABLE / cost-based-optimizer stats."""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from dbt_slabbing_spark.catalog import table
+from dbt_slabbing_spark.operators.layout import compact_parquet_dir
+from tests.conftest import SF_SMOKE
+
+
+def test_compact_parquet_dir_restores_file_count(spark, tmp_path):
+    """A micro-batch-fragmented table compacts to the computed file
+    count with identical contents."""
+    target = str(tmp_path / "fragmented")
+    events = table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    events.repartition(64).write.parquet(target)  # simulate tiny appends
+    n_before = len(list(pathlib.Path(target).glob("*.parquet")))
+    assert n_before >= 32
+
+    before = {r["event_id"]: (r["event_type"], r["value"]) for r in events.collect()}
+    n = compact_parquet_dir(spark, target, target_file_bytes=10 * 1024 * 1024)
+    files = list(pathlib.Path(target).glob("*.parquet"))
+    assert len(files) == n < n_before
+
+    after_df = spark.read.parquet(target)
+    after = {r["event_id"]: (r["event_type"], r["value"]) for r in after_df.collect()}
+    assert after == before
+
+
+def test_analyze_table_stats_reach_the_planner(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS (+ FOR ALL COLUMNS) must surface
+    rowCount in the optimized plan's statistics and per-column distinct
+    counts in the catalog — the inputs the cost-based optimizer uses for
+    join reordering and broadcast decisions at scale."""
+    # external table location: keep the warehouse out of the repo cwd
+    table(spark, SF_SMOKE, "nation").write.mode("overwrite").option(
+        "path", str(tmp_path / "cbo_nation")
+    ).saveAsTable("_cbo_nation")
+    try:
+        spark.sql("ANALYZE TABLE _cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+        # plan-level rowCount is only propagated when the CBO is on
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = spark.table("_cbo_nation")._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "ANALYZE did not record rowCount"
+        assert int(str(stats.rowCount().get())) == 25
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED _cbo_nation n_nationkey"
+            ).collect()
+        }
+        assert desc.get("distinct_count") == "25", desc
+        # CBO consumes them without breaking results
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        try:
+            n = (
+                spark.table("_cbo_nation")
+                .join(table(spark, SF_SMOKE, "region"), F.expr("n_regionkey = r_regionkey"))
+                .count()
+            )
+            assert n == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _cbo_nation")
