@@ -152,3 +152,49 @@ def _star_components(sym: DataFrame, nodes: DataFrame, max_iter: int) -> DataFra
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    round_fn=None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a SYMMETRIC edge list (src, dst):
+    returns (node, outdeg, rank).
+
+    The canonical iterative dataflow: each iteration is one
+    contributions join (rank/outdeg shipped along edges) + one
+    sum-by-destination — the same shuffle pair as connected_components,
+    so at 100 TB the cost is iters × (edge-shuffle + node-aggregate),
+    with the node frame orders of magnitude smaller than the edges.
+    Fixed iteration count (not convergence detection) keeps the gate
+    deterministic; symmetric input means no dangling-mass term.
+
+    ``round_fn`` (e.g. 12-dp dround) is applied to the rank after EVERY
+    iteration so cross-engine float-sum-order noise cannot compound —
+    the DuckDB oracle applies the identical rounding per iteration.
+    """
+    sym = edges
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select(F.col("src").alias("node"), "outdeg", (F.lit(1.0) / F.col("_n")).alias("rank"))
+    )
+    for _ in range(iters):
+        contribs = (
+            sym.join(ranks, sym.src == ranks.node)
+            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_inc"))
+        )
+        new_rank = F.lit(1.0 - damping) / F.col("_n") + F.lit(damping) * F.col("_inc")
+        if round_fn is not None:
+            new_rank = round_fn(new_rank)
+        ranks = (
+            deg.join(contribs, deg.src == contribs.dst)
+            .crossJoin(F.broadcast(n))
+            .select(F.col("src").alias("node"), "outdeg", new_rank.alias("rank"))
+        )
+    return ranks

@@ -92,17 +92,18 @@ _MODULES = (
 # reference-pipeline gates + the SIX queries added in round 4 (never
 # driver-checked by definition) + the 9 queries never driver-checked
 # after r1-r3 + one oracle-refactor re-check
-# (dedup_cluster_representatives, shingle CTEs now shared) + 28
-# re-checks of queries last checked in round 1 (the stalest cohort; 13
+# (dedup_cluster_representatives, shingle CTEs now shared) + 27
+# re-checks of queries last checked in round 1 (the stalest cohort; 14
 # of the 41 r1-only queries defer to round 5: agg_count_distinct,
 # distinct_flag_status, join_inner_segment_counts,
 # sort_limit_top_orders, q2_min_unit_cost_supplier,
 # q4_late_shipment_orders, q6_forecast_revenue, q7_nation_trade,
-# q8_market_share, q22_dormant_rich_customers,
-# setop_unpivot_price_stats, sql_api_priority_stats,
-# text_term_frequencies). After this round every registry query except
-# those 13 r1-greens has a driver CORRECTNESS row; find stale ones:
-# registry keys vs max round per key across CORRECTNESS_r0*.json.
+# q8_market_share, q20_heavy_part_shippers,
+# q22_dormant_rich_customers, setop_unpivot_price_stats,
+# sql_api_priority_stats, text_term_frequencies). After this round
+# every registry query except those 14 r1-greens has a driver
+# CORRECTNESS row; find stale ones: registry keys vs max round per key
+# across CORRECTNESS_r0*.json.
 _PRIORITY = (
     "text_rolling_hash_fingerprint",
     "ref_mapping_truth_labels",
@@ -116,6 +117,7 @@ _PRIORITY = (
     "stream_stream_left_outer_join",
     "fn_sql_udf_surface",
     "sample_group_aware_split",
+    "graph_pagerank_supplier_part",
     "profile_orders_columns",
     "ts_rollup_time_hierarchy",
     "stream_static_enrich",
@@ -153,7 +155,6 @@ _PRIORITY = (
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
     "q19_disjunctive_ranges",
-    "q20_heavy_part_shippers",
 )
 
 

@@ -637,3 +637,72 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.select("n_rows", F.explode(entries).alias("e"))
         .select("e.col_name", "n_rows", "e.null_cnt", "e.n_distinct")
     )
+
+
+def _sql_pagerank_oracle(iters: int = 3) -> str:
+    # one CTE per iteration (unrolled — recursive members can't
+    # aggregate), identical 12-dp rounding per iteration to the engine.
+    prev = "r0"
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+    inc{i} AS (
+        SELECT s.dst AS node, sum(r.rank / r.outdeg) AS inc
+        FROM sym s JOIN {prev} r ON s.src = r.node
+        GROUP BY s.dst
+    ),
+    r{i} AS (
+        SELECT d.node, d.outdeg,
+               round((0.15 / n.n + 0.85 * i.inc) * 1000000000000.0) / 1000000000000.0 AS rank
+        FROM deg d JOIN inc{i} i ON d.node = i.node CROSS JOIN n
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem
+    ),
+    sym AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM sym GROUP BY src
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (
+        SELECT node, outdeg, 1.0 / n.n AS rank FROM deg CROSS JOIN n
+    ),{",".join(iter_ctes)}
+    SELECT node, outdeg, rank
+    FROM {prev}
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """
+
+
+@register(
+    "graph_pagerank_supplier_part",
+    _sql_pagerank_oracle(3),
+    "fixed-iteration PageRank (3 rounds, d=0.85) over the symmetric "
+    "supplier-part purchase graph; per-iteration 12-dp rounding keeps "
+    "both engines bit-aligned; top-20 hubs",
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical iterative-dataflow showcase next to connected
+    components: rank concentration on the bipartite supplier-part graph
+    identifies hub suppliers/parts. See operators/graph.py::
+    pagerank_fixed for the per-iteration shuffle story."""
+    from ..operators.graph import pagerank_fixed
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_fixed(sym, iters=3, damping=0.85, round_fn=lambda c: dround(c, 12))
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)

@@ -232,3 +232,27 @@ def test_group_aware_split_is_leak_free_and_nonvacuous(spark):
     assert all(len(s) == 1 for s in by_group.values()), "a group spans splits"
     assert max(sizes.values()) >= 2, "no multi-doc group — leakage check vacuous"
     assert {r["split"] for r in rows} == {"train", "valid", "test"}
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """On a symmetric graph (no dangling nodes) every iteration
+    redistributes all rank mass: total rank stays 1 (to per-iteration
+    rounding), every rank is positive, and high-degree nodes outrank
+    the minimum."""
+    from dbt_slabbing_spark.operators.graph import pagerank_fixed
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    pairs = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_fixed(sym, iters=3).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert all(r["rank"] > 0 for r in ranks)
+    top = max(ranks, key=lambda r: r["rank"])
+    assert top["outdeg"] > min(r["outdeg"] for r in ranks)
