@@ -20,7 +20,7 @@ the repetition filters every large-scale pretraining pipeline applies.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -36,7 +36,7 @@ BM25_B = 0.75
 
 
 def _term_eq(term: str):
-    def pred(x: "F.Column") -> "F.Column":
+    def pred(x: Column) -> Column:
         return x == F.lit(term)
 
     return pred
