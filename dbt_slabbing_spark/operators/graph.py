@@ -177,11 +177,17 @@ def pagerank_fixed(
     """
     sym = edges
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
-    n = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    ranks = (
-        deg.crossJoin(F.broadcast(n))
-        .select(F.col("src").alias("node"), "outdeg", (F.lit(1.0) / F.col("_n")).alias("rank"))
+    # N as ONE scalar job up front, embedded as a literal: a broadcast
+    # global-agg subplan referenced per iteration would re-plan a
+    # single-partition exchange every round (the corpus invariant caps
+    # those at 1/query), and at 100 TB counting the node frame once is
+    # how a real PageRank sizes its teleport term. Same IEEE division
+    # as the oracle's `0.15 / n` (double / double).
+    n_nodes = float(deg.count())
+    ranks = deg.select(
+        F.col("src").alias("node"), "outdeg", F.lit(1.0 / n_nodes).alias("rank")
     )
+    base = (1.0 - damping) / n_nodes
     for _ in range(iters):
         contribs = (
             sym.join(ranks, sym.src == ranks.node)
@@ -189,12 +195,11 @@ def pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum("_c").alias("_inc"))
         )
-        new_rank = F.lit(1.0 - damping) / F.col("_n") + F.lit(damping) * F.col("_inc")
+        new_rank = F.lit(base) + F.lit(damping) * F.col("_inc")
         if round_fn is not None:
             new_rank = round_fn(new_rank)
         ranks = (
             deg.join(contribs, deg.src == contribs.dst)
-            .crossJoin(F.broadcast(n))
             .select(F.col("src").alias("node"), "outdeg", new_rank.alias("rank"))
         )
     return ranks
