@@ -107,3 +107,33 @@ def scd2_apply(
         .drop("_ck", "_close_at")
     )
     return closed.unionByName(new_versions)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    order_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Full CDC apply: insert/update/DELETE from a change feed.
+
+    ``changes`` carries the target schema plus ``op_col`` ('I'/'U'/'D'
+    — only ``delete_op`` is interpreted; inserts and updates are both
+    "latest row wins") and ``order_col`` (LSN / commit timestamp).
+    Compaction keeps only the LATEST change per key — a key whose final
+    change is a delete is removed even if earlier changes in the same
+    batch inserted it; a re-insert AFTER a delete survives. That is
+    exactly Debezium-style snapshot semantics, and the same
+    last-state-wins fold as the reference's lesion loop (SURVEY §2.3).
+
+    One window (compaction) + one anti-join (drop touched keys) + one
+    union (surviving latest non-deletes). All shuffles key on ``key``;
+    broadcastable when the change batch is small — the 100 TB nightly
+    CDC case.
+    """
+    latest = dedup_updates(changes, key, order_col)
+    untouched = target.join(latest.select(key), key, "left_anti")
+    survivors = latest.filter(F.col(op_col) != delete_op).select(*target.columns)
+    return untouched.unionByName(survivors)

@@ -172,3 +172,26 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "note", "b"}
     assert merged.count() == 6
     assert merged.filter(F.col("note").isNull()).count() == 3
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    """Latest-change-wins CDC with deletes: delete-after-insert removes
+    the key, re-insert-after-delete restores it, plain updates replace,
+    and untouched keys survive."""
+    from dbt_slabbing_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("b", 20, 1, "U"),   # update b
+            ("c", 0, 1, "D"),    # delete c ...
+            ("c", 30, 2, "I"),   # ... then re-insert → survives as 30
+            ("d", 4, 1, "I"),    # new key ...
+            ("d", 0, 2, "D"),    # ... deleted in the same batch → gone
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(target, changes, "k", "seq").collect()}
+    assert out == {"a": 1, "b": 20, "c": 30}
