@@ -195,3 +195,53 @@ def test_apply_cdc_insert_update_delete(spark):
     )
     out = {r["k"]: r["v"] for r in apply_cdc(target, changes, "k", "seq").collect()}
     assert out == {"a": 1, "b": 20, "c": 30}
+
+
+def test_observe_metrics_collected_in_one_pass(spark):
+    """df.observe(): data-quality metrics ride along the job (no second
+    scan) and must equal an explicit aggregate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.observation import Observation
+
+    from dbt_slabbing_spark.catalog import table
+    from tests.conftest import SF_SMOKE
+
+    obs = Observation("orders_quality")
+    orders = table(spark, SF_SMOKE, "orders")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+    n_out = observed.filter(F.col("o_totalprice") > 0).count()
+    got = obs.get
+    expect = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.min("o_totalprice").alias("min_price"),
+    ).first()
+    assert got["n_rows"] == expect["n_rows"] >= n_out
+    assert got["null_cust"] == expect["null_cust"]
+    assert got["min_price"] == expect["min_price"]
+
+
+def test_text_format_roundtrip(spark, tmp_path):
+    """text source/sink: one string column per line, newline-delimited;
+    roundtrip preserves every line."""
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.catalog import table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "docs_text")
+    docs = table(spark, SF_SMOKE, "documents").select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.md5(F.col("text").cast("binary"))).alias(
+            "value"
+        )
+    )
+    docs.write.text(path)
+    back = spark.read.text(path)
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["value"] for r in docs.collect()
+    )
