@@ -93,19 +93,29 @@ _MODULES = (
 # driver-checked by definition) + the 9 queries never driver-checked
 # after r1-r3 + one oracle-refactor re-check
 # (dedup_cluster_representatives, shingle CTEs now shared) + 27
-# re-checks of queries last checked in round 1 (the stalest cohort; 14
+# re-checks of queries last checked in round 1 (the stalest cohort; 18
 # of the 41 r1-only queries defer to round 5: agg_count_distinct,
 # distinct_flag_status, join_inner_segment_counts,
 # sort_limit_top_orders, q2_min_unit_cost_supplier,
 # q4_late_shipment_orders, q6_forecast_revenue, q7_nation_trade,
-# q8_market_share, q20_heavy_part_shippers,
+# q8_market_share, q16_supplier_part_counts,
+# q17_small_quantity_revenue, q18_large_volume_orders,
+# q19_disjunctive_ranges, q20_heavy_part_shippers,
 # q22_dormant_rich_customers, setop_unpivot_price_stats,
-# sql_api_priority_stats, text_term_frequencies). After this round
-# every registry query except those 14 r1-greens has a driver
-# CORRECTNESS row; find stale ones: registry keys vs max round per key
-# across CORRECTNESS_r0*.json.
+# sql_api_priority_stats, text_term_frequencies — ALL verified green
+# by the local full-registry sweep on the round-4 regenerated data,
+# tools/parity_sweep.py 2026-08-14). Late round 4 added FOUR more
+# never-checked gates (duplicate-ngram fraction, C4 filters,
+# containment pairs, SQ8 top-k), slotted in over the last four r1
+# re-checks. After this round every registry query except those 18
+# r1-greens has a driver CORRECTNESS row; find stale ones: registry
+# keys vs max round per key across CORRECTNESS_r0*.json.
 _PRIORITY = (
     "text_rolling_hash_fingerprint",
+    "text_duplicate_ngram_fraction",
+    "text_c4_doc_filters",
+    "dedup_containment_pairs",
+    "sim_sq_int8_topk",
     "ref_mapping_truth_labels",
     "ref_ground_truth_labels",
     "text_bm25_topk",
@@ -151,10 +161,6 @@ _PRIORITY = (
     "q13_customer_order_distribution",
     "q14_promo_revenue_ratio",
     "q15_top_revenue_suppliers",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_ranges",
 )
 
 

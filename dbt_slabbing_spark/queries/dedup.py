@@ -510,3 +510,70 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_SQL_SHINGLE_CTES},
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingle GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common,
+           round((CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)) * 10000.0) / 10000.0 AS c_a_in_b,
+           round((CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)) * 10000.0) / 10000.0 AS c_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE),
+                   CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)) >= 0.6
+    """,
+    "directional shingle containment |A∩B|/|A| for candidate pairs — "
+    "detects docs CONTAINED in larger docs (and benchmark contamination), "
+    "which symmetric Jaccard misses when sizes differ",
+    tags=("dedup", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment C(A→B) = |A∩B| / |A| over df-capped shingle sets.
+
+    Jaccard under-scores a short doc fully embedded in a long one
+    (|A∩B|/|A∪B| ≈ |A|/|B| → 0), so near-dup pipelines miss quote-
+    expansions and benchmark-in-crawl contamination. Containment is the
+    standard fix (Broder 1997's two resemblance measures; what modern
+    decontamination tooling computes per eval example).
+
+    Same scale shape as the Jaccard pair join: candidates from the
+    df-capped shingle equi-join (bounded fan-out), one aggregation for
+    sizes, one for intersections — no cross join.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shingle = capped_shingles(docs)
+    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingle.alias("a")
+    b = shingle.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    c_ab = F.col("n_common").cast("double") / F.col("_na").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("_nb").cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.greatest(c_ab, c_ba) >= 0.6)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            dround(c_ab, 4).alias("c_a_in_b"),
+            dround(c_ba, 4).alias("c_b_in_a"),
+        )
+    )

@@ -471,3 +471,50 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, n_queries=5, k=3, m=4, sub_dim=16, ks=16, round_fn=lambda c: dround(c, 6)
     )
+
+
+@register(
+    "sim_sq_int8_topk",
+    f"""
+    WITH base AS (
+        SELECT vec_id, {_SQL_DVEC.format(col="embedding")} AS v FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                    THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5))
+               END AS q
+        FROM base
+    ),
+    scored AS (
+        SELECT p.vec_id AS query_id, c.vec_id,
+               CAST(list_dot_product(p.q, c.q) AS BIGINT) AS dot_q,
+               round((list_dot_product(p.q, c.q)
+                      / (sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(c.q, c.q)))) * 1000000.0)
+                   / 1000000.0 AS qcos
+        FROM coded c, (SELECT * FROM coded WHERE vec_id < 5) p
+        WHERE c.vec_id <> p.vec_id
+          AND sqrt(list_dot_product(p.q, p.q)) > 0 AND sqrt(list_dot_product(c.q, c.q)) > 0
+    )
+    SELECT query_id, vec_id, dot_q, qcos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    "int8 scalar-quantized (SQ8, max-abs per vector) cosine top-3 — "
+    "codes and integer dot products exactly hash-checked cross-engine",
+    tags=("similarity", "quantization"),
+)
+def sim_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 compressed-domain search (operators/quantize.py): encode once
+    to 1 byte/dim, rank by code-space cosine. The per-vector max-abs
+    scale cancels in the cosine, so ranking tracks the float ranking up
+    to rounding error — and every number here (codes, integer dots) is
+    bit-exact across engines, so unlike the recall-verdict ANN gates
+    this one is FULLY value-hash-checked.
+    """
+    from ..operators.quantize import sq8_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)

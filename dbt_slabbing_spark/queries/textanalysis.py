@@ -367,3 +367,118 @@ def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@register(
+    "text_duplicate_ngram_fraction",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 3),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM norm WHERE len(w) >= 5
+    ),
+    dfreq AS (
+        SELECT sh, count(DISTINCT doc_id) AS df FROM grams GROUP BY sh
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           round((CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0 AS dup_frac,
+           round((CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0 >= 0.3 AS flagged
+    FROM grams g JOIN dfreq USING (sh)
+    GROUP BY g.doc_id
+    """,
+    "per-doc fraction of word 5-gram positions whose 5-gram occurs in "
+    ">=2 documents (substring-level duplication signal, Lee et al. 2022)",
+    tags=("text", "dedup"),
+)
+def text_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram coverage, the substring-dedup quality signal.
+
+    Unlike the pair-producing shingle joins (queries/dedup.py), the join
+    here is per-occurrence x 1: the document-frequency table has ONE row
+    per distinct 5-gram, so a boilerplate shingle in a million docs adds
+    a million linear join rows, never df^2 — no df cap needed. Plan is
+    explode -> two hash aggregations (df table, per-doc rollup) + one
+    equi-join, all map-side combinable; shuffle volume is bounded by
+    the gram count, which is bounded by corpus token count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 5)).alias("sh")
+    )
+    dfreq = grams.groupBy("sh").agg(F.count_distinct("doc_id").alias("df"))
+    n_dup = F.sum((F.col("df") >= 2).cast("int")).cast("bigint")
+    frac = dround(n_dup.cast("double") / F.count(F.lit(1)).cast("double"), 4)
+    return (
+        grams.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            n_dup.alias("n_dup_grams"),
+            frac.alias("dup_frac"),
+            (frac >= 0.3).alias("flagged"),
+        )
+    )
+
+
+@register(
+    "text_c4_doc_filters",
+    f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_terminal,
+               rtrim(text) SIMILAR TO '.*[.!?]' AS ends_terminal,
+               contains(text, '{{') AS has_brace,
+               contains(lower(text), 'lorem ipsum') AS has_lorem
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_terminal, ends_terminal, has_brace, has_lorem,
+           round((CAST(n_words AS DOUBLE) / CAST(greatest(n_terminal, 1) AS DOUBLE)) * 10000.0) / 10000.0
+               AS words_per_sentence,
+           (n_words >= 5 AND n_terminal >= 3 AND ends_terminal
+            AND NOT has_brace AND NOT has_lorem) AS keep
+    FROM feat
+    """,
+    "C4-style document filter ruleset: sentence-count, terminal-punct, "
+    "brace and boilerplate heuristics -> keep flag",
+    tags=("text", "quality"),
+)
+def text_c4_doc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning ruleset (Raffel et al. 2020, appendix) as pure
+    Column expressions: >=3 sentences, terminal punctuation at EOD, no
+    curly braces (code), no 'lorem ipsum'. Whole-stage codegen, one scan,
+    no shuffle — at 100 TB this is a map-only pass that prunes before
+    any expensive dedup/similarity stage runs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_words = T.token_count(F.col("text")).cast("bigint")
+    n_terminal = F.regexp_count(F.col("text"), F.lit(r"[.!?]")).cast("bigint")
+    feat = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_terminal.alias("n_terminal"),
+        F.rtrim(F.col("text")).rlike(r"[.!?]$").alias("ends_terminal"),
+        F.col("text").contains("{").alias("has_brace"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
+    )
+    return feat.select(
+        "*",
+        dround(F.col("n_words").cast("double") / F.greatest(F.col("n_terminal"), F.lit(1)).cast("double"), 4).alias(
+            "words_per_sentence"
+        ),
+        (
+            (F.col("n_words") >= 5)
+            & (F.col("n_terminal") >= 3)
+            & F.col("ends_terminal")
+            & ~F.col("has_brace")
+            & ~F.col("has_lorem")
+        ).alias("keep"),
+    )

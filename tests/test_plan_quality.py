@@ -346,3 +346,53 @@ def test_pq_adc_codebook_and_dtable_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime semi-join reduction: a selective predicate on the DIM
+    side of a shuffle join should inject a bloom filter that prunes
+    fact rows BEFORE the exchange (might_contain in the fact-side
+    Filter, bloom_filter_agg on the dim side). At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~1/17th that can possibly match — Catalyst does it for free
+    once the thresholds see honest sizes, which is why SCALE.md insists
+    on ANALYZE'd tables instead of hand-rolled pre-filters.
+
+    The dim attribute comes from literal rows (not an expression over
+    the join key), so constraint propagation CANNOT rewrite the
+    predicate onto the fact side — the bloom filter is the only
+    fact-side pruning in the plan.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local toy sizes: the fact scan is ~1.6 MB, far below the
+        # 10 GB production default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).selectExpr("id % 1000 AS k", "id AS payload")
+        # dim goes through parquet: literal rows (ExistingRDD) carry the
+        # unknown-size default (Long.Max), which fails the creation-side
+        # threshold — the injection rule needs honest file-scan stats
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [(i, (i * i + 3) % 17) for i in range(1000)], "k long, attr long"
+            ).write.mode("overwrite").parquet(d)
+            dim = spark.read.parquet(d).filter("attr = 3")
+            plan = _executed_plan(fact.join(dim, "k"))
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
