@@ -29,7 +29,7 @@ is the CAPPED shingle set, mirrored exactly in the DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -575,5 +575,117 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             dround(c_ab, 4).alias("c_a_in_b"),
             dround(c_ba, 4).alias("c_b_in_a"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    f"""
+    WITH {_SQL_SHINGLE_CTES},
+    norm_hash AS (
+        SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents
+    ),
+    exact AS (
+        SELECT b.doc_id, min(c.doc_id) AS match_id
+        FROM norm_hash b JOIN norm_hash c ON b.h = c.h
+        WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        GROUP BY b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingle GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS bid, b.doc_id AS cid, CAST(count(*) AS BIGINT) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY bid, cid
+    ),
+    near AS (
+        SELECT bid AS doc_id, cid AS match_id,
+               round((CAST(n_common AS DOUBLE)
+                      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)) * 10000.0) / 10000.0 AS jac,
+               row_number() OVER (PARTITION BY bid ORDER BY
+                   round((CAST(n_common AS DOUBLE)
+                          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)) * 10000.0) / 10000.0 DESC,
+                   cid) AS rn
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = bid
+        JOIN sizes sb ON sb.doc_id = cid
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.match_id IS NOT NULL THEN 'exact'
+                WHEN n.match_id IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict,
+           coalesce(e.match_id, n.match_id) AS match_id,
+           CASE WHEN e.match_id IS NOT NULL THEN 1.0 ELSE n.jac END AS score
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+    LEFT JOIN exact e USING (doc_id)
+    LEFT JOIN (SELECT doc_id, match_id, jac FROM near WHERE rn = 1) n USING (doc_id)
+    """,
+    "incremental ingestion dedup: batch docs (odd doc_id) checked against "
+    "an existing corpus (even doc_id) — exact (normalized md5 anti-join) "
+    "then near-dup (capped-shingle Jaccard >= 0.5) -> exact/near/new verdict",
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl shape of dedup: a NEW batch is checked against an
+    INDEXED corpus, never corpus x corpus. Exact dups resolve on a hash
+    equi-join against the corpus hash index; near-dups on the df-capped
+    shingle join restricted to batch x corpus pairs. At 100 TB the
+    corpus side is a pre-materialized index (hash table + shingle
+    postings), so daily cost scales with the batch, not the corpus.
+
+    Verdict precedence: exact > near > new; near match picks the
+    highest rounded Jaccard (corpus doc_id tiebreak).
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 2 == 1
+    hashed = docs.select("doc_id", F.md5(normalized(F.col("text"))).alias("h"))
+    b_hash = hashed.filter(is_batch)
+    c_hash = hashed.filter(~is_batch).select(F.col("doc_id").alias("cid"), "h")
+    exact = (
+        b_hash.join(c_hash, "h")
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("e_match"))
+    )
+
+    shingle = capped_shingles(docs)
+    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingle.filter(is_batch).alias("a")
+    b = shingle.filter(~is_batch).alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("cid"), F.col("n_sh").alias("_nb"))
+    jac_raw = F.col("n_common").cast("double") / (F.col("_na") + F.col("_nb") - F.col("n_common")).cast("double")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jac"), F.asc("cid"))
+    near = (
+        inter.join(sa, "doc_id")
+        .join(sb, "cid")
+        .filter(jac_raw >= 0.5)
+        .withColumn("jac", dround(jac_raw, 4))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("cid").alias("n_match"), "jac")
+    )
+
+    batch = docs.filter(is_batch).select("doc_id")
+    return (
+        batch.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_match").isNotNull(), F.lit("exact"))
+            .when(F.col("n_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("e_match", "n_match").alias("match_id"),
+            F.when(F.col("e_match").isNotNull(), F.lit(1.0)).otherwise(F.col("jac")).alias("score"),
         )
     )

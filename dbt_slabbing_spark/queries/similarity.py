@@ -518,3 +518,210 @@ def sim_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@register(
+    "sim_truncated_rerank_topk",
+    f"""
+    WITH base AS (
+        SELECT vec_id, {_SQL_DVEC.format(col="embedding")} AS v,
+               {_SQL_DVEC.format(col="embedding")}[1:16] AS t
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, t AS qt FROM base WHERE vec_id < 5),
+    cand AS (
+        SELECT query_id, vec_id, v, qv, tcos FROM (
+            SELECT q.query_id, b.vec_id, b.v, q.qv,
+                   {_SQL_COS.format(a="q.qt", b="b.t")} AS tcos,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_SQL_COS.format(a="q.qt", b="b.t")} DESC, b.vec_id) AS rn
+            FROM base b, q
+            WHERE b.vec_id <> q.query_id
+        ) WHERE rn <= 20
+    )
+    SELECT query_id, vec_id, cos FROM (
+        SELECT query_id, vec_id,
+               {_SQL_COS.format(a="qv", b="v")} AS cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_SQL_COS.format(a="qv", b="v")} DESC, vec_id) AS rn2
+        FROM cand
+    ) WHERE rn2 <= 3
+    """,
+    "two-stage retrieval: top-20 candidates by 16-dim truncated cosine, "
+    "reranked to top-3 by full 64-dim cosine (Matryoshka-style serving)",
+    tags=("similarity", "rerank"),
+)
+def sim_truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncate-then-rerank, the Matryoshka-representation serving
+    pattern (Kusupati et al. 2022): candidate generation touches only
+    the first 16 of 64 dims (4× less memory bandwidth — at 100 TB the
+    candidate scan is the cost), then the exact full-dim cosine reranks
+    the 20 survivors. Every number is deterministic (rounded cosine,
+    id tiebreak), so unlike the recall-verdict ANN gates the result is
+    fully hash-checked.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.slice(F.col("embedding"), 1, 16).alias("t"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("t").alias("qt")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("tcos"), F.asc("vec_id"))
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("tcos", dround(cosine(F.col("qt"), F.col("t")), 6))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 20)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", dround(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= 3)
+        .select("query_id", "vec_id", "cos")
+    )
+
+
+@register(
+    "sim_lshpq_adc_topk",
+    # The combined big-ANN layout: LSH buckets prune candidates
+    # (sublinear scan), PQ/ADC scores the survivors in the compressed
+    # domain (m bytes per vector). Same fixed codebook and 4-plane
+    # bucket construction as the standalone gates, so the composition
+    # stays fully SQL-reproducible and hash-checked.
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT vec_id AS pid, dv AS pv FROM v WHERE vec_id < 4
+    ),
+    bucketed AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.dv, p.pv) > 0
+                             THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+        FROM v e, planes p GROUP BY e.vec_id
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id
+        FROM bucketed c JOIN (SELECT * FROM bucketed WHERE vec_id < 5) q
+          ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.vec_id
+    ),
+    sub AS (
+        SELECT vec_id, s, dv[s*16+1 : (s+1)*16] AS sv
+        FROM v, (SELECT unnest(range(4)) AS s)
+    ),
+    cb AS (
+        SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < 16
+    ),
+    enc AS (
+        SELECT vec_id, s, code,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY list_dot_product(sv, sv) + list_dot_product(cv, cv)
+                            - 2 * list_dot_product(sv, cv), code
+               ) AS rn
+        FROM sub JOIN cb USING (s)
+    ),
+    codes AS (
+        SELECT vec_id, s, code FROM enc WHERE rn = 1
+    ),
+    dtable AS (
+        SELECT q.vec_id AS query_id, cb.s, cb.code,
+               list_dot_product(q.sv, q.sv) + list_dot_product(cb.cv, cb.cv)
+               - 2 * list_dot_product(q.sv, cb.cv) AS part
+        FROM sub q JOIN cb ON q.s = cb.s
+        WHERE q.vec_id < 5
+    ),
+    adc AS (
+        SELECT cand.query_id, c.vec_id,
+               sum(CASE WHEN c.s = 0 THEN d.part END) AS p0,
+               sum(CASE WHEN c.s = 1 THEN d.part END) AS p1,
+               sum(CASE WHEN c.s = 2 THEN d.part END) AS p2,
+               sum(CASE WHEN c.s = 3 THEN d.part END) AS p3
+        FROM cand
+        JOIN codes c ON c.vec_id = cand.vec_id
+        JOIN dtable d ON d.query_id = cand.query_id AND d.s = c.s AND d.code = c.code
+        GROUP BY cand.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, approx_d2 FROM (
+        SELECT query_id, vec_id,
+               round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 AS approx_d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0,
+                                           vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= 3
+    """,
+    "LSH-pruned PQ/ADC top-3: 4-plane hyperplane buckets generate "
+    "candidates (equi-join, sublinear), PQ codes score them compressed "
+    "— the IVF-PQ-style two-tier layout, fully hash-checked",
+    tags=("similarity", "pq", "lsh", "ann"),
+)
+def sim_lshpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pruning (LSH buckets) + compressed-domain scoring
+    (PQ/ADC): the two-tier architecture every billion-vector ANN system
+    uses (FAISS IVF-PQ, ScaNN). At 100 TB: the bucket join replaces the
+    cross join with a shuffle on ~2^P keys, and the score join touches
+    the m-byte code table plus a broadcast per-query distance table —
+    raw vectors never move after encode. The fixed codebook keeps every
+    number SQL-reproducible (see operators/pq.py).
+    """
+    from ..operators.pq import fixed_codebook, pq_codes, subvectors
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    bucketed = (
+        emb.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(dot(F.col("embedding"), F.col("pv")) > 0, F.expr("shiftleft(cast(1 as bigint), pid)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
+    qb = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("_qb")
+    )
+    cand = (
+        bucketed.join(F.broadcast(qb), F.col("bucket") == F.col("_qb"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    sub = subvectors(emb, m=4, sub_dim=16)
+    cb = fixed_codebook(sub, ks=16)
+    codes = pq_codes(sub, cb)
+    dtable = (
+        sub.filter(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            (dot(F.col("sv"), F.col("sv")) + dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("sv"), F.col("cv"))).alias("part"),
+        )
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(*[F.sum(F.when(F.col("s") == s, F.col("part"))).alias(f"p{s}") for s in range(4)])
+    )
+    total = dround(sum((F.col(f"p{s}") for s in range(1, 4)), F.col("p0")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        adc.select("query_id", "vec_id", total.alias("approx_d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("query_id", "vec_id", "approx_d2")
+    )

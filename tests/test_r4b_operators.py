@@ -242,3 +242,159 @@ def test_c4_keep_rules_on_synthetic_docs(spark, text, keep):
     with patch.object(TA, "table", lambda s, sf, name: df):
         [row] = _REG["text_c4_doc_filters"].fn(spark, SF_SMOKE).collect()
     assert row["keep"] == keep
+
+
+# ------------------------------------------- truncated rerank
+
+
+def test_truncated_rerank_matches_python_model(spark):
+    got = [
+        (r["query_id"], r["vec_id"])
+        for r in _REG["sim_truncated_rerank_topk"].fn(spark, SF_SMOKE)
+        .orderBy("query_id", "vec_id")
+        .collect()
+    ]
+    emb = {vid: [float(x) for x in v] for vid, v in _embeddings().items()}
+
+    def rcos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb) * 1e6) / 1e6
+
+    want = []
+    for qid in sorted(v for v in emb if v < 5):
+        cand_ids = [
+            -m
+            for _, m in sorted(
+                ((rcos(emb[qid][:16], v[:16]), -vid) for vid, v in emb.items() if vid != qid),
+                reverse=True,
+            )[:20]
+        ]
+        rer = sorted(((rcos(emb[qid], emb[c]), -c) for c in cand_ids), reverse=True)[:3]
+        want.extend(sorted((qid, -m) for _, m in rer))
+    assert got == want
+
+
+# ------------------------------------------- incremental dedup
+
+
+def test_incremental_batch_matches_python_model(spark):
+    got = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in _REG["dedup_incremental_batch"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = _docs()
+    norm = {d: re.sub(r"\s+", " ", t.strip().lower()) for d, t in docs.items()}
+    import hashlib
+
+    h = {d: hashlib.md5(n.encode()).hexdigest() for d, n in norm.items()}
+    sets = {d: set(_ngrams(_words(t), 3)) for d, t in docs.items()}
+    dfreq = Counter(g for s in sets.values() for g in s)
+    capped = {d: {g for g in s if dfreq[g] <= 50} for d, s in sets.items()}
+    want = {}
+    for d in docs:
+        if d % 2 == 0:
+            continue
+        exact = sorted(c for c in docs if c % 2 == 0 and h[c] == h[d])
+        if exact:
+            want[d] = ("exact", exact[0])
+            continue
+        best = None
+        for c in docs:
+            if c % 2 == 1 or not capped[d] or not capped[c]:
+                continue
+            common = capped[d] & capped[c]
+            if not common:
+                continue
+            jac = len(common) / (len(capped[d]) + len(capped[c]) - len(common))
+            if jac >= 0.5:
+                key = (round(jac * 1e4) / 1e4, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+        want[d] = ("near", best[1]) if best else ("new", None)
+    assert got == want
+
+
+def test_incremental_batch_exact_beats_near(spark):
+    """A batch doc byte-identical (post-normalization) to a corpus doc
+    must report 'exact' with the lowest matching corpus id."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (2, "  Alpha   beta GAMMA delta epsilon zeta "),  # same normalized
+        (1, "alpha beta gamma delta epsilon zeta"),  # batch: exact dup of 0 and 2
+        (3, "totally unrelated content with other words entirely"),  # batch: new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import dbt_slabbing_spark.queries.dedup as DD
+    from unittest.mock import patch
+
+    with patch.object(DD, "table", lambda s, sf, name: df):
+        got = {
+            r["doc_id"]: (r["verdict"], r["match_id"], r["score"])
+            for r in _REG["dedup_incremental_batch"].fn(spark, SF_SMOKE).collect()
+        }
+    assert got[1] == ("exact", 0, 1.0)
+    assert got[3] == ("new", None, None)
+
+
+# ------------------------------------------- LSH-pruned PQ/ADC
+
+
+def test_lshpq_matches_python_model(spark):
+    got = [
+        (r["query_id"], r["vec_id"])
+        for r in _REG["sim_lshpq_adc_topk"].fn(spark, SF_SMOKE)
+        .orderBy("query_id", "vec_id")
+        .collect()
+    ]
+    emb = {vid: [float(x) for x in v] for vid, v in _embeddings().items()}
+
+    def d(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    planes = {p: emb[p] for p in range(4)}
+    bucket = {
+        vid: sum((1 << p) for p, pv in planes.items() if d(v, pv) > 0)
+        for vid, v in emb.items()
+    }
+    sub = {(vid, s): v[s * 16 : (s + 1) * 16] for vid, v in emb.items() for s in range(4)}
+    cb = {(c, s): sub[(c, s)] for c in range(16) for s in range(4)}
+    codes = {}
+    for (vid, s), sv in sub.items():
+        codes[(vid, s)] = min(
+            range(16),
+            key=lambda c: (
+                d(sv, sv) + d(cb[(c, s)], cb[(c, s)]) - 2 * d(sv, cb[(c, s)]),
+                c,
+            ),
+        )
+    want = []
+    for qid in range(5):
+        scored = []
+        for vid in emb:
+            if vid == qid or bucket[vid] != bucket[qid]:
+                continue
+            total = 0.0
+            for s in range(4):
+                qv, cv = sub[(qid, s)], cb[(codes[(vid, s)], s)]
+                total += d(qv, qv) + d(cv, cv) - 2 * d(qv, cv)
+            scored.append((round(total * 1e6) / 1e6, vid))
+        scored.sort()
+        want.extend(sorted((qid, vid) for _, vid in scored[:3]))
+    assert got == want
+
+
+def test_lshpq_candidates_strict_subset_of_corpus(spark):
+    """Bucket pruning must actually prune: per query, the ADC join
+    scores only same-bucket vectors, a strict subset of the corpus."""
+    emb = {vid: [float(x) for x in v] for vid, v in _embeddings().items()}
+
+    def d(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    bucket = {
+        vid: sum((1 << p) for p in range(4) if d(v, emb[p]) > 0) for vid, v in emb.items()
+    }
+    for qid in range(5):
+        n_cand = sum(1 for vid in emb if vid != qid and bucket[vid] == bucket[qid])
+        assert 0 < n_cand < len(emb) - 1
