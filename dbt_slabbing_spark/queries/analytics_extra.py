@@ -706,3 +706,58 @@ def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank_fixed(sym, iters=3, damping=0.85, round_fn=lambda c: dround(c, 12))
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+@register(
+    "ts_rolling_7d_user_spend",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, epoch(ts) AS ts_s,
+               CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    )
+    SELECT event_id, user_id,
+           CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS spend_7d_cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_prior
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+    """,
+    "leakage-free rolling feature: per purchase, the user's spend over "
+    "the PRIOR 7 days (exclusive range frame; integer cents, so the "
+    "frame sum is exact on both engines)",
+    tags=("timeseries", "window", "feature"),
+)
+def ts_rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-backfill twin of the SCD2 point-in-time join: a rolling
+    aggregate whose frame ends BEFORE the current row ([-7d, -1s]), so
+    the feature for each training example never sees the example
+    itself or its future — the textbook leakage bug is an inclusive
+    upper bound.
+
+    Exactness: money is summed as BIGINT cents. A double frame sum
+    would hash-diverge cross-engine — Spark adds rows in frame order
+    while a segment-tree window accumulates in tree order, and float
+    addition is not associative.
+
+    At 100 TB: one shuffle on user_id; the range frame is evaluated
+    per partition with a sliding two-pointer over the sorted user
+    timeline, state bounded by the 7-day row span, not history length.
+    """
+    p = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.round(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-604800, -1)
+    return p.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("bigint").alias("spend_7d_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prior"),
+    )

@@ -12,7 +12,7 @@ nested-loop over the full fact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -88,4 +88,76 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("e_id", "e_user")
         .agg(F.count("c_id").alias("n_preceding_5min"))
         .select(F.col("e_id").alias("event_id"), F.col("e_user").alias("user_id"), "n_preceding_5min")
+    )
+
+
+@register(
+    "join_scd2_point_in_time",
+    """
+    WITH changes AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               CAST(floor(value / 50.0) AS BIGINT) AS tier
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    pit AS (
+        SELECT c.event_id, c.user_id, d.tier
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        LEFT JOIN changes d
+          ON c.user_id = d.user_id
+         AND c.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+    )
+    SELECT tier, CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pit GROUP BY tier
+    """,
+    "SCD2 point-in-time join: purchase events become a slowly-changing "
+    "tier dimension (lead-window validity intervals); each click joins "
+    "the tier valid AT ITS TIMESTAMP — the leakage-free feature lookup",
+    tags=("join", "scd2", "temporal"),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build + point-in-time (PIT) correctness, the
+    feature-store join: a training example must see the feature value
+    that was CURRENT at example time, not the latest one (future
+    leakage) nor an arbitrary one.
+
+    Build: one lead() window turns a change log into [valid_from,
+    valid_to) intervals — non-overlapping per user by construction, so
+    the PIT join matches at most one dim row per fact (no fan-out).
+    Join: user_id equality keeps it a hash join; the interval predicate
+    is a post-join filter, never a nested-loop over the fact (same
+    stance as range_join_error_context). Clicks before the user's
+    first change keep tier NULL (left join) — visible, not dropped.
+
+    At 100 TB: the dimension is bounded by change count, not fact
+    count; both sides shuffle once on user_id, and a same-timestamp
+    double change collapses to an empty interval deterministically
+    ((ts, event_id) window order).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    changes = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.floor(F.col("value") / 50.0).cast("bigint").alias("tier"),
+            "event_id",
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .drop("event_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    pit = clicks.join(
+        changes,
+        (clicks["user_id"] == changes["user_id"])
+        & (clicks["ts"] >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (clicks["ts"] < F.col("valid_to"))),
+        "left",
+    ).select(clicks["event_id"], clicks["user_id"], "tier")
+    return pit.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count_distinct("user_id").alias("n_users"),
     )

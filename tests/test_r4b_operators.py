@@ -398,3 +398,88 @@ def test_lshpq_candidates_strict_subset_of_corpus(spark):
     for qid in range(5):
         n_cand = sum(1 for vid in emb if vid != qid and bucket[vid] == bucket[qid])
         assert 0 < n_cand < len(emb) - 1
+
+
+# ------------------------------------------- SCD2 point-in-time
+
+
+def _events():
+    t = pq.read_table(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    return t.to_pylist()
+
+
+def test_scd2_pit_matches_python_model(spark):
+    got = {
+        r["tier"]: (r["n_clicks"], r["n_users"])
+        for r in _REG["join_scd2_point_in_time"].fn(spark, SF_SMOKE).collect()
+    }
+    evs = _events()
+    changes = {}
+    for e in sorted(
+        (e for e in evs if e["event_type"] == "purchase" and e["value"] is not None),
+        key=lambda e: (e["ts"], e["event_id"]),
+    ):
+        changes.setdefault(e["user_id"], []).append(
+            (e["ts"], math.floor(e["value"] / 50.0))
+        )
+    assigned = []
+    for c in (e for e in evs if e["event_type"] == "click"):
+        tier = None
+        hist = changes.get(c["user_id"], [])
+        for i, (ts, t) in enumerate(hist):
+            nxt = hist[i + 1][0] if i + 1 < len(hist) else None
+            if c["ts"] >= ts and (nxt is None or c["ts"] < nxt):
+                tier = t
+                break
+        assigned.append((c["user_id"], tier))
+    want = {}
+    for tier in {t for _, t in assigned}:
+        rows = [(u, t) for u, t in assigned if t == tier]
+        want[tier] = (len(rows), len({u for u, _ in rows}))
+    assert got == want
+
+
+def test_scd2_pit_no_fanout(spark):
+    """Validity intervals are non-overlapping per user, so the PIT join
+    must match each click at most once: total clicks in = rows out."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    n_clicks_in = con.sql("SELECT count(*) FROM events WHERE event_type = 'click'").fetchone()[0]
+    out = _REG["join_scd2_point_in_time"].fn(spark, SF_SMOKE).agg(F.sum("n_clicks")).collect()
+    assert out[0][0] == n_clicks_in
+
+
+# ------------------------------------------- rolling 7d feature
+
+
+def test_rolling_7d_spend_matches_python_model(spark):
+    got = {
+        r["event_id"]: (r["spend_7d_cents"], r["n_prior"])
+        for r in _REG["ts_rolling_7d_user_spend"].fn(spark, SF_SMOKE).collect()
+    }
+    purchases = {}
+    for e in _events():
+        if e["event_type"] == "purchase" and e["value"] is not None:
+            purchases.setdefault(e["user_id"], []).append(
+                (int(e["ts"].timestamp()), e["event_id"], round(e["value"] * 100))
+            )
+    want = {}
+    for hist in purchases.values():
+        for ts, eid, _ in hist:
+            prior = [c for t2, e2, c in hist if ts - 604800 <= t2 <= ts - 1]
+            want[eid] = (sum(prior), len(prior))
+    assert got == want
+
+
+def test_rolling_7d_frame_excludes_current_row(spark):
+    """The leakage property itself: a user's FIRST purchase must have
+    spend_7d_cents == 0 — the frame never includes the current row."""
+    out = _REG["ts_rolling_7d_user_spend"].fn(spark, SF_SMOKE)
+    firsts = out.filter(F.col("n_prior") == 0).select("spend_7d_cents").distinct().collect()
+    assert [r[0] for r in firsts] == [0]
