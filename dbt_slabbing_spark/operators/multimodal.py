@@ -59,6 +59,12 @@ def detect_media_type(payload: bytes) -> str:
         return "wav"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload.startswith(b"ID3") or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
+    if payload.startswith(b"OggS"):
+        return "ogg"
     return "unknown"
 
 
@@ -211,6 +217,87 @@ def wav_metadata(payload: bytes) -> dict[str, int] | None:
         return None
 
 
+# MPEG1 Layer III bitrates (kbps) by header index; 0 = free, 15 = bad
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+# sample rates by (version_bits, rate_index); version 00=MPEG2.5 10=MPEG2 11=MPEG1
+_MP3_RATES = {
+    0b11: (44100, 48000, 32000),
+    0b10: (22050, 24000, 16000),
+    0b00: (11025, 12000, 8000),
+}
+
+
+def mp3_metadata(payload: bytes) -> dict[str, int] | None:
+    """{sample_rate, bitrate_kbps, n_channels} from the first MPEG audio
+    frame header (ISO 11172-3), skipping a leading ID3v2 tag (syncsafe
+    28-bit size). Header-only — no frame payload is touched."""
+    if detect_media_type(payload) != "mp3":
+        return None
+    i = 0
+    if payload.startswith(b"ID3"):
+        if len(payload) < 10:
+            return None
+        # syncsafe integer: 4 bytes, 7 bits each
+        size = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        i = 10 + size
+    if i + 4 > len(payload):
+        return None
+    h = payload[i : i + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    version = (h[1] >> 3) & 0x03
+    layer = (h[1] >> 1) & 0x03
+    if version == 0b01 or layer == 0b00:  # reserved version / layer
+        return None
+    bitrate_idx = (h[2] >> 4) & 0x0F
+    rate_idx = (h[2] >> 2) & 0x03
+    if rate_idx == 3 or bitrate_idx in (0, 15):
+        return None
+    rates = _MP3_RATES.get(version)
+    if rates is None:
+        return None
+    mode = (h[3] >> 6) & 0x03
+    # bitrate table is exact only for MPEG1 Layer III (the synth target);
+    # other version/layer combos still yield rate + channels
+    bitrate = _MP3_BITRATES[bitrate_idx] if (version == 0b11 and layer == 0b01) else None
+    out = {
+        "sample_rate": rates[rate_idx],
+        "n_channels": 1 if mode == 0b11 else 2,
+    }
+    if bitrate:
+        out["bitrate_kbps"] = bitrate
+    return out
+
+
+def ogg_metadata(payload: bytes) -> dict[str, int] | None:
+    """{sample_rate, n_channels} from the first OGG page's
+    identification packet — Vorbis I header ('\\x01vorbis') or Opus
+    ('OpusHead'). Page CRC is not verified (probe, not validator)."""
+    if detect_media_type(payload) != "ogg" or len(payload) < 28:
+        return None
+    if payload[4] != 0:  # stream structure version
+        return None
+    nseg = payload[26]
+    body = payload[27 + nseg :]
+    try:
+        if body.startswith(b"\x01vorbis") and len(body) >= 16:
+            (channels,) = struct.unpack("<B", body[11:12])
+            (rate,) = struct.unpack("<I", body[12:16])
+            return {"sample_rate": rate, "n_channels": channels}
+        if body.startswith(b"OpusHead") and len(body) >= 16:
+            channels = body[9]
+            (rate,) = struct.unpack("<I", body[12:16])
+            return {"sample_rate": rate, "n_channels": channels}
+    except struct.error:
+        return None
+    return None
+
+
 def decode_image(payload: bytes) -> Any:
     """Full pixel decode — requires PIL (absent here); header-only
     probing never needs it (see :func:`image_dimensions`)."""
@@ -255,6 +342,47 @@ def synth_wav(sample_rate: int, n_frames: int, n_channels: int = 1) -> bytes:
     return buf.getvalue()
 
 
+def synth_mp3(sample_rate: int = 44100, bitrate_kbps: int = 128, mono: bool = True) -> bytes:
+    """A minimal-but-real MP3: empty ID3v2.3 tag + one MPEG1 Layer III
+    frame header + zero payload. Header-respecting parsers read rate/
+    bitrate/channels from it."""
+    id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0])  # v2.3, no flags, size 0
+    rate_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    bitrate_idx = _MP3_BITRATES.index(bitrate_kbps)
+    b1 = 0xFF
+    b2 = 0xE0 | (0b11 << 3) | (0b01 << 1) | 0x01  # sync|MPEG1|LayerIII|no-CRC
+    b3 = (bitrate_idx << 4) | (rate_idx << 2)
+    b4 = (0b11 << 6) if mono else 0x00
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    return id3 + bytes([b1, b2, b3, b4]) + b"\x00" * max(frame_len - 4, 0)
+
+
+def synth_ogg_vorbis(sample_rate: int = 48000, n_channels: int = 2) -> bytes:
+    """A minimal OGG page carrying a Vorbis identification header.
+    Page CRC is left zero — the probe reads structure, not checksums."""
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<I", 0)  # vorbis_version
+        + struct.pack("<B", n_channels)
+        + struct.pack("<I", sample_rate)
+        + struct.pack("<iii", -1, 128000, -1)  # bitrate max/nominal/min
+        + b"\xb8"  # blocksizes
+        + b"\x01"  # framing bit
+    )
+    page = (
+        b"OggS"
+        + b"\x00"  # version
+        + b"\x02"  # header type: beginning of stream
+        + b"\x00" * 8  # granule position
+        + struct.pack("<I", 0xFEED)  # serial
+        + struct.pack("<I", 0)  # page sequence
+        + b"\x00" * 4  # CRC (unverified by the probe)
+        + bytes([1, len(ident)])  # one segment
+        + ident
+    )
+    return page
+
+
 MEDIA_PROBE_SCHEMA = (
     "doc_id bigint, media_type string, width int, height int, "
     "n_channels int, sample_rate int, duration_ms int"
@@ -277,14 +405,14 @@ def media_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             b = bytes(payload)
             kind = detect_media_type(b)
             dims = image_dimensions(b)
-            wav = wav_metadata(b)
+            audio = wav_metadata(b) or mp3_metadata(b) or ogg_metadata(b) or {}
             cols["doc_id"].append(doc_id)
             cols["media_type"].append(kind)
             cols["width"].append(dims[0] if dims else None)
             cols["height"].append(dims[1] if dims else None)
-            cols["n_channels"].append(wav["n_channels"] if wav else None)
-            cols["sample_rate"].append(wav["sample_rate"] if wav else None)
-            cols["duration_ms"].append(wav["duration_ms"] if wav else None)
+            cols["n_channels"].append(audio.get("n_channels"))
+            cols["sample_rate"].append(audio.get("sample_rate"))
+            cols["duration_ms"].append(audio.get("duration_ms"))
         out = pd.DataFrame(cols)
         for c in ("width", "height", "n_channels", "sample_rate", "duration_ms"):
             out[c] = out[c].astype("Int32")

@@ -169,3 +169,67 @@ def test_zorder_key_bit_budget_guard():
     with pytest.raises(ValueError, match="63-bit"):
         zorder_key([F.col(c) for c in "abcd"], bits=16)
 
+
+
+def test_mp3_header_parse_and_id3_skip():
+    """MPEG1 Layer III frame header behind an ID3v2 tag: rate index,
+    bitrate index and channel mode decode; reserved combinations and
+    truncations yield None."""
+    from dbt_slabbing_spark.operators.multimodal import (
+        detect_media_type,
+        mp3_metadata,
+        synth_mp3,
+    )
+
+    m = synth_mp3(44100, 128, mono=True)
+    assert detect_media_type(m) == "mp3"
+    assert mp3_metadata(m) == {"sample_rate": 44100, "n_channels": 1, "bitrate_kbps": 128}
+    assert mp3_metadata(synth_mp3(48000, 320, mono=False)) == {
+        "sample_rate": 48000,
+        "n_channels": 2,
+        "bitrate_kbps": 320,
+    }
+    # ID3 tag with nonzero syncsafe size: frame header sits after it
+    tagged = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 5]) + b"\x00" * 5 + synth_mp3(32000, 64)[10:]
+    assert mp3_metadata(tagged)["sample_rate"] == 32000
+    assert mp3_metadata(b"ID3") is None  # truncated tag
+    assert mp3_metadata(b"\xff\xe0") is None  # truncated frame header
+
+
+def test_ogg_vorbis_and_opus_identification():
+    from dbt_slabbing_spark.operators.multimodal import (
+        detect_media_type,
+        ogg_metadata,
+        synth_ogg_vorbis,
+    )
+    import struct as st
+
+    o = synth_ogg_vorbis(48000, 2)
+    assert detect_media_type(o) == "ogg"
+    assert ogg_metadata(o) == {"sample_rate": 48000, "n_channels": 2}
+    assert ogg_metadata(synth_ogg_vorbis(16000, 1)) == {"sample_rate": 16000, "n_channels": 1}
+    # Opus identification header in the same page framing
+    opus = b"OpusHead" + bytes([1, 2]) + b"\x00\x00" + st.pack("<I", 48000) + b"\x00\x00\x00"
+    page = (
+        b"OggS" + b"\x00" + b"\x02" + b"\x00" * 8
+        + st.pack("<I", 1) + st.pack("<I", 0) + b"\x00" * 4
+        + bytes([1, len(opus)]) + opus
+    )
+    assert ogg_metadata(page) == {"sample_rate": 48000, "n_channels": 2}
+    assert ogg_metadata(b"OggS" + b"\x01" + b"\x00" * 30) is None  # bad version
+
+
+def test_media_probe_covers_mp3_and_ogg(spark):
+    """The mapInPandas probe fills audio columns for the new formats."""
+    from dbt_slabbing_spark.operators.multimodal import (
+        probe_media,
+        synth_mp3,
+        synth_ogg_vorbis,
+    )
+
+    rows = [(1, synth_mp3(44100, 128)), (2, synth_ogg_vorbis(48000, 2)), (3, b"garbage")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in probe_media(df).collect()}
+    assert got[1]["media_type"] == "mp3" and got[1]["sample_rate"] == 44100
+    assert got[2]["media_type"] == "ogg" and got[2]["n_channels"] == 2
+    assert got[3]["media_type"] == "unknown" and got[3]["sample_rate"] is None
