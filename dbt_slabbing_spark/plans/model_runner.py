@@ -162,3 +162,62 @@ def run_incremental(
         shutil.rmtree(str(target))
         pathlib.Path(staging).rename(target)
     return spark.read.parquet(str(target))
+
+
+def run_snapshot(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    unique_key: str,
+    tracked_cols: list[str],
+    snapshot_time: str,
+) -> DataFrame:
+    """dbt-style SNAPSHOT materialization ('check' strategy): capture a
+    mutable source table's state as an SCD2 history.
+
+    First run seeds every source row as the current version
+    (valid_from = snapshot_time, open valid_to). Later runs diff the
+    source against the stored CURRENT rows on ``tracked_cols``
+    (null-safe): changed keys close their version at snapshot_time and
+    open a new one; unchanged keys are no-ops; brand-new keys open
+    their first version. Keys that VANISH from the source keep their
+    open version — dbt snapshots never delete history, they only
+    append to it. Re-running with an identical source is a no-op
+    (idempotent), so a crashed-and-retried schedule is safe.
+
+    The SCD2 fold itself is ``operators/merge.py::scd2_apply`` — same
+    versioning semantics as the CDC path, one code path to trust. The
+    rewrite is staging-then-swap like ``run_incremental``.
+
+    100 TB story: the diff is one key-equality join of source vs the
+    CURRENT slice (is_current pushes to the scan), and history grows
+    only by actual changes. Completes the materialization set:
+    view/ephemeral, cache/table, incremental, snapshot.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import scd2_apply
+
+    target = pathlib.Path(target_path)
+    snap_ts = F.lit(snapshot_time).cast("timestamp")
+    cols = [unique_key, *tracked_cols]
+    if not target.exists():
+        seeded = source.select(*cols).select(
+            "*",
+            snap_ts.alias("valid_from"),
+            F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        seeded.write.mode("overwrite").parquet(str(target))
+        return spark.read.parquet(str(target))
+
+    dim = spark.read.parquet(str(target))
+    changes = source.select(*cols).withColumn("_snap_at", snap_ts)
+    merged = scd2_apply(dim, changes, unique_key, "_snap_at", tracked_cols)
+    staging = str(target) + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(str(target))
+    pathlib.Path(staging).rename(target)
+    return spark.read.parquet(str(target))

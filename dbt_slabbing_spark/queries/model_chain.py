@@ -107,3 +107,73 @@ def model_incremental_hourly_mart(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     final = run_incremental(spark, model, target, sources={"events": events}, unique_key="_key")
     return final.drop("_key")
+
+
+@register(
+    "model_snapshot_customer_segments",
+    """
+    WITH src1 AS (
+        SELECT c_custkey AS id, c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    src2 AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS segment
+        FROM customer
+    ),
+    seed AS (  -- run-1 versions; closed at t2 iff the key changed in src2
+        SELECT s1.id, s1.segment,
+               CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS valid_from,
+               CASE WHEN s2.id IS NOT NULL AND s2.segment <> s1.segment
+                    THEN CAST('2024-02-01 00:00:00' AS TIMESTAMP)
+                    ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+               NOT (s2.id IS NOT NULL AND s2.segment <> s1.segment) AS is_current
+        FROM src1 s1 LEFT JOIN src2 s2 USING (id)
+    ),
+    opened AS (  -- run-2 versions: new keys + changed keys
+        SELECT s2.id, s2.segment,
+               CAST('2024-02-01 00:00:00' AS TIMESTAMP) AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current
+        FROM src2 s2 LEFT JOIN src1 s1 USING (id)
+        WHERE s1.id IS NULL OR s1.segment <> s2.segment
+    )
+    SELECT * FROM seed UNION ALL SELECT * FROM opened
+    """,
+    "dbt-style SNAPSHOT materialization driven end-to-end: seed run "
+    "over 2/3 of customers, second run over all customers with some "
+    "segments changed — the SCD2 history (closed + opened versions) "
+    "must equal the oracle's direct two-run diff",
+    tags=("sql", "models", "snapshot", "scd2"),
+)
+def model_snapshot_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for plans/model_runner.py::run_snapshot: two snapshot
+    generations over a mutating customer-segment source. The engine
+    folds generically (scd2_apply handles any change pattern); the
+    oracle states the closed-form two-run outcome — an independent
+    derivation, so a fold bug can't hide in a mirrored formula.
+    """
+    import tempfile
+
+    from ..catalog import table
+    from ..plans.model_runner import run_snapshot
+
+    cust = table(spark, sf_dir, "customer")
+    src1 = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("segment")
+    )
+    src2 = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    target = tempfile.mkdtemp(prefix="dbt_slabbing_snap_") + "/customer_segments"
+    run_snapshot(spark, src1, target, "id", ["segment"], "2024-01-01 00:00:00")
+    final = run_snapshot(spark, src2, target, "id", ["segment"], "2024-02-01 00:00:00")
+    # open versions carry the 9999-12-31 storage sentinel, which
+    # overflows pandas ns timestamps in the driver's toPandas — the
+    # gate projects open-ended as NULL (oracle states the same)
+    return final.withColumn(
+        "valid_to", F.when(F.col("is_current"), F.lit(None).cast("timestamp")).otherwise(F.col("valid_to"))
+    )

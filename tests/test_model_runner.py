@@ -184,3 +184,44 @@ def test_dbt_style_data_checks(spark):
     assert all(
         run_checks([not_null_check(empty, "o_custkey")])[0].passed for _ in range(1)
     )
+
+
+def test_snapshot_materialization_builds_scd2_history(spark, tmp_path):
+    """Three runs over a mutating source: seed -> change one key + add
+    one -> identical re-run (idempotence). Vanished keys keep their
+    open version (dbt snapshots never delete)."""
+    from dbt_slabbing_spark.plans.model_runner import run_snapshot
+
+    p = str(tmp_path / "snap_customers")
+
+    def src(rows):
+        return spark.createDataFrame(rows, "id long, segment string")
+
+    # run 1: seed
+    out1 = run_snapshot(
+        spark, src([(1, "basic"), (2, "gold")]), p, "id", ["segment"], "2024-01-01 00:00:00"
+    )
+    assert out1.count() == 2
+    assert out1.filter("is_current").count() == 2
+
+    # run 2: key 1 changes, key 3 appears, key 2 VANISHES from source
+    out2 = run_snapshot(
+        spark, src([(1, "gold"), (3, "basic")]), p, "id", ["segment"], "2024-02-01 00:00:00"
+    )
+    # collect NOW: each run swaps the target dir, invalidating lazy
+    # frames returned by earlier runs (staging-then-swap semantics)
+    rows = {(r["id"], r["segment"], r["is_current"]): r for r in out2.collect()}
+    n2 = len(rows)
+    assert (1, "basic", False) in rows and (1, "gold", True) in rows
+    assert (3, "basic", True) in rows
+    assert (2, "gold", True) in rows  # vanished key keeps open version
+    closed = rows[(1, "basic", False)]
+    assert str(closed["valid_to"]).startswith("2024-02-01")
+
+    # run 3: identical source -> byte-level no-op
+    out3 = run_snapshot(
+        spark, src([(1, "gold"), (3, "basic")]), p, "id", ["segment"], "2024-03-01 00:00:00"
+    )
+    assert out3.count() == n2
+    assert out3.filter("is_current").count() == 3
+    assert out3.filter("valid_from >= '2024-03-01'").count() == 0
