@@ -115,3 +115,33 @@ def slow_row_udf_upper():
     twin (``F.upper``); never use this shape in a hot path.
     """
     return F.udf(lambda s: s.upper() if s is not None else None, "string")
+
+
+class LeadingWords:
+    """Python UDTF with a dynamic output schema (Spark 4 ``analyze``):
+    the first N normalized words of a document as N COLUMNS
+    ``word_0..word_{N-1}`` — N is a literal argument, so the schema is
+    computed at ANALYSIS time from the call site, not hardcoded.
+
+    This is the API for UDTFs whose shape depends on their arguments
+    (pivots, feature expanders, fixed-width tokenizers); Catalyst sees
+    the concrete schema, so downstream pruning/codegen work as if the
+    columns were declared by hand.
+    """
+
+    @staticmethod
+    def analyze(text, n):  # noqa: ANN001, D102 — Spark UDTF protocol
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        if not n.isConstantExpression:
+            raise Exception("LeadingWords: n must be a constant literal")
+        schema = StructType()
+        for i in range(int(n.value)):
+            schema = schema.add(f"word_{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):  # noqa: D102
+        words = [] if text is None else [t for t in text.strip().lower().split() if t]
+        padded = words[:n] + [None] * max(0, n - len(words))
+        yield tuple(padded)

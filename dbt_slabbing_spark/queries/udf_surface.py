@@ -169,3 +169,34 @@ def udf_map_in_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = emb.mapInArrow(_arrow_l2_norms, "vec_id bigint, l2_norm double")
     return out.select("vec_id", dround(F.col("l2_norm"), 6).alias("l2_norm"))
+
+
+@register(
+    "udf_udtf_dynamic_schema",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                           t -> t <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id, w[1] AS word_0, w[2] AS word_1, w[3] AS word_2 FROM norm
+    """,
+    "Python UDTF with analyze()-computed DYNAMIC schema: the literal "
+    "argument n=3 becomes three typed output columns at analysis time",
+    tags=("udf", "udtf", "dynamic-schema"),
+)
+def udf_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for functions/python_udfs.py::LeadingWords — the Spark 4
+    UDTF ``analyze`` protocol (schema computed from the call site's
+    constant argument). Catalyst plans against the concrete 3-column
+    schema, so column pruning and codegen behave as if declared."""
+    from pyspark.sql.functions import udtf
+
+    from ..functions.python_udfs import LeadingWords
+
+    spark.udtf.register("leading_words", udtf(LeadingWords))
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs_dyn")
+    return spark.sql(
+        "SELECT d.doc_id, w.* FROM _udtf_docs_dyn d, LATERAL leading_words(d.text, 3) w"
+    )
