@@ -8,7 +8,9 @@ sf=0.01 (row count + schema + order-insensitive value hash), so:
 - every computed column is aliased to the SAME name on both sides;
 - double-typed aggregates are rounded identically on both sides (sums to
   2 dp, ratios/avgs to 4 dp) so cross-engine float summation order can't
-  flip the hash;
+  flip the hash; every rounding — helper or inline — ends `+ 0.0`
+  because DuckDB's double round keeps NEGATIVE ZERO where Spark's
+  BigDecimal round does not (rounding.py has the full story);
 - any LIMIT/top-k query orders by a unique tiebreaker so the selected SET
   is deterministic.
 

@@ -44,12 +44,12 @@ WITH RECURSIVE spine(month) AS (
 counts AS (
     SELECT date_trunc('month', o_orderdate) AS month,
            count(*) AS n,
-           round((sum(o_totalprice)) * 100.0) / 100.0 AS revenue
+           round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS revenue
     FROM {orders} GROUP BY 1
 )
 SELECT s.month,
        CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders,
-       round((coalesce(c.revenue, 0.0)) * 100.0) / 100.0 AS revenue,
+       round((coalesce(c.revenue, 0.0)) * 100.0) / 100.0 + 0.0 AS revenue,
        CAST(sum(coalesce(c.n, 0)) OVER (ORDER BY s.month) AS BIGINT) AS cum_orders
 FROM spine s LEFT JOIN counts c ON c.month = s.month
 """
@@ -105,10 +105,10 @@ def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIST_SQL = """
 SELECT l_returnflag,
        count(*) AS n,
-       round((median(l_extendedprice)) * 100.0) / 100.0 AS median_price,
-       round((percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 AS p25,
-       round((percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 AS p75,
-       round((percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 AS p90_disc
+       round((median(l_extendedprice)) * 100.0) / 100.0 + 0.0 AS median_price,
+       round((percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 + 0.0 AS p25,
+       round((percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 + 0.0 AS p75,
+       round((percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)) * 100.0) / 100.0 + 0.0 AS p90_disc
 FROM {lineitem}
 GROUP BY l_returnflag
 """
@@ -259,11 +259,11 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_regression",
     """
     SELECT l_returnflag,
-           round((corr(l_quantity, l_extendedprice)) * 10000.0) / 10000.0 AS corr_qty_price,
-           round((covar_samp(l_quantity, l_extendedprice)) * 100.0) / 100.0 AS covar_qty_price,
-           round((regr_slope(l_extendedprice, l_quantity)) * 10000.0) / 10000.0 AS slope,
-           round((regr_intercept(l_extendedprice, l_quantity)) * 100.0) / 100.0 AS intercept,
-           round((regr_r2(l_extendedprice, l_quantity)) * 10000.0) / 10000.0 AS r2
+           round((corr(l_quantity, l_extendedprice)) * 10000.0) / 10000.0 + 0.0 AS corr_qty_price,
+           round((covar_samp(l_quantity, l_extendedprice)) * 100.0) / 100.0 + 0.0 AS covar_qty_price,
+           round((regr_slope(l_extendedprice, l_quantity)) * 10000.0) / 10000.0 + 0.0 AS slope,
+           round((regr_intercept(l_extendedprice, l_quantity)) * 100.0) / 100.0 + 0.0 AS intercept,
+           round((regr_r2(l_extendedprice, l_quantity)) * 10000.0) / 10000.0 + 0.0 AS r2
     FROM lineitem GROUP BY l_returnflag
     """,
     "bivariate stats per return flag: corr, covar_samp, OLS slope/"
@@ -301,7 +301,7 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     types AS (SELECT DISTINCT event_type FROM events),
     hourly AS (
         SELECT date_trunc('hour', ts) AS hour, event_type,
-               round((avg(value)) * 10000.0) / 10000.0 AS avg_v
+               round((avg(value)) * 10000.0) / 10000.0 + 0.0 AS avg_v
         FROM events GROUP BY 1, 2
     )
     SELECT g.hour, g.event_type, h.avg_v,

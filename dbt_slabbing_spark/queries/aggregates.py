@@ -40,11 +40,11 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats_moments",
     """
     SELECT l_returnflag,
-           round((stddev_samp(l_quantity)) * 10000.0) / 10000.0 AS sd_qty,
-           round((var_samp(l_quantity)) * 10000.0) / 10000.0    AS var_qty,
-           round((quantile_cont(l_quantity, 0.5)) * 10000.0) / 10000.0 AS median_qty,
-           round((min(l_quantity)) * 100.0) / 100.0 AS min_qty,
-           round((max(l_quantity)) * 100.0) / 100.0 AS max_qty
+           round((stddev_samp(l_quantity)) * 10000.0) / 10000.0 + 0.0 AS sd_qty,
+           round((var_samp(l_quantity)) * 10000.0) / 10000.0 + 0.0    AS var_qty,
+           round((quantile_cont(l_quantity, 0.5)) * 10000.0) / 10000.0 + 0.0 AS median_qty,
+           round((min(l_quantity)) * 100.0) / 100.0 + 0.0 AS min_qty,
+           round((max(l_quantity)) * 100.0) / 100.0 + 0.0 AS max_qty
     FROM lineitem GROUP BY l_returnflag
     """,
     "statistical aggregates incl. exact interpolated median",
@@ -68,7 +68,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(l_returnflag) AS INT) AS g_flag,
            CAST(grouping(l_linestatus) AS INT) AS g_status,
            CAST(count(*) AS BIGINT) AS n,
-           round((sum(l_quantity)) * 100.0) / 100.0 AS sum_qty
+           round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -90,7 +90,7 @@ def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           round((sum(o_totalprice)) * 100.0) / 100.0 AS total
+           round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS total
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
@@ -133,7 +133,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
            CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)    AS n_errors,
-           round((sum(value) FILTER (WHERE event_type = 'purchase')) * 100.0) / 100.0     AS purchase_value
+           round((sum(value) FILTER (WHERE event_type = 'purchase')) * 100.0) / 100.0 + 0.0     AS purchase_value
     FROM events GROUP BY user_id
     """,
     "conditional/filtered aggregation",

@@ -161,14 +161,14 @@ _SQL_U01 = "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) 
     "sample_weighted_noreplacement",
     f"""
     SELECT doc_id, lang, n_chars,
-           round(key * 1000000000.0) / 1000000000.0 AS key
+           round(key * 1000000000.0) / 1000000000.0 + 0.0 AS key
     FROM (
         SELECT doc_id, lang, n_chars,
                -ln({_SQL_U01}) / n_chars AS key
         FROM documents
         WHERE n_chars > 0
     )
-    ORDER BY round(key * 1000000000.0) / 1000000000.0, doc_id
+    ORDER BY round(key * 1000000000.0) / 1000000000.0 + 0.0, doc_id
     LIMIT 50
     """,
     "weighted sampling WITHOUT replacement (Efraimidis-Spirakis): "
@@ -282,7 +282,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT CAST(year(ts) AS INT) AS y,
            CAST(month(ts) AS INT) AS m,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value) * 100.0) / 100.0 AS total_value
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS total_value
     FROM events
     GROUP BY ROLLUP (y, m)
     """,
@@ -441,7 +441,7 @@ def agg_bitmap_exact_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         FROM events
     )
     SELECT user_id,
-           round((sum(value * dt_s) / sum(dt_s)) * 10000.0) / 10000.0 AS twa_value,
+           round((sum(value * dt_s) / sum(dt_s)) * 10000.0) / 10000.0 + 0.0 AS twa_value,
            CAST(count(*) AS BIGINT) AS n_intervals
     FROM stepped
     WHERE dt_s IS NOT NULL AND dt_s > 0
@@ -543,7 +543,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT event_type, window_start, CAST(n AS BIGINT) AS n,
                round(((n - avg(n) OVER (PARTITION BY event_type))
-                      / NULLIF(stddev_pop(n) OVER (PARTITION BY event_type), 0.0)) * 10000.0) / 10000.0 AS z
+                      / NULLIF(stddev_pop(n) OVER (PARTITION BY event_type), 0.0)) * 10000.0) / 10000.0 + 0.0 AS z
         FROM hourly
     )
     SELECT event_type, window_start, n, z
@@ -653,7 +653,7 @@ def _sql_pagerank_oracle(iters: int = 3) -> str:
     ),
     r{i} AS (
         SELECT d.node, d.outdeg,
-               round((0.15 / n.n + 0.85 * i.inc) * 1000000000000.0) / 1000000000000.0 AS rank
+               round((0.15 / n.n + 0.85 * i.inc) * 1000000000000.0) / 1000000000000.0 + 0.0 AS rank
         FROM deg d JOIN inc{i} i ON d.node = i.node CROSS JOIN n
     )""")
         prev = f"r{i}"

@@ -59,7 +59,7 @@ def fn_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_hot_keys",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           round((sum(value)) * 100.0) / 100.0 AS total
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total
     FROM events GROUP BY event_type
     """,
     "two-phase salted aggregation over 5 hot keys (manual skew pattern; "
@@ -86,7 +86,7 @@ def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS total_revenue
+               round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 + 0.0 AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01'
         GROUP BY l_suppkey
@@ -119,7 +119,7 @@ def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT round((sum(l_extendedprice) / 7.0) * 10000.0) / 10000.0 AS avg_yearly
+    SELECT round((sum(l_extendedprice) / 7.0) * 10000.0) / 10000.0 + 0.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN (SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg_qty
@@ -174,7 +174,7 @@ def agg_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_orc_roundtrip",
     """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-           round((sum(o_totalprice)) * 100.0) / 100.0 AS revenue
+           round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS revenue
     FROM orders GROUP BY o_orderstatus
     """,
     "ORC sink + source roundtrip (SURVEY §2.6 scans/sinks): aggregate, "

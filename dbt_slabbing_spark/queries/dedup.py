@@ -203,7 +203,7 @@ def dedup_normalized_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND l.doc_id < r.doc_id
     )
     SELECT p.id_a, p.id_b,
-           round((len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) / 8.0) * 10000.0) / 10000.0
+           round((len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) / 8.0) * 10000.0) / 10000.0 + 0.0
                AS est_jaccard
     FROM pairs p
     JOIN sig sa ON sa.doc_id = p.id_a
@@ -240,7 +240,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
-           round((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0) / 10000.0 AS jaccard
+           round((n_common / (sa.n_sh + sb.n_sh - n_common)) * 10000.0) / 10000.0 + 0.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -525,8 +525,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY id_a, id_b
     )
     SELECT id_a, id_b, n_common,
-           round((CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)) * 10000.0) / 10000.0 AS c_a_in_b,
-           round((CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)) * 10000.0) / 10000.0 AS c_b_in_a
+           round((CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 AS c_a_in_b,
+           round((CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 AS c_b_in_a
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -605,10 +605,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near AS (
         SELECT bid AS doc_id, cid AS match_id,
                round((CAST(n_common AS DOUBLE)
-                      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)) * 10000.0) / 10000.0 AS jac,
+                      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 AS jac,
                row_number() OVER (PARTITION BY bid ORDER BY
                    round((CAST(n_common AS DOUBLE)
-                          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)) * 10000.0) / 10000.0 DESC,
+                          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 DESC,
                    cid) AS rn
         FROM inter
         JOIN sizes sa ON sa.doc_id = bid

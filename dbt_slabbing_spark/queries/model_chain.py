@@ -26,7 +26,7 @@ _MODELS = {
     "mart_segment_year_revenue": """
         SELECT c_mktsegment, CAST(o_year AS INT) AS o_year,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round((sum(o_totalprice)) * 100.0) / 100.0 AS revenue
+               round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS revenue
         FROM {{ ref('stg_orders') }} o
         JOIN {{ ref('stg_customers') }} c ON o.o_custkey = c.c_custkey
         GROUP BY c_mktsegment, o_year
@@ -39,7 +39,7 @@ _MODELS = {
     """
     SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round((sum(o_totalprice)) * 100.0) / 100.0 AS revenue
+           round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderstatus <> 'P'
     GROUP BY c_mktsegment, o_year
@@ -58,7 +58,7 @@ def model_chain_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round((sum(value)) * 100.0) / 100.0 AS total_value
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value
     FROM events GROUP BY hour, event_type
     """,
     "dbt-style INCREMENTAL materialization driven end-to-end: first "
@@ -91,7 +91,7 @@ def model_incremental_hourly_mart(spark: SparkSession, sf_dir: str) -> DataFrame
     model = """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               round((sum(value)) * 100.0) / 100.0 AS total_value,
+               round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value,
                concat(CAST(date_trunc('hour', ts) AS STRING), '|', event_type) AS _key
         FROM {{ source('events') }}
         {% if is_incremental() %}

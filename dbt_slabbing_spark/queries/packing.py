@@ -114,7 +114,7 @@ def train_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(((least(n_tok / 50.0, 1.0)
                       + (1.0 - least(abs(stop_ratio - 0.1), 1.0))
                       + (CASE WHEN atl >= 2.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END)
-                     ) / 3.0) * 10000.0) / 10000.0 AS quality
+                     ) / 3.0) * 10000.0) / 10000.0 + 0.0 AS quality
         FROM feat
     )
     SELECT doc_id, quality,

@@ -35,13 +35,13 @@ from . import dround, register
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round((sum(l_quantity)) * 100.0) / 100.0                                        AS sum_qty,
-           round((sum(l_extendedprice)) * 100.0) / 100.0                                   AS sum_base_price,
-           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0                AS sum_disc_price,
-           round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0) / 100.0 AS sum_charge,
-           round((avg(l_quantity)) * 10000.0) / 10000.0      AS avg_qty,
-           round((avg(l_extendedprice)) * 10000.0) / 10000.0 AS avg_price,
-           round((avg(l_discount)) * 10000.0) / 10000.0      AS avg_disc,
+           round((sum(l_quantity)) * 100.0) / 100.0 + 0.0                                        AS sum_qty,
+           round((sum(l_extendedprice)) * 100.0) / 100.0 + 0.0                                   AS sum_base_price,
+           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 + 0.0                AS sum_disc_price,
+           round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0) / 100.0 + 0.0 AS sum_charge,
+           round((avg(l_quantity)) * 10000.0) / 10000.0 + 0.0      AS avg_qty,
+           round((avg(l_extendedprice)) * 10000.0) / 10000.0 + 0.0 AS avg_price,
+           round((avg(l_discount)) * 10000.0) / 10000.0 + 0.0      AS avg_disc,
            count(*)                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -69,7 +69,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue,
+           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 + 0.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -120,7 +120,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     """
     SELECT n_name,
-           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue
+           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 + 0.0 AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -160,7 +160,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT round((sum(l_extendedprice * l_discount)) * 100.0) / 100.0 AS revenue
+    SELECT round((sum(l_extendedprice * l_discount)) * 100.0) / 100.0 + 0.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -192,7 +192,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_inner_segment_counts",
     """
     SELECT c_mktsegment, count(*) AS n_orders,
-           round((sum(o_totalprice)) * 100.0) / 100.0 AS total_value
+           round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS total_value
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -213,7 +213,7 @@ def join_inner_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_order_counts",
     """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round((coalesce(sum(o_totalprice), 0.0)) * 100.0) / 100.0 AS total_value
+           round((coalesce(sum(o_totalprice), 0.0)) * 100.0) / 100.0 + 0.0 AS total_value
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey
     """,
@@ -309,7 +309,7 @@ def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "subquery_orders_above_cust_avg",
     """
-    SELECT o_orderkey, o_custkey, round((o_totalprice) * 100.0) / 100.0 AS o_totalprice
+    SELECT o_orderkey, o_custkey, round((o_totalprice) * 100.0) / 100.0 + 0.0 AS o_totalprice
     FROM orders
     JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
           FROM orders GROUP BY o_custkey) a
@@ -337,7 +337,7 @@ def subquery_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "sort_limit_top_orders",
     """
-    SELECT o_orderkey, round((o_totalprice) * 100.0) / 100.0 AS o_totalprice, o_orderpriority
+    SELECT o_orderkey, round((o_totalprice) * 100.0) / 100.0 + 0.0 AS o_totalprice, o_orderpriority
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 25
@@ -368,8 +368,8 @@ def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_api_priority_stats",
     """
     SELECT o_orderpriority, count(*) AS n,
-           round((min(o_totalprice)) * 100.0) / 100.0 AS min_price,
-           round((max(o_totalprice)) * 100.0) / 100.0 AS max_price
+           round((min(o_totalprice)) * 100.0) / 100.0 + 0.0 AS min_price,
+           round((max(o_totalprice)) * 100.0) / 100.0 + 0.0 AS max_price
     FROM orders
     WHERE o_orderstatus <> 'P'
     GROUP BY o_orderpriority
@@ -384,8 +384,8 @@ def sql_api_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n,
-               round((min(o_totalprice)) * 100.0) / 100.0 AS min_price,
-               round((max(o_totalprice)) * 100.0) / 100.0 AS max_price
+               round((min(o_totalprice)) * 100.0) / 100.0 + 0.0 AS min_price,
+               round((max(o_totalprice)) * 100.0) / 100.0 + 0.0 AS max_price
         FROM _rel_orders
         WHERE o_orderstatus <> 'P'
         GROUP BY o_orderpriority

@@ -17,7 +17,7 @@ from . import dround, register
     "q7_nation_trade",
     """
     SELECT supp_nation, cust_nation, l_year,
-           round((sum(volume)) * 100.0) / 100.0 AS revenue
+           round((sum(volume)) * 100.0) / 100.0 + 0.0 AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
@@ -65,7 +65,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     """
     SELECT c_custkey, c_name, n_name,
-           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue
+           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 + 0.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -97,7 +97,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_last_state_per_user",
     """
     SELECT user_id, event_type AS last_type,
-           round((value) * 100.0) / 100.0 AS last_value
+           round((value) * 100.0) / 100.0 + 0.0 AS last_value
     FROM (
         SELECT user_id, event_type, value,
                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -120,13 +120,13 @@ def agg_last_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_unpivot_price_stats",
     """
-    SELECT o_orderpriority, 'min_price' AS stat, round((min(o_totalprice)) * 100.0) / 100.0 AS price
+    SELECT o_orderpriority, 'min_price' AS stat, round((min(o_totalprice)) * 100.0) / 100.0 + 0.0 AS price
     FROM orders GROUP BY o_orderpriority
     UNION ALL
-    SELECT o_orderpriority, 'max_price' AS stat, round((max(o_totalprice)) * 100.0) / 100.0 AS price
+    SELECT o_orderpriority, 'max_price' AS stat, round((max(o_totalprice)) * 100.0) / 100.0 + 0.0 AS price
     FROM orders GROUP BY o_orderpriority
     UNION ALL
-    SELECT o_orderpriority, 'avg_price' AS stat, round((avg(o_totalprice)) * 10000.0) / 10000.0 AS price
+    SELECT o_orderpriority, 'avg_price' AS stat, round((avg(o_totalprice)) * 10000.0) / 10000.0 + 0.0 AS price
     FROM orders GROUP BY o_orderpriority
     """,
     "unpivot via stack(): wide per-priority stats → long (stat, value) rows",

@@ -85,12 +85,12 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math_suite",
     """
     SELECT o_orderkey,
-           round((abs(o_totalprice - 100000)) * 10000.0) / 10000.0   AS abs_dev,
+           round((abs(o_totalprice - 100000)) * 10000.0) / 10000.0 + 0.0   AS abs_dev,
            CAST(ceil(o_totalprice / 1000) AS BIGINT)  AS price_ceil_k,
            CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_floor_k,
-           round((sqrt(o_totalprice)) * 10000.0) / 10000.0           AS price_sqrt,
-           round((ln(o_totalprice)) * 10000.0) / 10000.0             AS price_ln,
-           round((pow(o_totalprice / 100000, 2)) * 10000.0) / 10000.0 AS price_sq,
+           round((sqrt(o_totalprice)) * 10000.0) / 10000.0 + 0.0           AS price_sqrt,
+           round((ln(o_totalprice)) * 10000.0) / 10000.0 + 0.0             AS price_ln,
+           round((pow(o_totalprice / 100000, 2)) * 10000.0) / 10000.0 + 0.0 AS price_sq,
            CAST(o_orderkey % 7 AS BIGINT)         AS key_mod
     FROM orders WHERE o_totalprice > 0
     """,
@@ -144,7 +144,7 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
            CAST(count(*) AS BIGINT) AS n,
-           round((avg(value)) * 10000.0) / 10000.0 AS avg_value
+           round((avg(value)) * 10000.0) / 10000.0 + 0.0 AS avg_value
     FROM events
     GROUP BY k
     """,
@@ -185,10 +185,10 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 AS vec_sum,
-           round((CAST(list_max(embedding) AS DOUBLE)) * 10000.0) / 10000.0 AS vec_max,
-           round((CAST(embedding[1] AS DOUBLE)) * 10000.0) / 10000.0        AS first_component,
-           round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 AS sq_norm
+           round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 + 0.0 AS vec_sum,
+           round((CAST(list_max(embedding) AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 AS vec_max,
+           round((CAST(embedding[1] AS DOUBLE)) * 10000.0) / 10000.0 + 0.0        AS first_component,
+           round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 + 0.0 AS sq_norm
     FROM embeddings
     """,
     "array functions: size/aggregate/transform/element access on array<float>",
@@ -251,9 +251,9 @@ def fn_case_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(json_extract_string(props, '$.k') AS INT)       AS k_int,
            TRY_CAST(event_type AS INT)                              AS type_as_int,
            CASE WHEN value = 0 THEN NULL
-                ELSE round((100.0 / value) * 10000.0) / 10000.0 END AS per_value,
+                ELSE round((100.0 / value) * 10000.0) / 10000.0 + 0.0 END AS per_value,
            CASE WHEN value >= 0
-                THEN round((sqrt(value)) * 10000.0) / 10000.0 END   AS sqrt_value
+                THEN round((sqrt(value)) * 10000.0) / 10000.0 + 0.0 END   AS sqrt_value
     FROM events
     """,
     "error-safe evaluation: try_cast on malformed input, try_divide by "
@@ -285,7 +285,7 @@ def fn_try_error_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN l_extendedprice < 45000 THEN 'mid'
                 ELSE 'high' END AS band,
            CAST(count(*) AS BIGINT) AS n,
-           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue,
+           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 + 0.0 AS revenue,
            CAST(any_value(tvf_check) AS BIGINT) AS tvf_check
     FROM lineitem CROSS JOIN tvf
     WHERE l_quantity >= 10
@@ -315,7 +315,7 @@ def fn_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT price_band(l_extendedprice) AS band,
                CAST(count(*) AS BIGINT) AS n,
-               round((sum(disc_price(l_extendedprice, l_discount))) * 100.0) / 100.0 AS revenue,
+               round((sum(disc_price(l_extendedprice, l_discount))) * 100.0) / 100.0 + 0.0 AS revenue,
                CAST((SELECT sum(i) FROM ints_to(4)) AS BIGINT) AS tvf_check
         FROM _sqludf_lineitem
         WHERE l_quantity >= :minqty

@@ -24,7 +24,7 @@ from . import dround, register
 _SQL_DVEC = "list_transform({col}, x -> CAST(x AS DOUBLE))"
 _SQL_COS = (
     "round((list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))) * 1000000.0) / 1000000.0"
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))) * 1000000.0) / 1000000.0 + 0.0"
 )
 
 
@@ -439,7 +439,7 @@ def sim_brp_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT query_id, vec_id,
-               round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 AS approx_d2
+               round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 + 0.0 AS approx_d2
         FROM adc WHERE vec_id <> query_id
     )
     SELECT query_id, vec_id, approx_d2 FROM (
@@ -651,9 +651,9 @@ def sim_truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, vec_id, approx_d2 FROM (
         SELECT query_id, vec_id,
-               round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 AS approx_d2,
+               round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 + 0.0 AS approx_d2,
                row_number() OVER (PARTITION BY query_id
-                                  ORDER BY round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0,
+                                  ORDER BY round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 + 0.0,
                                            vec_id) AS rn
         FROM adc
     ) WHERE rn <= 3

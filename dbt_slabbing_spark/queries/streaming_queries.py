@@ -20,7 +20,7 @@ from . import register
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round((sum(value)) * 100.0) / 100.0 AS total_value
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value
     FROM events GROUP BY window_start, event_type
     """,
     "streaming tumbling-window agg (1h windows, 2h watermark) vs its batch twin",
@@ -35,7 +35,7 @@ def stream_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           round((sum(e.value)) * 100.0) / 100.0 AS total_value
+           round((sum(e.value)) * 100.0) / 100.0 + 0.0 AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY window_start, c.c_mktsegment
     """,
@@ -95,7 +95,7 @@ def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT min(ts) AS session_start, user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round((sum(value)) * 100.0) / 100.0 AS session_value
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS session_value
     FROM sessions GROUP BY user_id, session_id
     """,
     "streaming session windows (30-min gap) per user",
@@ -123,7 +123,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_foreach_batch_totals",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           round((sum(value)) * 100.0) / 100.0 AS total_value
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value
     FROM events GROUP BY event_type
     """,
     "foreachBatch → batch_id-partitioned parquet sink with dynamic "

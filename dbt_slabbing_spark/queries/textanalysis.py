@@ -29,7 +29,7 @@ _SQL_STOP_LIST = "['the', 'a', 'of', 'and', 'in', 'to']"
     SELECT source,
            CAST(count(*) AS BIGINT)      AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round((avg(n_tokens)) * 10000.0) / 10000.0       AS avg_tokens
+           round((avg(n_tokens)) * 10000.0) / 10000.0 + 0.0       AS avg_tokens
     FROM tok GROUP BY source
     """,
     "token counting per source (whitespace tokenizer)",
@@ -79,9 +79,9 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(((least(n_tok / 50.0, 1.0)
                   + (1.0 - least(abs(stop_ratio - 0.1), 1.0))
                   + (CASE WHEN atl >= 2.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END)
-                 ) / 3.0) * 10000.0) / 10000.0 AS quality,
-           round((stop_ratio) * 10000.0) / 10000.0 AS stop_ratio,
-           round((atl) * 10000.0) / 10000.0        AS avg_token_len
+                 ) / 3.0) * 10000.0) / 10000.0 + 0.0 AS quality,
+           round((stop_ratio) * 10000.0) / 10000.0 + 0.0 AS stop_ratio,
+           round((atl) * 10000.0) / 10000.0 + 0.0        AS avg_token_len
     FROM feat
     """,
     "document quality scoring: length / stopword-density / token-shape heuristic",
@@ -388,9 +388,9 @@ def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
            round((CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                  / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0 AS dup_frac,
+                  / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 AS dup_frac,
            round((CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                  / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0 >= 0.3 AS flagged
+                  / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 >= 0.3 AS flagged
     FROM grams g JOIN dfreq USING (sh)
     GROUP BY g.doc_id
     """,
@@ -441,7 +441,7 @@ def text_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM documents
     )
     SELECT doc_id, n_words, n_terminal, ends_terminal, has_brace, has_lorem,
-           round((CAST(n_words AS DOUBLE) / CAST(greatest(n_terminal, 1) AS DOUBLE)) * 10000.0) / 10000.0
+           round((CAST(n_words AS DOUBLE) / CAST(greatest(n_terminal, 1) AS DOUBLE)) * 10000.0) / 10000.0 + 0.0
                AS words_per_sentence,
            (n_words >= 5 AND n_terminal >= 3 AND ends_terminal
             AND NOT has_brace AND NOT has_lorem) AS keep

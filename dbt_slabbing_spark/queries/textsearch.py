@@ -71,7 +71,7 @@ def _sql_bm25_oracle() -> str:
     ),
     scored AS (
         SELECT doc_id, dl,
-               round(({score}) * 10000.0) / 10000.0 AS score
+               round(({score}) * 10000.0) / 10000.0 + 0.0 AS score
         FROM feat CROSS JOIN stats
     )
     SELECT doc_id, dl, score
@@ -170,9 +170,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT uni.doc_id,
            n_tokens, top_token,
-           round((CAST(top_token AS DOUBLE) / n_tokens) * 10000.0) / 10000.0 AS top_token_frac,
+           round((CAST(top_token AS DOUBLE) / n_tokens) * 10000.0) / 10000.0 + 0.0 AS top_token_frac,
            n_bigrams, top_bigram,
-           round((CAST(top_bigram AS DOUBLE) / n_bigrams) * 10000.0) / 10000.0 AS top_bigram_frac,
+           round((CAST(top_bigram AS DOUBLE) / n_bigrams) * 10000.0) / 10000.0 + 0.0 AS top_bigram_frac,
            (CAST(top_token AS DOUBLE) / n_tokens > 0.2
             OR CAST(top_bigram AS DOUBLE) / n_bigrams > 0.05) AS repetitive
     FROM uni JOIN bi ON uni.doc_id = bi.doc_id
@@ -250,7 +250,7 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round((avg(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))) * 10000.0) / 10000.0
+           round((avg(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))) * 10000.0) / 10000.0 + 0.0
                AS mean_surprisal
     FROM tok JOIN freq USING (tok) CROSS JOIN tot
     GROUP BY doc_id

@@ -146,7 +146,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     "q14_promo_revenue_ratio",
     """
     SELECT round((100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount))) * 10000.0) / 10000.0 AS promo_revenue_pct
+                 / sum(l_extendedprice * (1 - l_discount))) * 10000.0) / 10000.0 + 0.0 AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
     """,
@@ -172,7 +172,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_orders",
     """
-    SELECT c_custkey, o_orderkey, round((total_qty) * 100.0) / 100.0 AS total_qty
+    SELECT c_custkey, o_orderkey, round((total_qty) * 100.0) / 100.0 + 0.0 AS total_qty
     FROM (
         SELECT o_custkey AS c_custkey, o_orderkey, sum(l_quantity) AS total_qty
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -198,7 +198,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_ranges",
     """
-    SELECT round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue
+    SELECT round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 + 0.0 AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
@@ -225,7 +225,7 @@ def q19_disjunctive_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_rich_customers",
     """
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-           round((sum(c_acctbal)) * 100.0) / 100.0 AS total_bal
+           round((sum(c_acctbal)) * 100.0) / 100.0 + 0.0 AS total_bal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (

@@ -46,7 +46,7 @@ from . import dround, register
         GROUP BY l_partkey, l_suppkey, s_name
     )
     SELECT p_partkey, l_suppkey AS s_suppkey, s_name,
-           round(unit_cost * 100.0) / 100.0 AS unit_cost
+           round(unit_cost * 100.0) / 100.0 + 0.0 AS unit_cost
     FROM unit_costs uc
     JOIN part ON uc.l_partkey = p_partkey
     WHERE p_size <= 10
@@ -95,7 +95,7 @@ def q2_min_unit_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
            round((sum(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity))
-                 * 100.0) / 100.0 AS profit
+                 * 100.0) / 100.0 + 0.0 AS profit
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -143,7 +143,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, round(value * 100.0) / 100.0 AS value
+    SELECT l_partkey AS partkey, round(value * 100.0) / 100.0 + 0.0 AS value
     FROM pv
     WHERE value > (SELECT sum(value) * 0.001 FROM pv)
     """,

@@ -44,7 +44,7 @@ def _oracle() -> str:
                round(((least(n_tok / 50.0, 1.0)
                        + (1.0 - least(abs(stop_ratio - 0.1), 1.0))
                        + (CASE WHEN atl >= 2.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END)
-                      ) / 3.0) * 10000.0) / 10000.0 AS quality,
+                      ) / 3.0) * 10000.0) / 10000.0 + 0.0 AS quality,
                CASE {whens} ELSE 'und' END AS lang_pred
         FROM (SELECT *, {best} AS best FROM feat)
     ),

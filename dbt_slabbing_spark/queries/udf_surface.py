@@ -38,7 +38,7 @@ def udf_pandas_scalar_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_ols_slope",
     """
     SELECT user_id,
-           round((regr_slope(value, epoch_ms(ts) / 3600000.0)) * 10000.0) / 10000.0 AS slope
+           round((regr_slope(value, epoch_ms(ts) / 3600000.0)) * 10000.0) / 10000.0 + 0.0 AS slope
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY user_id
@@ -63,7 +63,7 @@ def udf_grouped_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg_median",
     """
     SELECT l_returnflag,
-           round((median(l_extendedprice)) * 10000.0) / 10000.0 AS median_price,
+           round((median(l_extendedprice)) * 10000.0) / 10000.0 + 0.0 AS median_price,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     GROUP BY l_returnflag
@@ -155,7 +155,7 @@ def _arrow_l2_norms(batches):
     "udf_map_in_arrow_norms",
     """
     SELECT vec_id,
-           round((sqrt(list_dot_product(dv, dv))) * 1000000.0) / 1000000.0 AS l2_norm
+           round((sqrt(list_dot_product(dv, dv))) * 1000000.0) / 1000000.0 + 0.0 AS l2_norm
     FROM (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
         FROM embeddings

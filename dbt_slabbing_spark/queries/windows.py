@@ -19,7 +19,7 @@ from . import dround, register
 @register(
     "window_topk_orders_per_customer",
     """
-    SELECT o_custkey, o_orderkey, round((o_totalprice) * 100.0) / 100.0 AS o_totalprice, rn
+    SELECT o_custkey, o_orderkey, round((o_totalprice) * 100.0) / 100.0 + 0.0 AS o_totalprice, rn
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                CAST(row_number() OVER (PARTITION BY o_custkey
@@ -46,7 +46,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT o_custkey, o_orderkey,
            round((sum(o_totalprice) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0) / 100.0 AS running_total
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0) / 100.0 + 0.0 AS running_total
     FROM orders
     """,
     "running total per customer (rows frame, unique order)",
@@ -96,7 +96,7 @@ def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            round((sum(value) OVER (
                PARTITION BY user_id ORDER BY epoch_ms(ts)
-               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)) * 100.0) / 100.0 AS hour_sum
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)) * 100.0) / 100.0 + 0.0 AS hour_sum
     FROM events
     """,
     "range frame: trailing 1-hour sum per user (numeric range key)",
@@ -114,7 +114,7 @@ def window_range_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, p_partkey,
            CAST(rank()       OVER w AS INT) AS price_rank,
            CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
-           round((percent_rank() OVER w) * 10000.0) / 10000.0  AS price_pct_rank
+           round((percent_rank() OVER w) * 10000.0) / 10000.0 + 0.0  AS price_pct_rank
     FROM part
     WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
     """,
@@ -139,8 +139,8 @@ def window_rank_dense_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile_quartiles",
     """
     SELECT quartile, CAST(count(*) AS BIGINT) AS n,
-           round((min(c_acctbal)) * 100.0) / 100.0 AS lo,
-           round((max(c_acctbal)) * 100.0) / 100.0 AS hi
+           round((min(c_acctbal)) * 100.0) / 100.0 + 0.0 AS lo,
+           round((max(c_acctbal)) * 100.0) / 100.0 + 0.0 AS hi
     FROM (
         SELECT c_acctbal,
                CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
@@ -212,7 +212,7 @@ def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM gapped
     )
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           CAST(count(*) AS BIGINT) AS n_events, round((sum(value)) * 100.0) / 100.0 AS session_value
+           CAST(count(*) AS BIGINT) AS n_events, round((sum(value)) * 100.0) / 100.0 + 0.0 AS session_value
     FROM sessions GROUP BY user_id, session_id
     """,
     "batch sessionization: 30-min gap → session ids → per-session agg",

@@ -129,3 +129,41 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
 def snapshot_history(spark, path: str) -> list[int]:
     """All committed versions, oldest first (the audit surface)."""
     return _version_dirs(spark, path)
+
+
+def prune_snapshots(spark, path: str, keep_last: int) -> list[int]:
+    """Delete all but the newest ``keep_last`` committed snapshot
+    versions; returns the versions removed (ascending).
+
+    The retention half of the time-travel story: versions accumulate
+    one directory per write, and at daily-snapshot cadence a year is
+    365 copies of the table — retention is a disk-budget necessity,
+    not housekeeping. Deletion order is oldest-first and the newest
+    ``keep_last`` are never touched, so a concurrent reader pinned to
+    a RETAINED version is safe; a reader pinned to a pruned version
+    fails loudly on its next file access (the same contract as
+    VACUUM on transactional table formats). Half-written directories
+    (no _SUCCESS) are not counted as versions but ARE swept when older
+    than the retention horizon's oldest survivor.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (never delete every version)")
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    committed = _version_dirs(spark, path)
+    doomed = committed[:-keep_last] if len(committed) > keep_last else []
+    horizon = committed[-keep_last] if len(committed) > keep_last else (committed[0] if committed else 0)
+    for v in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}"), True)
+    # sweep crashed half-writes older than every survivor
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                v = int(name[2:])
+                has_success = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+                if not has_success and v < horizon:
+                    fs.delete(st.getPath(), True)
+    return doomed

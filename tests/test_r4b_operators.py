@@ -483,3 +483,33 @@ def test_rolling_7d_frame_excludes_current_row(spark):
     out = _REG["ts_rolling_7d_user_spend"].fn(spark, SF_SMOKE)
     firsts = out.filter(F.col("n_prior") == 0).select("spend_7d_cents").distinct().collect()
     assert [r[0] for r in firsts] == [0]
+
+
+def test_sq8_synthetic_edge_vectors_match_python_model(spark):
+    """Seeded synthetic vectors + adversarial edges (all-zero, single
+    dominant axis, tiny magnitudes, sign flips): Spark codes must equal
+    the Python model bit-for-bit — the determinism claim the oracle
+    gate rests on."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vecs = [[float(np.float32(x)) for x in rng.normal(0, 1, 16)] for _ in range(50)]
+    vecs += [
+        [0.0] * 16,
+        [1e-30] * 16,
+        [float(np.float32(1e30))] * 16,
+        [1.0] + [0.0] * 15,
+        [-1.0, 1.0] * 8,
+        [float(np.float32(1 / 256))] * 16,
+    ]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["q"]
+        for r in df.select("vec_id", sq8_codes(F.col("embedding")).alias("q")).collect()
+    }
+    # model must see the same float32-rounded values Spark stores
+    import numpy as np
+
+    want = {i: _sq8([float(np.float32(x)) for x in v]) for i, v in rows}
+    assert got == want

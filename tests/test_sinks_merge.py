@@ -245,3 +245,36 @@ def test_text_format_roundtrip(spark, tmp_path):
     assert sorted(r["value"] for r in back.collect()) == sorted(
         r["value"] for r in docs.collect()
     )
+
+
+def test_snapshot_retention_prunes_old_versions(spark, tmp_path):
+    """prune_snapshots keeps the newest N versions readable, removes
+    the rest, sweeps crashed half-writes behind the horizon, and
+    refuses keep_last < 1."""
+    import pytest
+
+    from dbt_slabbing_spark.sinks import (
+        prune_snapshots,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    p = str(tmp_path / "snap")
+    for n in range(5):
+        write_snapshot(spark.range(n, n + 3).toDF("id"), p)
+    # a crashed half-write: directory without _SUCCESS, older than v=3
+    import pathlib
+
+    crashed = pathlib.Path(p) / "v=2"
+    (crashed / "_SUCCESS").unlink()
+
+    removed = prune_snapshots(spark, p, keep_last=2)
+    assert removed == [0, 1]  # v=2 was uncommitted, not a version
+    assert snapshot_history(spark, p) == [3, 4]
+    assert not crashed.exists()  # half-write swept
+    assert read_snapshot(spark, p, 4).count() == 3
+    with pytest.raises(ValueError, match="not in"):
+        read_snapshot(spark, p, 0)  # pruned version fails loudly
+    with pytest.raises(ValueError, match="keep_last"):
+        prune_snapshots(spark, p, keep_last=0)
