@@ -761,3 +761,94 @@ def ts_rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("bigint").alias("spend_7d_cents"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_prior"),
     )
+
+
+@register(
+    "agg_histogram_quantile_rollup",
+    # Mergeable-quantile twin of the HLL/bitmap rollups: the "sketch"
+    # is a fixed 64-bucket equi-width histogram (W=8000 over
+    # o_totalprice's [0, 512k) domain), so — unlike GK/KLL bytes — the
+    # state is integer bucket counts that BOTH engines can reproduce
+    # exactly, and the global level merges per-group counts without
+    # rescanning raw rows. Estimates are deterministic interpolation.
+    """
+    WITH bucketed AS (
+        SELECT o_orderpriority AS scope,
+               CAST(least(floor(o_totalprice / 8000.0), 63) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY scope, b
+    ),
+    merged AS (
+        SELECT scope, b, cnt FROM bucketed
+        UNION ALL
+        SELECT '__ALL__', b, CAST(sum(cnt) AS BIGINT) FROM bucketed GROUP BY b
+    ),
+    cum AS (
+        SELECT scope, b, cnt,
+               sum(cnt) OVER (PARTITION BY scope ORDER BY b
+                              ROWS UNBOUNDED PRECEDING) AS c,
+               sum(cnt) OVER (PARTITION BY scope) AS n
+        FROM merged
+    ),
+    est AS (
+        SELECT scope, n,
+               min(CASE WHEN c >= CAST(n AS DOUBLE) * 0.5 THEN b END) AS mb,
+               min(CASE WHEN c >= CAST(n AS DOUBLE) * 0.9 THEN b END) AS pb
+        FROM cum GROUP BY scope, n
+    )
+    SELECT e.scope, CAST(e.n AS BIGINT) AS n_rows,
+           round((m.b * 8000.0 + 8000.0 * ((CAST(e.n AS DOUBLE) * 0.5 - (mc.c - mc.cnt)) / mc.cnt)) * 100.0) / 100.0 + 0.0 AS est_median,
+           round((p.b * 8000.0 + 8000.0 * ((CAST(e.n AS DOUBLE) * 0.9 - (pc.c - pc.cnt)) / pc.cnt)) * 100.0) / 100.0 + 0.0 AS est_p90
+    FROM est e
+    JOIN cum mc ON mc.scope = e.scope AND mc.b = e.mb
+    JOIN cum pc ON pc.scope = e.scope AND pc.b = e.pb
+    JOIN (SELECT scope, b FROM cum) m ON m.scope = e.scope AND m.b = e.mb
+    JOIN (SELECT scope, b FROM cum) p ON p.scope = e.scope AND p.b = e.pb
+    GROUP BY e.scope, e.n, m.b, p.b, mc.c, mc.cnt, pc.c, pc.cnt
+    """,
+    "mergeable-quantile rollup: per-priority 64-bucket histograms merged "
+    "to the global level WITHOUT raw rescan; median/p90 by deterministic "
+    "interpolation — the quantile sibling of the HLL/bitmap rollups",
+    tags=("agg", "sketch", "quantile"),
+)
+def agg_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histograms are the quantile sketch you can hash-check:
+    integer counts merge by addition (associative, order-free), and at
+    100 TB each partition/day ships 64 longs upward instead of raw
+    rows. Error is bounded by the bucket width (W/2 ≈ 4k on a 500k
+    domain); for production-grade tails swap in KLL bytes — the
+    dataflow (build per group, merge upward, estimate at the top) is
+    identical.
+    """
+    W, B = 8000.0, 64
+    orders = table(spark, sf_dir, "orders")
+    bucketed = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("scope"),
+            F.least(F.floor(F.col("o_totalprice") / W), F.lit(B - 1)).cast("bigint").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = bucketed.unionByName(
+        bucketed.groupBy("b").agg(F.sum("cnt").alias("cnt")).select(F.lit("__ALL__").alias("scope"), "b", "cnt")
+    )
+    w_cum = Window.partitionBy("scope").orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("scope")
+    cum = merged.select(
+        "scope", "b", "cnt", F.sum("cnt").over(w_cum).alias("c"), F.sum("cnt").over(w_all).alias("n")
+    )
+
+    def pick(q: float, tag: str) -> DataFrame:
+        t = F.col("n").cast("double") * q
+        hit = cum.filter(F.col("c") >= t)
+        w_first = Window.partitionBy("scope").orderBy("b")
+        first = hit.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1)
+        est = F.col("b") * W + W * ((F.col("n").cast("double") * q - (F.col("c") - F.col("cnt"))) / F.col("cnt"))
+        return first.select("scope", F.col("n"), dround(est, 2).alias(tag))
+
+    med = pick(0.5, "est_median")
+    p90 = pick(0.9, "est_p90").drop("n")
+    return (
+        med.join(p90, "scope")
+        .select("scope", F.col("n").cast("bigint").alias("n_rows"), "est_median", "est_p90")
+    )

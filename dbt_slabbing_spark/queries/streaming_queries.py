@@ -225,3 +225,71 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.purchase_click_attribution_outer(spark, sf_dir)
+
+
+@register(
+    "stream_minhash_band_dedup",
+    # Oracle states the GLOBAL band-first-wins outcome: a doc is kept
+    # iff it is the min doc_id in EVERY one of its 4 band-key groups.
+    # The streaming job computes the same thing incrementally (batch
+    # registry of claimed bands); doc_id-ordered arrival makes the two
+    # forms equal for any micro-batch slicing. Signature/band CTEs
+    # mirror dedup_minhash_lsh exactly.
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ),
+    shingle AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM norm
+        )
+    ),
+    lanes AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS a,
+               (('0x' || substr(md5(sh), 9, 8))::BIGINT) | 1 AS b
+        FROM shingle
+    ),
+    minh AS (
+        SELECT doc_id, s.seed,
+               min((a + s.seed * b) & 4294967295) AS h
+        FROM lanes, range(0, 8) s(seed)
+        GROUP BY doc_id, s.seed
+    ),
+    sig AS (
+        SELECT doc_id, list(h ORDER BY seed) AS sig FROM minh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b.band,
+               CAST(sig[2*b.band + 1] AS VARCHAR) || '_' || CAST(sig[2*b.band + 2] AS VARCHAR)
+                   AS band_key
+        FROM sig, range(0, 4) b(band)
+    ),
+    firsts AS (
+        SELECT band, band_key, min(doc_id) AS first_doc
+        FROM banded GROUP BY band, band_key
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bands,
+           CAST(sum(CASE WHEN b.doc_id <> f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_bands,
+           sum(CASE WHEN b.doc_id <> f.first_doc THEN 1 ELSE 0 END) = 0 AS kept
+    FROM banded b
+    JOIN firsts f USING (band, band_key)
+    GROUP BY b.doc_id
+    """,
+    "streaming near-dup dedup (band-first-wins): documents replayed "
+    "through the custom parquet_replay source in micro-batches, minhash "
+    "bands claimed in a foreachBatch registry — kept iff first arrival "
+    "in ALL 4 bands; oracle states the global closed form",
+    tags=("streaming", "dedup", "minhash"),
+)
+def stream_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_band_dedup_")
+    return jobs.streaming_band_dedup(spark, sf_dir, work, rows_per_batch=200)

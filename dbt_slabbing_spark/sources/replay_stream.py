@@ -2,7 +2,7 @@
 ``pyspark.sql.datasource`` API): deterministic micro-batch replay of a
 parquet table — the streaming sibling of ``zip_datasource.py``.
 
-    spark.dataSource.register(ParquetReplayStreamSource)
+    register_replay_source(spark)   # pickle-by-value: see its docstring
     spark.readStream.format("parquet_replay")
          .option("path", ".../events.parquet")
          .option("rows_per_batch", "1000").load()
@@ -33,6 +33,7 @@ Semantics and scale:
 from __future__ import annotations
 
 import json
+import sys
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
@@ -144,3 +145,22 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # immutable history: nothing to trim
+
+
+def register_replay_source(spark) -> None:
+    """Register the source so it works from ANY consumer session.
+
+    The streaming-source runner is a DRIVER-side helper process that
+    — unlike executor Python workers — does NOT receive ``addPyFile``
+    includes (verified empirically: ``setup_spark_files`` runs but the
+    dynamic include list never contains the shipped package zip), so a
+    by-reference pickle dies with ModuleNotFoundError whenever the
+    consumer's cwd is outside the repo. Registering the MODULE for
+    pickle-BY-VALUE embeds the class bodies in the payload instead;
+    this module deliberately imports only stdlib + pyspark + pyarrow
+    so the embedded code resolves anywhere.
+    """
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(ParquetReplayStreamSource)

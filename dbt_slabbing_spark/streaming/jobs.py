@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..rounding import dround
@@ -424,3 +424,104 @@ def purchase_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("click_id").isNotNull().alias("matched"),
         )
     )
+
+
+def streaming_band_dedup(
+    spark: SparkSession, sf_dir: str, work_dir: str, rows_per_batch: int = 200
+) -> DataFrame:
+    """Streaming near-dup dedup over a document stream: band-first-wins.
+
+    Documents arrive in doc_id order (replayed through the custom
+    ``parquet_replay`` source — rate-limited micro-batches); each doc's
+    8-lane minhash signature is banded into 4 keys, and a doc is KEPT
+    iff every one of its band keys is unclaimed — i.e. it is the first
+    arrival in all its bands. A dropped doc still claims its bands
+    (standard streaming near-dedup: the duplicate's bands are as
+    "seen" as the original's).
+
+    State = the claimed-bands registry, held as an append-only parquet
+    dir keyed (band, band_key, first_doc). foreachBatch processes each
+    micro-batch atomically: intra-batch firsts resolve by min doc_id,
+    the batch is checked against the registry, verdicts append to the
+    sink, and newly-claimed bands append to the registry. Because
+    batches are doc_id-ordered, the registry's first_doc equals the
+    global min doc_id per band — so the stream's outcome is
+    independent of the micro-batch slicing (the oracle states the
+    global form; the batch-replay equivalence is the same property
+    every foreachBatch job here pins).
+
+    100 TB story: state is bounded by DISTINCT band keys (≪ docs for
+    near-dup-heavy corpora), the per-batch work is one signature build
+    + two broadcast-able joins, and the registry is the natural
+    Delta/merge target in production.
+    """
+    import pathlib
+
+    from ..catalog import _ensure_workers_can_import
+    from ..operators.hashing import minhash_signatures
+    from ..sources.replay_stream import register_replay_source
+
+    # ship the package for the foreachBatch body's UDF references
+    # (executor workers), and register the source pickled BY VALUE for
+    # the driver-side streaming-source runner, which addPyFile does
+    # NOT reach (caught by the vanilla contract drive; see
+    # register_replay_source)
+    _ensure_workers_can_import(spark)
+    register_replay_source(spark)
+    docs_path = f"{sf_dir}/documents.parquet"
+    registry_dir = f"{work_dir}/band_registry"
+    verdict_dir = f"{work_dir}/verdicts"
+    bands, rows_per_band = 4, 2
+
+    def band_keys(docs: DataFrame) -> DataFrame:
+        sig = minhash_signatures(docs, "doc_id", "text")
+        band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+        return sig.select("doc_id", "sig", band_idx).select(
+            "doc_id",
+            "band",
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col("sig"), F.col("band") * rows_per_band + i + 1).cast("string")
+                    for i in range(rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bk = band_keys(batch_df)
+        if bk.isEmpty():
+            return
+        w_first = F.min("doc_id").over(Window.partitionBy("band", "band_key"))
+        staged = bk.withColumn("_batch_first", w_first)
+        if pathlib.Path(registry_dir).exists():
+            seen = spark.read.parquet(registry_dir).select("band", "band_key", F.lit(True).alias("_seen"))
+            staged = staged.join(seen, ["band", "band_key"], "left")
+        else:
+            staged = staged.withColumn("_seen", F.lit(None).cast("boolean"))
+        verdicts = staged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.sum(
+                (F.col("_seen").isNotNull() | (F.col("doc_id") != F.col("_batch_first"))).cast("int")
+            ).cast("bigint").alias("n_dup_bands"),
+        ).withColumn("kept", F.col("n_dup_bands") == 0)
+        verdicts.write.mode("append").parquet(verdict_dir)
+        new_claims = (
+            staged.filter(F.col("_seen").isNull() & (F.col("doc_id") == F.col("_batch_first")))
+            .select("band", "band_key", F.col("doc_id").alias("first_doc"))
+        )
+        new_claims.write.mode("append").parquet(registry_dir)
+
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", docs_path)
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+        .select("doc_id", "text")
+    )
+    q = stream.writeStream.outputMode("append").foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(verdict_dir).select("doc_id", "n_bands", "n_dup_bands", "kept")

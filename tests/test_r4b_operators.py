@@ -513,3 +513,59 @@ def test_sq8_synthetic_edge_vectors_match_python_model(spark):
 
     want = {i: _sq8([float(np.float32(x)) for x in v]) for i, v in rows}
     assert got == want
+
+
+# --------------------------------------- histogram quantile rollup
+
+
+def test_histogram_quantile_tracks_exact_median(spark):
+    """The W=8000 bucket bound: every estimated quantile must sit
+    within one bucket width of the exact quantile, per scope AND at
+    the merged global level."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_SMOKE}/orders.parquet')")
+    exact = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5),
+                      quantile_cont(o_totalprice, 0.9)
+               FROM orders GROUP BY 1
+               UNION ALL
+               SELECT '__ALL__', quantile_cont(o_totalprice, 0.5),
+                      quantile_cont(o_totalprice, 0.9) FROM orders"""
+        ).fetchall()
+    }
+    got = {
+        r["scope"]: (r["est_median"], r["est_p90"])
+        for r in _REG["agg_histogram_quantile_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(exact)
+    for scope, (em, ep) in got.items():
+        xm, xp = exact[scope]
+        assert abs(em - xm) <= 8000.0, (scope, em, xm)
+        assert abs(ep - xp) <= 8000.0, (scope, ep, xp)
+
+
+def test_histogram_rollup_merge_equals_direct_build(spark):
+    """Mergeability: the __ALL__ row (merged per-priority counts) must
+    equal a histogram built directly on the ungrouped data."""
+    out = _REG["agg_histogram_quantile_rollup"].fn(spark, SF_SMOKE)
+    [allrow] = out.filter("scope = '__ALL__'").collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_SMOKE}/orders.parquet')")
+    [direct] = con.sql(
+        """WITH cum AS (
+             SELECT b, cnt,
+                    sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS c,
+                    sum(cnt) OVER () AS n
+             FROM (SELECT CAST(least(floor(o_totalprice / 8000.0), 63) AS BIGINT) AS b,
+                          count(*) AS cnt FROM orders GROUP BY b)
+           )
+           SELECT round((b * 8000.0 + 8000.0 * ((CAST(n AS DOUBLE) * 0.5 - (c - cnt)) / cnt)) * 100.0) / 100.0 + 0.0
+           FROM cum WHERE c >= CAST(n AS DOUBLE) * 0.5 ORDER BY b LIMIT 1"""
+    ).fetchall()
+    assert allrow["est_median"] == direct[0]

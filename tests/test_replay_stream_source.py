@@ -15,7 +15,7 @@ import time
 
 import pytest
 
-from dbt_slabbing_spark.sources.replay_stream import ParquetReplayStreamSource
+from dbt_slabbing_spark.sources.replay_stream import register_replay_source
 from tests.conftest import SF_SMOKE
 
 
@@ -47,7 +47,7 @@ def _run_until(q, predicate, timeout_s=90):
 
 @pytest.fixture()
 def registered(spark):
-    spark.dataSource.register(ParquetReplayStreamSource)
+    register_replay_source(spark)
     return spark
 
 

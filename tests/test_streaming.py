@@ -208,3 +208,26 @@ def test_update_mode_incremental_counts_fold_to_batch(spark, tmp_path):
     for r in emitted:
         final[r["event_type"]] = max(final.get(r["event_type"], 0), r["count"])
     assert final == batch
+
+
+def test_band_dedup_verdicts_invariant_to_batch_slicing(spark, tmp_path):
+    """The streaming band-dedup outcome must not depend on how the
+    stream was micro-batched: 60-row batches and one giant batch give
+    identical verdicts (doc_id-ordered arrival makes the incremental
+    registry equal the global closed form)."""
+    from dbt_slabbing_spark.streaming.jobs import streaming_band_dedup
+    from tests.conftest import SF_SMOKE
+
+    a = {
+        r["doc_id"]: (r["n_dup_bands"], r["kept"])
+        for r in streaming_band_dedup(
+            spark, SF_SMOKE, str(tmp_path / "a"), rows_per_batch=60
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_dup_bands"], r["kept"])
+        for r in streaming_band_dedup(
+            spark, SF_SMOKE, str(tmp_path / "b"), rows_per_batch=100000
+        ).collect()
+    }
+    assert a == b and len(a) > 0
