@@ -28,6 +28,13 @@ Semantics and scale:
   queue connector fetches only its slice from the broker);
 - ``commit(offset)`` is the trim hook (no-op here: the parquet file is
   immutable history).
+
+Known limitation: ``Trigger.AvailableNow`` latches the FIRST
+``latestOffset`` as its end-of-input snapshot, so a rate-limited run
+under it stops after one batch. Drive bounded replays with the default
+trigger + ``processAllAvailable()`` (as ``streaming_band_dedup`` and
+the tests do), or set ``rows_per_batch`` ≥ the file size for a
+single-batch availableNow pass.
 """
 
 from __future__ import annotations

@@ -119,3 +119,26 @@ def test_csv_permissive_and_failfast(spark, tmp_path):
     )
     with pytest.raises(Exception, match="FAILFAST|Malformed"):
         failfast.collect()
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an INSERT OVERWRITE replaces only
+    the partitions present in the incoming data — the backfill pattern
+    that makes partition-level reprocessing safe. Static mode (the
+    default) would wipe every partition first."""
+    p = str(tmp_path / "parted")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "v long, part string"
+    ).write.partitionBy("part").parquet(p)
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.createDataFrame([(20, "b")], "v long, part string").write.mode(
+            "overwrite"
+        ).partitionBy("part").parquet(p)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    rows = {r["part"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert rows == {"a": 1, "b": 20, "c": 3}  # a and c untouched, b replaced
