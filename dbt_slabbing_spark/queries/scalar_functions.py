@@ -323,3 +323,48 @@ def fn_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minqty": 10},
     )
+
+
+@register(
+    "fn_collation_suite",
+    # The ORACLE is an independent recomputation, not a feature mirror:
+    # DuckDB's NOCASE collation affects comparisons but not DISTINCT
+    # hashing, so the oracle states the equivalent lower()-normalized
+    # form. For ASCII segments the two are identical by definition.
+    """
+    WITH v AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer
+    )
+    SELECT lower(seg) AS seg_norm,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants
+    FROM v GROUP BY lower(seg)
+    """,
+    "Spark 4 collated strings: GROUP BY under UTF8_LCASE folds case "
+    "variants into one group (binary-distinct count preserved per "
+    "group); oracle recomputes via lower()-normalization",
+    tags=("scalar", "collation"),
+)
+def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation is Spark 4's way to push case/accent-insensitive
+    semantics INTO the engine (comparisons, grouping, joins run on
+    collation keys — no lower() wrapping at every call site, and the
+    optimizer still prunes/pushes on the collated column). The gate
+    groups a mixed-case projection under UTF8_LCASE and checks the
+    fold against the normalization identity."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_coll_cust")
+    return spark.sql(
+        """
+        WITH v AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                        ELSE lower(c_mktsegment) END AS seg
+            FROM _coll_cust
+        )
+        SELECT lower(min(seg)) AS seg_norm,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants
+        FROM v GROUP BY seg COLLATE UTF8_LCASE
+        """
+    )

@@ -278,3 +278,67 @@ def test_snapshot_retention_prunes_old_versions(spark, tmp_path):
         read_snapshot(spark, p, 0)  # pruned version fails loudly
     with pytest.raises(ValueError, match="keep_last"):
         prune_snapshots(spark, p, keep_last=0)
+
+
+def test_scd2_apply_matches_python_fold_model(spark):
+    """Property (hypothesis): for ANY batch of keyed changes — repeated
+    keys, no-ops, ties broken by value, keys new to the dimension —
+    scd2_apply's output equals a direct Python fold of dbt snapshot
+    semantics. scd2_apply now underpins the snapshot materialization,
+    CDC and golden SCD2 gates, so its fold gets the same property-based
+    treatment as the reference's lesion fold."""
+    from hypothesis import given, settings, strategies as st
+
+    segs = st.sampled_from(["a", "b", "c"])
+    change = st.tuples(st.integers(1, 3), st.integers(1, 5), segs)  # key, t, seg
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(change, min_size=0, max_size=8), st.lists(st.tuples(st.integers(1, 3), segs), max_size=2, unique_by=lambda t: t[0]))
+    def run(changes, dim_rows):
+        ts = lambda t: f"2024-01-0{t} 00:00:00"  # noqa: E731
+        dim = spark.createDataFrame(
+            [(k, s, "2023-12-01 00:00:00", "9999-12-31 00:00:00", True) for k, s in dim_rows],
+            "k long, seg string, valid_from string, valid_to string, is_current boolean",
+        ).selectExpr("k", "seg", "CAST(valid_from AS TIMESTAMP) valid_from",
+                     "CAST(valid_to AS TIMESTAMP) valid_to", "is_current")
+        ch = spark.createDataFrame(
+            [(k, s, ts(t)) for k, t, s in changes], "k long, seg string, changed_at string"
+        ).selectExpr("k", "seg", "CAST(changed_at AS TIMESTAMP) changed_at")
+        got = {
+            (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in scd2_apply(dim, ch, "k", "changed_at", ["seg"]).collect()
+        }
+
+        # Python model: per key, order changes by (t, seg); drop no-ops
+        # vs the previous SURVIVOR (current dim value for the first);
+        # chain-version survivors; close the dim row at the first
+        # survivor's time.
+        want = set()
+        cur = dict(dim_rows)
+        by_key = {}
+        for k, t, s in sorted(changes, key=lambda c: (c[0], c[1], c[2])):
+            by_key.setdefault(k, []).append((t, s))
+        survivors = {}
+        for k, seq in by_key.items():
+            kept = []
+            prev = cur.get(k)
+            for t, s in seq:
+                if s != prev:
+                    kept.append((t, s))
+                    prev = s
+            survivors[k] = kept
+        for k, s in dim_rows:
+            kept = survivors.get(k, [])
+            if kept:
+                want.add((k, s, "2023-12-01 00:00:00", ts(kept[0][0]), False))
+            else:
+                want.add((k, s, "2023-12-01 00:00:00", "9999-12-31 00:00:00", True))
+        for k, kept in survivors.items():
+            for i, (t, s) in enumerate(kept):
+                nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+                want.add(
+                    (k, s, ts(t), ts(nxt) if nxt else "9999-12-31 00:00:00", nxt is None)
+                )
+        assert got == want
+
+    run()
