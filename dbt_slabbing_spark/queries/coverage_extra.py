@@ -196,3 +196,50 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="dbt_slabbing_orc_") + "/orders_by_status"
     agg.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "join_salted_replicated_dim",
+    """
+    SELECT event_type, c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY event_type, segment
+    """,
+    "salted skew join (manual pattern): fact keys salted, dim rows "
+    "replicated once per salt, join on (key, salt) — result identical "
+    "to the plain equi-join oracle",
+    tags=("join", "skew"),
+)
+def join_salted_replicated_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-side sibling of agg_salted_hot_keys: when one fact key
+    owns a reducer-melting share of rows and the dim side is small
+    enough to replicate but too big (or too mid-plan) to broadcast,
+    salting bounds any reducer's share of a hot key at 1/R.
+
+    Mechanics: fact gets a DETERMINISTIC salt in [0, R); the dim side
+    is replicated R× via a posexplode'd R-array; the join key becomes
+    (key, salt). Deterministic salt (event_id % R, not rand()) keeps
+    the gate hash-stable AND is what you want in production anyway —
+    retried tasks must salt identically or exactly-once sinks break.
+
+    At this SF the plain join is fine — the point is the dataflow is
+    provably result-identical (the oracle IS the unsalted join), so
+    the rewrite can be dropped in at 100 TB without a semantics
+    review. (AQE's skew-join handles sort-merge cases adaptively;
+    manual salting remains the tool for stateful/streaming joins and
+    pre-partitioned layouts AQE won't touch.)
+    """
+    R = 8
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.pmod(F.col("event_id"), F.lit(R)).alias("_salt")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("_salt"))
+    )
+    return (
+        ev.join(cust, (ev["user_id"] == cust["c_custkey"]) & (ev["_salt"] == cust["_salt"]))
+        .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -725,3 +725,95 @@ def sim_lshpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .select("query_id", "vec_id", "approx_d2")
     )
+
+
+@register(
+    "sim_ivfpq_residual_topk",
+    # True IVF-PQ: coarse cell (argmin L2 vs the 8 fixed centroids),
+    # PQ over RESIDUALS v - centroid, nprobe=1 search with residual
+    # ADC. All argmins tie-break toward the smaller id, so cells,
+    # codes and neighbors hash-check exactly.
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cell, dv AS centv FROM v WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, cell, resid FROM (
+            SELECT e.vec_id, c.cell,
+                   list_transform(range(1, 65), i -> e.dv[i] - c.centv[i]) AS resid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.dv, e.dv) + list_dot_product(c.centv, c.centv)
+                                - 2 * list_dot_product(e.dv, c.centv), c.cell
+                   ) AS rn
+            FROM v e, cents c
+        ) WHERE rn = 1
+    ),
+    rsub AS (
+        SELECT vec_id, cell, s, resid[s*16+1 : (s+1)*16] AS sv
+        FROM assigned, (SELECT unnest(range(4)) AS s)
+    ),
+    cb AS (
+        SELECT vec_id AS code, s, sv AS cv FROM rsub WHERE vec_id < 16
+    ),
+    enc AS (
+        SELECT vec_id, cell, s, code,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY list_dot_product(sv, sv) + list_dot_product(cv, cv)
+                            - 2 * list_dot_product(sv, cv), code
+               ) AS rn
+        FROM rsub JOIN cb USING (s)
+    ),
+    codes AS (
+        SELECT vec_id, cell, s, code FROM enc WHERE rn = 1
+    ),
+    dtable AS (
+        SELECT q.vec_id AS query_id, cb.s, cb.code,
+               list_dot_product(q.sv, q.sv) + list_dot_product(cb.cv, cb.cv)
+               - 2 * list_dot_product(q.sv, cb.cv) AS part
+        FROM rsub q JOIN cb ON q.s = cb.s
+        WHERE q.vec_id < 5
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, cell FROM assigned WHERE vec_id < 5
+    ),
+    adc AS (
+        SELECT qc.query_id, c.vec_id,
+               sum(CASE WHEN c.s = 0 THEN d.part END) AS p0,
+               sum(CASE WHEN c.s = 1 THEN d.part END) AS p1,
+               sum(CASE WHEN c.s = 2 THEN d.part END) AS p2,
+               sum(CASE WHEN c.s = 3 THEN d.part END) AS p3
+        FROM qcells qc
+        JOIN codes c ON c.cell = qc.cell AND c.vec_id <> qc.query_id
+        JOIN dtable d ON d.query_id = qc.query_id AND d.s = c.s AND d.code = c.code
+        GROUP BY qc.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, approx_d2 FROM (
+        SELECT query_id, vec_id,
+               round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 + 0.0 AS approx_d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 + 0.0,
+                                           vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= 3
+    """,
+    "TRUE residual IVF-PQ (Jégou §V): coarse cell argmin → PQ codes "
+    "over v−centroid residuals → nprobe=1 residual ADC top-3 — the "
+    "billion-vector layout with residual encoding, fully hash-checked",
+    tags=("similarity", "pq", "ivf", "ann"),
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the ANN ladder: flat PQ (sim_pq_adc_topk) → LSH-pruned
+    PQ (sim_lshpq_adc_topk) → residual IVF-PQ (this gate), which is the
+    layout FAISS's IVFPQ index ships. See operators/pq.py::
+    ivfpq_residual_topk for the residual-concentration argument and
+    the broadcast/shuffle story."""
+    from ..operators.pq import ivfpq_residual_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(emb, n_queries=5, k=3, round_fn=lambda c: dround(c, 6))
