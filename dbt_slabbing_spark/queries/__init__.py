@@ -95,12 +95,12 @@ _MODULES = (
 # driver-checked by definition) + the 9 queries never driver-checked
 # after r1-r3 + one oracle-refactor re-check
 # (dedup_cluster_representatives, shingle CTEs now shared) + 27
-# re-checks of queries last checked in round 1 (the stalest cohort; 32
+# re-checks of queries last checked in round 1 (the stalest cohort; 33
 # of the 41 r1-only queries defer to round 5: agg_count_distinct,
 # distinct_flag_status, join_inner_segment_counts,
 # sort_limit_top_orders, q2_min_unit_cost_supplier,
 # q4_late_shipment_orders, q6_forecast_revenue, q7_nation_trade,
-# fn_map_from_json, fn_regexp_suite, q8_market_share, join_anti_dormant_customers,
+# agg_string_join, fn_map_from_json, fn_regexp_suite, q8_market_share, join_anti_dormant_customers,
 # join_full_outer_nation_presence,
 # join_left_order_counts,
 # join_right_suppliers_per_nation,
@@ -122,7 +122,8 @@ _MODULES = (
 # join, rolling-7d leakage-free feature, snapshot materialization,
 # dynamic-schema UDTF, histogram-quantile rollup, streaming band
 # dedup, multiset set ops, collation suite, salted join, residual
-# IVF-PQ), slotted in over the last nineteen r1 re-checks. After this round every registry query except those 32
+# IVF-PQ, token-budget mixing), slotted in over the last twenty r1
+# re-checks. After this round every registry query except those 33
 # r1-greens has a driver CORRECTNESS row; find stale ones: registry
 # keys vs max round per key across CORRECTNESS_r0*.json.
 _PRIORITY = (
@@ -144,6 +145,7 @@ _PRIORITY = (
     "fn_collation_suite",
     "join_salted_replicated_dim",
     "sim_ivfpq_residual_topk",
+    "sample_token_budget_mixture",
     "ref_mapping_truth_labels",
     "ref_ground_truth_labels",
     "text_bm25_topk",
@@ -175,7 +177,6 @@ _PRIORITY = (
     "agg_rollup_flag_status",
     "agg_salted_hot_keys",
     "agg_stats_moments",
-    "agg_string_join",
 )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.hashing import md5_long32
+from ..operators import text as T
 from . import register
 
 # DuckDB twin of operators.hashing.md5_long32 over a seeded key.
@@ -221,3 +222,58 @@ def sample_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _bucket(F.col("group_id"), seed="groupsplit|")
     split = F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
     return grouped.select("doc_id", "group_id", split.alias("split"))
+
+
+@register(
+    "sample_token_budget_mixture",
+    """
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(max(cum_tokens) AS BIGINT) AS budget_used
+    FROM cum WHERE cum_tokens <= 12000
+    GROUP BY source
+    """,
+    "token-budget data mixing: per source, keep docs in doc_id order "
+    "until a 12k-token budget fills — the deterministic form of "
+    "mixture reweighting a training-data pipeline runs per epoch",
+    tags=("sampling", "mixture", "tokens"),
+)
+def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture control by TOKEN budget, not doc count: sources mix to a
+    target token share, so long-doc-heavy sources don't dominate. The
+    deterministic doc_id order makes the kept SET reproducible (a
+    production pipeline would order by a quality or md5 key — same
+    dataflow); the cumulative window is one shuffle on `source`, and
+    the budget filter prunes everything past the threshold before the
+    rollup. At 100 TB: per-source running sums are the same partition-
+    local two-pointer sweep as the rolling feature window, state
+    bounded by the window span.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.filter(F.col("cum_tokens") <= 12000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.max("cum_tokens").cast("bigint").alias("budget_used"),
+        )
+    )
