@@ -90,42 +90,33 @@ _MODULES = (
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward full coverage-ever AND
 # re-validation of the stalest greens. Round-4 prefix = the one r3 red
-# (text_rolling_hash_fingerprint, oracle CAST fixed) + the two NEW
-# reference-pipeline gates + the SIX queries added in round 4 (never
-# driver-checked by definition) + the 9 queries never driver-checked
-# after r1-r3 + one oracle-refactor re-check
-# (dedup_cluster_representatives, shingle CTEs now shared) + 27
-# re-checks of queries last checked in round 1 (the stalest cohort; 33
-# of the 41 r1-only queries defer to round 5: agg_count_distinct,
-# distinct_flag_status, join_inner_segment_counts,
-# sort_limit_top_orders, q2_min_unit_cost_supplier,
+# (text_rolling_hash_fingerprint, oracle CAST fixed) + every query
+# that has NEVER had a driver CORRECTNESS row: the two reference-
+# pipeline gates, the six early-round-4 additions, the nine r3
+# leftovers, and all nineteen late-round-4 gates — audited
+# programmatically: registry keys − keys(CORRECTNESS_r01..r03) −
+# this prefix = ∅, so after this round EVERY registry query has a
+# driver row. The remaining slots re-check r1-only greens
+# (dedup_cluster_representatives after its oracle refactor, plus the
+# agg/window/fn cohort below). 32 r1-only greens defer to round 5:
+# agg_count_distinct, agg_string_join, distinct_flag_status,
+# fn_map_from_json, fn_regexp_suite, join_anti_dormant_customers,
+# join_full_outer_nation_presence, join_inner_segment_counts,
+# join_left_order_counts, join_right_suppliers_per_nation,
+# join_semi_active_customers, q2_min_unit_cost_supplier,
 # q4_late_shipment_orders, q6_forecast_revenue, q7_nation_trade,
-# agg_string_join, fn_map_from_json, fn_regexp_suite, q8_market_share, join_anti_dormant_customers,
-# join_full_outer_nation_presence,
-# join_left_order_counts,
-# join_right_suppliers_per_nation,
-# join_semi_active_customers,
-# q10_returned_revenue,
-# q11_part_value_concentration,
-# q12_shipmode_priority_classes,
-# q13_customer_order_distribution, q16_supplier_part_counts,
-# q14_promo_revenue_ratio, q15_top_revenue_suppliers,
+# q8_market_share, q10_returned_revenue,
+# q11_part_value_concentration, q12_shipmode_priority_classes,
+# q13_customer_order_distribution, q14_promo_revenue_ratio,
+# q15_top_revenue_suppliers, q16_supplier_part_counts,
 # q17_small_quantity_revenue, q18_large_volume_orders,
 # q19_disjunctive_ranges, q20_heavy_part_shippers,
 # q22_dormant_rich_customers, setop_unpivot_price_stats,
-# sql_api_priority_stats, text_term_frequencies — ALL verified green
-# by the local full-registry sweep on the round-4 regenerated data,
-# tools/parity_sweep.py 2026-08-14). Late round 4 added FOUR more
-# never-checked gates (duplicate-ngram fraction, C4 filters,
-# containment pairs, SQ8 top-k) then SIX more (truncated rerank,
-# incremental batch dedup, LSH-pruned PQ/ADC, SCD2 point-in-time
-# join, rolling-7d leakage-free feature, snapshot materialization,
-# dynamic-schema UDTF, histogram-quantile rollup, streaming band
-# dedup, multiset set ops, collation suite, salted join, residual
-# IVF-PQ, token-budget mixing), slotted in over the last twenty r1
-# re-checks. After this round every registry query except those 33
-# r1-greens has a driver CORRECTNESS row; find stale ones: registry
-# keys vs max round per key across CORRECTNESS_r0*.json.
+# sort_limit_top_orders, sql_api_priority_stats,
+# text_term_frequencies — ALL verified green by the local
+# full-registry sweeps on the final round-4 data at sf0.001, sf0.01
+# AND sf0.1 (tools/parity_sweep.py, 2026-08-14). Find stale ones:
+# registry keys vs max round per key across CORRECTNESS_r0*.json.
 _PRIORITY = (
     "text_rolling_hash_fingerprint",
     "text_duplicate_ngram_fraction",
