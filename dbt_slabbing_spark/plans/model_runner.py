@@ -201,6 +201,11 @@ def run_snapshot(
     from ..operators.merge import scd2_apply
 
     target = pathlib.Path(target_path)
+    old = pathlib.Path(str(target) + ".old")
+    if old.exists() and not target.exists():
+        # Crash landed between the two renames of a previous swap:
+        # .old is the only copy of the SCD2 history — recover it.
+        old.rename(target)
     snap_ts = F.lit(snapshot_time).cast("timestamp")
     cols = [unique_key, *tracked_cols]
     if not target.exists():
@@ -218,6 +223,13 @@ def run_snapshot(
     merged = scd2_apply(dim, changes, unique_key, "_snap_at", tracked_cols)
     staging = str(target) + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(str(target))
+    # Crash-safe swap: at every instant either `target` or `target.old`
+    # holds the full pre-swap history (recovered at entry above) —
+    # unlike incremental marts, snapshot history is NOT recomputable
+    # from the source, so a plain rmtree+rename window would lose it.
+    if old.exists():
+        shutil.rmtree(str(old))
+    target.rename(old)
     pathlib.Path(staging).rename(target)
+    shutil.rmtree(str(old))
     return spark.read.parquet(str(target))

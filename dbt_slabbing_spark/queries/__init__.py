@@ -88,86 +88,75 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
-# so the prefix is rotated each round toward full coverage-ever AND
-# re-validation of the stalest greens. Round-4 prefix = the one r3 red
-# (text_rolling_hash_fingerprint, oracle CAST fixed) + every query
-# that has NEVER had a driver CORRECTNESS row: the two reference-
-# pipeline gates, the six early-round-4 additions, the nine r3
-# leftovers, and all nineteen late-round-4 gates — audited
-# programmatically: registry keys − keys(CORRECTNESS_r01..r03) −
-# this prefix = ∅, so after this round EVERY registry query has a
-# driver row. The remaining slots re-check r1-only greens
-# (dedup_cluster_representatives after its oracle refactor, plus the
-# agg/window/fn cohort below). 32 r1-only greens defer to round 5:
-# agg_count_distinct, agg_string_join, distinct_flag_status,
-# fn_map_from_json, fn_regexp_suite, join_anti_dormant_customers,
-# join_full_outer_nation_presence, join_inner_segment_counts,
-# join_left_order_counts, join_right_suppliers_per_nation,
-# join_semi_active_customers, q2_min_unit_cost_supplier,
-# q4_late_shipment_orders, q6_forecast_revenue, q7_nation_trade,
-# q8_market_share, q10_returned_revenue,
-# q11_part_value_concentration, q12_shipmode_priority_classes,
-# q13_customer_order_distribution, q14_promo_revenue_ratio,
-# q15_top_revenue_suppliers, q16_supplier_part_counts,
-# q17_small_quantity_revenue, q18_large_volume_orders,
-# q19_disjunctive_ranges, q20_heavy_part_shippers,
-# q22_dormant_rich_customers, setop_unpivot_price_stats,
-# sort_limit_top_orders, sql_api_priority_stats,
-# text_term_frequencies — ALL verified green by the local
-# full-registry sweeps on the final round-4 data at sf0.001, sf0.01
-# AND sf0.1 (tools/parity_sweep.py, 2026-08-14). Find stale ones:
-# registry keys vs max round per key across CORRECTNESS_r0*.json.
+# so the prefix is rotated each round toward "driver rows <= 1 round
+# old for the whole registry". Round-5 prefix, audited against
+# CORRECTNESS_r01..r04 (latest driver row per key):
+#   1. ref_ground_truth_labels — r4's ONLY red row (driver canon crashed
+#      on array-typed cells); both sides now comma-serialize the lists.
+#   2. The 32 queries whose only driver row is r1 (three testdata
+#      regenerations old) — the full r1-stale cohort, so after this
+#      round no registry query has a driver row older than r2.
+#   3. The 5 queries whose code or oracle changed in round 5:
+#      sim_sq_int8_topk (-0.0 oracle guard), text_c4_doc_filters
+#      (ends_terminal cross-engine anchor), model_snapshot_customer_
+#      segments (crash-safe snapshot swap), stream_minhash_band_dedup
+#      (stateful registry rework), sample_token_budget_mixture
+#      (distributed prefix-sum de-skew).
+#   4. 12 stalest r2 greens fill the remaining slots.
+# Staleness audit: registry keys vs max round per key across
+# CORRECTNESS_r0*.json (all verified green by tools/parity_sweep.py on
+# the current testdata before rotation).
 _PRIORITY = (
-    "text_rolling_hash_fingerprint",
-    "text_duplicate_ngram_fraction",
-    "text_c4_doc_filters",
-    "dedup_containment_pairs",
-    "sim_sq_int8_topk",
-    "sim_truncated_rerank_topk",
-    "dedup_incremental_batch",
-    "sim_lshpq_adc_topk",
-    "join_scd2_point_in_time",
-    "ts_rolling_7d_user_spend",
-    "model_snapshot_customer_segments",
-    "udf_udtf_dynamic_schema",
-    "agg_histogram_quantile_rollup",
-    "stream_minhash_band_dedup",
-    "setop_intersect_except_all",
-    "fn_collation_suite",
-    "join_salted_replicated_dim",
-    "sim_ivfpq_residual_topk",
-    "sample_token_budget_mixture",
-    "ref_mapping_truth_labels",
     "ref_ground_truth_labels",
-    "text_bm25_topk",
-    "text_repetition_profile",
-    "text_unigram_surprisal",
-    "sim_pq_adc_topk",
-    "model_incremental_hourly_mart",
-    "sink_orc_roundtrip",
-    "stream_stream_left_outer_join",
-    "fn_sql_udf_surface",
-    "sample_group_aware_split",
-    "graph_pagerank_supplier_part",
-    "profile_orders_columns",
-    "ts_rollup_time_hierarchy",
-    "stream_static_enrich",
-    "agg_hll_sketch_rollup",
-    "agg_bitmap_exact_distinct_rollup",
-    "ts_time_weighted_avg",
-    "graph_triangle_count",
-    "ts_anomaly_hourly_zscore",
-    "fn_try_error_safe_suite",
-    "dedup_cluster_representatives",
-    "agg_cube_priority_status",
-    "agg_filtered_counts",
-    "agg_grouping_sets",
-    "agg_histogram_buckets",
-    "agg_last_state_per_user",
-    "agg_pivot_status",
-    "agg_rollup_flag_status",
-    "agg_salted_hot_keys",
-    "agg_stats_moments",
+    "q6_forecast_revenue",
+    "join_inner_segment_counts",
+    "join_left_order_counts",
+    "join_semi_active_customers",
+    "join_anti_dormant_customers",
+    "join_full_outer_nation_presence",
+    "sort_limit_top_orders",
+    "distinct_flag_status",
+    "sql_api_priority_stats",
+    "q7_nation_trade",
+    "q10_returned_revenue",
+    "setop_unpivot_price_stats",
+    "agg_string_join",
+    "fn_regexp_suite",
+    "text_term_frequencies",
+    "q4_late_shipment_orders",
+    "q8_market_share",
+    "q12_shipmode_priority_classes",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_orders",
+    "q19_disjunctive_ranges",
+    "q22_dormant_rich_customers",
+    "q2_min_unit_cost_supplier",
+    "q11_part_value_concentration",
+    "q16_supplier_part_counts",
+    "q20_heavy_part_shippers",
+    "join_right_suppliers_per_nation",
+    "fn_map_from_json",
+    "q15_top_revenue_suppliers",
+    "q17_small_quantity_revenue",
+    "agg_count_distinct",
+    "sim_sq_int8_topk",
+    "text_c4_doc_filters",
+    "model_snapshot_customer_segments",
+    "stream_minhash_band_dedup",
+    "sample_token_budget_mixture",
+    "q1_pricing_summary",
+    "subquery_orders_above_cust_avg",
+    "agg_collect_list_sorted",
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "window_topk_orders_per_customer",
+    "window_running_revenue",
+    "window_sessionize_batch",
+    "setop_union_all_parties",
+    "setop_intersect_nations",
+    "fn_string_suite",
+    "fn_date_suite",
 )
 
 

@@ -225,8 +225,8 @@ _TRUTHS_ORACLE = f"""
               FROM truthed WHERE truth01 IS NOT NULL)
     )
     SELECT scope, gt_type, dbt_only, mri_excluded, key,
-           list(uid ORDER BY _ord) AS uids,
-           list(CAST(truth01 AS BIGINT) ORDER BY _ord) AS truth01
+           array_to_string(list(uid ORDER BY _ord), ',') AS uids,
+           array_to_string(list(CAST(truth01 AS VARCHAR) ORDER BY _ord), ',') AS truth01
     FROM keyed
     GROUP BY scope, gt_type, dbt_only, mri_excluded, key
 """
@@ -239,7 +239,9 @@ _TRUTHS_ORACLE = f"""
     "across ALL 18 reachable option combinations: filter → mode "
     "combination → classification → scope key → ordered grouped collect; "
     "truth encoded 0=benign/1=malignant per uid (the [1,0]/[0,1] pair "
-    "form is bijective to it and golden-replayed in pytest)",
+    "form is bijective to it and golden-replayed in pytest); the ordered "
+    "lists are comma-serialized on BOTH sides because the driver's "
+    "pandas canonicalizer cannot hash array-typed cells",
     tags=("reference", "pipeline", "agg", "collect"),
 )
 def ref_ground_truth_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,11 +258,14 @@ def ref_ground_truth_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(dbt_only).alias("dbt_only"),
                 F.lit(mri_excluded).alias("mri_excluded"),
                 "key",
-                "uids",
+                # Comma-serialized: the driver canon hashes scalar cells
+                # only (array cells crash pandas sort_values).
+                F.array_join("uids", ",").alias("uids"),
                 # [1,0]=benign / [0,1]=malignant → the malignant flag.
-                F.transform("truth", lambda t: F.element_at(t, 2))
-                .cast("array<bigint>")
-                .alias("truth01"),
+                F.array_join(
+                    F.transform("truth", lambda t: F.element_at(t, 2)).cast("array<string>"),
+                    ",",
+                ).alias("truth01"),
             )
         )
     out = parts[0]

@@ -492,7 +492,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(list_dot_product(p.q, c.q) AS BIGINT) AS dot_q,
                round((list_dot_product(p.q, c.q)
                       / (sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(c.q, c.q)))) * 1000000.0)
-                   / 1000000.0 AS qcos
+                   / 1000000.0 + 0.0 AS qcos
         FROM coded c, (SELECT * FROM coded WHERE vec_id < 5) p
         WHERE c.vec_id <> p.vec_id
           AND sqrt(list_dot_product(p.q, p.q)) > 0 AND sqrt(list_dot_product(c.q, c.q)) > 0

@@ -435,7 +435,7 @@ def text_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT doc_id,
                CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
                CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_terminal,
-               rtrim(text) SIMILAR TO '.*[.!?]' AS ends_terminal,
+               regexp_matches(regexp_replace(text, '\\s+$', ''), '[.!?]$') AS ends_terminal,
                contains(text, '{{') AS has_brace,
                contains(lower(text), 'lorem ipsum') AS has_lorem
         FROM documents
@@ -465,7 +465,11 @@ def text_c4_doc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_words.alias("n_words"),
         n_terminal.alias("n_terminal"),
-        F.rtrim(F.col("text")).rlike(r"[.!?]$").alias("ends_terminal"),
+        # Strip ALL trailing whitespace first: rtrim trims spaces only
+        # (both engines), and Java's unanchored `$` matches before a
+        # final '\n' while RE2's does not — stripping first makes the
+        # anchor semantics identical cross-engine for multi-line docs.
+        F.regexp_replace(F.col("text"), r"\s+$", "").rlike(r"[.!?]$").alias("ends_terminal"),
         F.col("text").contains("{").alias("has_brace"),
         F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
     )
