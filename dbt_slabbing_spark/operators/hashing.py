@@ -61,6 +61,46 @@ def minhash_lanes(shingle: Column, num_hashes: int) -> list[Column]:
     return [(a + F.lit(i) * b).bitwiseAND(F.lit(MASK32)) for i in range(num_hashes)]
 
 
+def minhash_ab_pairs(text_col: Column, shingle_words: int = 3) -> Column:
+    """``array<struct<a,b>>`` — the per-shingle (a, b) lane seeds of
+    :func:`minhash_lanes`, as a pure column expression (one md5 per
+    shingle). Project this ONCE into its own column before deriving
+    lane minima so codegen computes the md5 pass a single time per row.
+    """
+    return F.transform(
+        word_shingles(text_col, shingle_words),
+        lambda s: F.struct(
+            hex_to_long(F.substring(F.md5(s), 1, 8)).alias("a"),
+            hex_to_long(F.substring(F.md5(s), 9, 8)).bitwiseOR(F.lit(1)).alias("b"),
+        ),
+    )
+
+
+def minhash_sig_from_ab(ab_col: Column, num_hashes: int = 8) -> Column:
+    """``array<bigint>`` signature from :func:`minhash_ab_pairs` output —
+    bit-identical to :func:`minhash_signatures` but computed per-row
+    with NO aggregation, which is what a STREAMING pipeline needs: a
+    groupBy on a stream is a stateful operator (cannot precede another
+    stateful op, holds state forever), while this stays a stateless
+    codegen'd projection. NULL when the document has no shingle (the
+    agg form drops such docs; filter on isNotNull to match).
+
+    100 TB note: the batch agg form still wins for batch jobs (partial
+    mins combine map-side before the shuffle); this form wins on
+    streams (zero shuffle, zero state).
+    """
+    lanes = [
+        F.array_min(
+            F.transform(
+                ab_col,
+                lambda x: (x["a"] + F.lit(i) * x["b"]).bitwiseAND(F.lit(MASK32)),
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    return F.when(F.size(ab_col) > 0, F.array(*lanes))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str,

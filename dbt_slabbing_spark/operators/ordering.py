@@ -49,3 +49,54 @@ def global_row_number(
         .withColumn(out_col, (F.col(off) + F.row_number().over(w_intra)).cast("long"))
         .drop(pid, off)
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Add ``out_col`` = running sum of ``value_col`` per group in
+    ``order_exprs`` order — WITHOUT a per-group global window.
+
+    ``sum() OVER (PARTITION BY group ORDER BY ...)`` puts each group in
+    ONE task; with a handful of groups (e.g. data sources in a mixture)
+    that is a whole-corpus single-task sweep at 100 TB. Same two-pass
+    scheme as :func:`global_row_number`, keyed by group:
+
+    1. range-partition on (group, order) — groups span contiguous runs
+       of partitions, order is contiguous within each;
+    2. per-(partition, group) partial sums (map-side combinable agg);
+    3. exclusive prefix-sum of the partials per group — a window over
+       the partitions×groups-sized tiny table, the only serial step;
+    4. broadcast the offsets back; intra-partition running sum windows
+       are parallel across partitions.
+
+    Order must be total within each group (unique tiebreaker), same
+    contract as ``global_row_number``.
+    """
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    pid, off = f"_pid_{sfx}", f"_offset_{sfx}"
+    gcols = [F.col(c) for c in group_cols]
+    parted = df.repartitionByRange(*gcols, *order_exprs).withColumn(
+        pid, F.spark_partition_id()
+    )
+    psums = parted.groupBy(pid, *group_cols).agg(F.sum(value_col).alias("_s"))
+    w_tiny = (
+        Window.partitionBy(*group_cols).orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psums.withColumn(
+        off, F.coalesce(F.sum("_s").over(w_tiny), F.lit(0)).cast("long")
+    ).select(pid, *group_cols, off)
+    w_intra = Window.partitionBy(pid, *group_cols).orderBy(*order_exprs).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        parted.join(F.broadcast(offsets), [pid, *group_cols])
+        .withColumn(out_col, (F.col(off) + F.sum(value_col).over(w_intra)).cast("long"))
+        .drop(pid, off)
+    )

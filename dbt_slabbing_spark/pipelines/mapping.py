@@ -62,6 +62,7 @@ def attach_truth_labels(
     mri_lesions: DataFrame,
     subject_col: str = "subject_de",
     laterality_col: str = "frame_laterality",
+    on_missing_subject: str = "null",
 ) -> DataFrame:
     """``get_truth_labels`` (``:37-94``) decorrelated: adds columns
     dbt_birads / dbt_outcome / mri_birads / mri_outcome to ``images``.
@@ -69,11 +70,17 @@ def attach_truth_labels(
     The clinical side is tiny by contract → every join is an explicit
     broadcast; the image side never shuffles.
 
-    Divergence from the reference, outside the golden domain: a subject
-    absent from the screening table raises KeyError there (``:40``);
-    here the left join yields null labels instead of failing the whole
-    run — the distributed-friendly behavior.
+    ``on_missing_subject`` controls the one semantic divergence from
+    the reference: a subject absent from the screening table raises
+    KeyError there (``:40``). Default ``"null"`` yields null labels
+    instead (the distributed-friendly behavior — one bad subject must
+    not kill a 100 TB run); ``"error"`` reproduces the reference's
+    failure contract via a lazy ``raise_error`` guard folded into the
+    label expressions, so it fails AT EXECUTION on the executor that
+    meets the row, with no extra pass over the data.
     """
+    if on_missing_subject not in ("null", "error"):
+        raise ValueError(f"on_missing_subject must be 'null' or 'error', got {on_missing_subject!r}")
     from ..sources.clinical import first_row_per_subject
 
     scr = first_row_per_subject(screening).select(
@@ -109,6 +116,18 @@ def attach_truth_labels(
 
     dbt_birads, dbt_outcome = branch("_t", F.col("_scr_dbt_birads"))
     mri_birads, mri_outcome = branch("_m", F.col("_scr_mri_birads"))
+
+    if on_missing_subject == "error":
+        # Reference parity (:40 KeyError): guard each label with a lazy
+        # raise_error on screening-miss rows.
+        missing = F.col("_scr_subject").isNull()
+        err = F.raise_error(
+            F.concat(F.lit("subject missing from screening table: "), F.col(subject_col))
+        ).cast("string")
+        dbt_birads = F.when(missing, err).otherwise(dbt_birads)
+        dbt_outcome = F.when(missing, err).otherwise(dbt_outcome)
+        mri_birads = F.when(missing, err).otherwise(mri_birads)
+        mri_outcome = F.when(missing, err).otherwise(mri_outcome)
 
     return (
         df.withColumn("dbt_birads", dbt_birads)

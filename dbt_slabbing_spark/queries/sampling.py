@@ -256,18 +256,24 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     target token share, so long-doc-heavy sources don't dominate. The
     deterministic doc_id order makes the kept SET reproducible (a
     production pipeline would order by a quality or md5 key — same
-    dataflow); the cumulative window is one shuffle on `source`, and
-    the budget filter prunes everything past the threshold before the
-    rollup. At 100 TB: per-source running sums are the same partition-
-    local two-pointer sweep as the rolling feature window, state
-    bounded by the window span.
+    dataflow). At 100 TB the mixture has a HANDFUL of sources, so a
+    plain `sum() OVER (PARTITION BY source)` would sweep each source's
+    entire slice of the corpus in one task — the running sum instead
+    comes from the distributed two-pass prefix-sum operator
+    (operators/ordering.py::grouped_prefix_sum: range-partition,
+    per-partition partials, broadcast offsets), every stage parallel;
+    plan-guarded in test_plan_quality.py against regressing to a
+    per-source window.
     """
+    from ..operators.ordering import grouped_prefix_sum
+
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", T.token_count(F.col("text")).cast("bigint").alias("n_tokens")
     )
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    cum = grouped_prefix_sum(
+        tok, ["source"], [F.col("doc_id")], "n_tokens", out_col="cum_tokens"
+    )
     return (
         cum.filter(F.col("cum_tokens") <= 12000)
         .groupBy("source")

@@ -284,8 +284,9 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     "streaming near-dup dedup (band-first-wins): documents replayed "
     "through the custom parquet_replay source in micro-batches, minhash "
-    "bands claimed in a foreachBatch registry — kept iff first arrival "
-    "in ALL 4 bands; oracle states the global closed form",
+    "bands claimed in the state store (applyInPandasWithState keyed by "
+    "band) — kept iff first arrival in ALL 4 bands; oracle states the "
+    "global closed form",
     tags=("streaming", "dedup", "minhash"),
 )
 def stream_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -439,44 +439,61 @@ def streaming_band_dedup(
     (standard streaming near-dedup: the duplicate's bands are as
     "seen" as the original's).
 
-    State = the claimed-bands registry, held as an append-only parquet
-    dir keyed (band, band_key, first_doc). foreachBatch processes each
-    micro-batch atomically: intra-batch firsts resolve by min doc_id,
-    the batch is checked against the registry, verdicts append to the
-    sink, and newly-claimed bands append to the registry. Because
-    batches are doc_id-ordered, the registry's first_doc equals the
-    global min doc_id per band — so the stream's outcome is
-    independent of the micro-batch slicing (the oracle states the
-    global form; the batch-replay equivalence is the same property
-    every foreachBatch job here pins).
+    State = the claimed-bands registry, held in SPARK'S STATE STORE:
+    the stream is banded statelessly (per-row array-form minhash,
+    ``minhash_sig_from_ab`` — an aggregation would itself be a
+    stateful op) and grouped by (band, band_key) through
+    ``applyInPandasWithState``, whose per-group state is the claiming
+    ``first_doc``. Intra-batch firsts resolve deterministically by min
+    doc_id inside the group function; per-doc verdicts (all 4 band
+    rows of a doc travel in the same micro-batch) are folded in a
+    downstream foreachBatch and appended to the sink. Because batches
+    are doc_id-ordered, the claimed first_doc equals the global min
+    doc_id per band — the stream's outcome is independent of the
+    micro-batch slicing (pinned by pytest; the oracle states the
+    global closed form).
 
     100 TB story: state is bounded by DISTINCT band keys (≪ docs for
-    near-dup-heavy corpora), the per-batch work is one signature build
-    + two broadcast-able joins, and the registry is the natural
-    Delta/merge target in production.
+    near-dup-heavy corpora) and lives in the incremental state store
+    (RocksDB-backed in production) — per-batch work is proportional to
+    the BATCH, not the corpus. The previous design (parquet registry
+    dir re-read + appended each batch) scanned the whole accumulated
+    registry every micro-batch, i.e. unbounded per-batch cost as the
+    corpus grows; the state store replaces that scan with keyed
+    lookups.
     """
-    import pathlib
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..catalog import _ensure_workers_can_import
-    from ..operators.hashing import minhash_signatures
+    from ..operators.hashing import minhash_ab_pairs, minhash_sig_from_ab
     from ..sources.replay_stream import register_replay_source
 
-    # ship the package for the foreachBatch body's UDF references
-    # (executor workers), and register the source pickled BY VALUE for
-    # the driver-side streaming-source runner, which addPyFile does
-    # NOT reach (caught by the vanilla contract drive; see
-    # register_replay_source)
+    # ship the package for the executor-side UDF references, and
+    # register the source pickled BY VALUE for the driver-side
+    # streaming-source runner, which addPyFile does NOT reach (caught
+    # by the vanilla contract drive; see register_replay_source)
     _ensure_workers_can_import(spark)
     register_replay_source(spark)
     docs_path = f"{sf_dir}/documents.parquet"
-    registry_dir = f"{work_dir}/band_registry"
     verdict_dir = f"{work_dir}/verdicts"
     bands, rows_per_band = 4, 2
 
-    def band_keys(docs: DataFrame) -> DataFrame:
-        sig = minhash_signatures(docs, "doc_id", "text")
-        band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-        return sig.select("doc_id", "sig", band_idx).select(
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", docs_path)
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+        .select("doc_id", "text")
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = (
+        # _ab projected into its own column so the md5-per-shingle pass
+        # runs once per row, not once per lane (see minhash_ab_pairs).
+        stream.select("doc_id", minhash_ab_pairs(F.col("text")).alias("_ab"))
+        .select("doc_id", minhash_sig_from_ab(F.col("_ab")).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .select("doc_id", "sig", band_idx)
+        .select(
             "doc_id",
             "band",
             F.concat_ws(
@@ -487,39 +504,48 @@ def streaming_band_dedup(
                 ],
             ).alias("band_key"),
         )
+    )
+
+    def claim(key, pdfs, state) -> "object":
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            # Band already claimed in an earlier batch: every arrival
+            # in this batch is a duplicate occupant.
+            dup = [1] * len(rows)
+        else:
+            first = int(rows["doc_id"].min())
+            state.update((first,))
+            dup = (rows["doc_id"] != first).astype("int32")
+        yield pd.DataFrame({"doc_id": rows["doc_id"], "band": rows["band"], "dup": dup})
+
+    claims = banded.groupBy("band", "band_key").applyInPandasWithState(
+        claim,
+        outputStructType="doc_id bigint, band int, dup int",
+        stateStructType="first_doc bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        bk = band_keys(batch_df)
-        if bk.isEmpty():
-            return
-        w_first = F.min("doc_id").over(Window.partitionBy("band", "band_key"))
-        staged = bk.withColumn("_batch_first", w_first)
-        if pathlib.Path(registry_dir).exists():
-            seen = spark.read.parquet(registry_dir).select("band", "band_key", F.lit(True).alias("_seen"))
-            staged = staged.join(seen, ["band", "band_key"], "left")
-        else:
-            staged = staged.withColumn("_seen", F.lit(None).cast("boolean"))
-        verdicts = staged.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_bands"),
-            F.sum(
-                (F.col("_seen").isNotNull() | (F.col("doc_id") != F.col("_batch_first"))).cast("int")
-            ).cast("bigint").alias("n_dup_bands"),
-        ).withColumn("kept", F.col("n_dup_bands") == 0)
-        verdicts.write.mode("append").parquet(verdict_dir)
-        new_claims = (
-            staged.filter(F.col("_seen").isNull() & (F.col("doc_id") == F.col("_batch_first")))
-            .select("band", "band_key", F.col("doc_id").alias("first_doc"))
+        verdicts = (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bands"),
+                F.sum("dup").cast("bigint").alias("n_dup_bands"),
+            )
+            .withColumn("kept", F.col("n_dup_bands") == 0)
         )
-        new_claims.write.mode("append").parquet(registry_dir)
+        if not verdicts.isEmpty():
+            verdicts.write.mode("append").parquet(verdict_dir)
 
-    stream = (
-        spark.readStream.format("parquet_replay")
-        .option("path", docs_path)
-        .option("rows_per_batch", str(rows_per_batch))
-        .load()
-        .select("doc_id", "text")
+    q = (
+        claims.writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .foreachBatch(handle)
+        .start()
     )
-    q = stream.writeStream.outputMode("append").foreachBatch(handle).start()
     try:
         q.processAllAvailable()
     finally:

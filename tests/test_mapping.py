@@ -18,6 +18,7 @@ import os
 import pytest
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 REF_ZIP = "/root/reference/EA1141-Reviewed-Clinical-Data-and-Data-Dictionaries.zip"
 REF_MAPPING = "/root/reference/ea1141-mapping.json"
@@ -193,6 +194,42 @@ def test_fold_last_row_matching(spark):
     assert r["dbt_birads"] is None      # nulled by the non-matching row
     assert r["dbt_outcome"] == "MALIGNANT"  # last row matches → DCIS → MALIGNANT
     assert r["mri_birads"] == "2" and r["mri_outcome"] is None
+
+
+def test_missing_subject_modes(spark):
+    """on_missing_subject: default 'null' keeps the run alive with null
+    labels; 'error' reproduces the reference's KeyError contract
+    (src/generate_mapping.py:40) at execution time."""
+    import pytest
+
+    from dbt_slabbing_spark.pipelines.mapping import attach_truth_labels
+
+    images = spark.createDataFrame(
+        [Row(uid="u", subject_de="ghost", frame_laterality="R")],
+        schema="uid string, subject_de string, frame_laterality string",
+    )
+    screening = spark.createDataFrame(
+        [Row(TOMO_BIRADS_YR0="3", MRI_BIRADS_YR0="2", SUBJECT_DE="s1", _line_no=0)],
+        schema="TOMO_BIRADS_YR0 string, MRI_BIRADS_YR0 string, SUBJECT_DE string, _line_no long",
+    )
+    empty = "LESIONBREAST string, LESIONOUTCOME string, SUBJECT_DE string, _line_no long"
+    tomo = spark.createDataFrame(
+        [], schema=empty.replace("LESION", "TOMO_LESION").replace(" string,", "_YR0 string,", 2)
+    )
+    mri = spark.createDataFrame(
+        [], schema=empty.replace("LESION", "MRI_LESION").replace(" string,", "_YR0 string,", 2)
+    )
+    r = attach_truth_labels(images, screening, tomo, mri).collect()[0]
+    assert r["dbt_birads"] is None and r["mri_outcome"] is None
+    strict = attach_truth_labels(images, screening, tomo, mri, on_missing_subject="error")
+    with pytest.raises(Exception, match="ghost"):
+        strict.collect()
+    # a present subject sails through strict mode
+    ok = images.withColumn("subject_de", F.lit("s1"))
+    row = attach_truth_labels(ok, screening, tomo, mri, on_missing_subject="error").collect()[0]
+    assert row["dbt_birads"] == "3"
+    with pytest.raises(ValueError):
+        attach_truth_labels(images, screening, tomo, mri, on_missing_subject="boom")
 
 
 def test_outcome_classifier_precedence(spark):

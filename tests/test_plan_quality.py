@@ -396,3 +396,22 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_token_budget_prefix_sum_is_distributed(spark):
+    """The token-budget mixture's per-source running sum must come from
+    the two-pass grouped prefix-sum (range partition + broadcast
+    offsets): a `sum() OVER (PARTITION BY source)` window would put a
+    whole source — a constant fraction of the corpus — in one task.
+    The regression signature is a window partitioned by source ALONE
+    and ordered by doc_id (the legitimate survivors: the tiny offsets
+    window ordered by partition id, the intra windows keyed by
+    (partition id, source), and the map-side-combined final rollup's
+    source exchange — all bounded)."""
+    import re
+
+    plan = _executed_plan(registry()["sample_token_budget_mixture"].fn(spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    bad = re.findall(r"windowspecdefinition\(source#\d+, doc_id", plan)
+    assert not bad, plan[:3000]

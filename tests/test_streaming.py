@@ -231,3 +231,12 @@ def test_band_dedup_verdicts_invariant_to_batch_slicing(spark, tmp_path):
         ).collect()
     }
     assert a == b and len(a) > 0
+    # Scale guard: the claimed-bands registry must live in Spark's
+    # STATE STORE (keyed incremental lookups — per-batch cost is
+    # proportional to the batch), not in a parquet dir that every
+    # micro-batch re-reads in full (per-batch cost grows with the
+    # corpus). The state dir existing + no registry dir is the
+    # observable contract.
+    assert not (tmp_path / "a" / "band_registry").exists()
+    state_dirs = list((tmp_path / "a" / "checkpoint" / "state").rglob("*"))
+    assert state_dirs, "applyInPandasWithState produced no state store files"
