@@ -102,7 +102,9 @@ _MODULES = (
 #      segments (crash-safe snapshot swap), stream_minhash_band_dedup
 #      (stateful registry rework), sample_token_budget_mixture
 #      (distributed prefix-sum de-skew).
-#   4. 12 stalest r2 greens fill the remaining slots.
+#   4. The 2 queries ADDED in round 5 (text_gopher_quality_filters,
+#      text_dsir_importance_weights) — never driver-checked.
+#   5. 10 stalest r2 greens fill the remaining slots.
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all verified green by tools/parity_sweep.py on
 # the current testdata before rotation).
@@ -155,8 +157,8 @@ _PRIORITY = (
     "window_sessionize_batch",
     "setop_union_all_parties",
     "setop_intersect_nations",
-    "fn_string_suite",
-    "fn_date_suite",
+    "text_gopher_quality_filters",
+    "text_dsir_importance_weights",
 )
 
 

@@ -486,3 +486,186 @@ def text_c4_doc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("has_lorem")
         ).alias("keep"),
     )
+
+
+@register(
+    "text_gopher_quality_filters",
+    f"""
+    WITH feat AS (
+        SELECT doc_id,
+               {_SQL_WORDS} AS w,
+               string_split(text, chr(10)) AS lines,
+               CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mwl,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS af,
+               CAST(n_symbols AS DOUBLE) / len(w) AS sr,
+               CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•] '))) AS DOUBLE)
+                   / len(lines) AS bf,
+               CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+                   / len(lines) AS ef
+        FROM feat WHERE len(w) > 0
+    )
+    SELECT doc_id, n_words,
+           round(mwl * 10000.0) / 10000.0 + 0.0 AS mean_word_len,
+           round(af * 10000.0) / 10000.0 + 0.0 AS alpha_word_frac,
+           round(sr * 10000.0) / 10000.0 + 0.0 AS symbol_word_ratio,
+           round(bf * 10000.0) / 10000.0 + 0.0 AS bullet_line_frac,
+           round(ef * 10000.0) / 10000.0 + 0.0 AS ellipsis_line_frac,
+           (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+            AND sr < 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af > 0.8) AS keep
+    FROM m
+    """,
+    "Gopher-style document quality rules (Rae et al. 2021 §A1.1): word "
+    "count and mean-word-length windows, symbol-to-word ratio, bullet/"
+    "ellipsis line fractions, alphabetic-word fraction -> keep flag",
+    tags=("text", "quality", "training"),
+)
+def text_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule set as pure Column expressions: one scan, zero
+    shuffle, whole-stage codegen — like text_c4_doc_filters this is a
+    map-only pruning pass that runs BEFORE any expensive dedup stage at
+    100 TB. Higher-order array functions (transform/filter/aggregate)
+    keep the per-doc loops JVM-side; no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    lines = F.split(F.col("text"), "\n")
+    feat = docs.select(
+        "doc_id",
+        w.alias("w"),
+        lines.alias("lines"),
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).cast("bigint").alias("n_symbols"),
+    ).filter(F.size("w") > 0)
+    nw = F.size("w").cast("bigint")
+    mwl = (
+        F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast("double")
+        / F.size("w")
+    )
+    af = F.size(F.filter("w", lambda x: x.rlike("[a-z]"))).cast("double") / F.size("w")
+    sr = F.col("n_symbols").cast("double") / F.size("w")
+    bf = (
+        F.size(F.filter("lines", lambda line: F.ltrim(line).rlike("^[-*•] "))).cast("double")
+        / F.size("lines")
+    )
+    ef = (
+        F.size(F.filter("lines", lambda line: F.rtrim(line).endswith("..."))).cast("double")
+        / F.size("lines")
+    )
+    m = feat.select(
+        "doc_id",
+        nw.alias("n_words"),
+        mwl.alias("mwl"),
+        af.alias("af"),
+        sr.alias("sr"),
+        bf.alias("bf"),
+        ef.alias("ef"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        dround(F.col("mwl"), 4).alias("mean_word_len"),
+        dround(F.col("af"), 4).alias("alpha_word_frac"),
+        dround(F.col("sr"), 4).alias("symbol_word_ratio"),
+        dround(F.col("bf"), 4).alias("bullet_line_frac"),
+        dround(F.col("ef"), 4).alias("ellipsis_line_frac"),
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mwl").between(3, 10)
+            & (F.col("sr") < 0.1)
+            & (F.col("bf") <= 0.9)
+            & (F.col("ef") <= 0.3)
+            & (F.col("af") > 0.8)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "text_dsir_importance_weights",
+    # DSIR (Xie et al. 2023): importance weight of each raw document
+    # toward a target distribution (here: the lang='en' slice), under
+    # hashed-unigram bag-of-words language models with add-1 smoothing
+    # over B=64 buckets. log w(x) = Σ_tokens [ln p_target(bucket) -
+    # ln p_raw(bucket)]. The per-bucket log-ratios are identical
+    # doubles in both engines (tiny exact-integer-count dim), so the
+    # per-doc sums agree to rounding.
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket
+        FROM (SELECT doc_id, lang, unnest({_SQL_WORDS}) AS tok FROM documents)
+    ),
+    raw AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY bucket
+    ),
+    tgt AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tok WHERE lang = 'en' GROUP BY bucket
+    ),
+    dim AS (
+        SELECT r.bucket,
+               ln((coalesce(t.ct, 0) + 1)
+                  / ((SELECT sum(ct) FROM tgt) + 64.0))
+             - ln((r.cr + 1) / ((SELECT sum(cr) FROM raw) + 64.0)) AS lr
+        FROM raw r LEFT JOIN tgt t USING (bucket)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round((sum(lr)) * 10000.0) / 10000.0 + 0.0 AS log_weight,
+           round((avg(lr)) * 10000.0) / 10000.0 + 0.0 AS mean_log_ratio
+    FROM tok JOIN dim USING (bucket)
+    GROUP BY doc_id
+    """,
+    "DSIR hashed-unigram importance weights vs the lang='en' target "
+    "slice (Xie et al. 2023): 64-bucket add-1-smoothed LM log-ratio "
+    "summed per document — the importance-resampling score a targeted "
+    "pretraining data selection runs at corpus scale",
+    tags=("text", "quality", "training", "sampling"),
+)
+def text_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: the bucket LMs are one map-side-combined agg each
+    (64-row results), the log-ratio dim is broadcast, and scoring is a
+    map-side join + one per-doc shuffle — no all-pairs, no giant dims.
+    The bucket hash reuses the oracle-portable md5 prefix (operators/
+    hashing.py conventions)."""
+    from ..operators.hashing import hex_to_long
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.words(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (hex_to_long(F.substring(F.md5("tok"), 1, 8)) % 64).alias("bucket"),
+    )
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    tot_r = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+    tot_t = tgt.agg(F.sum("ct").cast("bigint").alias("tt"))
+    dim = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt") + F.lit(64.0)))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(64.0)))
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(dim), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            dround(F.sum("lr"), 4).alias("log_weight"),
+            dround(F.avg("lr"), 4).alias("mean_log_ratio"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Scale the driver's sf0.1 testdata to sfN by replica key-shifting.
+
+BASELINE.md's floor analysis predicts the engine/oracle crossover at
+≈ sf1: seven of nine headline queries are sub-100 ms oracle rows at
+sf0.1, below Spark's measured ~100-230 ms empty-plan floor, so the 2×
+gate is unpassable there BY CONSTRUCTION. This tool materializes the
+sf1 (or larger) dataset that turns the floor argument into a
+measurement — run bench.py and tools/oracle_bench.py against the
+output dir, same-day interleaved.
+
+Method: K = N/0.1 shifted replicas of every sf0.1 table.
+
+- Fact/entity keys shift by table-stride×replica (custkey, orderkey,
+  suppkey, partkey, event_id, user_id, doc_id, vec_id), preserving
+  every join relationship and per-key density: sfN has K× the
+  customers with the same orders-per-customer, K× the orders with the
+  same lines-per-order — the same shape the driver's generator
+  produces as sf grows (its dims scale linearly with sf too).
+- region/nation stay fixed (constant-size dims, TPC-H convention);
+  nationkey/date/status/type columns keep their exact sf0.1
+  distributions.
+- documents: every token of replica i>0 is prefixed `r{i}` (and
+  n_chars recomputed), so replicas share NO shingles — near-dup
+  density per band key stays at the sf0.1 level instead of every doc
+  gaining K-1 exact clones (which would quadratically distort the
+  minhash workload, not scale it).
+- embeddings replicate with shifted vec_id (bucket density grows K×,
+  the honest effect of a bigger corpus on a fixed-grid LSH/IVF).
+
+Deterministic (pure SQL over the frozen sf0.1 input, no RNG).
+
+Usage: python tools/make_sfN.py [--out /tmp/sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+STRIDES = {
+    "customer": {"c_custkey": 15_000},
+    "supplier": {"s_suppkey": 1_000},
+    "part": {"p_partkey": 20_000},
+    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
+    "lineitem": {
+        "l_orderkey": 150_000,
+        "l_partkey": 20_000,
+        "l_suppkey": 1_000,
+    },
+    "events": {"event_id": 100_000, "user_id": 1_500},
+    "documents": {"doc_id": 5_000},
+    "embeddings": {"vec_id": 2_000},
+}
+COPY_ONLY = ("region", "nation")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in COPY_ONLY:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied")
+
+    for t, strides in STRIDES.items():
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchall()]
+        selects = []
+        for i in range(args.factor):
+            exprs = []
+            for c in cols:
+                if c in strides:
+                    exprs.append(f"{c} + {i * strides[c]} AS {c}")
+                elif t == "documents" and c == "text" and i > 0:
+                    exprs.append(rf"regexp_replace(text, '(\S+)', 'r{i}\1', 'g') AS text")
+                elif t == "documents" and c == "n_chars" and i > 0:
+                    exprs.append(
+                        rf"CAST(len(regexp_replace(text, '(\S+)', 'r{i}\1', 'g')) AS BIGINT) AS n_chars"
+                    )
+                else:
+                    exprs.append(c)
+            selects.append(
+                f"SELECT {', '.join(exprs)} FROM read_parquet('{SRC}/{t}.parquet')"
+            )
+        union = " UNION ALL ".join(selects)
+        con.sql(f"COPY ({union}) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{args.out}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
