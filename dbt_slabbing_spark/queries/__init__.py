@@ -102,9 +102,10 @@ _MODULES = (
 #      segments (crash-safe snapshot swap), stream_minhash_band_dedup
 #      (stateful registry rework), sample_token_budget_mixture
 #      (distributed prefix-sum de-skew).
-#   4. The 2 queries ADDED in round 5 (text_gopher_quality_filters,
-#      text_dsir_importance_weights) — never driver-checked.
-#   5. 10 stalest r2 greens fill the remaining slots.
+#   4. The 4 queries ADDED in round 5 (text_gopher_quality_filters,
+#      text_dsir_importance_weights, text_line_dedup,
+#      dedup_lsh_quality_metrics) — never driver-checked.
+#   5. 8 stalest r2 greens fill the remaining slots.
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all verified green by tools/parity_sweep.py on
 # the current testdata before rotation).
@@ -155,10 +156,10 @@ _PRIORITY = (
     "window_topk_orders_per_customer",
     "window_running_revenue",
     "window_sessionize_batch",
-    "setop_union_all_parties",
-    "setop_intersect_nations",
     "text_gopher_quality_filters",
     "text_dsir_importance_weights",
+    "text_line_dedup",
+    "dedup_lsh_quality_metrics",
 )
 
 

@@ -689,3 +689,176 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("e_match").isNotNull(), F.lit(1.0)).otherwise(F.col("jac")).alias("score"),
         )
     )
+
+
+@register(
+    "text_line_dedup",
+    # Exact corpus-wide LINE dedup (the C4 recipe dedups repeated
+    # three-sentence spans; lines are its cheapest granularity): every
+    # line keeps only its FIRST occurrence across the whole corpus
+    # (min doc_id, then min line_no), duplicates elsewhere are
+    # dropped, and each doc reports its kept/dropped counts plus the
+    # md5 of its rebuilt text so the reconstruction is hash-checked.
+    """
+    WITH lines AS (
+        SELECT doc_id, i - 1 AS line_no, l[i] AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+             LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE rn = 1), '')) AS rebuilt_md5
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    "corpus-wide exact line dedup (C4-style): first occurrence wins "
+    "globally, per-doc kept/dropped counts + md5 of the rebuilt text",
+    tags=("dedup", "text", "training"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: one shuffle hash-partitioned on the LINE HASH (key
+    cardinality ≈ distinct lines, so the window parallelizes — this is
+    not a per-source/global window), one shuffle back on doc_id for the
+    rebuild. Boilerplate lines (nav bars, license headers) are exactly
+    the high-df keys; their groups are deep but the window computes a
+    streaming row_number, not a product."""
+    docs = table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    )
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    kept_line = F.when(F.col("rn") == 1, F.col("line"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dropped"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("rn") == 1, F.struct("line_no", "line"))
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ),
+                F.lit(""),
+            )
+        ).alias("rebuilt_md5"),
+    )
+
+
+@register(
+    "dedup_lsh_quality_metrics",
+    # Recall/precision of the minhash-LSH candidate pipeline against
+    # the exact (df-capped) Jaccard truth at the same 0.5 threshold —
+    # "measure, don't guess" for the dedup stack itself: the exact
+    # side is the evaluation harness you run on a SAMPLE at 100 TB,
+    # the LSH side is the production path.
+    f"""
+    WITH {_SQL_SHINGLE_CTES},
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    mlanes AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS a,
+               (('0x' || substr(md5(sh), 9, 8))::BIGINT) | 1 AS b
+        FROM (SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM norm))
+    ),
+    minh AS (
+        SELECT doc_id, s.seed, min((a + s.seed * b) & 4294967295) AS h
+        FROM mlanes, range(0, 8) s(seed) GROUP BY doc_id, s.seed
+    ),
+    sig AS (
+        SELECT doc_id, list(h ORDER BY seed) AS sig FROM minh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b.band,
+               CAST(sig[2*b.band + 1] AS VARCHAR) || '_' || CAST(sig[2*b.band + 2] AS VARCHAR) AS band_key
+        FROM sig, range(0, 4) b(band)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    pred AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) >= 4
+    ),
+    m AS (
+        SELECT (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM cand) AS n_candidates,
+               (SELECT count(*) FROM pred) AS n_pred,
+               (SELECT count(*) FROM pred JOIN truth USING (id_a, id_b)) AS n_hit
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_pred = 0 THEN NULL
+                ELSE round((CAST(n_hit AS DOUBLE) / n_pred) * 10000.0) / 10000.0 + 0.0 END AS precision,
+           CASE WHEN n_true = 0 THEN NULL
+                ELSE round((CAST(n_hit AS DOUBLE) / n_true) * 10000.0) / 10000.0 + 0.0 END AS recall
+    FROM m
+    """,
+    "LSH quality metrics: precision/recall of the minhash band+filter "
+    "pipeline vs exact df-capped Jaccard >= 0.5 — the dedup stack "
+    "measuring itself",
+    tags=("dedup", "lsh", "metrics"),
+)
+def dedup_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    truth = _jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_words=3)
+    cand = minhash_band_similarity_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
+    pred = cand.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    n_true = truth.count()
+    n_candidates = cand.count()
+    n_pred = pred.count()
+    n_hit = pred.join(truth, ["id_a", "id_b"]).count()
+    row = [
+        (
+            n_true,
+            n_candidates,
+            n_pred,
+            n_hit,
+            round(n_hit / n_pred, 4) + 0.0 if n_pred else None,
+            round(n_hit / n_true, 4) + 0.0 if n_true else None,
+        )
+    ]
+    return docs.sparkSession.createDataFrame(
+        row,
+        "n_true bigint, n_candidates bigint, n_pred bigint, n_hit bigint, "
+        "precision double, recall double",
+    )

@@ -640,25 +640,24 @@ def text_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (hex_to_long(F.substring(F.md5("tok"), 1, 8)) % 64).alias("bucket"),
     )
-    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
-    tgt = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    # BOTH bucket LMs from ONE map-side-combined aggregation (cr = all
+    # occurrences, ct = target-slice occurrences), and both totals from
+    # ONE scalar agg over the 64-row result — the corpus plan invariant
+    # allows at most one single-partition exchange per query and the
+    # tiny totals row is it.
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("ct"),
     )
-    tot_r = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
-    tot_t = tgt.agg(F.sum("ct").cast("bigint").alias("tt"))
-    dim = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt") + F.lit(64.0)))
-                - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(64.0)))
-            ).alias("lr"),
-        )
+    tots = counts.agg(
+        F.sum("cr").cast("bigint").alias("tr"), F.sum("ct").cast("bigint").alias("tt")
+    )
+    dim = counts.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + F.lit(64.0)))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(64.0)))
+        ).alias("lr"),
     )
     return (
         toks.join(F.broadcast(dim), "bucket")
