@@ -102,10 +102,13 @@ _MODULES = (
 #      segments (crash-safe snapshot swap), stream_minhash_band_dedup
 #      (stateful registry rework), sample_token_budget_mixture
 #      (distributed prefix-sum de-skew).
-#   4. The 4 queries ADDED in round 5 (text_gopher_quality_filters,
+#   4. The 6 queries ADDED in round 5 (text_gopher_quality_filters,
 #      text_dsir_importance_weights, text_line_dedup,
-#      dedup_lsh_quality_metrics) — never driver-checked.
-#   5. 8 stalest r2 greens fill the remaining slots.
+#      dedup_lsh_quality_metrics, text_ccnet_surprisal_buckets,
+#      sample_mixture_rebalance) — never driver-checked.
+#   5. 6 stalest r2 greens fill the remaining slots (incl. the two
+#      bench-headline members q1_pricing_summary and
+#      window_topk_orders_per_customer).
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all verified green by tools/parity_sweep.py on
 # the current testdata before rotation).
@@ -154,8 +157,8 @@ _PRIORITY = (
     "agg_approx_distinct",
     "agg_approx_percentiles",
     "window_topk_orders_per_customer",
-    "window_running_revenue",
-    "window_sessionize_batch",
+    "text_ccnet_surprisal_buckets",
+    "sample_mixture_rebalance",
     "text_gopher_quality_filters",
     "text_dsir_importance_weights",
     "text_line_dedup",

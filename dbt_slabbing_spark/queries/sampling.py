@@ -283,3 +283,108 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum_tokens").cast("bigint").alias("budget_used"),
         )
     )
+
+
+@register(
+    "sample_mixture_rebalance",
+    # Rebalance the corpus toward EQUAL token share per source:
+    # rate_s = min(1, target_tokens / tokens_s) with target = total/K,
+    # then a pure deterministic per-doc hash filter at that rate
+    # (u = md5-unit in [0,1), kept iff u < rate — both engines compute
+    # the identical 32-bit integer and the identical double compare).
+    """
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    src AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM tok GROUP BY source
+    ),
+    tots AS (
+        SELECT CAST(sum(tokens_total) AS BIGINT) AS grand, CAST(count(*) AS BIGINT) AS k
+        FROM src
+    ),
+    rates AS (
+        SELECT source, tokens_total, n_docs,
+               least(1.0, (CAST(grand AS DOUBLE) / k) / tokens_total) AS rate
+        FROM src CROSS JOIN tots
+    ),
+    kept AS (
+        SELECT t.source, t.n_tokens
+        FROM tok t JOIN rates r USING (source)
+        WHERE CAST(('0x' || substr(md5('mix|' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS DOUBLE) / 4294967296.0 < r.rate
+    )
+    SELECT r.source, r.n_docs, r.tokens_total,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           round(r.rate * 10000.0) / 10000.0 + 0.0 AS rate,
+           round((coalesce(k.tokens_kept, 0)
+                  / ((SELECT CAST(grand AS DOUBLE) FROM tots) / (SELECT k FROM tots))) * 10000.0)
+               / 10000.0 + 0.0 AS share_of_target
+    FROM rates r
+    LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                      CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+               FROM kept GROUP BY source) k USING (source)
+    """,
+    "mixture rebalancing to equal token share per source: "
+    "deterministic hash downsampling at rate min(1, target/actual); "
+    "per-source kept counts + achieved share of target",
+    tags=("sampling", "mixture", "tokens", "training"),
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: one per-source rollup (map-side combined), ONE
+    single-partition exchange for the tiny grand-total row (the corpus
+    invariant's budget), rates broadcast back, and the sample itself is
+    a pure per-row hash filter — zero extra shuffles over the corpus,
+    rerun-stable on any partitioning."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    src = tok.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tots = src.agg(
+        F.sum("tokens_total").cast("bigint").alias("grand"), F.count(F.lit(1)).alias("k")
+    )
+    rates = src.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "tokens_total",
+        "n_docs",
+        "grand",
+        "k",
+        F.least(
+            F.lit(1.0), (F.col("grand").cast("double") / F.col("k")) / F.col("tokens_total")
+        ).alias("_rate"),
+    )
+    u = (
+        md5_long32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))).cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        tok.join(F.broadcast(rates.select("source", "_rate")), "source")
+        .filter(u < F.col("_rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    from . import dround
+
+    target = F.col("grand").cast("double") / F.col("k")
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+        dround(F.col("_rate"), 4).alias("rate"),
+        dround(F.coalesce("tokens_kept", F.lit(0)) / target, 4).alias("share_of_target"),
+    )

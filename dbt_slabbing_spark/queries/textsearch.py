@@ -20,7 +20,7 @@ the repetition filters every large-scale pretraining pipeline applies.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -277,4 +277,101 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             dround(F.avg(surprisal), 4).alias("mean_surprisal"),
         )
+    )
+
+
+@register(
+    "text_ccnet_surprisal_buckets",
+    # CCNet-style quality bucketing (Wenzek et al. 2020): per language,
+    # docs sort by LM score and split into head/middle/tail terciles —
+    # head feeds pretraining, tail gets dropped. LM score here = the
+    # unigram mean surprisal above (4 dp, so ties are exact across
+    # engines). Cutoffs are computed EXACTLY (smallest score with
+    # 3*cum >= n resp. 3*cum >= 2n, integer arithmetic, ties share a
+    # bucket) over the per-(lang, score) HISTOGRAM.
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(w) AS tok
+        FROM (SELECT doc_id, lang, {{words}} AS w FROM documents)
+        WHERE len(w) > 0
+    ),
+    freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+    scored AS (
+        SELECT doc_id, lang,
+               round((avg(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))) * 10000.0) / 10000.0 + 0.0 AS s
+        FROM tok JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id, lang
+    ),
+    hist AS (
+        SELECT lang, s, count(*) AS n FROM scored GROUP BY lang, s
+    ),
+    cum AS (
+        SELECT lang, s,
+               sum(n) OVER (PARTITION BY lang ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS cn,
+               sum(n) OVER (PARTITION BY lang) AS n_tot
+        FROM hist
+    ),
+    cuts AS (
+        SELECT lang,
+               min(s) FILTER (WHERE 3 * cn >= n_tot) AS c1,
+               min(s) FILTER (WHERE 3 * cn >= 2 * n_tot) AS c2
+        FROM cum GROUP BY lang
+    )
+    SELECT doc_id, lang, s AS mean_surprisal,
+           CASE WHEN s <= c1 THEN 'head' WHEN s <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM scored JOIN cuts USING (lang)
+    """.replace("{words}", _SQL_WORDS),
+    "CCNet-style head/middle/tail quality buckets per language by "
+    "unigram mean surprisal: exact integer-arithmetic tercile cutoffs "
+    "over the score histogram, ties share a bucket",
+    tags=("text", "quality", "training"),
+)
+def text_ccnet_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: the per-doc score is the surprisal pipeline above
+    (broadcast term frequencies, one per-doc shuffle); the tercile
+    cutoffs come from the (lang, score) HISTOGRAM — windows run over
+    that tiny table, never over the docs (a per-lang ntile() window on
+    the corpus would put each language's whole slice in ONE task; the
+    histogram form is the distributed-quantile answer, exact because
+    scores are 4-dp-rounded)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "lang", T.words(F.col("text")).alias("w"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", "lang", F.explode("w").alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    surprisal = -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(dround(F.avg(surprisal), 4).alias("s"))
+    )
+    hist = scored.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.partitionBy("lang").orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "s",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("n").over(w_tot).alias("n_tot"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cn") >= F.col("n_tot"), F.col("s"))).alias("c1"),
+        F.min(F.when(3 * F.col("cn") >= 2 * F.col("n_tot"), F.col("s"))).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("s").alias("mean_surprisal"),
+        F.when(F.col("s") <= F.col("c1"), "head")
+        .when(F.col("s") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
