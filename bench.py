@@ -97,16 +97,19 @@ def main() -> None:
     # flip-flop). Both full sweeps still run and are published, so the
     # headline is assembled from measured numbers, r1-r4 columns stay
     # comparable, and the pin can be re-audited every round. Pins:
-    # AQE-on only where its runtime re-plan wins beyond the ±35% noise
-    # band at the bench scale (sf0.1) — q21 (skew-aware shuffled-hash
-    # re-plan: 388 vs 647 ms in the decisive r4 measurement) and
-    # bitmap_rollup (167 vs 636 ms: AQE coalesces the Expand-free
-    # exchanges) — and AQE-off elsewhere, where the per-stage barrier
-    # is a pure 40-120 ms tax on sub-second plans. At 100 TB AQE stays
-    # ON for everything (stage barriers amortize; skew/coalesce wins
-    # grow) — the pin is a STATEMENT ABOUT THIS BOX AND THE BENCH
-    # SCALE, which is what the bench measures; the sf1/sf3 crossover
-    # tables in BASELINE.md publish per-scale winners separately.
+    # AQE-on only where it wins the interleaved same-session A/B at
+    # the bench scale (sf0.1) — q21 only (on beat off in all three
+    # r5 interleaved rounds, 605/616, 419/470, 424/434 ms, agreeing
+    # with r4's decisive 388 vs 647 ms) — and AQE-off elsewhere,
+    # where the per-stage barrier is a pure 40-120 ms tax on
+    # sub-second plans (bitmap_rollup's apparent r4 deltas in both
+    # directions did not survive interleaved re-measurement: 384/319,
+    # 266/270, 234/253 ms = parity, so it takes the majority off
+    # config). At 100 TB AQE stays ON for everything (stage barriers
+    # amortize; skew/coalesce wins grow) — the pin is a STATEMENT
+    # ABOUT THIS BOX AND THE BENCH SCALE, which is what the bench
+    # measures; the sf1/sf3 crossover tables in BASELINE.md publish
+    # per-scale winners separately.
     AQE_PIN = {
         "q1": "off",
         "q3": "off",
@@ -116,7 +119,7 @@ def main() -> None:
         "q9": "off",
         "q21": "on",
         "minhash": "off",
-        "bitmap_rollup": "on",
+        "bitmap_rollup": "off",
     }
     reg = registry()
     times_aqe_on = _time_headline(spark, reg)  # AQE on: the session default
