@@ -62,7 +62,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma-separated subset (default: all); dims region/nation always copied",
+    )
     args = ap.parse_args()
+    only = set(t for t in args.tables.split(",") if t)
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
@@ -74,6 +80,8 @@ def main() -> None:
         print(f"{t}: copied")
 
     for t, strides in STRIDES.items():
+        if only and t not in only:
+            continue
         cols = [r[0] for r in con.sql(
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
         ).fetchall()]
