@@ -838,27 +838,44 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "metrics"),
 )
 def dedup_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LAZY distributed plan, no driver-side counts: candidates
+    (with their est filter flag) full-outer-join the exact-truth pairs
+    on the pair key, then ONE scalar aggregate derives all four counts
+    and both ratios — a single single-partition exchange of the
+    pre-aggregated partials (the corpus invariant's budget)."""
+    from ..rounding import dround as _dround
+
     docs = table(spark, sf_dir, "documents")
-    truth = _jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    truth = _jaccard_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("in_true")
+    )
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_words=3)
-    cand = minhash_band_similarity_pairs(sigs, "doc_id", bands=4, rows_per_band=2)
-    pred = cand.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
-    n_true = truth.count()
-    n_candidates = cand.count()
-    n_pred = pred.count()
-    n_hit = pred.join(truth, ["id_a", "id_b"]).count()
-    row = [
-        (
-            n_true,
-            n_candidates,
-            n_pred,
-            n_hit,
-            round(n_hit / n_pred, 4) + 0.0 if n_pred else None,
-            round(n_hit / n_true, 4) + 0.0 if n_true else None,
-        )
-    ]
-    return docs.sparkSession.createDataFrame(
-        row,
-        "n_true bigint, n_candidates bigint, n_pred bigint, n_hit bigint, "
-        "precision double, recall double",
+    cand = minhash_band_similarity_pairs(sigs, "doc_id", bands=4, rows_per_band=2).select(
+        "id_a",
+        "id_b",
+        F.lit(1).alias("in_cand"),
+        (F.col("est_jaccard") >= 0.5).cast("int").alias("in_pred"),
+    )
+    joined = cand.join(truth, ["id_a", "id_b"], "full_outer")
+    pred_flag = F.coalesce("in_pred", F.lit(0))
+    true_flag = F.coalesce("in_true", F.lit(0))
+    agg = joined.agg(
+        F.sum(true_flag).cast("bigint").alias("n_true"),
+        F.sum(F.coalesce("in_cand", F.lit(0))).cast("bigint").alias("n_candidates"),
+        F.sum(pred_flag).cast("bigint").alias("n_pred"),
+        F.sum(pred_flag * true_flag).cast("bigint").alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        "n_candidates",
+        "n_pred",
+        "n_hit",
+        F.when(
+            F.col("n_pred") > 0,
+            _dround(F.col("n_hit").cast("double") / F.col("n_pred"), 4),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0,
+            _dround(F.col("n_hit").cast("double") / F.col("n_true"), 4),
+        ).alias("recall"),
     )

@@ -367,24 +367,26 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))).cast("double")
         / F.lit(4294967296.0)
     )
-    kept = (
-        tok.join(F.broadcast(rates.select("source", "_rate")), "source")
-        .filter(u < F.col("_rate"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
-        )
-    )
     from . import dround
 
+    # ONE pass over tok: the broadcast rates dim rides along and the
+    # keep decision becomes conditional aggregation, so `rates` (and
+    # its scalar-totals subplan) is referenced exactly once — a dual
+    # reference would re-plan the totals agg and double the
+    # single-partition exchange the corpus invariant budgets.
+    keep = (u < F.col("_rate")).cast("int")
     target = F.col("grand").cast("double") / F.col("k")
-    return rates.join(kept, "source", "left").select(
-        "source",
-        "n_docs",
-        "tokens_total",
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
-        dround(F.col("_rate"), 4).alias("rate"),
-        dround(F.coalesce("tokens_kept", F.lit(0)) / target, 4).alias("share_of_target"),
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n_docs").alias("n_docs"),
+            F.any_value("tokens_total").alias("tokens_total"),
+            F.sum(keep).cast("bigint").alias("n_kept"),
+            F.coalesce(F.sum(keep * F.col("n_tokens")), F.lit(0)).cast("bigint").alias("tokens_kept"),
+            dround(F.any_value("_rate"), 4).alias("rate"),
+            dround(
+                F.coalesce(F.sum(keep * F.col("n_tokens")), F.lit(0)) / F.any_value(target), 4
+            ).alias("share_of_target"),
+        )
     )

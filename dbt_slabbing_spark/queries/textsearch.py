@@ -352,6 +352,13 @@ def text_ccnet_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(dround(F.avg(surprisal), 4).alias("s"))
+        # referenced TWICE below (histogram → cutoffs, and the final
+        # assignment join); truncate lineage so the scoring pipeline —
+        # including its one single-partition totals exchange — is
+        # computed once, not re-planned per reference (column pruning
+        # differs between the two uses, which defeats exchange reuse).
+        # Same reuse pattern as the iterative frames in operators/graph.
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("n"))
     w_cum = Window.partitionBy("lang").orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
