@@ -59,3 +59,101 @@ def test_minhash_array_form_matches_agg_form(spark):
         )
     }
     assert agg == arr and len(agg) > 100
+
+
+def test_gopher_rules_ground_truth(spark, tmp_path):
+    """Hand-built docs exercising each Gopher rule branch."""
+    import pandas as pd
+
+    from dbt_slabbing_spark.queries import registry
+
+    good = "the quick brown fox jumps over a lazy dog near the old stone bridge " * 5
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                good,                                   # passes everything
+                "short doc only",                       # n_words < 50
+                "- one\n- two\n- three",                # all bullet lines
+                good + " ###### " * 20,                 # symbol ratio >= 0.1
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(good), 14, 19, 1],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in registry()["text_gopher_quality_filters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] is False and rows[1]["n_words"] == 3
+    assert rows[2]["keep"] is False and rows[2]["bullet_line_frac"] == 1.0
+    assert rows[3]["keep"] is False and rows[3]["symbol_word_ratio"] >= 0.1
+
+
+def test_line_dedup_ground_truth(spark, tmp_path):
+    """First occurrence wins globally; rebuilt text drops later dupes."""
+    import hashlib
+
+    import pandas as pd
+
+    from dbt_slabbing_spark.queries import registry
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["alpha\nshared line\nbeta", "shared line\ngamma"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [22, 17],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in registry()["text_line_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["n_kept"] == 3 and rows[0]["n_dropped"] == 0
+    assert rows[1]["n_kept"] == 1 and rows[1]["n_dropped"] == 1
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[0]["rebuilt_md5"] == md5("alpha\nshared line\nbeta")
+    assert rows[1]["rebuilt_md5"] == md5("gamma")
+
+
+def test_mixture_rebalance_budget_semantics(spark):
+    """Rates clamp at 1 (small sources keep everything) and kept tokens
+    never exceed the source's total; every source appears."""
+    from dbt_slabbing_spark.queries import registry
+    from tests.conftest import SF_SMOKE
+
+    rows = registry()["sample_mixture_rebalance"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r["rate"] <= 1.0
+        assert r["tokens_kept"] <= r["tokens_total"]
+        assert r["n_kept"] <= r["n_docs"]
+        if r["rate"] == 1.0:
+            assert r["n_kept"] == r["n_docs"]
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    """Within each language every head score <= every middle score <=
+    every tail score, and the three buckets are within one doc of a
+    third each (ties can cross the boundary)."""
+    from collections import defaultdict
+
+    from dbt_slabbing_spark.queries import registry
+    from tests.conftest import SF_SMOKE
+
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in registry()["text_ccnet_surprisal_buckets"].fn(spark, SF_SMOKE).collect():
+        by_lang[r["lang"]][r["bucket"]].append(r["mean_surprisal"])
+    assert by_lang
+    for lang, buckets in by_lang.items():
+        h, m, t = buckets.get("head", []), buckets.get("middle", []), buckets.get("tail", [])
+        if h and m:
+            assert max(h) <= min(m), lang
+        if m and t:
+            assert max(m) <= min(t), lang
