@@ -79,3 +79,62 @@ def test_zorder_layout_tightens_both_dims(spark, tmp_path):
     back = spark.read.parquet(z_path)
     assert back.count() == n
     assert back.agg(F.sum("payload")).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_hilbert_key_adjacency_property(spark):
+    """The defining Hilbert property — consecutive key values are
+    Manhattan-adjacent cells (Z-order provably fails this at quadrant
+    boundaries): verified exhaustively on the full 16×16 grid, plus
+    bijectivity."""
+    from dbt_slabbing_spark.operators.layout import with_hilbert_key
+
+    grid = with_hilbert_key(
+        spark.createDataFrame(
+            [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+        ),
+        "x", "y", bits=4, out="d",
+    )
+    cells = sorted((r["d"], r["x"], r["y"]) for r in grid.collect())
+    assert len({c[0] for c in cells}) == 256  # bijective on the grid
+    assert cells[0][0] == 0 and cells[-1][0] == 255
+    for (d0, x0, y0), (d1, x1, y1) in zip(cells, cells[1:]):
+        assert d1 == d0 + 1
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, (d0, (x0, y0), (x1, y1))
+
+
+def test_hilbert_layout_tightens_both_dims(spark, tmp_path):
+    """Hilbert-clustered files have compact per-file (x, y) bounding
+    boxes: both dimensions' per-file ranges are far below full-width,
+    and total box area is no worse than the z-order layout's."""
+    import itertools
+
+    from dbt_slabbing_spark.operators.layout import write_hilbert_clustered, write_zordered
+
+    n = 64
+    df = spark.createDataFrame(
+        [(x, y, x * n + y) for x, y in itertools.product(range(n), range(n))],
+        "x int, y int, v long",
+    )
+    write_hilbert_clustered(df, str(tmp_path / "h"), "x", "y", bits=6, target_files=16)
+    write_zordered(df, str(tmp_path / "z"), ["x", "y"], bits=6, target_files=16)
+
+    def per_file_area(path):
+        got = (
+            spark.read.parquet(path)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(
+                (F.max("x") - F.min("x") + 1).alias("w"),
+                (F.max("y") - F.min("y") + 1).alias("h"),
+            )
+            .collect()
+        )
+        return sum(r["w"] * r["h"] for r in got), max(max(r["w"], r["h"]) for r in got)
+
+    h_area, h_widest = per_file_area(str(tmp_path / "h"))
+    z_area, _ = per_file_area(str(tmp_path / "z"))
+    # 16 perfect tiles of a 64×64 grid would cover 16×(16×16)=4096 cells;
+    # Hilbert segments are compact blobs — well under half-width per dim
+    # and no worse than Z overall.
+    assert h_widest <= n // 2, h_widest
+    assert h_area <= z_area, (h_area, z_area)
