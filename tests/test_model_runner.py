@@ -225,3 +225,58 @@ def test_snapshot_materialization_builds_scd2_history(spark, tmp_path):
     assert out3.count() == n2
     assert out3.filter("is_current").count() == 3
     assert out3.filter("valid_from >= '2024-03-01'").count() == 0
+
+
+def test_snapshot_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two renames of the staging swap must not
+    lose SCD2 history (it is not recomputable from the source): if
+    `target.old` exists and `target` is missing, the next run recovers
+    the history and applies its changes on top — never re-seeds."""
+    import pathlib
+
+    from dbt_slabbing_spark.plans.model_runner import run_snapshot
+
+    p = pathlib.Path(tmp_path / "snap")
+
+    def src(rows):
+        return spark.createDataFrame(rows, "id long, segment string")
+
+    run_snapshot(spark, src([(1, "basic")]), str(p), "id", ["segment"], "2024-01-01 00:00:00")
+    run_snapshot(spark, src([(1, "gold")]), str(p), "id", ["segment"], "2024-02-01 00:00:00")
+
+    # simulate the crash window: target renamed aside, new not yet in place
+    p.rename(p.with_suffix(".old"))
+    assert not p.exists()
+
+    out = run_snapshot(
+        spark, src([(1, "platinum")]), str(p), "id", ["segment"], "2024-03-01 00:00:00"
+    )
+    rows = {(r["segment"], r["is_current"]) for r in out.collect()}
+    # full 3-version history survived: the recovery used .old, not a re-seed
+    assert rows == {("basic", False), ("gold", False), ("platinum", True)}
+    assert not p.with_suffix(".old").exists()  # cleaned up after the swap
+
+
+def test_snapshot_leftover_old_dir_is_replaced(spark, tmp_path):
+    """A crash AFTER the staging rename but before deleting .old leaves
+    both dirs; the next run must prefer `target` (the newer state) and
+    clear the stale .old."""
+    import pathlib
+    import shutil
+
+    from dbt_slabbing_spark.plans.model_runner import run_snapshot
+
+    p = pathlib.Path(tmp_path / "snap")
+
+    def src(rows):
+        return spark.createDataFrame(rows, "id long, segment string")
+
+    run_snapshot(spark, src([(1, "basic")]), str(p), "id", ["segment"], "2024-01-01 00:00:00")
+    shutil.copytree(p, p.with_suffix(".old"))  # stale leftover
+    run_snapshot(spark, src([(1, "gold")]), str(p), "id", ["segment"], "2024-02-01 00:00:00")
+    out = run_snapshot(
+        spark, src([(1, "gold")]), str(p), "id", ["segment"], "2024-03-01 00:00:00"
+    )
+    rows = {(r["segment"], r["is_current"]) for r in out.collect()}
+    assert rows == {("basic", False), ("gold", True)}
+    assert not p.with_suffix(".old").exists()
