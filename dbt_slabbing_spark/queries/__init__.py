@@ -85,6 +85,7 @@ _MODULES = (
     "advanced_sql",
     "analytics_extra",
     "reference_pipeline",
+    "funnel",
 )
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
@@ -102,11 +103,12 @@ _MODULES = (
 #      segments (crash-safe snapshot swap), stream_minhash_band_dedup
 #      (stateful registry rework), sample_token_budget_mixture
 #      (distributed prefix-sum de-skew).
-#   4. The 6 queries ADDED in round 5 (text_gopher_quality_filters,
+#   4. The 7 queries ADDED in round 5 (text_gopher_quality_filters,
 #      text_dsir_importance_weights, text_line_dedup,
 #      dedup_lsh_quality_metrics, text_ccnet_surprisal_buckets,
-#      sample_mixture_rebalance) — never driver-checked.
-#   5. 6 stalest r2 greens fill the remaining slots (incl. the two
+#      sample_mixture_rebalance, pipeline_quality_funnel) — never
+#      driver-checked.
+#   5. 5 stalest r2 greens fill the remaining slots (incl. the two
 #      bench-headline members q1_pricing_summary and
 #      window_topk_orders_per_customer).
 # Staleness audit: registry keys vs max round per key across
@@ -155,7 +157,7 @@ _PRIORITY = (
     "subquery_orders_above_cust_avg",
     "agg_collect_list_sorted",
     "agg_approx_distinct",
-    "agg_approx_percentiles",
+    "pipeline_quality_funnel",
     "window_topk_orders_per_customer",
     "text_ccnet_surprisal_buckets",
     "sample_mixture_rebalance",

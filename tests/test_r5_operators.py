@@ -157,3 +157,58 @@ def test_ccnet_buckets_are_ordered_terciles(spark):
             assert max(h) <= min(m), lang
         if m and t:
             assert max(m) <= min(t), lang
+
+
+def test_funnel_stage_attribution(spark, tmp_path):
+    """Every funnel stage attributes correctly, including exact_dup
+    (absent from the synthetic corpus, so proven on hand-built docs):
+    an exact clone dies at exact_dup, a near-clone at near_dup, a
+    short doc at length, a one-word-repeated doc at repetition."""
+    import pandas as pd
+
+    from dbt_slabbing_spark.queries import registry
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                base,                       # kept (first occurrence)
+                base,                       # exact clone -> exact_dup
+                base + " extraword",        # near clone -> near_dup
+                "tiny doc",                 # -> length
+                "same " * 30,               # -> repetition
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [1] * 5,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in registry()["pipeline_quality_funnel"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: "kept", 1: "exact_dup", 2: "near_dup", 3: "length", 4: "repetition"}
+
+
+def test_funnel_exercises_every_live_stage_on_corpus(spark):
+    """On the driver corpus the funnel's non-vacuous stages all fire:
+    length, repetition and near_dup drops exist and the majority is
+    kept (exact_dup is legitimately zero — the corpus has no exact
+    duplicate above the length floor)."""
+    from dbt_slabbing_spark.queries import registry
+    from tests.conftest import SF_SMOKE
+
+    counts = {
+        r["verdict"]: r["count"]
+        for r in registry()["pipeline_quality_funnel"]
+        .fn(spark, SF_SMOKE)
+        .groupBy("verdict")
+        .count()
+        .collect()
+    }
+    assert counts.get("length", 0) > 0
+    assert counts.get("repetition", 0) > 0
+    assert counts.get("near_dup", 0) > 0
+    assert counts["kept"] > sum(v for k, v in counts.items() if k != "kept")
