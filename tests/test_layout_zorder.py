@@ -138,3 +138,37 @@ def test_hilbert_layout_tightens_both_dims(spark, tmp_path):
     # and no worse than Z overall.
     assert h_widest <= n // 2, h_widest
     assert h_area <= z_area, (h_area, z_area)
+
+
+def test_hilbert_key_matches_reference_implementation(spark):
+    """The projection-unrolled Column form equals an independent pure-
+    Python xy2d at order 10 (the 16×16 test is exhaustive but tiny;
+    this pins higher-order carry/rotation behavior on a spread of
+    deterministic pseudo-random points)."""
+    from dbt_slabbing_spark.operators.layout import with_hilbert_key
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 10
+    n = 1 << bits
+    # deterministic spread incl. the corners and both diagonals
+    pts = {((i * 2654435761) % n, (i * 40503) % n) for i in range(500)}
+    pts |= {(0, 0), (n - 1, 0), (0, n - 1), (n - 1, n - 1)}
+    df = with_hilbert_key(
+        spark.createDataFrame(sorted(pts), "x int, y int"), "x", "y", bits=bits, out="d"
+    )
+    got = {(r["x"], r["y"]): r["d"] for r in df.collect()}
+    want = {(x, y): xy2d(n, x, y) for x, y in pts}
+    assert got == want
