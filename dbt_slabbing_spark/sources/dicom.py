@@ -311,9 +311,14 @@ def _lite_parse(path: str, content: bytes) -> dict:
     }
 
 
+#: Field names of DICOM_META_SCHEMA in order (for null-row synthesis).
+_META_FIELDS = [f.split()[0] for f in DICOM_META_SCHEMA.split(", ")]
+
+
 def extract_metadata(
     files: DataFrame,
     parse_fn: Callable[[str, bytes], dict] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """S5: Arrow-batched metadata extraction over (path, content).
 
@@ -321,15 +326,34 @@ def extract_metadata(
     syntax coverage), else the dependency-free :func:`_lite_parse`
     (explicit VR LE only). Tests inject synthetic parsers to exercise
     the plumbing independently of the codec.
+
+    ``on_error``: ``"raise"`` fails the task on the first malformed
+    file (strict, reference-faithful — ``src/generate_mapping.py``
+    would crash the run too); ``"null"`` yields a row with the path
+    and all-null tags instead, so ONE corrupt file cannot kill a
+    whole-archive scan — the only sane default posture at 100 TB
+    (callers filter ``sop_instance_uid IS NULL`` into a quarantine
+    sink). Same pattern as the corrupt-record columns of the
+    permissive-mode text sources.
     """
     if parse_fn is None:
         parse_fn = _pydicom_parse if HAS_PYDICOM else _lite_parse
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     path_cols = {"patient_id", "study_date"} & set(files.columns)
 
+    def parse_one(p: str, c: bytes) -> dict:
+        if on_error == "raise":
+            return parse_fn(p, c)
+        try:
+            return parse_fn(p, c)
+        except Exception:
+            return {k: None for k in _META_FIELDS} | {"path": p}
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            parsed = [parse_fn(p, c) for p, c in zip(pdf["path"], pdf["content"])]
+            parsed = [parse_one(p, c) for p, c in zip(pdf["path"], pdf["content"])]
             out = pd.DataFrame(parsed)
             for c in path_cols:
                 out[c] = pdf[c].values

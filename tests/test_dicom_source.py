@@ -283,3 +283,27 @@ def test_feeds_mapping_pipeline(spark, archive):
     by_uid = {r["sop_instance_uid"]: r for r in out}
     assert by_uid["uid-c"]["DBT_BIRADS"] == "2"
     assert by_uid["uid-c"]["ImagePath"].startswith("$ROOT$/EA1141-2222222/")
+
+
+def test_extract_metadata_on_error_policies(spark, tmp_path):
+    """One corrupt file among good ones: default strict mode fails the
+    scan (reference-faithful); on_error='null' quarantines it as an
+    all-null-tags row so the archive job survives — the 100 TB
+    posture."""
+    d = tmp_path / "EA1141-1" / "20100101"
+    d.mkdir(parents=True)
+    (d / "good.dcm").write_bytes(synth_dicom(uid="1.9.1"))
+    (d / "bad.dcm").write_bytes(b"\x00" * 200)  # no DICM magic
+
+    files = scan_archive(spark, str(tmp_path))
+    with pytest.raises(Exception):
+        extract_metadata(files).collect()
+
+    rows = {r["path"].split("/")[-1]: r for r in extract_metadata(files, on_error="null").collect()}
+    assert rows["good.dcm"]["sop_instance_uid"] == "1.9.1"
+    bad = rows["bad.dcm"]
+    assert bad["sop_instance_uid"] is None and bad["image_shape"] is None
+    # path-derived partition columns survive even for the corrupt file
+    assert bad["patient_id"] == "EA1141-1" and bad["study_date"] == "20100101"
+    with pytest.raises(ValueError):
+        extract_metadata(files, on_error="quarantine")
