@@ -161,7 +161,13 @@ def _parse_one(buf: bytes, off: int, end: int) -> tuple:
         length = int.from_bytes(buf[off + 6 : off + 8], "little")
         voff = off + 8
     if length != _UNDEFINED:
-        return (group, elem), vr, voff, voff + length, voff + length
+        # Clamp to the walk's end: a corrupt length must not push the
+        # value range past the buffer — downstream walkers iterate to
+        # the range end 8 bytes at a time, and an unclamped 32-bit
+        # length turns that into a multi-billion-step phantom walk
+        # over empty slices (found by the byte-fuzz test).
+        vend = max(voff, min(voff + length, end))
+        return (group, elem), vr, voff, vend, vend
     p = voff
     while p + 8 <= end:
         g2 = int.from_bytes(buf[p : p + 2], "little")
@@ -183,6 +189,11 @@ def _parse_one(buf: bytes, off: int, end: int) -> tuple:
                     break
                 q = _parse_one(buf, q, end)[4]
             p = q
+    # fell off the end (truncated/corrupt): clamp — a corrupt item
+    # length can fling p billions past the buffer, and an unclamped
+    # range turns the next walker into a phantom 8-byte-step crawl
+    # (found by the byte-fuzz test).
+    p = min(p, end)
     return (group, elem), vr, voff, p, p
 
 
@@ -216,7 +227,9 @@ def _lite_items(buf: bytes, start: int, end: int) -> Iterator[tuple[int, int]]:
             yield off + 8, p
             off = p + 8
         else:
-            yield off + 8, off + 8 + length
+            # clamped like _parse_one: corrupt lengths must not hand a
+            # past-the-buffer range to the next walker
+            yield off + 8, max(off + 8, min(off + 8 + length, end))
             off = off + 8 + length
 
 
@@ -247,6 +260,7 @@ def _lite_parse(path: str, content: bytes) -> dict:
     if glen_rng is None:
         raise ValueError(f"{path}: missing file meta group length")
     meta_end = glen_rng[2] + int.from_bytes(content[glen_rng[1] : glen_rng[2]], "little")
+    meta_end = min(meta_end, len(content))  # corrupt group length clamp
     meta = _lite_tag_map(content, 132, meta_end)
     ts_rng = meta.get((0x0002, 0x0010))
     ts = text(ts_rng) if ts_rng else ""

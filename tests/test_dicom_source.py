@@ -307,3 +307,30 @@ def test_extract_metadata_on_error_policies(spark, tmp_path):
     assert bad["patient_id"] == "EA1141-1" and bad["study_date"] == "20100101"
     with pytest.raises(ValueError):
         extract_metadata(files, on_error="quarantine")
+
+
+def test_lite_parse_fuzz_never_hangs():
+    """Deterministic byte-level fuzz: truncations and single-byte
+    mutations of a valid stream must either parse or raise — bounded
+    time, no hangs, no non-exception failures (the walker's offsets
+    are strictly increasing, so malformed lengths fall off the end)."""
+    from dbt_slabbing_spark.sources.dicom import _lite_parse
+
+    base = synth_dicom(viewmod="Spot Compression", undefined_lengths=True)
+    outcomes = {"ok": 0, "err": 0}
+    # truncations at every 7th offset
+    for cut in range(0, len(base), 7):
+        try:
+            _lite_parse("/f.dcm", base[:cut])
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["err"] += 1
+    # single-byte mutations at a deterministic spread of offsets
+    for i in range(0, len(base), 5):
+        mutated = base[:i] + bytes([(base[i] + 131) % 256]) + base[i + 1 :]
+        try:
+            _lite_parse("/f.dcm", mutated)
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["err"] += 1
+    assert outcomes["ok"] > 0 and outcomes["err"] > 0  # both regimes exercised
