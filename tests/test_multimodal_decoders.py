@@ -233,3 +233,57 @@ def test_media_probe_covers_mp3_and_ogg(spark):
     assert got[1]["media_type"] == "mp3" and got[1]["sample_rate"] == 44100
     assert got[2]["media_type"] == "ogg" and got[2]["n_channels"] == 2
     assert got[3]["media_type"] == "unknown" and got[3]["sample_rate"] is None
+
+
+def test_header_decoders_fuzz_never_hang():
+    """Byte-fuzz every header decoder with mutations/truncations of its
+    own synthesized valid bytes: each probe must return or raise in
+    bounded time — a corrupt length field must never turn a walker
+    into an unbounded crawl (the DICOM lite parser had exactly this
+    class of bug; see sources/dicom.py clamps)."""
+    import signal
+
+    from dbt_slabbing_spark.operators import multimodal as M
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        samples = [
+            M.synth_png(100, 50),
+            M.synth_wav(44100, 100),
+            M.synth_mp3(),
+            M.synth_ogg_vorbis(),
+            _mp4_bytes(1000, 5000),
+        ]
+        probes = (
+            M.detect_media_type,
+            M.image_dimensions,
+            M.mp4_metadata,
+            M.wav_metadata,
+            M.mp3_metadata,
+            M.ogg_metadata,
+        )
+        for base in samples:
+            cases = [base[:c] for c in range(0, len(base), 7)]
+            cases += [
+                base[:i] + bytes([(base[i] + 131) % 256]) + base[i + 1 :]
+                for i in range(0, len(base), 5)
+            ]
+            for data in cases:
+                for fn in probes:
+                    signal.alarm(3)
+                    try:
+                        fn(data)
+                    except _Timeout:
+                        raise AssertionError(f"{fn.__name__} hung on fuzzed bytes")
+                    except Exception:
+                        pass
+                    finally:
+                        signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
