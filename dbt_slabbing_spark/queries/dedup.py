@@ -879,3 +879,63 @@ def dedup_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dround(F.col("n_hit").cast("double") / F.col("n_true"), 4),
         ).alias("recall"),
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    # SemDeDup (Abbas et al. 2023) with a DETERMINISTIC coarse quantizer
+    # so the oracle can replay the assignment exactly: centroids are the
+    # 16 lowest-id vectors (the same reconstruct-without-shared-state
+    # idiom as the LSH hyperplanes), squared distance is written
+    # dvv - 2*dvc + dcc in the SAME association on both engines, and the
+    # argmin tie-break is (distance, cell id). Cosine is rounded to 6 dp
+    # before the >= 0.30 compare (sim_neardup_pairs convention).
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, dv AS cv FROM v WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT vec_id, dv, cid AS cell FROM (
+            SELECT v.vec_id, v.dv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       (list_dot_product(v.dv, v.dv)
+                        - 2 * list_dot_product(v.dv, c.cv)
+                        + list_dot_product(c.cv, c.cv)), c.cid) AS rn
+            FROM v, cents c
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round((list_dot_product(a.dv, b.dv)
+                     / (sqrt(list_dot_product(a.dv, a.dv))
+                        * sqrt(list_dot_product(b.dv, b.dv)))) * 1000000.0)
+              / 1000000.0 + 0.0 >= 0.30
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           (d.dup_of IS NULL) AS keep, d.dup_of
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """,
+    "SemDeDup semantic dedup over embeddings: deterministic 16-cell "
+    "coarse quantizer, within-cell cosine >= 0.30 pairs, first-wins "
+    "representatives — the semantic tier of the dedup modality matrix "
+    "(catches paraphrases the lexical tiers can't)",
+    tags=("dedup", "similarity", "semantic", "training"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape (operators/semdedup.py has the full story): cell
+    assignment is a narrow codegen map (centroid literals, no join);
+    the only quadratic work is the within-cell pair equi-join on cell
+    id — Sigma |cell|^2, bounded by choosing n_cells proportional to
+    corpus size, exactly the SemDeDup paper's scaling contract; verdict
+    is one per-vector min-aggregation plus a left join back."""
+    from ..operators.semdedup import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.30, n_cells=16)
