@@ -79,8 +79,30 @@ def compact_parquet_dir(
     the maintenance pass that restores scan efficiency; pair with
     z-order (above) when re-clustering is wanted too.
 
-    Staging-then-swap like model_runner.run_incremental: a failed
-    rewrite never corrupts the live directory.
+    Swap contract (staging → trash → live, every step a single
+    directory rename): the full dataset exists in SOME directory at
+    every instant, so a crash at ANY point is recoverable by hand —
+    - crash during the staging write: live untouched; delete
+      ``<path>.compacting`` and retry;
+    - crash after live → ``<path>.old``: live is briefly absent but
+      ``<path>.compacting`` holds the complete NEW data and
+      ``<path>.old`` the complete old data — rename either into place;
+    - crash after staging → live: compaction is effectively done;
+      delete the leftover ``<path>.old``.
+
+    OBJECT-STORE CAVEAT (the reason this contract is spelled out):
+    directory rename is only atomic on a real filesystem (POSIX, HDFS).
+    On S3/GCS-style object stores "rename" is copy+delete per object —
+    O(data) and non-atomic, so readers can observe a half-renamed
+    prefix and a crash mid-"rename" leaves BOTH prefixes partial. At
+    100 TB, don't swap paths at all: write the compacted files to a
+    NEW immutable prefix and flip the reader's pointer through a
+    metadata commit — a table format's atomic snapshot (Iceberg /
+    Delta / Hudi `rewrite_data_files`-style maintenance) or, minimally,
+    a catalog/metastore location update. This helper is the
+    filesystem-backed local/dev implementation of that maintenance
+    pass; the plan shape (scan → round-robin exchange → write) is
+    identical either way.
     """
     import pathlib
     import shutil
@@ -89,14 +111,24 @@ def compact_parquet_dir(
     total = sum(f.stat().st_size for f in p.glob("*.parquet"))
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(str(p))
-    staging = str(p) + ".compacting"
+    staging = pathlib.Path(str(p) + ".compacting")
+    trash = pathlib.Path(str(p) + ".old")
     # repartition (round-robin) over coalesce: coalesce(1) would also
     # collapse the PARALLELISM of any computation fused upstream; a
     # rewrite is scan→write, so the exchange is the whole cost either
     # way and repartition balances output file sizes.
-    df.repartition(int(n_files)).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(str(p))
-    pathlib.Path(staging).rename(p)
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(str(staging))
+    if trash.exists():  # leftover from a crashed prior run
+        shutil.rmtree(str(trash))
+    p.rename(trash)
+    try:
+        staging.rename(p)
+    except BaseException:
+        # undo so the live path never stays absent when the swap fails:
+        # put the OLD data back; staging keeps the new data for retry.
+        trash.rename(p)
+        raise
+    shutil.rmtree(str(trash))
     return int(n_files)
 
 

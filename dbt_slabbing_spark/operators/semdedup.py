@@ -84,8 +84,11 @@ def semantic_dedup(
     - ``keep``: no lower-id same-cell vector with cosine ≥ ``threshold``
       (cosine rounded to 6 dp before the compare, the cross-engine
       convention of sim_neardup_pairs).
-    - ``dup_of``: the LOWEST such neighbor id (NULL when kept) — the
-      group representative under the greedy rule.
+    - ``dup_of``: the LOWEST such neighbor id (NULL when kept). Note
+      this is the lowest similar lower-id neighbor, which need not
+      itself be kept (its own lower-id neighbor need not be similar to
+      this row) — chase to the kept root if representative semantics
+      are wanted; the greedy keep/drop verdict is unaffected.
     """
     if centroids is None:
         centroids = seed_centroids(vectors, id_col, vec_col, n_cells)

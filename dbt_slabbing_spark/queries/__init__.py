@@ -90,81 +90,74 @@ _MODULES = (
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward "driver rows <= 1 round
-# old for the whole registry". Round-5 prefix, audited against
-# CORRECTNESS_r01..r04 (latest driver row per key):
-#   1. ref_ground_truth_labels — r4's ONLY red row (driver canon crashed
-#      on array-typed cells); both sides now comma-serialize the lists.
-#   2. The 32 queries whose only driver row is r1 (three testdata
-#      regenerations old) — the full r1-stale cohort, so after this
-#      round no registry query has a driver row older than r2.
-#   3. The 5 queries whose code or oracle changed in round 5:
-#      sim_sq_int8_topk (-0.0 oracle guard), text_c4_doc_filters
-#      (ends_terminal cross-engine anchor), model_snapshot_customer_
-#      segments (crash-safe snapshot swap), stream_minhash_band_dedup
-#      (stateful registry rework), sample_token_budget_mixture
-#      (distributed prefix-sum de-skew).
-#   4. The 7 queries ADDED in round 5 (text_gopher_quality_filters,
-#      text_dsir_importance_weights, text_line_dedup,
-#      dedup_lsh_quality_metrics, text_ccnet_surprisal_buckets,
-#      sample_mixture_rebalance, pipeline_quality_funnel) — never
-#      driver-checked.
-#   5. 5 stalest r2 greens fill the remaining slots (incl. the two
-#      bench-headline members q1_pricing_summary and
-#      window_topk_orders_per_customer).
+# old for the whole registry". Round-7 prefix, audited against
+# CORRECTNESS_r01..r06 (latest driver row per key; distribution before
+# rotation: r6:50, r4:44, r3:48, r2:42, never:1):
+#   1. dedup_semantic_clusters — added in round 6, has NO driver row
+#      ever (round 6 shipped without rotating this prefix).
+#   2. Queries ADDED in round 7 (never driver-checked):
+#      text_quality_classifier_scores.
+#   3. The full r2-stale cohort (42 queries, latest driver row is r2 —
+#      four testdata regenerations old), so after this round no
+#      registry query's driver row is older than r3.
+#   4. The stalest r3 greens fill the remaining slots, preferring
+#      bench-headline / round-7-touched paths (q3_shipping_priority —
+#      bucketed-layout work this round — q21_sole_late_supplier,
+#      dedup_minhash_lsh, q5/q9, stream_minhash-adjacent windows).
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all verified green by tools/parity_sweep.py on
 # the current testdata before rotation).
 _PRIORITY = (
-    "ref_ground_truth_labels",
-    "q6_forecast_revenue",
-    "join_inner_segment_counts",
-    "join_left_order_counts",
-    "join_semi_active_customers",
-    "join_anti_dormant_customers",
-    "join_full_outer_nation_presence",
-    "sort_limit_top_orders",
-    "distinct_flag_status",
-    "sql_api_priority_stats",
-    "q7_nation_trade",
-    "q10_returned_revenue",
-    "setop_unpivot_price_stats",
-    "agg_string_join",
-    "fn_regexp_suite",
-    "text_term_frequencies",
-    "q4_late_shipment_orders",
-    "q8_market_share",
-    "q12_shipmode_priority_classes",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_orders",
-    "q19_disjunctive_ranges",
-    "q22_dormant_rich_customers",
-    "q2_min_unit_cost_supplier",
-    "q11_part_value_concentration",
-    "q16_supplier_part_counts",
-    "q20_heavy_part_shippers",
-    "join_right_suppliers_per_nation",
-    "fn_map_from_json",
-    "q15_top_revenue_suppliers",
-    "q17_small_quantity_revenue",
-    "agg_count_distinct",
-    "sim_sq_int8_topk",
-    "text_c4_doc_filters",
-    "model_snapshot_customer_segments",
-    "stream_minhash_band_dedup",
-    "sample_token_budget_mixture",
-    "q1_pricing_summary",
-    "subquery_orders_above_cust_avg",
-    "agg_collect_list_sorted",
-    "agg_approx_distinct",
-    "pipeline_quality_funnel",
-    "window_topk_orders_per_customer",
-    "text_ccnet_surprisal_buckets",
-    "sample_mixture_rebalance",
-    "text_gopher_quality_filters",
-    "text_dsir_importance_weights",
-    "text_line_dedup",
-    "dedup_lsh_quality_metrics",
+    "dedup_semantic_clusters",
+    "text_quality_classifier_scores",
+    "agg_approx_percentiles",
+    "asof_purchase_attribution",
+    "dedup_connected_components",
+    "dedup_exact_sha256",
+    "dedup_mllib_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "fn_array_suite",
+    "fn_date_suite",
+    "fn_json_extract",
+    "fn_string_suite",
+    "fn_variant_json",
+    "mm_decode_dimensions",
+    "mm_probe_metadata",
+    "model_chain_segment_revenue",
+    "range_join_error_context",
+    "sample_hash_bernoulli",
+    "sample_stratified_quota",
+    "setop_intersect_nations",
+    "setop_union_all_parties",
+    "sim_ann_topk_lsh",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sql_lateral_topn_per_nation",
+    "sql_recursive_month_spine",
+    "stream_dedup_counts",
+    "stream_session_windows",
+    "stream_stateful_levels",
+    "stream_stream_interval_join",
+    "text_decontaminate_flags",
+    "text_quality_scores",
+    "text_redact_pii",
+    "text_token_stats",
+    "train_pack_concat_chunks",
+    "train_pack_next_fit",
+    "training_chunks_pipeline",
+    "udf_grouped_agg_median",
+    "udf_map_in_arrow_norms",
+    "udf_pandas_scalar_bytelen",
+    "udf_udtf_chunk_text",
+    "window_running_revenue",
+    "window_sessionize_batch",
+    "q3_shipping_priority",
+    "q21_sole_late_supplier",
+    "dedup_minhash_lsh",
+    "q5_local_supplier",
+    "q9_product_type_profit",
+    "window_rank_dense_percent",
 )
 
 

@@ -896,7 +896,10 @@ def dedup_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     cents AS (
-        SELECT vec_id AS cid, dv AS cv FROM v WHERE vec_id < 16
+        -- ORDER BY/LIMIT (not `vec_id < 16`) so the seed set matches
+        -- the Python side's orderBy(id).limit(n) even if the id space
+        -- ever starts above 0 or has gaps below 16.
+        SELECT vec_id AS cid, dv AS cv FROM v ORDER BY vec_id LIMIT 16
     ),
     assigned AS (
         SELECT vec_id, dv, cid AS cell FROM (

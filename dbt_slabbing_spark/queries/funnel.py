@@ -111,14 +111,27 @@ _SQL_FUNNEL_CTES = f"""
     "wins), each stage over the previous stage's survivors",
     tags=("pipeline", "dedup", "quality", "training"),
 )
-def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_quality_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    classifier_weights: list[float] | None = None,
+    classifier_bias: float = 0.0625,
+) -> DataFrame:
     """100 TB shape by construction: the quality stages are map-only
     codegen over the scan (zero shuffle) and prune FIRST; exact dedup
     is one hash-key window over the survivors; the band near-dedup —
     the only multi-shuffle stage — sees only what everything cheaper
     kept. Per-stage semantics match the dedicated gates
     (first-occurrence-wins exact dedup; the batch closed form of
-    stream_minhash_band_dedup's band-first-wins)."""
+    stream_minhash_band_dedup's band-first-wins).
+
+    ``classifier_weights`` (optional) inserts a supervised
+    quality-classifier stage (operators/quality_classifier.py, the
+    ``text_quality_classifier_scores`` gate's scorer) between the rule
+    stage and exact dedup: docs with logit <= 0 get verdict
+    'classifier'. Still map-only codegen, so the funnel's
+    cheapest-first cost ordering is preserved; default None keeps the
+    oracle-gated 4-stage shape byte-identical."""
     docs = table(spark, sf_dir, "documents")
     w = F.col("w")
     feat = docs.select(
@@ -126,6 +139,12 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ").alias("w"),
     ).filter(F.size("w") > 0)
+    if classifier_weights is not None:
+        from ..operators.quality_classifier import quality_score
+
+        clf_keep = quality_score(w, classifier_weights, classifier_bias) > 0
+    else:
+        clf_keep = F.lit(True)
     rules = feat.select(
         "doc_id",
         "text",
@@ -133,8 +152,9 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.size(F.array_distinct(w)).cast("double") / F.size(w) >= 0.35
         ).alias("rep_keep"),
+        clf_keep.alias("clf_keep"),
     )
-    quality = rules.filter("len_keep AND rep_keep").select("doc_id", "text")
+    quality = rules.filter("len_keep AND rep_keep AND clf_keep").select("doc_id", "text")
     w_exact = Window.partitionBy(F.md5(normalized(F.col("text"))))
     exact = quality.select(
         "doc_id", "text", (F.col("doc_id") == F.min("doc_id").over(w_exact)).alias("exact_keep")
@@ -164,6 +184,7 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.when(~F.col("len_keep"), "length")
             .when(~F.col("rep_keep"), "repetition")
+            .when(~F.col("clf_keep"), "classifier")
             .when(~F.col("exact_keep"), "exact_dup")
             .when(~F.coalesce("near_keep", F.lit(True)), "near_dup")
             .otherwise("kept")

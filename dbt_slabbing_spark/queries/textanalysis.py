@@ -668,3 +668,80 @@ def text_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("lr"), 4).alias("mean_log_ratio"),
         )
     )
+
+
+@register(
+    "text_quality_classifier_scores",
+    # fasttext-style supervised quality scorer (Joulin et al. 2016):
+    # logit = bias + mean over hashed unigram+bigram features of a
+    # frozen 256-bucket weight vector; prob = sigmoid(logit). The
+    # oracle recomputes the deterministic stand-in weights inline
+    # (operators/quality_classifier.py:deterministic_weights — exact
+    # multiples of 2^-10, so the feature sum is order-independent and
+    # bit-identical across engines).
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               w || CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS feats
+        FROM tok WHERE len(w) > 0
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(feats) AS BIGINT) AS n_features,
+               0.0625 + list_sum(list_transform(feats, t ->
+                   ((('0x' || substr(md5('w:' ||
+                        (('0x' || substr(md5(t), 1, 8))::BIGINT % 256)), 1, 8))::BIGINT
+                     % 2049) - 1024) / 1024.0
+               )) / len(feats) AS logit
+        FROM f
+    )
+    SELECT doc_id, n_features,
+           round(logit * 10000.0) / 10000.0 + 0.0 AS logit,
+           round((1.0 / (1.0 + exp(-logit))) * 10000.0) / 10000.0 + 0.0 AS prob,
+           logit > 0 AS keep
+    FROM s
+    """,
+    "supervised quality-classifier inference (fasttext-style linear "
+    "scorer, Joulin et al. 2016): frozen weight vector over 256 hashed "
+    "unigram+bigram buckets, logit = bias + mean bucket weight, "
+    "prob = sigmoid -> keep flag; the model ships as a literal array "
+    "(no join, no shuffle, no UDF)",
+    tags=("text", "quality", "training", "classifier"),
+)
+def text_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: map-only whole-stage codegen over the scan — the
+    weight vector is a plan literal (the degenerate broadcast), scoring
+    never shuffles, and the stage slots before dedup in the funnel's
+    cheapest-first cost model. See operators/quality_classifier.py."""
+    from ..operators.quality_classifier import (
+        deterministic_weights,
+        hashed_ngram_buckets,
+        linear_logit,
+        sigmoid,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    feat = docs.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    buckets = hashed_ngram_buckets(F.col("w"), 256)
+    scored = feat.select(
+        "doc_id",
+        F.size("w").alias("_nw"),
+        buckets.alias("_buckets"),
+    ).select(
+        "doc_id",
+        F.size("_buckets").cast("bigint").alias("n_features"),
+        linear_logit(F.col("_buckets"), deterministic_weights(256)).alias("_logit"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        dround(F.col("_logit"), 4).alias("logit"),
+        dround(sigmoid(F.col("_logit")), 4).alias("prob"),
+        (F.col("_logit") > 0).alias("keep"),
+    )

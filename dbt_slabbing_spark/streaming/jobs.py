@@ -426,8 +426,38 @@ def purchase_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_store_provider(spark: SparkSession, provider_class: str | None):
+    """Set the state-store provider for queries STARTED inside the
+    block, restoring the previous conf on exit (the provider is read at
+    query start and pinned into the checkpoint from then on)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if provider_class is None:
+        yield
+        return
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider_class)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
 def streaming_band_dedup(
-    spark: SparkSession, sf_dir: str, work_dir: str, rows_per_batch: int = 200
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    rows_per_batch: int = 200,
+    state_store_provider: str | None = ROCKSDB_PROVIDER,
 ) -> DataFrame:
     """Streaming near-dup dedup over a document stream: band-first-wins.
 
@@ -454,9 +484,13 @@ def streaming_band_dedup(
     global closed form).
 
     100 TB story: state is bounded by DISTINCT band keys (≪ docs for
-    near-dup-heavy corpora) and lives in the incremental state store
-    (RocksDB-backed in production) — per-batch work is proportional to
-    the BATCH, not the corpus. The previous design (parquet registry
+    near-dup-heavy corpora) and lives in the incremental state store —
+    RocksDB-backed BY DEFAULT here (``state_store_provider``; the
+    HDFS-backed default store holds every key's state in executor HEAP
+    maps, which at 100 TB of distinct band keys is an OOM — RocksDB
+    spills state to local disk with changelog checkpointing, the
+    production norm) — per-batch work is proportional to the BATCH,
+    not the corpus. The previous design (parquet registry
     dir re-read + appended each batch) scanned the whole accumulated
     registry every micro-batch, i.e. unbounded per-batch cost as the
     corpus grows; the state store replaces that scan with keyed
@@ -540,14 +574,15 @@ def streaming_band_dedup(
         if not verdicts.isEmpty():
             verdicts.write.mode("append").parquet(verdict_dir)
 
-    q = (
-        claims.writeStream.outputMode("update")
-        .option("checkpointLocation", f"{work_dir}/checkpoint")
-        .foreachBatch(handle)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_store_provider(spark, state_store_provider):
+        q = (
+            claims.writeStream.outputMode("update")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .foreachBatch(handle)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.parquet(verdict_dir).select("doc_id", "n_bands", "n_dup_bands", "kept")

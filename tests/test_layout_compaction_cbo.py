@@ -68,3 +68,50 @@ def test_analyze_table_stats_reach_the_planner(spark, tmp_path):
             spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
     finally:
         spark.sql("DROP TABLE IF EXISTS _cbo_nation")
+
+
+def test_compact_swap_failure_recoverable_and_live_restored(spark, tmp_path, monkeypatch):
+    """Kill the swap at its worst instant (live dir already moved to
+    .old, staging→live rename fails): compact_parquet_dir must restore
+    the live directory with the ORIGINAL data and leave the staging
+    dir (full new data) on disk for retry — the full dataset exists in
+    some directory at every instant (see the swap contract in the
+    docstring; on object stores this is a table-format metadata commit
+    instead)."""
+    import pathlib as _pl
+
+    target = str(tmp_path / "frag")
+    events = table(spark, SF_SMOKE, "events").select("event_id", "value")
+    events.repartition(16).write.parquet(target)
+    before = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+
+    real_rename = _pl.Path.rename
+
+    def failing_rename(self, dst):
+        if str(self).endswith(".compacting"):
+            raise OSError("injected: swap interrupted")
+        return real_rename(self, dst)
+
+    monkeypatch.setattr(_pl.Path, "rename", failing_rename)
+    try:
+        compact_parquet_dir(spark, target, target_file_bytes=10 * 1024 * 1024)
+        raised = False
+    except OSError:
+        raised = True
+    monkeypatch.undo()
+    assert raised
+
+    # live directory is back with the original data
+    assert {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()} == before
+    # staging survives with the complete NEW data, ready for retry
+    staging = pathlib.Path(target + ".compacting")
+    assert staging.is_dir()
+    assert {
+        r["event_id"]: r["value"] for r in spark.read.parquet(str(staging)).collect()
+    } == before
+
+    # ...and a retry after the transient failure completes the swap
+    n = compact_parquet_dir(spark, target, target_file_bytes=10 * 1024 * 1024)
+    assert len(list(pathlib.Path(target).glob("*.parquet"))) == n
+    assert not pathlib.Path(target + ".old").exists()
+    assert {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()} == before

@@ -415,3 +415,34 @@ def test_token_budget_prefix_sum_is_distributed(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
     bad = re.findall(r"windowspecdefinition\(source#\d+, doc_id", plan)
     assert not bad, plan[:3000]
+
+
+def test_semdedup_pair_scan_is_cell_equi_join(spark):
+    """SemDeDup's within-cell pair scan must execute as an EQUI-join
+    keyed on the quantizer cell (Spark extracting `_cell_a == _cell_b`
+    as the join key, `_id_a < _id_b` as a post-join filter) — a
+    BroadcastNestedLoopJoin / CartesianProduct over all vector pairs is
+    the 100 TB regression the clustering exists to prevent (makes
+    operators/semdedup.py's no-cross-join claim a pinned fact)."""
+    plan = _executed_plan(registry()["dedup_semantic_clusters"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "_cell_a" in plan.split("Join")[0] or any(
+        j in plan for j in ("SortMergeJoin [_cell_a", "ShuffledHashJoin [_cell_a",
+                            "BroadcastHashJoin [_cell_a")
+    ), plan[:3000]
+
+
+def test_quality_classifier_is_map_only(spark):
+    """The fasttext-style scorer ships its weight vector as a plan
+    literal: scoring must be a single map-only codegen stage over the
+    scan — no join, no aggregation exchange, no Python UDF. At 100 TB
+    this stage prices at one read of the corpus, which is what lets it
+    sit in front of dedup in the funnel's cheapest-first ordering."""
+    plan = _executed_plan(registry()["text_quality_classifier_scores"].fn(spark, SF_SMOKE))
+    for op in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython", "Aggregate"):
+        assert op not in plan, f"unexpected {op} in map-only scorer plan\n" + plan[:3000]
+    # `*(n)` is executedPlan().toString()'s whole-stage-codegen marker
+    # (the higher-order-function projects sit between codegen'd stages —
+    # HOFs don't codegen, but they are still JVM-side expression eval).
+    assert "*(" in plan and "FileScan parquet" in plan
