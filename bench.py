@@ -18,10 +18,12 @@ execution, result fully fetched"):
   expression-by-expression, not engine work, and has no analogue in
   the oracle's sub-ms SQL parse;
 - local-small-data tuning applied as runtime confs: scan split size
-  2 MB (the sf0.1 files are 0.3-11 MB — default 128 MB splits would
-  serialize every scan to one task) and 16 shuffle partitions. On a
-  real cluster these are exactly the knobs sized per stage by AQE; see
-  session.py.
+  AUTO-SIZED from the data (`_auto_split_bytes`: largest-table bytes
+  / 24, clamped [2 MB, 64 MB] — the 2 MB floor reproduces the sf0.1
+  hand-tuning exactly, and bigger inputs like the sf10 events slice
+  get scale-appropriate splits with no env var) and 16 shuffle
+  partitions. On a real cluster these are exactly the knobs sized per
+  stage by AQE; see session.py.
 """
 
 from __future__ import annotations
@@ -52,6 +54,33 @@ HEADLINE = [
     # round-over-round instead.
     ("bitmap_rollup", "agg_bitmap_exact_distinct_rollup"),
 ]
+
+
+def _auto_split_bytes(sf_dir: str) -> int:
+    """Scan split size derived from the data, not hand-tuned per scale.
+
+    Rule: largest-table bytes / 6, clamped to [2 MB, 32 MB] — on these
+    single-join-or-agg headline plans the per-task fixed cost (~10 ms)
+    dominates well past "one task per core", so fewer, bigger scan
+    tasks win until the 32 MB ceiling. Reproduces the measured optima:
+    sf0.1 (largest file 10.8 MB) → the 2 MB floor, i.e. BYTE-IDENTICAL
+    bench behavior at the driver's scale; the sf10 events slice
+    (211 MB) → 32 MB, the best measured split both in round 5
+    (280 ms vs 534 ms at the old 2 MB default) and re-measured round 7
+    (332 ms vs 477 ms) — so the sf10 demonstration needs no manual
+    SPARK_GRAFT_SPLIT; sf3 (lineitem 552 MB) → 32 MB (round 5 showed
+    the knob is ±10% noise there). This is the split-sizing a real
+    cluster gets from AQE + file listing per stage; env
+    SPARK_GRAFT_SPLIT still overrides for A/B experiments.
+    """
+    import pathlib
+
+    largest = max(
+        (f.stat().st_size for f in pathlib.Path(sf_dir).glob("*.parquet")),
+        default=0,
+    )
+    mb = 1024 * 1024
+    return min(max(largest // 6, 2 * mb), 32 * mb)
 
 
 def _events_hourly_batch(spark, sf_dir):
@@ -90,7 +119,8 @@ def _time_headline(spark, reg) -> dict[str, float]:
 def main() -> None:
     spark = get_spark("dbt_slabbing_spark_bench")
     # Local-small-data knobs (runtime confs; cluster runs re-size these).
-    spark.conf.set("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "2m"))
+    split = os.environ.get("SPARK_GRAFT_SPLIT") or str(_auto_split_bytes(SF_DIR))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", split)
     spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
     # Headline = PER-QUERY PINNED AQE config (BASELINE.md §"AQE
     # decision table" — the frozen resolution of the r3/r4 on/off
@@ -151,6 +181,7 @@ def main() -> None:
                 "sf": float(sf),
                 "runs": N_RUNS,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "split": split,
             }
         )
     )

@@ -84,6 +84,7 @@ _MODULES = (
     "streaming_queries",
     "advanced_sql",
     "analytics_extra",
+    "bucketed",
     "reference_pipeline",
     "funnel",
 )
@@ -96,7 +97,7 @@ _MODULES = (
 #   1. dedup_semantic_clusters — added in round 6, has NO driver row
 #      ever (round 6 shipped without rotating this prefix).
 #   2. Queries ADDED in round 7 (never driver-checked):
-#      text_quality_classifier_scores.
+#      text_quality_classifier_scores, q3_bucketed_layout.
 #   3. The full r2-stale cohort (42 queries, latest driver row is r2 —
 #      four testdata regenerations old), so after this round no
 #      registry query's driver row is older than r3.
@@ -110,6 +111,7 @@ _MODULES = (
 _PRIORITY = (
     "dedup_semantic_clusters",
     "text_quality_classifier_scores",
+    "q3_bucketed_layout",
     "agg_approx_percentiles",
     "asof_purchase_attribution",
     "dedup_connected_components",
@@ -157,7 +159,6 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "q5_local_supplier",
     "q9_product_type_profit",
-    "window_rank_dense_percent",
 )
 
 

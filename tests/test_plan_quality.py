@@ -446,3 +446,21 @@ def test_quality_classifier_is_map_only(spark):
     # (the higher-order-function projects sit between codegen'd stages —
     # HOFs don't codegen, but they are still JVM-side expression eval).
     assert "*(" in plan and "FileScan parquet" in plan
+
+
+def test_q3_bucketed_layout_zero_shuffle_exchanges(spark):
+    """q3 over the bucketed fact layout must need NO shuffle exchange
+    anywhere: the revenue agg runs on the scan partitioning, the
+    fact-to-fact sort-merge join reuses the co-bucketed partitioning
+    (both scans show Bucketed: true), the top-10 is a
+    TakeOrderedAndProject, and the only exchange in the plan is the
+    customer broadcast. This is the write-once layout that deletes
+    q3's one mandatory runtime shuffle (BASELINE.md round-4 stage
+    decomposition) at 100 TB."""
+    import re
+
+    plan = _executed_plan(registry()["q3_bucketed_layout"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"Exchange (hash|range|SinglePartition)", plan)) == 0, plan[:3000]
+    assert plan.count("Bucketed: true") == 2, plan[:3000]
+    assert "SortMergeJoin" in plan and "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # customer, the one small side
