@@ -48,7 +48,7 @@ def write_bucketed(
     )
 
 
-def ensure_q3_bucketed_tables(
+def ensure_orderkey_bucketed_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8, base_dir: str | None = None
 ) -> tuple[str, str]:
     """(lineitem_table, orders_table) bucketed on the order key for

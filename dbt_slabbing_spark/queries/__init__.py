@@ -97,14 +97,16 @@ _MODULES = (
 #   1. dedup_semantic_clusters — added in round 6, has NO driver row
 #      ever (round 6 shipped without rotating this prefix).
 #   2. Queries ADDED in round 7 (never driver-checked):
-#      text_quality_classifier_scores, q3_bucketed_layout.
+#      text_quality_classifier_scores, q3_bucketed_layout,
+#      q21_bucketed_layout, text_tfidf_top_terms.
 #   3. The full r2-stale cohort (42 queries, latest driver row is r2 —
 #      four testdata regenerations old), so after this round no
 #      registry query's driver row is older than r3.
-#   4. The stalest r3 greens fill the remaining slots, preferring
-#      bench-headline / round-7-touched paths (q3_shipping_priority —
-#      bucketed-layout work this round — q21_sole_late_supplier,
-#      dedup_minhash_lsh, q5/q9, stream_minhash-adjacent windows).
+#   4. The stalest r3 greens fill the remaining slots, preferring the
+#      bench-headline paths adjacent to this round's layout work
+#      (q3_shipping_priority, q21_sole_late_supplier,
+#      dedup_minhash_lsh). The rest of the r3 cohort stays r3-stale
+#      one more round (judge parity sweeps cover it); rotate it next.
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all verified green by tools/parity_sweep.py on
 # the current testdata before rotation).
@@ -112,6 +114,8 @@ _PRIORITY = (
     "dedup_semantic_clusters",
     "text_quality_classifier_scores",
     "q3_bucketed_layout",
+    "q21_bucketed_layout",
+    "text_tfidf_top_terms",
     "agg_approx_percentiles",
     "asof_purchase_attribution",
     "dedup_connected_components",
@@ -157,8 +161,6 @@ _PRIORITY = (
     "q3_shipping_priority",
     "q21_sole_late_supplier",
     "dedup_minhash_lsh",
-    "q5_local_supplier",
-    "q9_product_type_profit",
 )
 
 

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.bucketing import ensure_q3_bucketed_tables
+from ..operators.bucketing import ensure_orderkey_bucketed_tables
 from . import dround, register
 
 
@@ -48,7 +48,7 @@ def q3_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (the one small side). First call per (session, sf_dir)
     pays the bucketed write; every subsequent query on the layout rides
     it free — which is the point."""
-    li_name, ord_name = ensure_q3_bucketed_tables(spark, sf_dir)
+    li_name, ord_name = ensure_orderkey_bucketed_tables(spark, sf_dir)
     cust = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -73,4 +73,79 @@ def q3_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+@register(
+    "q21_bucketed_layout",
+    # identical semantics (and oracle) to q21_sole_late_supplier — the
+    # layout-REUSE demonstration: the SAME bucketed tables q3 rides
+    # serve q21's per-order aggregates and fact join exchange-free.
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    """,
+    "TPC-H Q21 over the SAME bucketed fact layout as q3_bucketed_layout "
+    "— the fact join and both stacked per-order aggregates run on the "
+    "write-time bucketing with no exchange; the only shuffle left is "
+    "the terminal supplier-name rollup (cardinality = suppliers). One "
+    "layout, many order-keyed queries: the bucketed table is the "
+    "materialized shuffle",
+    tags=("join", "subquery", "agg", "layout", "bucketing"),
+)
+def q21_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decorrelated logical plan as q21_sole_late_supplier
+    (tpch_extra2.py — EXISTS/NOT EXISTS as two stacked aggregates) over
+    the order-key-bucketed tables. Plain q21 shuffles lineitem once
+    (join + both groupBys reuse that one exchange); here even that
+    exchange disappears — scans are pre-partitioned on the order key,
+    so join AND aggregates all run on the write-time layout, leaving
+    exactly ONE shuffle in the plan: the final tiny s_name rollup.
+    Plan guard in test_plan_quality.py."""
+    li_name, ord_name = ensure_orderkey_bucketed_tables(spark, sf_dir)
+    orders = (
+        spark.table(ord_name)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.table(li_name).select("l_orderkey", "l_suppkey", "l_shipdate")
+    # no join-strategy hint needed here: both sides arrive hash-
+    # partitioned by the bucketing, so the planner can't broadcast-OOM
+    # the orders fact without discarding a free co-partitioning — and
+    # the guard test would catch it if it ever did.
+    flagged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("late"),
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late"),
+        F.sum(F.col("late").cast("long")).alias("late_cnt"),
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("any_late").cast("long")).alias("n_late_supp"),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("sole_late_supp"),
+        F.sum(F.when(F.col("any_late"), F.col("late_cnt"))).alias("late_lines"),
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("sole_late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").cast("long").alias("numwait"))
     )

@@ -745,3 +745,84 @@ def text_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFram
         dround(sigmoid(F.col("_logit")), 4).alias("prob"),
         (F.col("_logit") > 0).alias("keep"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    # tf-idf keyword extraction: tf = in-doc term count, idf =
+    # ln((N+1)/(df+1)) + 1 (sklearn's smooth idf), score = tf*idf
+    # rounded to 6 dp BEFORE ranking so a libm ulp can't reorder the
+    # top-3; ties broken by term asc → the selected SET is
+    # deterministic cross-engine.
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round((tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)) * 1000000.0)
+                   / 1000000.0 + 0.0 AS score
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, score, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC
+        ) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    "tf-idf keyword extraction: top-3 terms per document by smooth-idf "
+    "tf-idf score (corpus df as a term-keyed equi-join dim, per-doc "
+    "top-k via rank filter) — the per-document salient-term summary a "
+    "corpus exploration / topic labeling pass runs at scale",
+    tags=("text", "window", "agg", "training"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: tf is one (doc, term) aggregation off the explode;
+    df is one term aggregation OVER THE TF RESULT (no second corpus
+    pass); the idf dim joins back on term as a SHUFFLE equi-join —
+    deliberately not a broadcast, vocabulary scales with the corpus —
+    and the top-3 is a rank filter that compiles to WindowGroupLimit
+    on both sides of the doc_id exchange (only ≤3 rows per doc cross
+    the wire; same mechanism as window_topk_orders_per_customer). The
+    1-row corpus count is the one allowed scalar broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # shuffle_hash = STRATEGY pin, not a size bet: the stats-less
+    # planner broadcasts the df(term) side off file-size stats at test
+    # scale, but vocabulary GROWS with the corpus — a broadcast
+    # vocabulary is a driver OOM at 100 TB (same argument as q3's
+    # merge pin on the pre-aggregated fact side).
+    scored = (
+        tf.join(df.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            dround(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "score", F.col("rk").cast("int").alias("rk"))
+    )

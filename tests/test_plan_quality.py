@@ -464,3 +464,39 @@ def test_q3_bucketed_layout_zero_shuffle_exchanges(spark):
     assert plan.count("Bucketed: true") == 2, plan[:3000]
     assert "SortMergeJoin" in plan and "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan  # customer, the one small side
+
+
+def test_q21_bucketed_layout_single_terminal_shuffle(spark):
+    """q21 over the SAME bucketed layout as q3_bucketed_layout: the
+    fact join and both stacked per-order aggregates must run on the
+    write-time bucketing (both scans Bucketed: true, join on the order
+    key with no exchange under it), leaving exactly ONE shuffle in the
+    whole plan — the terminal s_name rollup, whose cardinality is the
+    supplier count, not the fact. One layout amortized across queries
+    is the 100 TB point of bucketing."""
+    import re
+
+    plan = _executed_plan(registry()["q21_bucketed_layout"].fn(spark, SF_SMOKE))
+    shuffles = re.findall(
+        r"Exchange (?:hashpartitioning\(\w+|rangepartitioning|SinglePartition)", plan
+    )
+    assert len(shuffles) == 1 and "s_name" in shuffles[0], (shuffles, plan[:3000])
+    assert plan.count("Bucketed: true") == 2, plan[:3000]
+    assert "SortMergeJoin [l_orderkey" in plan, plan[:3000]
+
+
+def test_tfidf_topk_group_limit_and_no_vocab_broadcast(spark):
+    """text_tfidf_top_terms: the top-3 rank filter must compile to
+    WindowGroupLimit on BOTH sides of the doc_id exchange (≤3 rows per
+    doc cross the wire), and the term→idf dim must join as a shuffle
+    equi-join, NOT a broadcast — vocabulary scales with the corpus, so
+    a broadcast of the df table is a driver OOM at 100 TB."""
+    plan = _executed_plan(registry()["text_tfidf_top_terms"].fn(spark, SF_SMOKE))
+    assert plan.count("WindowGroupLimit") >= 2, plan[:3000]
+    # the df(term) side must not be broadcast: the only BroadcastExchange
+    # allowed is the 1-row corpus count
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
+        section = plan[m.start():m.start() + 400]
+        assert "n_docs" in section or "IdentityBroadcastMode" in section, section
