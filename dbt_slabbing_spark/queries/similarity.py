@@ -817,3 +817,139 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return ivfpq_residual_topk(emb, n_queries=5, k=3, round_fn=lambda c: dround(c, 6))
+
+
+@register(
+    "sim_bitext_margin_pairs",
+    # Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    # Parallel Corpus Mining with Multilingual Sentence Embeddings"; the
+    # CCMatrix/LASER curation recipe): a cross-lingual pair (x, y) is a
+    # translation candidate when cos(x, y) clears the RATIO MARGIN
+    # cos(x,y) / mean(top-k neighborhood cosines of x and y) — absolute
+    # cosine thresholds fail because "hubness" vectors are close to
+    # everything; the margin normalizes by each side's local density.
+    # Candidates come from the corpus's 4-plane hyperplane-LSH buckets
+    # (16 buckets — coarser than the 8-plane ANN gates so buckets hold
+    # enough cross-lingual candidates for the k=4 neighborhood means).
+    # Cosines are 6-dp rounded before ranking/average (cross-engine
+    # convention); margin is 4-dp rounded before the >= 1.05 gate.
+    f"""
+    WITH e AS (
+        SELECT e.vec_id, {_SQL_DVEC.format(col="e.embedding")} AS v, d.lang
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 4),
+    b AS (
+        SELECT e.vec_id, any_value(e.v) AS v, any_value(e.lang) AS lang,
+               CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                             THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e, planes p GROUP BY e.vec_id
+    ),
+    cand AS (
+        SELECT x.vec_id AS en_id, y.vec_id AS cand_id, y.lang AS cand_lang,
+               {_SQL_COS.format(a="x.v", b="y.v")} AS cos
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.lang = 'en' AND y.lang <> 'en'
+    ),
+    ax AS (
+        SELECT en_id, avg(cos) AS a FROM (
+            SELECT *, row_number() OVER (PARTITION BY en_id ORDER BY cos DESC, cand_id) rn
+            FROM cand
+        ) WHERE rn <= 4 GROUP BY en_id
+    ),
+    ay AS (
+        SELECT cand_id, avg(cos) AS a FROM (
+            SELECT *, row_number() OVER (PARTITION BY cand_id ORDER BY cos DESC, en_id) rn
+            FROM cand
+        ) WHERE rn <= 4 GROUP BY cand_id
+    ),
+    m AS (
+        SELECT c.en_id, c.cand_id, c.cand_lang, c.cos,
+               round((c.cos / (0.5 * (ax.a + ay.a))) * 10000.0) / 10000.0 + 0.0 AS margin
+        FROM cand c JOIN ax USING (en_id) JOIN ay USING (cand_id)
+    )
+    SELECT en_id, cand_id, cand_lang, cos, margin, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY en_id ORDER BY margin DESC, cand_id
+        ) AS rk
+        FROM m WHERE margin >= 1.05 AND cos > 0
+    )
+    """,
+    "margin-based bitext mining (Artetxe & Schwenk 2019): en vs "
+    "non-en embedding pairs from LSH-bucket candidates, scored by the "
+    "ratio margin over both sides' top-4 neighborhood means, "
+    "margin >= 1.05 pairs ranked per en doc — the parallel-corpus "
+    "curation pass of a multilingual pretraining pipeline",
+    tags=("similarity", "lsh", "text", "training"),
+)
+def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: candidates are an LSH-bucket equi-join (never
+    en x non-en cross), both neighborhood means are rank-filtered
+    aggregations keyed by one side's id (WindowGroupLimit-eligible),
+    and the margins join back on those ids — all equi-joins/aggs, no
+    all-pairs scan. Hubness normalization (the margin denominator) is
+    what the paper shows absolute-threshold mining lacks."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("lang")
+    )
+    e = emb.join(docs, emb.vec_id == docs.doc_id).select("vec_id", "embedding", "lang")
+    planes = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    b = (
+        e.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("embedding").alias("v"),
+            F.any_value("lang").alias("lang"),
+            F.sum(
+                F.when(
+                    dot(F.col("embedding"), F.col("pv")) > 0,
+                    F.expr("shiftleft(cast(1 as bigint), pid)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    x = b.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("en_id"), F.col("v").alias("xv"), "bucket"
+    )
+    y = b.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("lang").alias("cand_lang"),
+        F.col("v").alias("yv"),
+        F.col("bucket").alias("_yb"),
+    )
+    cand = x.join(y, F.col("bucket") == F.col("_yb")).select(
+        "en_id", "cand_id", "cand_lang", dround(cosine(F.col("xv"), F.col("yv")), 6).alias("cos")
+    )
+    wx = Window.partitionBy("en_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    wy = Window.partitionBy("cand_id").orderBy(F.desc("cos"), F.asc("en_id"))
+    ax = (
+        cand.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= 4)
+        .groupBy("en_id")
+        .agg(F.avg("cos").alias("ax"))
+    )
+    ay = (
+        cand.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= 4)
+        .groupBy("cand_id")
+        .agg(F.avg("cos").alias("ay"))
+    )
+    m = (
+        cand.join(ax, "en_id")
+        .join(ay, "cand_id")
+        .select(
+            "en_id",
+            "cand_id",
+            "cand_lang",
+            "cos",
+            dround(F.col("cos") / (0.5 * (F.col("ax") + F.col("ay"))), 4).alias("margin"),
+        )
+    )
+    wrk = Window.partitionBy("en_id").orderBy(F.desc("margin"), F.asc("cand_id"))
+    return (
+        m.filter((F.col("margin") >= 1.05) & (F.col("cos") > 0))
+        .withColumn("rk", F.row_number().over(wrk).cast("int"))
+        .select("en_id", "cand_id", "cand_lang", "cos", "margin", "rk")
+    )
