@@ -99,15 +99,17 @@ _MODULES = (
 #   2. Queries ADDED in round 7 (never driver-checked):
 #      text_quality_classifier_scores, q3_bucketed_layout,
 #      q21_bucketed_layout, text_tfidf_top_terms,
-#      sim_bitext_margin_pairs. (q3_shipping_priority yielded its slot:
-#      its oracle is byte-identical to prefixed q3_bucketed_layout's,
-#      so the VALUES still get a round-7 driver check through that row.)
+#      sim_bitext_margin_pairs, sample_temperature_mixture.
+#      (q3_shipping_priority and q21_sole_late_supplier yielded their
+#      slots: their oracles are byte-identical to the prefixed
+#      q3_bucketed_layout / q21_bucketed_layout rows, so the VALUES
+#      still get a round-7 driver check through those.)
 #   3. The full r2-stale cohort (42 queries, latest driver row is r2 —
 #      four testdata regenerations old), so after this round no
 #      registry query's driver row is older than r3.
 #   4. The stalest r3 greens fill the remaining slots, preferring the
 #      bench-headline paths adjacent to this round's layout work
-#      (q21_sole_late_supplier, dedup_minhash_lsh). The rest of the r3
+#      (dedup_minhash_lsh). The rest of the r3
 #      cohort stays r3-stale one more round (judge parity sweeps cover
 #      it); rotate it next.
 # Staleness audit: registry keys vs max round per key across
@@ -120,6 +122,7 @@ _PRIORITY = (
     "q21_bucketed_layout",
     "text_tfidf_top_terms",
     "sim_bitext_margin_pairs",
+    "sample_temperature_mixture",
     "agg_approx_percentiles",
     "asof_purchase_attribution",
     "dedup_connected_components",
@@ -162,7 +165,6 @@ _PRIORITY = (
     "udf_udtf_chunk_text",
     "window_running_revenue",
     "window_sessionize_batch",
-    "q21_sole_late_supplier",
     "dedup_minhash_lsh",
 )
 

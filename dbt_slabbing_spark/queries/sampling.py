@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.hashing import md5_long32
 from ..operators import text as T
-from . import register
+from . import dround, register
 
 # DuckDB twin of operators.hashing.md5_long32 over a seeded key.
 _DUCK_BUCKET = "(('0x' || substr(md5({key}), 1, 8))::BIGINT % 100)"
@@ -388,5 +388,112 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(
                 F.coalesce(F.sum(keep * F.col("n_tokens")), F.lit(0)) / F.any_value(target), 4
             ).alias("share_of_target"),
+        )
+    )
+
+
+@register(
+    "sample_temperature_mixture",
+    # Temperature-scaled source sampling (the mBERT/XLM-R multilingual
+    # data recipe, Devlin et al. 2019 §A / Conneau et al. 2020 §3):
+    # sampling share q_i ∝ p_i^α with α=0.5 flattens the source
+    # distribution — big sources down-weighted, small ones boosted —
+    # under a total char budget B = 30% of the corpus. α=0.5 is chosen
+    # deliberately: p^0.5 = sqrt(p), which is IEEE-EXACT (unlike libm
+    # pow), so the per-source factors are bit-identical cross-engine;
+    # the keep decision is an exact INTEGER compare (md5-unit ppm <
+    # round(rate·1e6)) — no float boundary can flip a row.
+    f"""
+    WITH stats AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(chars_total) AS big_n FROM stats),
+    scaled AS (
+        SELECT s.source, s.n_docs, s.chars_total,
+               sqrt(s.chars_total / t.big_n) AS f
+        FROM stats s, tot t
+    ),
+    rates AS (
+        SELECT source, n_docs, chars_total,
+               round((f / (SELECT sum(f) FROM scaled)) * 10000.0) / 10000.0 + 0.0 AS q,
+               CAST(round(least(1.0,
+                    (f / (SELECT sum(f) FROM scaled)) * 0.3
+                        * (SELECT any_value(big_n) FROM tot) / chars_total
+               ) * 1000000.0) AS BIGINT) AS rate_ppm
+        FROM scaled
+    )
+    SELECT r.source, r.n_docs, r.chars_total, r.q, r.rate_ppm,
+           CAST(count(*) FILTER (
+               ('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 < r.rate_ppm
+           ) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(d.n_chars) FILTER (
+               ('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 < r.rate_ppm
+           ), 0) AS BIGINT) AS kept_chars
+    FROM rates r JOIN documents d USING (source)
+    GROUP BY r.source, r.n_docs, r.chars_total, r.q, r.rate_ppm
+    """,
+    "temperature-scaled source mixture (alpha=0.5, the mBERT/XLM-R "
+    "recipe): per-source sampling share proportional to sqrt(char "
+    "share), renormalized under a 30%-of-corpus char budget; keep "
+    "rates derived FROM corpus statistics (vs the hand-fixed rates of "
+    "sample_weighted_mixture) and applied as a deterministic "
+    "md5-ppm filter",
+    tags=("sampling", "training"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: source stats are ONE map-side-combined aggregation
+    (rows = number of sources); the sqrt/renormalize arithmetic happens
+    on that tiny frame; rates broadcast back onto the scan; the keep
+    decision is codegen'd integer hashing — one corpus pass for stats,
+    one for the filter, zero wide shuffles. Temperature sampling is the
+    standard fix for multilingual/source imbalance (a uniform-by-corpus
+    sample is dominated by the biggest source; alpha in (0,1) flattens
+    toward uniform-by-source)."""
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    tot = stats.agg(F.sum("chars_total").cast("double").alias("big_n"))
+    scaled = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars_total",
+        "big_n",
+        F.sqrt(F.col("chars_total") / F.col("big_n")).alias("f"),
+    )
+    fsum = scaled.agg(F.sum("f").alias("fsum"))
+    rates = scaled.crossJoin(F.broadcast(fsum)).select(
+        "source",
+        "n_docs",
+        "chars_total",
+        dround(F.col("f") / F.col("fsum"), 4).alias("q"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("f") / F.col("fsum")) * 0.3 * F.col("big_n") / F.col("chars_total"),
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    kept = (
+        md5_long32(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))) % 1000000
+            < F.col("rate_ppm")
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "chars_total", "q", "rate_ppm")
+        .agg(
+            F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
         )
     )
