@@ -500,3 +500,18 @@ def test_tfidf_topk_group_limit_and_no_vocab_broadcast(spark):
     for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
         section = plan[m.start():m.start() + 400]
         assert "n_docs" in section or "IdentityBroadcastMode" in section, section
+
+
+def test_bitext_candidates_are_bucket_equi_join(spark):
+    """sim_bitext_margin_pairs: the en x non-en candidate generation
+    must be an equi-join on the LSH bucket id — an all-pairs
+    cross-lingual scan (CartesianProduct / a non-Cross BNLJ) is the
+    100 TB regression the buckets exist to prevent. The only
+    BroadcastNestedLoopJoin allowed is the 4-row hyperplane
+    attachment (Cross build of the planes literal, the sim_* idiom)."""
+    plan = _executed_plan(registry()["sim_bitext_margin_pairs"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "SortMergeJoin [bucket" in plan or "ShuffledHashJoin [bucket" in plan, plan[:3000]
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line  # planes attachment only
