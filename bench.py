@@ -19,7 +19,7 @@ execution, result fully fetched"):
   the oracle's sub-ms SQL parse;
 - local-small-data tuning applied as runtime confs: scan split size
   AUTO-SIZED from the data (`_auto_split_bytes`: largest-table bytes
-  / 24, clamped [2 MB, 64 MB] — the 2 MB floor reproduces the sf0.1
+  / 6, clamped [2 MB, 32 MB] — the 2 MB floor reproduces the sf0.1
   hand-tuning exactly, and bigger inputs like the sf10 events slice
   get scale-appropriate splits with no env var) and 16 shuffle
   partitions. On a real cluster these are exactly the knobs sized per
@@ -53,6 +53,13 @@ HEADLINE = [
     # BASELINE.md twin (the reference has no sketch rollup) — tracked
     # round-over-round instead.
     ("bitmap_rollup", "agg_bitmap_exact_distinct_rollup"),
+    # round-7 extra (non-summed, like bitmap_rollup): q3 over the
+    # order-key-bucketed layout — the warm-up runs pay the one-time
+    # bucketed write (ensure_orderkey_bucketed_tables short-circuits
+    # after that), so the timed runs measure the query alone. At the
+    # floor-bound sf0.1 it tracks parity; the layout's win is the
+    # sf1/sf3 table in BASELINE.md §Round-7 (−30%/−21%).
+    ("q3_bucketed", "q3_bucketed_layout"),
 ]
 
 
@@ -150,6 +157,7 @@ def main() -> None:
         "q21": "on",
         "minhash": "off",
         "bitmap_rollup": "off",
+        "q3_bucketed": "off",  # same pin as q3 (identical query shape)
     }
     reg = registry()
     times_aqe_on = _time_headline(spark, reg)  # AQE on: the session default
@@ -165,7 +173,7 @@ def main() -> None:
     # "value" stays the sum of the 8 BASELINE.md-comparable queries so it
     # is comparable to BENCH_r1-r4 and the oracle; extras (bitmap_rollup)
     # are reported per-query but not summed into the headline metric.
-    _base8 = [s for s, _ in HEADLINE if s != "bitmap_rollup"]
+    _base8 = [s for s, _ in HEADLINE if s not in ("bitmap_rollup", "q3_bucketed")]
     print(
         json.dumps(
             {
