@@ -65,3 +65,34 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_mismatched_bucket_counts_fall_back_correctly(spark, tmp_path):
+    """Bucketing is a performance contract, not a correctness one: if
+    the two sides were written with DIFFERENT bucket counts (a resize
+    that touched one table), Spark must fall back to re-shuffling a
+    side — results identical to the plain join, never silently wrong."""
+    from dbt_slabbing_spark.operators.bucketing import write_bucketed
+
+    orders = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(li, "t_li_b8", "l_orderkey", 8, str(tmp_path / "li8"))
+    write_bucketed(orders, "t_ord_b16", "o_orderkey", 16, str(tmp_path / "ord16"))
+    try:
+        got = (
+            spark.table("t_li_b8")
+            .join(spark.table("t_ord_b16"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        exp = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        g = {r["o_orderkey"]: r["q"] for r in got.collect()}
+        e = {r["o_orderkey"]: r["q"] for r in exp.collect()}
+        assert g == e and len(g) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b8")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b16")
