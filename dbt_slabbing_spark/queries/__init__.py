@@ -99,7 +99,8 @@ _MODULES = (
 #   2. Queries ADDED in round 7 (never driver-checked):
 #      text_quality_classifier_scores, q3_bucketed_layout,
 #      q21_bucketed_layout, text_tfidf_top_terms,
-#      sim_bitext_margin_pairs, sample_temperature_mixture.
+#      sim_bitext_margin_pairs, sample_temperature_mixture,
+#      stream_quality_funnel.
 #      (q3_shipping_priority and q21_sole_late_supplier yielded their
 #      slots: their oracles are byte-identical to the prefixed
 #      q3_bucketed_layout / q21_bucketed_layout rows, so the VALUES
@@ -107,11 +108,11 @@ _MODULES = (
 #   3. The full r2-stale cohort (42 queries, latest driver row is r2 —
 #      four testdata regenerations old), so after this round no
 #      registry query's driver row is older than r3.
-#   4. The stalest r3 greens fill the remaining slots, preferring the
-#      bench-headline paths adjacent to this round's layout work
-#      (dedup_minhash_lsh). The rest of the r3
-#      cohort stays r3-stale one more round (judge parity sweeps cover
-#      it); rotate it next.
+#   4. The round-7 never-checked gates plus the full r2 cohort exactly
+#      fill the 50 slots; the r3 cohort stays r3-stale one more round
+#      (every member is green in this round's full 191-query parity
+#      sweep at sf0.1 AND the full vanilla contract drive) — rotate it
+#      next round.
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all verified green by tools/parity_sweep.py on
 # the current testdata before rotation).
@@ -123,6 +124,7 @@ _PRIORITY = (
     "text_tfidf_top_terms",
     "sim_bitext_margin_pairs",
     "sample_temperature_mixture",
+    "stream_quality_funnel",
     "agg_approx_percentiles",
     "asof_purchase_attribution",
     "dedup_connected_components",
@@ -165,7 +167,6 @@ _PRIORITY = (
     "udf_udtf_chunk_text",
     "window_running_revenue",
     "window_sessionize_batch",
-    "dedup_minhash_lsh",
 )
 
 

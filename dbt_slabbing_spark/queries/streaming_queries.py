@@ -294,3 +294,51 @@ def stream_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="stream_band_dedup_")
     return jobs.streaming_band_dedup(spark, sf_dir, work, rows_per_batch=200)
+
+
+@register(
+    "stream_quality_funnel",
+    # Oracle states the GLOBAL closed form of the ingest-time funnel:
+    # rule verdicts are stateless (so identical to the batch rules),
+    # and doc_id-ordered arrival makes the streaming first-wins claim
+    # equal min(doc_id) per normalized-content hash over the RULE
+    # SURVIVORS. Rule formulas mirror pipeline_quality_funnel exactly.
+    """
+    WITH feat AS (
+        SELECT doc_id, text,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ),
+    rules AS (
+        SELECT doc_id, text,
+               len(w) >= 20 AS len_keep,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.35 AS rep_keep
+        FROM feat WHERE len(w) > 0
+    ),
+    survivors AS (
+        SELECT doc_id,
+               min(doc_id) OVER (
+                   PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               ) AS first_doc
+        FROM rules WHERE len_keep AND rep_keep
+    )
+    SELECT r.doc_id,
+           CASE WHEN NOT r.len_keep THEN 'length'
+                WHEN NOT r.rep_keep THEN 'repetition'
+                WHEN r.doc_id <> s.first_doc THEN 'exact_dup'
+                ELSE 'kept' END AS verdict
+    FROM rules r LEFT JOIN survivors s USING (doc_id)
+    """,
+    "the pretraining funnel's cheap stages AT INGEST: stateless quality "
+    "rules -> state-store exact dedup (first-wins per normalized content "
+    "hash, applyInPandasWithState on RocksDB) over the micro-batched "
+    "document replay; with stream_minhash_band_dedup this gives the "
+    "full funnel an ingest-time shape; oracle states the global closed "
+    "form",
+    tags=("streaming", "dedup", "quality", "pipeline", "training"),
+)
+def stream_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_quality_funnel_")
+    return jobs.streaming_quality_funnel(spark, sf_dir, work, rows_per_batch=200)

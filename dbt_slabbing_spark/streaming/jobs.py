@@ -586,3 +586,120 @@ def streaming_band_dedup(
         finally:
             q.stop()
     return spark.read.parquet(verdict_dir).select("doc_id", "n_bands", "n_dup_bands", "kept")
+
+
+def streaming_quality_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    rows_per_batch: int = 200,
+    state_store_provider: str | None = ROCKSDB_PROVIDER,
+) -> DataFrame:
+    """The pretraining funnel's cheap stages AT INGEST: quality rules →
+    exact dedup, per micro-batch, over the document replay stream.
+
+    Composes with :func:`streaming_band_dedup` (the funnel's expensive
+    near-dup stage already runs streaming) to give the full
+    RefinedWeb-style funnel an ingest-time shape: rule verdicts are
+    STATELESS column expressions (zero state, zero shuffle — the same
+    formulas as the batch ``pipeline_quality_funnel``), and the
+    exact-dedup claim lives in the STATE STORE keyed by the normalized
+    content hash (``applyInPandasWithState``; RocksDB by default —
+    distinct-content keys scale with the corpus). Rule-rejected docs
+    bypass the claim under a unique per-doc key, so a rejected
+    duplicate never blocks a later passing copy — matching the batch
+    funnel, where dedup runs over the RULE SURVIVORS only.
+
+    doc_id-ordered arrival (the replay source's contract) makes the
+    incremental first-wins claim equal the global min-per-hash closed
+    form, so the outcome is independent of micro-batch slicing and the
+    oracle can state it as one batch SQL query.
+
+    100 TB story: per-batch cost is proportional to the batch (keyed
+    state lookups; no registry re-scan), state is bounded by distinct
+    surviving content hashes, and the stage ordering — free rules
+    prune BEFORE the stateful claim sees a row — is the same
+    cheapest-first cost model as the batch funnel.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..catalog import _ensure_workers_can_import
+    from ..operators.text import normalized
+    from ..sources.replay_stream import register_replay_source
+
+    _ensure_workers_can_import(spark)
+    register_replay_source(spark)
+    verdict_dir = f"{work_dir}/verdicts"
+
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+        .select("doc_id", "text")
+    )
+    w = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
+    pre = (
+        stream.select("doc_id", "text", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.when(F.size("w") < 20, "length")
+            .when(F.size(F.array_distinct("w")).cast("double") / F.size("w") < 0.35, "repetition")
+            .otherwise("pass")
+            .alias("pre_verdict"),
+            # rejected docs get a UNIQUE key: they must not claim (or
+            # be blocked by) the content hash they never competed for
+            F.md5(normalized(F.col("text"))).alias("_h"),
+        )
+        .select(
+            "doc_id",
+            "pre_verdict",
+            F.when(F.col("pre_verdict") == "pass", F.col("_h"))
+            .otherwise(F.concat(F.lit("rej|"), F.col("doc_id").cast("string")))
+            .alias("claim_key"),
+        )
+    )
+
+    def claim(key, pdfs, state) -> "object":
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        out_verdict = []
+        if (rows["pre_verdict"] != "pass").any():
+            # rejected docs travel in singleton groups: pass through
+            out_verdict = list(rows["pre_verdict"])
+        elif state.exists:
+            out_verdict = ["exact_dup"] * len(rows)
+        else:
+            first = int(rows["doc_id"].min())
+            state.update((first,))
+            out_verdict = [
+                "kept" if int(d) == first else "exact_dup" for d in rows["doc_id"]
+            ]
+        yield pd.DataFrame({"doc_id": rows["doc_id"], "verdict": out_verdict})
+
+    claims = pre.groupBy("claim_key").applyInPandasWithState(
+        claim,
+        outputStructType="doc_id bigint, verdict string",
+        stateStructType="first_doc bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(verdict_dir)
+
+    with _state_store_provider(spark, state_store_provider):
+        q = (
+            claims.writeStream.outputMode("update")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .foreachBatch(handle)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.parquet(verdict_dir).select("doc_id", "verdict")

@@ -273,3 +273,44 @@ def test_band_dedup_runs_on_rocksdb_and_matches_hdfs_store(spark, tmp_path):
     rocks_files = [p for p in state_root.rglob("*") if "rocksdb" in p.name.lower()
                    or "rocksdb" in str(p.parent).lower() or p.suffix in (".zip", ".changelog")]
     assert rocks_files, f"no RocksDB artifacts under {state_root}"
+
+
+def test_quality_funnel_slicing_invariant_and_matches_batch(spark, tmp_path):
+    """stream_quality_funnel: (a) verdicts independent of micro-batch
+    slicing (60-row batches == one giant batch), (b) stage-consistent
+    with the BATCH funnel — length/repetition/exact_dup verdicts agree
+    exactly, and docs the batch funnel sends on to the near-dup stage
+    (verdict 'near_dup' or 'kept') are exactly the streaming funnel's
+    'kept' set (the streaming form runs the funnel's first three
+    stages; near-dup already has its own streaming twin)."""
+    from dbt_slabbing_spark.queries import registry
+    from dbt_slabbing_spark.streaming.jobs import streaming_quality_funnel
+    from tests.conftest import SF_SMOKE
+
+    a = {
+        r["doc_id"]: r["verdict"]
+        for r in streaming_quality_funnel(
+            spark, SF_SMOKE, str(tmp_path / "a"), rows_per_batch=60
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["verdict"]
+        for r in streaming_quality_funnel(
+            spark, SF_SMOKE, str(tmp_path / "b"), rows_per_batch=100000
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+    batch = {
+        r["doc_id"]: r["verdict"]
+        for r in registry()["pipeline_quality_funnel"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(a) == set(batch)
+    for doc_id, v in batch.items():
+        if v in ("length", "repetition", "exact_dup"):
+            assert a[doc_id] == v, (doc_id, v, a[doc_id])
+        else:  # 'near_dup' or 'kept': past the streaming funnel's stages
+            assert a[doc_id] == "kept", (doc_id, v, a[doc_id])
+    # the state store is engaged (not a re-scanned side table)
+    state_dirs = list((tmp_path / "a" / "checkpoint" / "state").rglob("*"))
+    assert state_dirs, "quality funnel produced no state store files"
