@@ -233,3 +233,82 @@ def run_snapshot(
     pathlib.Path(staging).rename(target)
     shutil.rmtree(str(old))
     return spark.read.parquet(str(target))
+
+
+def run_tests(
+    spark: SparkSession,
+    relations: dict[str, DataFrame],
+    tests: dict[str, dict[str, list]],
+) -> DataFrame:
+    """dbt-style schema (data) tests: the dbt layer the module docstring
+    deferred, now first-class. ``tests`` mirrors a dbt schema.yml:
+
+        {"orders": {"o_orderkey": ["unique", "not_null"],
+                    "o_orderstatus": [{"accepted_values": ["F", "O"]}],
+                    "o_custkey": [{"relationships": ("customer", "c_custkey")}]}}
+
+    Returns one row per (model, column, test): ``n_failures`` and
+    ``passed`` — dbt's contract (a test SELECTs failing rows; 0 rows =
+    pass). Failure semantics match dbt's built-ins:
+
+    - ``not_null``: rows where the column IS NULL;
+    - ``unique``: DISTINCT non-null values occurring more than once
+      (dbt counts offending values, not offending rows);
+    - ``accepted_values``: non-null rows outside the list;
+    - ``relationships``: non-null child values with no parent match
+      (referential integrity as an anti-join).
+
+    100 TB shape: every test is ONE aggregation or anti-join over the
+    relation — not_null/accepted_values are map-side-combined counts
+    (shuffle = 1 row), unique shuffles on the tested column only, and
+    relationships is a null-skipping LEFT ANTI join the planner
+    broadcasts when the parent is small. Tests on one relation are
+    independent Spark jobs; a scheduler can run them concurrently.
+    """
+    from pyspark.sql import functions as F
+
+    results: list[tuple[str, str, str, int]] = []
+
+    def _count(df: DataFrame) -> int:
+        return int(df.count())
+
+    for model, cols in tests.items():
+        rel = relations[model]
+        for col, specs in cols.items():
+            for spec in specs:
+                if spec == "not_null":
+                    n = _count(rel.filter(F.col(col).isNull()))
+                    results.append((model, col, "not_null", n))
+                elif spec == "unique":
+                    n = _count(
+                        rel.filter(F.col(col).isNotNull())
+                        .groupBy(col)
+                        .agg(F.count(F.lit(1)).alias("_n"))
+                        .filter(F.col("_n") > 1)
+                    )
+                    results.append((model, col, "unique", n))
+                elif isinstance(spec, dict) and "accepted_values" in spec:
+                    vals = list(spec["accepted_values"])
+                    n = _count(
+                        rel.filter(F.col(col).isNotNull() & ~F.col(col).isin(vals))
+                    )
+                    results.append((model, col, "accepted_values", n))
+                elif isinstance(spec, dict) and "relationships" in spec:
+                    parent, pcol = spec["relationships"]
+                    n = _count(
+                        rel.filter(F.col(col).isNotNull())
+                        .select(col)
+                        .join(
+                            relations[parent].select(F.col(pcol).alias(col)).distinct(),
+                            col,
+                            "left_anti",
+                        )
+                    )
+                    results.append((model, col, "relationships", n))
+                else:
+                    raise ModelError(f"unknown test spec {spec!r} on {model}.{col}")
+
+    return spark.createDataFrame(
+        [(m, c, t, n, n == 0) for m, c, t, n in results],
+        "model string, column string, test string, n_failures bigint, passed boolean",
+    )

@@ -100,7 +100,10 @@ _MODULES = (
 #      text_quality_classifier_scores, q3_bucketed_layout,
 #      q21_bucketed_layout, text_tfidf_top_terms,
 #      sim_bitext_margin_pairs, sample_temperature_mixture,
-#      stream_quality_funnel.
+#      stream_quality_funnel, model_schema_tests (displacing
+#      window_sessionize_batch, the one r2 row left un-refreshed:
+#      never-driver-checked outranks stale-but-green — it is the
+#      first rotation item next round).
 #      (q3_shipping_priority and q21_sole_late_supplier yielded their
 #      slots: their oracles are byte-identical to the prefixed
 #      q3_bucketed_layout / q21_bucketed_layout rows, so the VALUES
@@ -125,6 +128,7 @@ _PRIORITY = (
     "sim_bitext_margin_pairs",
     "sample_temperature_mixture",
     "stream_quality_funnel",
+    "model_schema_tests",
     "agg_approx_percentiles",
     "asof_purchase_attribution",
     "dedup_connected_components",
@@ -166,7 +170,6 @@ _PRIORITY = (
     "udf_pandas_scalar_bytelen",
     "udf_udtf_chunk_text",
     "window_running_revenue",
-    "window_sessionize_batch",
 )
 
 

@@ -177,3 +177,75 @@ def model_snapshot_customer_segments(spark: SparkSession, sf_dir: str) -> DataFr
     return final.withColumn(
         "valid_to", F.when(F.col("is_current"), F.lit(None).cast("timestamp")).otherwise(F.col("valid_to"))
     )
+
+
+@register(
+    "model_schema_tests",
+    # dbt's test layer: each built-in test is a SELECT of failing rows;
+    # the oracle restates every count in ANSI SQL. The accepted_values
+    # row is DELIBERATELY configured to fail (status list missing 'P')
+    # so the gate proves failures are counted, not just that clean data
+    # passes.
+    """
+    SELECT model, "column", test, n_failures, n_failures = 0 AS passed
+    FROM (
+        SELECT 'orders' AS model, 'o_orderkey' AS "column", 'not_null' AS test,
+               CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_failures
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderkey', 'unique',
+               CAST(count(*) AS BIGINT) FROM (
+                   SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+                   GROUP BY o_orderkey HAVING count(*) > 1
+               )
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus', 'accepted_values',
+               CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+                                     AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_custkey', 'relationships',
+               CAST(count(*) AS BIGINT) FROM (
+                   SELECT o_custkey FROM orders o
+                   WHERE o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)
+               )
+        UNION ALL
+        SELECT 'customer', 'c_custkey', 'unique',
+               CAST(count(*) AS BIGINT) FROM (
+                   SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+                   GROUP BY c_custkey HAVING count(*) > 1
+               )
+    ) t
+    """,
+    "dbt-style schema tests (not_null / unique / accepted_values / "
+    "relationships) over the orders/customer relations — one "
+    "aggregation or anti-join per test, one row per test with the "
+    "failure count; includes a deliberately-failing accepted_values "
+    "spec so failure counting itself is verified",
+    tags=("model", "quality", "sql"),
+)
+def model_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's data-test layer on Spark (plans/model_runner.py::run_tests):
+    a schema.yml-shaped spec, each test one distributed aggregation /
+    anti-join, results as the standard (model, column, test,
+    n_failures, passed) frame. The failing accepted_values row pins
+    that failures COUNT rather than error out — dbt's store_failures
+    behavior."""
+    from ..catalog import table
+    from ..plans.model_runner import run_tests
+
+    tables = {name: table(spark, sf_dir, name) for name in ("orders", "customer")}
+    return run_tests(
+        spark,
+        tables,
+        {
+            "orders": {
+                "o_orderkey": ["unique", "not_null"],
+                "o_orderstatus": [{"accepted_values": ["F", "O"]}],
+                "o_custkey": [{"relationships": ("customer", "c_custkey")}],
+            },
+            "customer": {"c_custkey": ["unique"]},
+        },
+    )

@@ -280,3 +280,52 @@ def test_snapshot_leftover_old_dir_is_replaced(spark, tmp_path):
     rows = {(r["segment"], r["is_current"]) for r in out.collect()}
     assert rows == {("basic", False), ("gold", True)}
     assert not p.with_suffix(".old").exists()
+
+
+def test_run_tests_counts_failures_on_hand_built_fixture(spark):
+    """dbt test semantics on a fixture with KNOWN defects: one null id,
+    one duplicated id (counted once — dbt counts offending VALUES),
+    two out-of-list statuses, one orphan foreign key; plus the
+    passing parent side."""
+    from dbt_slabbing_spark.plans.model_runner import ModelError, run_tests
+
+    child = spark.createDataFrame(
+        [
+            (1, "A", 10),
+            (2, "A", 20),
+            (2, "B", 20),     # duplicate id 2 (one offending value)
+            (None, "A", 30),  # null id
+            (4, "X", 40),     # bad status
+            (5, "Y", 99),     # bad status + orphan fk
+        ],
+        "id long, status string, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,), (40,)], "pk long")
+    got = {
+        (r["model"], r["column"], r["test"]): (r["n_failures"], r["passed"])
+        for r in run_tests(
+            spark,
+            {"child": child, "parent": parent},
+            {
+                "child": {
+                    "id": ["unique", "not_null"],
+                    "status": [{"accepted_values": ["A", "B"]}],
+                    "fk": [{"relationships": ("parent", "pk")}],
+                },
+                "parent": {"pk": ["unique", "not_null"]},
+            },
+        ).collect()
+    }
+    assert got == {
+        ("child", "id", "unique"): (1, False),
+        ("child", "id", "not_null"): (1, False),
+        ("child", "status", "accepted_values"): (2, False),
+        ("child", "fk", "relationships"): (1, False),
+        ("parent", "pk", "unique"): (0, True),
+        ("parent", "pk", "not_null"): (0, True),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ModelError):
+        run_tests(spark, {"child": child}, {"child": {"id": ["bogus_test"]}})
