@@ -410,20 +410,19 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(n_chars) AS BIGINT) AS chars_total
         FROM documents GROUP BY source
     ),
-    tot AS (SELECT sum(chars_total) AS big_n FROM stats),
-    scaled AS (
-        SELECT s.source, s.n_docs, s.chars_total,
-               sqrt(s.chars_total / t.big_n) AS f
-        FROM stats s, tot t
+    tot AS (
+        -- ONE global aggregate: sqrt(chars/N)/sum_j sqrt(chars_j/N)
+        -- algebraically equals sqrt(chars)/sum_j sqrt(chars_j) — the
+        -- corpus term cancels, so no second normalization pass exists
+        SELECT sum(sqrt(chars_total)) AS s1, sum(chars_total) AS big_n FROM stats
     ),
     rates AS (
-        SELECT source, n_docs, chars_total,
-               round((f / (SELECT sum(f) FROM scaled)) * 10000.0) / 10000.0 + 0.0 AS q,
+        SELECT s.source, s.n_docs, s.chars_total,
+               round((sqrt(s.chars_total) / t.s1) * 10000.0) / 10000.0 + 0.0 AS q,
                CAST(round(least(1.0,
-                    (f / (SELECT sum(f) FROM scaled)) * 0.3
-                        * (SELECT any_value(big_n) FROM tot) / chars_total
+                    sqrt(s.chars_total) / t.s1 * 0.3 * t.big_n / s.chars_total
                ) * 1000000.0) AS BIGINT) AS rate_ppm
-        FROM scaled
+        FROM stats s, tot t
     )
     SELECT r.source, r.n_docs, r.chars_total, r.q, r.rate_ppm,
            CAST(count(*) FILTER (
@@ -459,24 +458,24 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars_total"),
     )
-    tot = stats.agg(F.sum("chars_total").cast("double").alias("big_n"))
-    scaled = stats.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "chars_total",
-        "big_n",
-        F.sqrt(F.col("chars_total") / F.col("big_n")).alias("f"),
+    # ONE global aggregate (the query's single-partition-exchange
+    # budget): sqrt(chars/N) / Σ_j sqrt(chars_j/N) algebraically equals
+    # sqrt(chars) / Σ_j sqrt(chars_j) — the corpus term cancels, so the
+    # normalizer and the budget base come from the same 1-row frame.
+    tot = stats.agg(
+        F.sum(F.sqrt(F.col("chars_total"))).alias("s1"),
+        F.sum("chars_total").cast("double").alias("big_n"),
     )
-    fsum = scaled.agg(F.sum("f").alias("fsum"))
-    rates = scaled.crossJoin(F.broadcast(fsum)).select(
+    rates = stats.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "chars_total",
-        dround(F.col("f") / F.col("fsum"), 4).alias("q"),
+        dround(F.sqrt(F.col("chars_total")) / F.col("s1"), 4).alias("q"),
         F.round(
             F.least(
                 F.lit(1.0),
-                (F.col("f") / F.col("fsum")) * 0.3 * F.col("big_n") / F.col("chars_total"),
+                F.sqrt(F.col("chars_total")) / F.col("s1") * 0.3 * F.col("big_n")
+                    / F.col("chars_total"),
             )
             * 1000000.0
         )

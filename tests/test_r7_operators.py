@@ -127,12 +127,12 @@ def test_temperature_mixture_matches_python_model(spark):
         s[0] += 1
         s[1] += int(r["n_chars"])
     big_n = float(sum(v[1] for v in stats.values()))
-    f = {src: math.sqrt(v[1] / big_n) for src, v in stats.items()}
+    f = {src: math.sqrt(v[1]) for src, v in stats.items()}
     fsum = sum(f.values())
     expected = {}
     for src, (n_docs, chars) in stats.items():
         q = _round(f[src] / fsum, 4)
-        rate = min(1.0, (f[src] / fsum) * 0.3 * big_n / chars)
+        rate = min(1.0, f[src] / fsum * 0.3 * big_n / chars)
         rate_ppm = int(_round(rate * 1000000.0, 0))
         n_kept = kept_chars = 0
         for r in rows:
