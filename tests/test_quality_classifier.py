@@ -122,3 +122,54 @@ def test_funnel_optional_classifier_stage(spark):
         for r in fn(spark, SF_SMOKE, classifier_weights=[1.0] * 256, classifier_bias=1.0).collect()
     }
     assert lenient == base
+
+
+def test_property_random_ascii_texts_match_model(spark):
+    """Hypothesis fuzz over printable-ASCII texts (including edge
+    whitespace runs, empties, repeated tokens): engine logit equals the
+    Python model bit-for-bit. ASCII-restricted on purpose: Spark
+    tokenizes with Java \\s+ after trim/lower, whose semantics match
+    Python's str.split() only on ASCII whitespace — the corpus contract
+    (TESTDATA documents are ASCII-tokenizable) is what the operator is
+    specified against."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    w = deterministic_weights(64)
+
+    token = st.text(
+        alphabet=st.sampled_from("abcdefgHIJ019.,!?'\"-_"), min_size=1, max_size=8
+    )
+    texts = st.lists(token, min_size=0, max_size=30).map(" ".join)
+
+    @given(st.lists(texts, min_size=1, max_size=8))
+    @settings(max_examples=15, deadline=None)
+    def check(batch):
+        df = spark.createDataFrame([(t,) for t in batch], "text string")
+        got = df.select(
+            "text",
+            F.when(
+                F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                > 0,
+                quality_score(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"), w
+                ),
+            ).alias("logit"),
+        ).collect()
+        for r in got:
+            toks = r["text"].strip().lower().split()
+            if not toks:
+                # empty/whitespace-only: split('') yields [''] in both
+                # engines; the model treats '' as one token like Spark
+                toks = [""]
+            assert r["logit"] == _model_logit_tokens(toks, w), repr(r["text"])
+
+    check()
+
+
+def _model_logit_tokens(toks, weights, bias=DEFAULT_BIAS):
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    acc = 0.0
+    for t in feats:
+        acc += weights[_bucket(t, len(weights))]
+    return bias + acc / len(feats)
