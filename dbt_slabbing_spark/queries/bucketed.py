@@ -142,6 +142,11 @@ def q21_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("sole_late_supp"),
         F.sum(F.when(F.col("any_late"), F.col("late_cnt"))).alias("late_lines"),
     )
+    # supplier broadcast: same decision as plain q21's pin — supplier is
+    # the schema's true dim (scales ~1/6000th of lineitem; ~1.4 GB at
+    # SF1000, inside executor budgets), and the alternative would shuffle
+    # the whole per_order frame on s_suppkey, adding the second exchange
+    # the layout exists to avoid.
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
