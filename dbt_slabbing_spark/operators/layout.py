@@ -206,3 +206,79 @@ def write_hilbert_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def delete_rows(spark, path: str, predicate: str | Column) -> dict:
+    """Targeted row deletion from a parquet directory: rewrite ONLY the
+    files that contain matching rows — the GDPR / right-to-be-forgotten
+    maintenance op, and the core mechanic of a table format's DELETE
+    (Delta/Iceberg copy-on-write) expressed over plain parquet.
+
+    Cost model (the reason this exists as an operator): a naive DELETE
+    rewrites the whole table — O(table) for a predicate touching a few
+    users. This rewrites O(affected files): one scan attributes matches
+    to files via ``input_file_name()`` (file-level pruning — at 100 TB
+    footer min/max stats on a z-ordered/bucketed key make "affected"
+    a small fraction by LAYOUT, see with_hilbert_key/write_bucketed),
+    untouched files are carried over byte-identical, and the directory
+    flips through the same staging→trash→live rename contract as
+    :func:`compact_parquet_dir` (object-store caveat there applies —
+    on S3/GCS this is a table-format metadata commit).
+
+    Returns ``{"rows_before", "rows_deleted", "rows_after",
+    "n_files_total", "n_files_rewritten"}``. At scale the affected-file
+    set ships as a broadcast join against ``input_file_name()`` rather
+    than the local ``isin`` literal used here (same plan shape).
+    """
+    import pathlib
+    import shutil
+
+    p = pathlib.Path(path)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = spark.read.parquet(str(p)).withColumn("_file", F.input_file_name())
+    per_file = (
+        df.groupBy("_file")
+        .agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.sum(cond.cast("long")).alias("_hits"),
+        )
+        .collect()  # bounded: one row per FILE, not per data row
+    )
+    rows_before = sum(r["_rows"] for r in per_file)
+    rows_deleted = sum(r["_hits"] for r in per_file)
+    affected = [r["_file"] for r in per_file if r["_hits"] > 0]
+    stats = {
+        "rows_before": int(rows_before),
+        "rows_deleted": int(rows_deleted),
+        "rows_after": int(rows_before - rows_deleted),
+        "n_files_total": len(per_file),
+        "n_files_rewritten": len(affected),
+    }
+    if not affected:
+        return stats
+
+    staging = pathlib.Path(str(p) + ".deleting")
+    trash = pathlib.Path(str(p) + ".old")
+    if staging.exists():
+        shutil.rmtree(str(staging))
+    survivors = (
+        df.filter(F.col("_file").isin(affected) & ~cond)
+        .drop("_file")
+        .repartition(max(1, len(affected)))
+    )
+    survivors.write.mode("overwrite").parquet(str(staging))
+    # carry untouched files over BYTE-IDENTICAL (copy, not rewrite)
+    affected_names = {pathlib.Path(f.replace("file:", "")).name for f in affected}
+    for f in p.glob("*.parquet"):
+        if f.name not in affected_names:
+            shutil.copy2(str(f), str(staging / f.name))
+    if trash.exists():
+        shutil.rmtree(str(trash))
+    p.rename(trash)
+    try:
+        staging.rename(p)
+    except BaseException:
+        trash.rename(p)  # restore the live dir; staging keeps the result
+        raise
+    shutil.rmtree(str(trash))
+    return stats

@@ -115,3 +115,51 @@ def test_compact_swap_failure_recoverable_and_live_restored(spark, tmp_path, mon
     assert len(list(pathlib.Path(target).glob("*.parquet"))) == n
     assert not pathlib.Path(target + ".old").exists()
     assert {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()} == before
+
+
+def test_delete_rows_rewrites_only_affected_files(spark, tmp_path):
+    """Targeted deletion (the GDPR DELETE): matching rows disappear,
+    stats are exact, and files with NO matching rows are carried over
+    BYTE-IDENTICAL (copied, not rewritten) — the rewrite cost is
+    O(affected files), not O(table)."""
+    import hashlib
+    import pathlib
+
+    from dbt_slabbing_spark.operators.layout import delete_rows
+
+    target = str(tmp_path / "events")
+    events = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "event_type", "value")
+    # range-partition by user_id so the predicate is file-localized —
+    # the layout-prunes-deletes story (a z-ordered/bucketed key at scale)
+    events.repartitionByRange(8, "user_id").write.parquet(target)
+
+    before = {r["event_id"]: (r["user_id"], r["event_type"]) for r in events.collect()}
+    victims = {k for k, (u, _t) in before.items() if 3 <= u <= 4}
+    assert victims  # non-vacuous
+
+    def digests():
+        return {
+            f.name: hashlib.md5(f.read_bytes()).hexdigest()
+            for f in pathlib.Path(target).glob("*.parquet")
+        }
+
+    pre = digests()
+    stats = delete_rows(spark, target, "user_id >= 3 AND user_id <= 4")
+    assert stats["rows_before"] == len(before)
+    assert stats["rows_deleted"] == len(victims)
+    assert stats["rows_after"] == len(before) - len(victims)
+    assert 0 < stats["n_files_rewritten"] < stats["n_files_total"]
+
+    post = digests()
+    untouched_pre = {n: h for n, h in pre.items() if n in post}
+    # every carried-over original file is byte-identical
+    assert untouched_pre and all(post[n] == h for n, h in untouched_pre.items())
+    assert len(pre) - len(untouched_pre) == stats["n_files_rewritten"]
+
+    after = {r["event_id"] for r in spark.read.parquet(target).collect()}
+    assert after == set(before) - victims
+
+    # no-match predicate: zero rewrites, directory untouched
+    stats2 = delete_rows(spark, target, "user_id < 0")
+    assert stats2["rows_deleted"] == 0 and stats2["n_files_rewritten"] == 0
+    assert digests() == post
