@@ -235,23 +235,26 @@ def delete_rows(spark, path: str, predicate: str | Column) -> dict:
 
     p = pathlib.Path(path)
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # rows_before: count-star compiles to a footer-metadata read (no
+    # data pages); match attribution runs over the FILTERED scan, so
+    # the predicate pushes into parquet and row-group stats skip clean
+    # files/groups — on a layout clustered by the deletion key this
+    # pass touches only the affected neighborhood, not the table.
+    rows_before = spark.read.parquet(str(p)).count()
     df = spark.read.parquet(str(p)).withColumn("_file", F.input_file_name())
     per_file = (
-        df.groupBy("_file")
-        .agg(
-            F.count(F.lit(1)).alias("_rows"),
-            F.sum(cond.cast("long")).alias("_hits"),
-        )
-        .collect()  # bounded: one row per FILE, not per data row
+        df.filter(cond)
+        .groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .collect()  # bounded: one row per AFFECTED file
     )
-    rows_before = sum(r["_rows"] for r in per_file)
     rows_deleted = sum(r["_hits"] for r in per_file)
-    affected = [r["_file"] for r in per_file if r["_hits"] > 0]
+    affected = [r["_file"] for r in per_file]
     stats = {
         "rows_before": int(rows_before),
         "rows_deleted": int(rows_deleted),
         "rows_after": int(rows_before - rows_deleted),
-        "n_files_total": len(per_file),
+        "n_files_total": len(list(p.glob("*.parquet"))),
         "n_files_rewritten": len(affected),
     }
     if not affected:
