@@ -100,10 +100,11 @@ _MODULES = (
 #      text_quality_classifier_scores, q3_bucketed_layout,
 #      q21_bucketed_layout, text_tfidf_top_terms,
 #      sim_bitext_margin_pairs, sample_temperature_mixture,
-#      stream_quality_funnel, model_schema_tests (displacing
-#      window_sessionize_batch, the one r2 row left un-refreshed:
-#      never-driver-checked outranks stale-but-green — it is the
-#      first rotation item next round).
+#      stream_quality_funnel, model_schema_tests,
+#      agg_bitmap_audience_overlap (displacing window_sessionize_batch
+#      and window_running_revenue, the only r2 rows left un-refreshed:
+#      never-driver-checked outranks stale-but-green — those two are
+#      the first rotation items next round).
 #      (q3_shipping_priority and q21_sole_late_supplier yielded their
 #      slots: their oracles are byte-identical to the prefixed
 #      q3_bucketed_layout / q21_bucketed_layout rows, so the VALUES
@@ -129,6 +130,7 @@ _PRIORITY = (
     "sample_temperature_mixture",
     "stream_quality_funnel",
     "model_schema_tests",
+    "agg_bitmap_audience_overlap",
     "agg_approx_percentiles",
     "asof_purchase_attribution",
     "dedup_connected_components",
@@ -169,7 +171,6 @@ _PRIORITY = (
     "udf_map_in_arrow_norms",
     "udf_pandas_scalar_bytelen",
     "udf_udtf_chunk_text",
-    "window_running_revenue",
 )
 
 

@@ -852,3 +852,58 @@ def agg_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         med.join(p90, "scope")
         .select("scope", F.col("n").cast("bigint").alias("n_rows"), "est_median", "est_p90")
     )
+
+
+@register(
+    "agg_bitmap_audience_overlap",
+    # Audience overlap ("how many users did BOTH X and Y") computed
+    # EXACTLY from re-aggregatable bitmaps + inclusion-exclusion:
+    # |A∩B| = |A| + |B| − |A∪B|, with the union from bitmap_or_agg —
+    # Spark ships OR-aggregation but no AND-aggregation, and
+    # inclusion-exclusion makes AND unnecessary.
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_purchase,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT)
+               AS n_union,
+           CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT) AS n_both
+    """,
+    "exact audience overlap (click ∩ purchase users) via bitmap "
+    "inclusion-exclusion: per-(type, bucket) bitmaps from one scan, "
+    "per-bucket union via bitmap_or_agg, |A∩B| = |A|+|B|−|A∪B| — the "
+    "audience-overlap analytics pattern with bitmap-sized shuffles, "
+    "no count_distinct Expand, no row-level self-join",
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+    )
+    per_tb = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("_bk")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("_bm"))
+    per_bucket = per_tb.groupBy("_bk").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.bitmap_count("_bm"))
+        ).alias("_na"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.bitmap_count("_bm"))
+        ).alias("_nb"),
+        F.bitmap_count(F.bitmap_or_agg("_bm")).alias("_nu"),
+    )
+    return per_bucket.agg(
+        F.coalesce(F.sum("_na"), F.lit(0)).cast("bigint").alias("n_click"),
+        F.coalesce(F.sum("_nb"), F.lit(0)).cast("bigint").alias("n_purchase"),
+        F.coalesce(F.sum("_nu"), F.lit(0)).cast("bigint").alias("n_union"),
+        (
+            F.coalesce(F.sum("_na"), F.lit(0))
+            + F.coalesce(F.sum("_nb"), F.lit(0))
+            - F.coalesce(F.sum("_nu"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
