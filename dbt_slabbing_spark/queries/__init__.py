@@ -91,86 +91,77 @@ _MODULES = (
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward "driver rows <= 1 round
-# old for the whole registry". Round-7 prefix, audited against
-# CORRECTNESS_r01..r06 (latest driver row per key; distribution before
-# rotation: r6:50, r4:44, r3:48, r2:42, never:1):
-#   1. dedup_semantic_clusters — added in round 6, has NO driver row
-#      ever (round 6 shipped without rotating this prefix).
-#   2. Queries ADDED in round 7 (never driver-checked):
-#      text_quality_classifier_scores, q3_bucketed_layout,
-#      q21_bucketed_layout, text_tfidf_top_terms,
-#      sim_bitext_margin_pairs, sample_temperature_mixture,
-#      stream_quality_funnel, model_schema_tests,
-#      agg_bitmap_audience_overlap (displacing window_sessionize_batch
-#      and window_running_revenue, the only r2 rows left un-refreshed:
-#      never-driver-checked outranks stale-but-green — those two are
-#      the first rotation items next round).
-#      (q3_shipping_priority and q21_sole_late_supplier yielded their
-#      slots: their oracles are byte-identical to the prefixed
-#      q3_bucketed_layout / q21_bucketed_layout rows, so the VALUES
-#      still get a round-7 driver check through those.)
-#   3. The full r2-stale cohort (42 queries, latest driver row is r2 —
-#      four testdata regenerations old), so after this round no
-#      registry query's driver row is older than r3.
-#   4. The round-7 never-checked gates plus the full r2 cohort exactly
-#      fill the 50 slots; the r3 cohort stays r3-stale one more round
-#      (every member is green in this round's full 191-query parity
-#      sweep at sf0.1 AND the full vanilla contract drive) — rotate it
-#      next round.
+# old for the whole registry". Round-8 prefix, audited via max round
+# per key across CORRECTNESS_r01..r07 (distribution before rotation:
+# r7:50, r6:50, r4:44, r3:48, r2:2 — the round-7 comment's "nothing
+# older than r3 after this round" overstated by exactly the two r2
+# rows it displaced; corrected here):
+#   1. window_sessionize_batch + window_running_revenue — the two r2
+#      rows displaced by round 7's never-checked gates, queued first
+#      as promised.
+#   2. The full r3-stale cohort (48 queries) — together with item 1,
+#      exactly 50 slots.
+#   3. Gates ADDED in round 8 are swapped in as they land
+#      (never-driver-checked outranks stale-but-green). Designated
+#      yield order: udf_row_at_a_time_upper first (trivial surface
+#      gate, pinned by tests/test_udf_surface.py), then
+#      setop_union_by_name (structural, data-insensitive, pytest-
+#      covered). Any row displaced this way is r3-stale one more round
+#      and rotates FIRST in round 9.
 # Staleness audit: registry keys vs max round per key across
-# CORRECTNESS_r0*.json (all verified green by tools/parity_sweep.py on
-# the current testdata before rotation).
+# CORRECTNESS_r0*.json (all 50 verified green by tools/parity_sweep.py
+# on the current 2026-08-14 10:21 testdata before rotation).
 _PRIORITY = (
-    "dedup_semantic_clusters",
-    "text_quality_classifier_scores",
-    "q3_bucketed_layout",
-    "q21_bucketed_layout",
-    "text_tfidf_top_terms",
-    "sim_bitext_margin_pairs",
-    "sample_temperature_mixture",
-    "stream_quality_funnel",
-    "model_schema_tests",
-    "agg_bitmap_audience_overlap",
-    "agg_approx_percentiles",
-    "asof_purchase_attribution",
-    "dedup_connected_components",
-    "dedup_exact_sha256",
-    "dedup_mllib_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "fn_array_suite",
-    "fn_date_suite",
-    "fn_json_extract",
-    "fn_string_suite",
-    "fn_variant_json",
-    "mm_decode_dimensions",
-    "mm_probe_metadata",
-    "model_chain_segment_revenue",
-    "range_join_error_context",
-    "sample_hash_bernoulli",
-    "sample_stratified_quota",
-    "setop_intersect_nations",
-    "setop_union_all_parties",
-    "sim_ann_topk_lsh",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sql_lateral_topn_per_nation",
-    "sql_recursive_month_spine",
-    "stream_dedup_counts",
-    "stream_session_windows",
-    "stream_stateful_levels",
-    "stream_stream_interval_join",
-    "text_decontaminate_flags",
-    "text_quality_scores",
-    "text_redact_pii",
-    "text_token_stats",
-    "train_pack_concat_chunks",
-    "train_pack_next_fit",
-    "training_chunks_pipeline",
-    "udf_grouped_agg_median",
-    "udf_map_in_arrow_norms",
-    "udf_pandas_scalar_bytelen",
-    "udf_udtf_chunk_text",
+    "window_sessionize_batch",
+    "window_running_revenue",
+    "agg_approx_topk_event_types",
+    "agg_corr_regression",
+    "agg_exact_distribution",
+    "agg_mode_priority_by_status",
+    "dedup_minhash_lsh",
+    "dedup_normalized_md5",
+    "dedup_simhash",
+    "fn_case_classification",
+    "fn_hash_suite",
+    "fn_math_suite",
+    "fn_null_handling",
+    "join_fuzzy_levenshtein",
+    "join_null_safe_equality",
+    "mm_frame_sample_plan",
+    "mm_size_stats_by_source",
+    "q21_sole_late_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q9_product_type_profit",
+    "sample_train_test_split",
+    "sample_weighted_mixture",
+    "sample_weighted_noreplacement",
+    "setop_except_nations",
+    "setop_union_by_name",
+    "sim_brp_euclidean_topk",
+    "sim_lsh_bucket_histogram",
+    "sim_neardup_pairs",
+    "sim_neardup_pairs_lsh",
+    "stream_foreach_batch_totals",
+    "stream_hourly_type_counts",
+    "stream_sliding_user_activity",
+    "subquery_not_in_null_semantics",
+    "text_bpe_token_estimate",
+    "text_fingerprint_groups",
+    "text_langid_confusion",
+    "text_token_histogram",
+    "train_curriculum_order",
+    "ts_forward_fill_hourly",
+    "ts_funnel_conversion",
+    "ts_gap_fill_hourly",
+    "ts_retention_cohorts",
+    "udf_grouped_ols_slope",
+    "udf_row_at_a_time_upper",
+    "window_first_last_order",
+    "window_lag_lead_gaps",
+    "window_ntile_quartiles",
+    "window_range_hourly_sum",
+    "window_rank_dense_percent",
 )
 
 
