@@ -108,9 +108,18 @@ def compact_parquet_dir(
     import shutil
 
     p = pathlib.Path(path)
-    total = sum(f.stat().st_size for f in p.glob("*.parquet"))
+    # respect a manifest if the table has one (see delete_rows): only
+    # LIVE files are sized and read, so orphans from an interrupted
+    # delete can't be resurrected; the rewritten directory is plain
+    # again (the stale manifest leaves with the trash dir).
+    if (p / _MANIFEST).exists():
+        live = ensure_manifest(p)
+        total = sum((p / n).stat().st_size for n in live)
+        df = spark.read.parquet(*[str(p / n) for n in live])
+    else:
+        total = sum(f.stat().st_size for f in p.glob("*.parquet"))
+        df = spark.read.parquet(str(p))
     n_files = max(1, -(-total // target_file_bytes))  # ceil
-    df = spark.read.parquet(str(p))
     staging = pathlib.Path(str(p) + ".compacting")
     trash = pathlib.Path(str(p) + ".old")
     # repartition (round-robin) over coalesce: coalesce(1) would also
@@ -208,22 +217,118 @@ def write_hilbert_clustered(
     )
 
 
+_MANIFEST = "_manifest.json"
+
+
+def _uri_to_name(uri: str) -> str:
+    """Basename of an ``input_file_name()`` URI. Spark returns
+    ``file:/...`` (and percent-encodes special characters), so parse the
+    scheme and decode rather than string-replace — a path containing the
+    literal substring ``file:`` or an encoded space must round-trip."""
+    import pathlib
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    path = unquote(parsed.path) if parsed.scheme else uri
+    return pathlib.PurePosixPath(path).name
+
+
+def _commit_manifest(p, files: list[str]) -> None:
+    """Atomically publish the live file list: write a temp file, then
+    ``os.replace`` over ``_manifest.json`` — the single commit point of
+    every manifest-based mutation (POSIX rename atomicity)."""
+    import json
+    import os
+
+    tmp = p / (_MANIFEST + ".tmp")
+    tmp.write_text(json.dumps({"files": sorted(files)}))
+    os.replace(str(tmp), str(p / _MANIFEST))
+
+
+def ensure_manifest(path) -> list[str]:
+    """Return the table's live file list, creating ``_manifest.json``
+    from the directory contents on first touch (adoption of a plain
+    parquet directory into the manifest contract)."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(path)
+    mf = p / _MANIFEST
+    if mf.exists():
+        return sorted(json.loads(mf.read_text())["files"])
+    files = sorted(f.name for f in p.glob("*.parquet"))
+    _commit_manifest(p, files)
+    return files
+
+
+def read_table(spark, path) -> DataFrame:
+    """Read a parquet directory through its manifest when one exists
+    (the committed snapshot — orphan files from interrupted maintenance
+    are invisible), else the plain directory."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if (p / _MANIFEST).exists():
+        live = ensure_manifest(p)
+        return spark.read.parquet(*[str(p / n) for n in live])
+    return spark.read.parquet(str(p))
+
+
+def vacuum_orphans(path) -> list[str]:
+    """Delete data files not referenced by the manifest — the cleanup
+    pass for files orphaned by a crash between a manifest commit and
+    its post-commit unlinks (or by a pre-commit abort). Safe at any
+    time: the manifest is the source of truth. Returns removed names."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    live = set(ensure_manifest(p))
+    removed = []
+    for f in p.glob("*.parquet"):
+        if f.name not in live:
+            f.unlink()
+            removed.append(f.name)
+    return sorted(removed)
+
+
+def _unlink_quiet(f) -> None:
+    """Post-commit cleanup unlink: failure leaves an orphan (harmless,
+    reclaimed by :func:`vacuum_orphans`), never corruption — so errors
+    are swallowed by design. Split out so tests can fault-inject the
+    post-commit crash window."""
+    try:
+        f.unlink()
+    except OSError:
+        pass
+
+
 def delete_rows(spark, path: str, predicate: str | Column) -> dict:
-    """Targeted row deletion from a parquet directory: rewrite ONLY the
+    """Targeted row deletion from a parquet table: rewrite ONLY the
     files that contain matching rows — the GDPR / right-to-be-forgotten
-    maintenance op, and the core mechanic of a table format's DELETE
-    (Delta/Iceberg copy-on-write) expressed over plain parquet.
+    maintenance op, i.e. a table format's copy-on-write DELETE
+    (Delta/Iceberg) expressed over plain parquet + a manifest.
+
+    SQL DELETE semantics: a row is deleted iff the predicate is TRUE;
+    rows where it evaluates NULL survive (and are not counted).
 
     Cost model (the reason this exists as an operator): a naive DELETE
     rewrites the whole table — O(table) for a predicate touching a few
-    users. This rewrites O(affected files): one scan attributes matches
-    to files via ``input_file_name()`` (file-level pruning — at 100 TB
-    footer min/max stats on a z-ordered/bucketed key make "affected"
-    a small fraction by LAYOUT, see with_hilbert_key/write_bucketed),
-    untouched files are carried over byte-identical, and the directory
-    flips through the same staging→trash→live rename contract as
-    :func:`compact_parquet_dir` (object-store caveat there applies —
-    on S3/GCS this is a table-format metadata commit).
+    users. This touches O(affected files) and O(1) metadata: one scan
+    attributes matches to files via ``input_file_name()`` (the
+    predicate pushes into parquet, so footer min/max stats skip clean
+    files — at 100 TB a z-ordered/bucketed deletion key makes
+    "affected" a small fraction by LAYOUT), replacement files are
+    written for the affected set only, and the switch is ONE atomic
+    manifest swap (:func:`_commit_manifest`) — exactly a table format's
+    snapshot commit, so it carries to S3/GCS unchanged. Untouched files
+    are neither copied nor rewritten; they simply stay listed.
+
+    Crash windows (both fault-injection-tested):
+    - before the manifest commit → readers still see the old snapshot
+      in full; staged replacement files are orphans; retry converges
+      and :func:`vacuum_orphans` reclaims.
+    - after the commit, before cleanup unlinks → readers see the new
+      snapshot; the displaced originals are orphans; vacuum reclaims.
 
     Returns ``{"rows_before", "rows_deleted", "rows_after",
     "n_files_total", "n_files_rewritten"}``. At scale the affected-file
@@ -232,16 +337,18 @@ def delete_rows(spark, path: str, predicate: str | Column) -> dict:
     """
     import pathlib
     import shutil
+    import uuid
 
     p = pathlib.Path(path)
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    live = ensure_manifest(p)
+    live_paths = [str(p / n) for n in live]
     # rows_before: count-star compiles to a footer-metadata read (no
     # data pages); match attribution runs over the FILTERED scan, so
     # the predicate pushes into parquet and row-group stats skip clean
-    # files/groups — on a layout clustered by the deletion key this
-    # pass touches only the affected neighborhood, not the table.
-    rows_before = spark.read.parquet(str(p)).count()
-    df = spark.read.parquet(str(p)).withColumn("_file", F.input_file_name())
+    # files/groups.
+    rows_before = spark.read.parquet(*live_paths).count()
+    df = spark.read.parquet(*live_paths).withColumn("_file", F.input_file_name())
     per_file = (
         df.filter(cond)
         .groupBy("_file")
@@ -249,39 +356,38 @@ def delete_rows(spark, path: str, predicate: str | Column) -> dict:
         .collect()  # bounded: one row per AFFECTED file
     )
     rows_deleted = sum(r["_hits"] for r in per_file)
-    affected = [r["_file"] for r in per_file]
+    affected_uris = [r["_file"] for r in per_file]
+    affected_names = sorted({_uri_to_name(u) for u in affected_uris})
     stats = {
         "rows_before": int(rows_before),
         "rows_deleted": int(rows_deleted),
         "rows_after": int(rows_before - rows_deleted),
-        "n_files_total": len(list(p.glob("*.parquet"))),
-        "n_files_rewritten": len(affected),
+        "n_files_total": len(live),
+        "n_files_rewritten": len(affected_names),
     }
-    if not affected:
+    if not affected_names:
         return stats
 
-    staging = pathlib.Path(str(p) + ".deleting")
-    trash = pathlib.Path(str(p) + ".old")
-    if staging.exists():
-        shutil.rmtree(str(staging))
+    # survivors = rows of affected files where the predicate is NOT
+    # TRUE (coalesce keeps predicate-NULL rows, per DELETE semantics)
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".delete-{token}")
     survivors = (
-        df.filter(F.col("_file").isin(affected) & ~cond)
+        df.filter(F.col("_file").isin(affected_uris) & ~F.coalesce(cond, F.lit(False)))
         .drop("_file")
-        .repartition(max(1, len(affected)))
+        .repartition(max(1, len(affected_names)))
     )
     survivors.write.mode("overwrite").parquet(str(staging))
-    # carry untouched files over BYTE-IDENTICAL (copy, not rewrite)
-    affected_names = {pathlib.Path(f.replace("file:", "")).name for f in affected}
-    for f in p.glob("*.parquet"):
-        if f.name not in affected_names:
-            shutil.copy2(str(f), str(staging / f.name))
-    if trash.exists():
-        shutil.rmtree(str(trash))
-    p.rename(trash)
-    try:
-        staging.rename(p)
-    except BaseException:
-        trash.rename(p)  # restore the live dir; staging keeps the result
-        raise
-    shutil.rmtree(str(trash))
+    # move replacements into the table dir under unique names — not yet
+    # visible to manifest readers (the manifest doesn't list them)
+    new_names = []
+    for i, f in enumerate(sorted(staging.glob("*.parquet"))):
+        name = f"part-delete-{token}-{i:05d}.parquet"
+        f.rename(p / name)  # same filesystem: staging is a sibling dir
+        new_names.append(name)
+    shutil.rmtree(str(staging), ignore_errors=True)
+    gone = set(affected_names)
+    _commit_manifest(p, [n for n in live if n not in gone] + new_names)  # ATOMIC
+    for n in affected_names:  # post-commit cleanup; failure → orphans only
+        _unlink_quiet(p / n)
     return stats

@@ -117,23 +117,27 @@ def test_compact_swap_failure_recoverable_and_live_restored(spark, tmp_path, mon
     assert {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()} == before
 
 
-def test_delete_rows_rewrites_only_affected_files(spark, tmp_path):
-    """Targeted deletion (the GDPR DELETE): matching rows disappear,
-    stats are exact, and files with NO matching rows are carried over
-    BYTE-IDENTICAL (copied, not rewritten) — the rewrite cost is
-    O(affected files), not O(table)."""
-    import hashlib
-    import pathlib
-
-    from dbt_slabbing_spark.operators.layout import delete_rows
-
-    target = str(tmp_path / "events")
+def _write_events_by_user(spark, target: str):
     events = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "event_type", "value")
     # range-partition by user_id so the predicate is file-localized —
     # the layout-prunes-deletes story (a z-ordered/bucketed key at scale)
     events.repartitionByRange(8, "user_id").write.parquet(target)
+    return {r["event_id"]: (r["user_id"], r["event_type"]) for r in events.collect()}
 
-    before = {r["event_id"]: (r["user_id"], r["event_type"]) for r in events.collect()}
+
+def test_delete_rows_rewrites_only_affected_files(spark, tmp_path):
+    """Targeted deletion (the GDPR DELETE): matching rows disappear,
+    stats are exact, and files with NO matching rows are NEITHER copied
+    NOR rewritten (same inode, same bytes, same mtime — they just stay
+    listed in the manifest) — the cost is O(affected files) + one
+    atomic manifest swap, not O(table)."""
+    import hashlib
+    import pathlib
+
+    from dbt_slabbing_spark.operators.layout import delete_rows, read_table
+
+    target = str(tmp_path / "events")
+    before = _write_events_by_user(spark, target)
     victims = {k for k, (u, _t) in before.items() if 3 <= u <= 4}
     assert victims  # non-vacuous
 
@@ -143,23 +147,163 @@ def test_delete_rows_rewrites_only_affected_files(spark, tmp_path):
             for f in pathlib.Path(target).glob("*.parquet")
         }
 
-    pre = digests()
+    def identity():  # inode + mtime: detects a copy even with equal bytes
+        return {
+            f.name: (f.stat().st_ino, f.stat().st_mtime_ns)
+            for f in pathlib.Path(target).glob("*.parquet")
+        }
+
+    pre, pre_id = digests(), identity()
     stats = delete_rows(spark, target, "user_id >= 3 AND user_id <= 4")
     assert stats["rows_before"] == len(before)
     assert stats["rows_deleted"] == len(victims)
     assert stats["rows_after"] == len(before) - len(victims)
     assert 0 < stats["n_files_rewritten"] < stats["n_files_total"]
 
-    post = digests()
+    post, post_id = digests(), identity()
     untouched_pre = {n: h for n, h in pre.items() if n in post}
-    # every carried-over original file is byte-identical
+    # every carried-over file is the SAME file: byte-identical AND the
+    # same inode/mtime — untouched, not copied through staging
     assert untouched_pre and all(post[n] == h for n, h in untouched_pre.items())
+    assert all(post_id[n] == pre_id[n] for n in untouched_pre)
     assert len(pre) - len(untouched_pre) == stats["n_files_rewritten"]
 
+    # both read paths agree post-delete (clean run leaves no orphans)
     after = {r["event_id"] for r in spark.read.parquet(target).collect()}
     assert after == set(before) - victims
+    assert {r["event_id"] for r in read_table(spark, target).collect()} == after
 
     # no-match predicate: zero rewrites, directory untouched
     stats2 = delete_rows(spark, target, "user_id < 0")
     assert stats2["rows_deleted"] == 0 and stats2["n_files_rewritten"] == 0
     assert digests() == post
+
+
+def test_delete_rows_keeps_predicate_null_rows(spark, tmp_path):
+    """SQL DELETE semantics on a nullable key: rows whose predicate
+    evaluates NULL are KEPT, not silently dropped, and rows_deleted
+    counts only predicate-TRUE rows."""
+    from dbt_slabbing_spark.operators.layout import delete_rows
+
+    target = str(tmp_path / "nullable")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 50)],
+        "id int, k int",
+    )
+    df.repartition(2).write.parquet(target)
+
+    stats = delete_rows(spark, target, "k >= 30")  # NULL for ids 2 and 4
+    assert stats["rows_deleted"] == 2  # ids 3 and 5 only
+    survivors = {r["id"]: r["k"] for r in spark.read.parquet(target).collect()}
+    assert survivors == {1: 10, 2: None, 4: None}
+    assert stats["rows_after"] == 3 == len(survivors)
+
+
+def test_delete_rows_crash_before_manifest_commit_is_invisible(spark, tmp_path, monkeypatch):
+    """Crash window 1: failure AT the manifest commit → readers still
+    see the complete old snapshot, the retry converges, and vacuum
+    reclaims the orphaned replacement files."""
+    import pathlib
+
+    from dbt_slabbing_spark.operators import layout
+    from dbt_slabbing_spark.operators.layout import (
+        delete_rows,
+        ensure_manifest,
+        read_table,
+        vacuum_orphans,
+    )
+
+    target = str(tmp_path / "events")
+    before = _write_events_by_user(spark, target)
+    victims = {k for k, (u, _t) in before.items() if 3 <= u <= 4}
+    ensure_manifest(target)  # adopt first so the fault hits the SWAP commit
+
+    real_commit = layout._commit_manifest
+
+    def boom(p, files):
+        raise OSError("injected: crash at manifest commit")
+
+    monkeypatch.setattr(layout, "_commit_manifest", boom)
+    raised = False
+    try:
+        delete_rows(spark, target, "user_id >= 3 AND user_id <= 4")
+    except OSError:
+        raised = True
+    monkeypatch.setattr(layout, "_commit_manifest", real_commit)
+    assert raised
+
+    # manifest readers see the UNCHANGED old snapshot in full
+    assert {r["event_id"] for r in read_table(spark, target).collect()} == set(before)
+    # the staged replacements exist as orphans (not in the manifest)
+    live = set(ensure_manifest(target))
+    on_disk = {f.name for f in pathlib.Path(target).glob("*.parquet")}
+    assert on_disk - live  # orphans present
+
+    # retry converges; vacuum reclaims every orphan from the failed run
+    stats = delete_rows(spark, target, "user_id >= 3 AND user_id <= 4")
+    assert stats["rows_deleted"] == len(victims)
+    vacuum_orphans(target)
+    live = set(ensure_manifest(target))
+    assert {f.name for f in pathlib.Path(target).glob("*.parquet")} == live
+    assert {r["event_id"] for r in read_table(spark, target).collect()} == set(before) - victims
+    assert {r["event_id"] for r in spark.read.parquet(target).collect()} == set(before) - victims
+
+
+def test_delete_rows_crash_after_commit_leaves_orphans_not_corruption(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window 2: commit lands but the post-commit cleanup unlinks
+    never run → the manifest (and read_table) serve the NEW snapshot;
+    the displaced originals are orphans that a plain directory read
+    would resurrect — until vacuum reclaims them."""
+    import pathlib
+
+    from dbt_slabbing_spark.operators import layout
+    from dbt_slabbing_spark.operators.layout import (
+        delete_rows,
+        ensure_manifest,
+        read_table,
+        vacuum_orphans,
+    )
+
+    target = str(tmp_path / "events")
+    before = _write_events_by_user(spark, target)
+    victims = {k for k, (u, _t) in before.items() if 3 <= u <= 4}
+
+    monkeypatch.setattr(layout, "_unlink_quiet", lambda f: None)  # cleanup "crashed"
+    stats = delete_rows(spark, target, "user_id >= 3 AND user_id <= 4")
+    monkeypatch.undo()
+    assert stats["rows_deleted"] == len(victims)
+
+    # committed snapshot is correct...
+    assert {r["event_id"] for r in read_table(spark, target).collect()} == set(before) - victims
+    # ...while the raw directory still holds the displaced originals
+    live = set(ensure_manifest(target))
+    orphans = {f.name for f in pathlib.Path(target).glob("*.parquet")} - live
+    assert len(orphans) == stats["n_files_rewritten"]
+
+    removed = vacuum_orphans(target)
+    assert set(removed) == orphans
+    assert {r["event_id"] for r in spark.read.parquet(target).collect()} == set(before) - victims
+
+
+def test_compaction_respects_manifest_and_skips_orphans(spark, tmp_path, monkeypatch):
+    """compact_parquet_dir on a manifest table reads ONLY live files —
+    orphans from an interrupted delete are not resurrected — and the
+    compacted directory is plain (fresh adoption) with correct data."""
+    import pathlib
+
+    from dbt_slabbing_spark.operators import layout
+    from dbt_slabbing_spark.operators.layout import delete_rows
+
+    target = str(tmp_path / "events")
+    before = _write_events_by_user(spark, target)
+    victims = {k for k, (u, _t) in before.items() if 3 <= u <= 4}
+
+    monkeypatch.setattr(layout, "_unlink_quiet", lambda f: None)  # leave orphans
+    delete_rows(spark, target, "user_id >= 3 AND user_id <= 4")
+    monkeypatch.undo()
+
+    compact_parquet_dir(spark, target, target_file_bytes=10 * 1024 * 1024)
+    assert not (pathlib.Path(target) / "_manifest.json").exists()
+    assert {r["event_id"] for r in spark.read.parquet(target).collect()} == set(before) - victims
