@@ -55,6 +55,7 @@ def ivf_topk(
     nprobe: int = 2,
     seed: int = 42,
     max_iter: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, cos): approximate top-k, probing the query's
     ``nprobe`` nearest cells.
@@ -63,18 +64,25 @@ def ivf_topk(
     coarse Voronoi partition — recall is governed by nprobe, not by
     fully-converged centroids, and every extra iteration is a full pass
     over the vectors at 100 TB.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    feats = vectors.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
-    )
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="_cell"
-    )
-    model = km.fit(feats)
-    centroids = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+    Pass ``centroids`` to skip MLlib training and ride an injected
+    quantizer — e.g. the SQL-replayable trained cells of
+    operators/kmeans.py::kmeans_fit.
+    """
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+        )
+        km = KMeans(
+            k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="_cell"
+        )
+        model = km.fit(feats)
+        centroids = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
 
     assigned = vectors.withColumn("_cell", _cell_assignment(vectors, centroids, vec_col))
 

@@ -156,7 +156,8 @@ _PRIORITY = (
     "ts_gap_fill_hourly",
     "ts_retention_cohorts",
     "udf_grouped_ols_slope",
-    "udf_row_at_a_time_upper",
+    "ml_kmeans_cells",  # round-8 gate, never driver-checked: takes the
+    # slot udf_row_at_a_time_upper was designated to yield (see item 3)
     "window_first_last_order",
     "window_lag_lead_gaps",
     "window_ntile_quartiles",

@@ -907,3 +907,86 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_both"),
     )
+
+
+def _sql_kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
+    # Unrolled Lloyd's (recursive CTE members can't aggregate — same
+    # constraint as _sql_pagerank_oracle): one assignment CTE + one
+    # update CTE per iteration. Distance is written dvv - 2*dvc + dcc in
+    # the SAME association as ivf.py::_cell_distances, argmin tie-break
+    # is (distance, cell id), and each mean component is rounded to
+    # `dp` decimals per iteration — matching operators/kmeans.py
+    # bit-for-bit so iteration i+1's argmin sees identical doubles.
+    p = float(10**dp)
+    mean_list = ", ".join(
+        f"round(avg(dv[{i + 1}]) * {p}) / {p} + 0.0" for i in range(dim)
+    )
+    prev = "c0"
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+    a{i} AS (
+        SELECT vec_id, dv, cell FROM (
+            SELECT v.vec_id, v.dv, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       (list_dot_product(v.dv, v.dv)
+                        - 2 * list_dot_product(v.dv, c.cv)
+                        + list_dot_product(c.cv, c.cv)), c.cell) AS rn
+            FROM v, {prev} c
+        ) WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n, [{mean_list}] AS mv
+        FROM a{i} GROUP BY cell
+    ),
+    c{i} AS (
+        SELECT p.cell, coalesce(m.mv, p.cv) AS cv, coalesce(m.n, 0) AS n
+        FROM {prev} p LEFT JOIN m{i} m ON p.cell = m.cell
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+               dv AS cv
+        FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT {k})
+    ),{",".join(iter_ctes)},
+    dims AS (SELECT CAST(range + 1 AS BIGINT) AS dim FROM range({dim}))
+    SELECT c.cell, dims.dim, c.cv[dims.dim] AS coord, c.n AS n_members
+    FROM {prev} c CROSS JOIN dims
+    """
+
+
+@register(
+    "ml_kmeans_cells",
+    _sql_kmeans_oracle(k=8, iters=3, dim=64, dp=9),
+    "distributed fixed-iteration Lloyd's k-means over embeddings (k=8, "
+    "3 iterations, lowest-id seeds, per-iteration 9-dp rounding): final "
+    "centroids long-format (cell, dim, coord) + final-assignment member "
+    "counts — the trained coarse quantizer feeding SemDeDup / IVF",
+    tags=("ml", "iterative", "similarity", "training"),
+)
+def ml_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per iteration: one narrow argmin map (centroids are plan
+    literals — no join) + ONE groupBy(cell) aggregation (count + 64
+    component means, map-side partials, ≤ k result rows). The driver
+    holds k×64 doubles between iterations — the broadcast-centroid
+    contract, corpus-size-independent. operators/kmeans.py has the full
+    story; the result is emitted long-format (one row per centroid
+    component) because the driver's canonicalizer can't hash array
+    cells."""
+    from ..operators.kmeans import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, counts = kmeans_fit(emb, k=8, iters=3, round_dp=9)
+    rows = [
+        (cid, i + 1, float(vec[i]), counts[cid])
+        for cid, vec in cents
+        for i in range(len(vec))
+    ]
+    return spark.createDataFrame(
+        rows, "cell bigint, dim bigint, coord double, n_members bigint"
+    )
