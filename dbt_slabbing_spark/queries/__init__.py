@@ -137,7 +137,8 @@ _PRIORITY = (
     "sample_weighted_mixture",
     "sample_weighted_noreplacement",
     "setop_except_nations",
-    "setop_union_by_name",
+    "text_domain_filter",  # round-8 gate, never driver-checked: takes
+    # the slot setop_union_by_name was designated to yield (see item 3)
     "sim_brp_euclidean_topk",
     "sim_lsh_bucket_histogram",
     "sim_neardup_pairs",

@@ -826,3 +826,114 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "score", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "text_domain_filter",
+    # Staged domain curation funnel — each stage's effect shows in the
+    # values: blocklist drops 3 of 20 domains, the count cap keeps the
+    # 15 largest docs per domain (n_chars DESC, doc_id tiebreak), the
+    # 3000-char budget then keeps each domain's doc_id-ordered prefix.
+    # share_ppm is an INTEGER (floor of x*1e6/total) so the cross-engine
+    # compare never touches a float column (the md5-ppm convention).
+    """
+    WITH docs AS (
+        SELECT doc_id, source AS domain, n_chars
+        FROM documents
+        WHERE source NOT IN ('src3', 'src7', 'src13')
+    ),
+    capped AS (
+        SELECT doc_id, domain, n_chars FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+            FROM docs
+        ) WHERE rk <= 15
+    ),
+    budgeted AS (
+        SELECT doc_id, domain, n_chars FROM (
+            SELECT *, sum(n_chars) OVER (
+                PARTITION BY domain ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM capped
+        ) WHERE cum <= 3000
+    ),
+    per_domain AS (
+        SELECT d.domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(c.doc_id) AS BIGINT) AS n_capped,
+               CAST(count(b.doc_id) AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(b.n_chars), 0) AS BIGINT) AS kept_chars
+        FROM docs d
+        LEFT JOIN capped c ON d.doc_id = c.doc_id
+        LEFT JOIN budgeted b ON d.doc_id = b.doc_id
+        GROUP BY d.domain
+    ),
+    tot AS (SELECT CAST(sum(kept_chars) AS DOUBLE) AS tc FROM per_domain)
+    SELECT p.domain, p.n_docs, p.n_capped, p.n_kept, p.kept_chars,
+           CAST(floor(p.kept_chars * 1000000.0 / t.tc) AS BIGINT) AS share_ppm
+    FROM per_domain p CROSS JOIN tot t
+    """,
+    "domain-level curation funnel (C4/RefinedWeb): blocklist anti-join, "
+    "15-doc-per-domain count cap (quality order), 3000-char per-domain "
+    "budget (grouped prefix sum) -- per-domain survivor counts + integer "
+    "ppm share of the kept corpus",
+    tags=("text", "domains", "training", "funnel"),
+)
+def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape (operators/domains.py has the full story): the
+    blocklist is a broadcast LEFT ANTI equi-join; the count cap is a
+    row_number filter Spark compiles to WindowGroupLimit (map-side
+    pre-prune to 15 rows/domain BEFORE the shuffle — a mega-domain
+    costs the exchange 15 rows, not its corpus share); the char budget
+    is the two-pass grouped prefix sum (operators/ordering.py — no
+    per-domain single-task window); the summary is one aggregation per
+    stage output plus a broadcast 1-row total for the ppm share (the
+    registry's one allowed single-partition exchange)."""
+    from ..operators.domains import (
+        blocklist_filter,
+        cap_chars_per_domain,
+        cap_docs_per_domain,
+    )
+
+    blocklist = spark.createDataFrame(
+        [("src3",), ("src7",), ("src13",)], "domain string"
+    )
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("source").alias("domain"), "n_chars")
+    )
+    allowed = blocklist_filter(docs, "domain", blocklist)
+    capped = cap_docs_per_domain(
+        allowed, "domain", 15, [F.desc("n_chars"), F.asc("doc_id")]
+    )
+    budgeted = cap_chars_per_domain(
+        capped, "domain", 3000, "n_chars", [F.asc("doc_id")]
+    )
+    per_domain = (
+        allowed.join(
+            capped.select("doc_id", F.lit(1).alias("_c")), "doc_id", "left"
+        )
+        .join(
+            budgeted.select("doc_id", F.lit(1).alias("_b"), F.col("n_chars").alias("_bc")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_c").alias("n_capped"),
+            F.count("_b").alias("n_kept"),
+            F.coalesce(F.sum("_bc"), F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+    )
+    tot = per_domain.agg(F.sum("kept_chars").cast("double").alias("_tc"))
+    return per_domain.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_capped",
+        "n_kept",
+        "kept_chars",
+        F.floor(F.col("kept_chars") * 1000000.0 / F.col("_tc"))
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
