@@ -48,15 +48,68 @@ def write_bucketed(
     )
 
 
+def auto_bucket_count(sf_dir: str) -> int:
+    """Bucket count derived from the data, not hand-tuned per scale —
+    the same bytes-derived sizing idea as bench.py::_auto_split_bytes.
+
+    Rule: lineitem bytes / 4 MB, clamped to [8, 32]. Rationale: on the
+    zero-exchange bucketed plans the bucket count IS the post-scan
+    parallelism, so it should reach the core count as soon as
+    per-bucket work dominates per-task fixed cost (~4 MB/bucket);
+    below that, more buckets just add task overhead and small files.
+    Reproduces the measured optima: sf0.1 (lineitem ~11 MB) → the
+    8-bucket floor (byte-identical driver bench behavior); sf3
+    (~552 MB) → 32, the manual setting that turned the round-7 A/B
+    from a wash into −21%; sf1 (~184 MB) → 32, un-capping the 8-bucket
+    3.8× crossover the round-7 verdict flagged. At 100 TB the same
+    rule targets file-count/size budgets instead (buckets of
+    ~128-512 MB per partition-writer), but the principle — derive the
+    count from bytes at write time — is the operator's contract.
+    """
+    import pathlib
+
+    li = pathlib.Path(sf_dir) / "lineitem.parquet"
+    mb = 1024 * 1024
+    size = li.stat().st_size if li.exists() else 0
+    return int(min(max(size // (4 * mb), 8), 32))
+
+
+def _data_fingerprint(sf_dir: str) -> str:
+    """sf_dir + (mtime_ns, size) of the bucketed sources: regenerating
+    testdata in place (a documented driver workflow) changes the
+    fingerprint, so cached session-catalog tables can't serve stale
+    data — the new tag simply creates fresh tables."""
+    import pathlib
+
+    parts = [sf_dir]
+    for t in ("lineitem", "orders"):
+        f = pathlib.Path(sf_dir) / f"{t}.parquet"
+        st = f.stat() if f.exists() else None
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}" if st else f"{t}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def ensure_orderkey_bucketed_tables(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 8, base_dir: str | None = None
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None, base_dir: str | None = None
 ) -> tuple[str, str]:
     """(lineitem_table, orders_table) bucketed on the order key for
-    ``sf_dir``, creating them on first use (names are sf_dir-keyed so
-    different scale factors coexist in one session catalog)."""
+    ``sf_dir``, creating them on first use. Names are keyed on the
+    DATA fingerprint (sf_dir + source file mtime/size), so different
+    scale factors coexist in one session catalog and an in-place
+    testdata regeneration gets fresh tables instead of stale cache.
+    ``n_buckets`` defaults to :func:`auto_bucket_count`.
+
+    Lifetime: tables live in the session catalog; their parquet lives
+    in a mkdtemp dir that persists until the OS tempdir is cleaned —
+    deliberate for a bench/driver session (the one-time write is the
+    point of the layout), bounded by the handful of (sf, generation)
+    pairs a session touches.
+    """
     from ..catalog import table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if n_buckets is None:
+        n_buckets = auto_bucket_count(sf_dir)
+    tag = _data_fingerprint(sf_dir)
     li_name = f"lineitem_bkt_{tag}"
     ord_name = f"orders_bkt_{tag}"
     if not (spark.catalog.tableExists(li_name) and spark.catalog.tableExists(ord_name)):

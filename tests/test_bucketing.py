@@ -96,3 +96,51 @@ def test_mismatched_bucket_counts_fall_back_correctly(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_b8")
         spark.sql("DROP TABLE IF EXISTS t_ord_b16")
+
+
+def test_auto_bucket_count_rule(tmp_path):
+    """Bytes-derived sizing: 8-bucket floor below 32 MB of lineitem,
+    core-count ceiling at 128 MB+ — mirroring bench._auto_split_bytes'
+    derive-from-data principle."""
+    import pathlib
+
+    from dbt_slabbing_spark.operators.bucketing import auto_bucket_count
+
+    mb = 1024 * 1024
+    li = pathlib.Path(tmp_path) / "lineitem.parquet"
+    for size, want in [(1 * mb, 8), (40 * mb, 10), (200 * mb, 32), (600 * mb, 32)]:
+        li.write_bytes(b"\0" * size)
+        assert auto_bucket_count(str(tmp_path)) == want, size
+    # sandbox scales sit on the floor -> driver bench behavior unchanged
+    assert auto_bucket_count("/root/testdata/sf0.1") == 8
+
+
+def test_bucketed_cache_refreshes_on_regenerated_data(spark, tmp_path):
+    """Regenerating testdata in place (a documented driver workflow)
+    must NOT serve stale session-catalog tables: the cache key is a
+    data fingerprint (mtime/size), so a rewrite mints fresh tables."""
+    import os
+
+    from dbt_slabbing_spark.operators.bucketing import ensure_orderkey_bucketed_tables
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    li = table(spark, SF_SMOKE, "lineitem").limit(100)
+    orders = table(spark, SF_SMOKE, "orders").limit(50)
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    orders.write.parquet(f"{sf}/orders.parquet")
+
+    li1, ord1 = ensure_orderkey_bucketed_tables(spark, sf, base_dir=str(tmp_path / "b1"))
+    n1 = spark.table(li1).count()
+    # same data -> same names (cache hit, no rewrite)
+    assert ensure_orderkey_bucketed_tables(spark, sf) == (li1, ord1)
+
+    # "regenerate" in place: different contents, later mtime
+    table(spark, SF_SMOKE, "lineitem").limit(40).write.mode("overwrite").parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    li2, ord2 = ensure_orderkey_bucketed_tables(spark, sf, base_dir=str(tmp_path / "b2"))
+    assert (li2, ord2) != (li1, ord1)
+    assert spark.table(li2).count() == 40 != n1
+    for t in (li1, ord1, li2, ord2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
