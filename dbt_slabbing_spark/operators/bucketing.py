@@ -109,7 +109,9 @@ def ensure_orderkey_bucketed_tables(
 
     if n_buckets is None:
         n_buckets = auto_bucket_count(sf_dir)
-    tag = _data_fingerprint(sf_dir)
+    # bucket count is part of the identity: an A/B of two layouts of the
+    # same data must not collide on one cached table
+    tag = f"{_data_fingerprint(sf_dir)}_{n_buckets}"
     li_name = f"lineitem_bkt_{tag}"
     ord_name = f"orders_bkt_{tag}"
     if not (spark.catalog.tableExists(li_name) and spark.catalog.tableExists(ord_name)):
