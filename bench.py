@@ -60,6 +60,10 @@ HEADLINE = [
     # floor-bound sf0.1 it tracks parity; the layout's win is the
     # sf1/sf3 table in BASELINE.md §Round-7 (−30%/−21%).
     ("q3_bucketed", "q3_bucketed_layout"),
+    # round-8 extra: q21 over the SAME bucketed tables — the layout-
+    # REUSE claim measured round-over-round, not once (r8 interleaved
+    # at sf0.1: 231-260 ms vs plain q21's 376-435 ms, ~−40%).
+    ("q21_bucketed", "q21_bucketed_layout"),
 ]
 
 
@@ -158,6 +162,11 @@ def main() -> None:
         "minhash": "off",
         "bitmap_rollup": "off",
         "q3_bucketed": "off",  # same pin as q3 (identical query shape)
+        # OPPOSITE pin from plain q21: the write-time layout deletes the
+        # skewed fact shuffle AQE was fixing, leaving only the per-stage
+        # barrier tax — off won all three r8 interleaved sf0.1 A/Bs
+        # (284/231, 304/260, 295/234 ms on/off).
+        "q21_bucketed": "off",
     }
     reg = registry()
     times_aqe_on = _time_headline(spark, reg)  # AQE on: the session default
