@@ -594,6 +594,8 @@ def streaming_quality_funnel(
     work_dir: str,
     rows_per_batch: int = 200,
     state_store_provider: str | None = ROCKSDB_PROVIDER,
+    classifier_weights: list[float] | None = None,
+    classifier_bias: float = 0.0625,
 ) -> DataFrame:
     """The pretraining funnel's cheap stages AT INGEST: quality rules →
     exact dedup, per micro-batch, over the document replay stream.
@@ -605,7 +607,13 @@ def streaming_quality_funnel(
     formulas as the batch ``pipeline_quality_funnel``), and the
     exact-dedup claim lives in the STATE STORE keyed by the normalized
     content hash (``applyInPandasWithState``; RocksDB by default —
-    distinct-content keys scale with the corpus). Rule-rejected docs
+    distinct-content keys scale with the corpus). ``classifier_weights``
+    (optional) inserts the supervised quality-classifier stage between
+    the rules and the claim, exactly as in the batch funnel
+    (queries/funnel.py) — still a stateless Column expression (the
+    weights are plan literals), so ingest-time cost stays map-only and
+    the batch/streaming stage chains remain consistent (parity-tested).
+    Rule-rejected docs
     bypass the claim under a unique per-doc key, so a rejected
     duplicate never blocks a later passing copy — matching the batch
     funnel, where dedup runs over the RULE SURVIVORS only.
@@ -639,6 +647,12 @@ def streaming_quality_funnel(
         .select("doc_id", "text")
     )
     w = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
+    if classifier_weights is not None:
+        from ..operators.quality_classifier import quality_score
+
+        clf_reject = quality_score(F.col("w"), classifier_weights, classifier_bias) <= 0
+    else:
+        clf_reject = F.lit(False)
     pre = (
         stream.select("doc_id", "text", w.alias("w"))
         .filter(F.size("w") > 0)
@@ -646,6 +660,7 @@ def streaming_quality_funnel(
             "doc_id",
             F.when(F.size("w") < 20, "length")
             .when(F.size(F.array_distinct("w")).cast("double") / F.size("w") < 0.35, "repetition")
+            .when(clf_reject, "classifier")
             .otherwise("pass")
             .alias("pre_verdict"),
             # rejected docs get a UNIQUE key: they must not claim (or

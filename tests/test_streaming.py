@@ -314,3 +314,41 @@ def test_quality_funnel_slicing_invariant_and_matches_batch(spark, tmp_path):
     # the state store is engaged (not a re-scanned side table)
     state_dirs = list((tmp_path / "a" / "checkpoint" / "state").rglob("*"))
     assert state_dirs, "quality funnel produced no state store files"
+
+
+def test_quality_funnel_classifier_stage_matches_batch(spark, tmp_path):
+    """classifier_weights= at INGEST: the streaming funnel's classifier
+    stage (a stateless Column between the rules and the state-store
+    claim) must agree doc-for-doc with the batch funnel's, using a
+    DISCRIMINATING weight vector (some docs pass, some fail)."""
+    from dbt_slabbing_spark.queries import registry
+    from dbt_slabbing_spark.streaming.jobs import streaming_quality_funnel
+    from tests.conftest import SF_SMOKE
+
+    w = [0.5 if i % 2 == 0 else -0.5 for i in range(256)]
+    stream = {
+        r["doc_id"]: r["verdict"]
+        for r in streaming_quality_funnel(
+            spark,
+            SF_SMOKE,
+            str(tmp_path / "clf"),
+            rows_per_batch=60,
+            classifier_weights=w,
+            classifier_bias=0.0,
+        ).collect()
+    }
+    batch = {
+        r["doc_id"]: r["verdict"]
+        for r in registry()["pipeline_quality_funnel"].fn(
+            spark, SF_SMOKE, classifier_weights=w, classifier_bias=0.0
+        ).collect()
+    }
+    assert set(stream) == set(batch) and len(stream) > 0
+    # the vector must actually discriminate or the test is vacuous
+    verdicts = set(batch.values())
+    assert "classifier" in verdicts and ("kept" in verdicts or "near_dup" in verdicts)
+    for doc_id, v in batch.items():
+        if v in ("length", "repetition", "classifier", "exact_dup"):
+            assert stream[doc_id] == v, (doc_id, v, stream[doc_id])
+        else:  # 'near_dup'/'kept': past the streaming funnel's stages
+            assert stream[doc_id] == "kept", (doc_id, v, stream[doc_id])
