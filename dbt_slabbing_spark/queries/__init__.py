@@ -102,12 +102,14 @@ _MODULES = (
 #   2. The full r3-stale cohort (48 queries) — together with item 1,
 #      exactly 50 slots.
 #   3. Gates ADDED in round 8 are swapped in as they land
-#      (never-driver-checked outranks stale-but-green). Designated
-#      yield order: udf_row_at_a_time_upper first (trivial surface
-#      gate, pinned by tests/test_udf_surface.py), then
-#      setop_union_by_name (structural, data-insensitive, pytest-
-#      covered). Any row displaced this way is r3-stale one more round
-#      and rotates FIRST in round 9.
+#      (never-driver-checked outranks stale-but-green). Yields so far:
+#      udf_row_at_a_time_upper → ml_kmeans_cells, setop_union_by_name
+#      → text_domain_filter, fn_hash_suite → sim_ivf_trained_topk,
+#      mm_frame_sample_plan → text_bpe_learn_merges (each displaced
+#      row is trivially/pytest-pinned: the UDF surface gate, the
+#      structural union-by-name, the deterministic hash-fn suite, the
+#      plan-shape-guarded frame sampler). Every displaced row is
+#      r3-stale one more round and rotates FIRST in round 9.
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all 50 verified green by tools/parity_sweep.py
 # on the current 2026-08-14 10:21 testdata before rotation).
@@ -122,7 +124,7 @@ _PRIORITY = (
     "dedup_normalized_md5",
     "dedup_simhash",
     "fn_case_classification",
-    "fn_hash_suite",
+    "sim_ivf_trained_topk",  # round-8 gate (slot yielded by fn_hash_suite)
     "fn_math_suite",
     "fn_null_handling",
     "join_fuzzy_levenshtein",

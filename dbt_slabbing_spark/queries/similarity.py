@@ -953,3 +953,110 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wrk).cast("int"))
         .select("en_id", "cand_id", "cand_lang", "cos", "margin", "rk")
     )
+
+
+def _sql_ivf_trained_oracle(k: int, iters: int, dim: int, dp: int, nq: int, nprobe: int, topk: int) -> str:
+    # Trained-quantizer IVF, fully value-hash-checkable: replays the
+    # Lloyd's iterations exactly like ml_kmeans_cells' oracle
+    # (analytics_extra.py — same association, argmin tie-break, and
+    # per-iteration rounding), then probes the `nprobe` nearest trained
+    # cells per query and takes cosine top-k with the corpus (vec_id)
+    # tiebreak convention.
+    p = float(10**dp)
+    mean_list = ", ".join(
+        f"round(avg(dv[{i + 1}]) * {p}) / {p} + 0.0" for i in range(dim)
+    )
+    prev = "c0"
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+    a{i} AS (
+        SELECT vec_id, dv, cell FROM (
+            SELECT v.vec_id, v.dv, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       (list_dot_product(v.dv, v.dv)
+                        - 2 * list_dot_product(v.dv, c.cv)
+                        + list_dot_product(c.cv, c.cv)), c.cell) AS rn
+            FROM v, {prev} c
+        ) WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT cell, [{mean_list}] AS mv FROM a{i} GROUP BY cell
+    ),
+    c{i} AS (
+        SELECT p.cell, coalesce(m.mv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN m{i} m ON p.cell = m.cell
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+               dv AS cv
+        FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT {k})
+    ),{",".join(iter_ctes)},
+    final_assign AS (
+        SELECT vec_id, dv, cell FROM (
+            SELECT v.vec_id, v.dv, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       (list_dot_product(v.dv, v.dv)
+                        - 2 * list_dot_product(v.dv, c.cv)
+                        + list_dot_product(c.cv, c.cv)), c.cell) AS rn
+            FROM v, {prev} c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < {nq}),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       (list_dot_product(q.qv, q.qv)
+                        - 2 * list_dot_product(q.qv, c.cv)
+                        + list_dot_product(c.cv, c.cv)), c.cell) AS rn
+            FROM q, {prev} c
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id,
+               round((list_dot_product(p.qv, a.dv)
+                      / (sqrt(list_dot_product(p.qv, p.qv))
+                         * sqrt(list_dot_product(a.dv, a.dv)))) * 1000000.0)
+               / 1000000.0 + 0.0 AS cos
+        FROM probes p JOIN final_assign a
+          ON p.cell = a.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        FROM cand
+    ) WHERE rk <= {topk}
+    """
+
+
+@register(
+    "sim_ivf_trained_topk",
+    _sql_ivf_trained_oracle(k=8, iters=2, dim=64, dp=9, nq=5, nprobe=2, topk=3),
+    "IVF ANN over TRAINED cells (distributed Lloyd's k-means, 2 "
+    "iterations): probe the 2 nearest cells, cosine top-3 — the "
+    "production IVF shape with a full value-hash oracle (the MLlib "
+    "variant sim_ivf_topk keeps its verdict-column check)",
+    tags=("similarity", "ivf", "ml", "training"),
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upgrade the ANN stack gets from operators/kmeans.py: cells
+    adapt to the embedding distribution (the FAISS IVF contract) AND
+    the whole pipeline — training included — replays in SQL, so the
+    driver hash-checks actual neighbor ids, not just verdict booleans.
+    Plan shape: training is iters×(map + k-row agg); assignment and
+    probing are narrow maps over centroid literals; the candidate join
+    is an equi-join on cell id; top-k is a per-query WindowGroupLimit."""
+    from ..operators.ivf import ivf_topk
+    from ..operators.kmeans import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _counts = kmeans_fit(emb, k=8, iters=2, round_dp=9)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=3, nprobe=2, centroids=cents)
