@@ -129,7 +129,7 @@ _PRIORITY = (
     "fn_null_handling",
     "join_fuzzy_levenshtein",
     "join_null_safe_equality",
-    "mm_frame_sample_plan",
+    "text_bpe_learn_merges",  # round-8 gate (slot yielded by mm_frame_sample_plan)
     "mm_size_stats_by_source",
     "q21_sole_late_supplier",
     "q3_shipping_priority",

@@ -937,3 +937,90 @@ def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_ppm"),
     )
+
+
+def _sql_bpe_oracle(n_merges: int) -> str:
+    # Unrolled merge loop (one pairs/best/words CTE triple per step —
+    # the same iterative-dataflow oracle idiom as PageRank and
+    # ml_kmeans_cells). The double-space symbol encoding makes DuckDB's
+    # left-to-right replace() reproduce BPE's greedy pass exactly; see
+    # operators/bpe.py for the encoding argument. All-integer counts:
+    # no float conventions needed anywhere.
+    steps = []
+    prev = "w0"
+    for i in range(1, n_merges + 1):
+        steps.append(f"""
+    p{i} AS (
+        SELECT sym[u.i] || ' ' || sym[u.i + 1] AS pair,
+               CAST(sum(f) AS BIGINT) AS cnt
+        FROM (SELECT string_split(trim(s), '  ') AS sym, f FROM {prev}) t,
+             UNNEST(generate_series(1, len(t.sym) - 1)) AS u(i)
+        GROUP BY pair
+    ),
+    b{i} AS (
+        SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, cnt
+        FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{i} AS (
+        SELECT replace(t.s, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || b.merged || ' ') AS s, f
+        FROM {prev} t, b{i} b
+    )""")
+        prev = f"w{i}"
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, pair, merged, cnt FROM b{i}" for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+    ),
+    words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS f
+        FROM toks WHERE word <> '' GROUP BY word
+    ),
+    w0 AS (
+        SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s, f
+        FROM words
+    ),{",".join(steps)}
+    SELECT CAST(step AS INT) AS step, pair, merged, cnt
+    FROM ({union})
+    """
+
+
+@register(
+    "text_bpe_learn_merges",
+    _sql_bpe_oracle(6),
+    "distributed BPE merge learning (Sennrich 2016) over the document "
+    "corpus: 6 merge steps on the distinct-word frequency table, argmax "
+    "pair per step with (count DESC, pair ASC) tie-break -- the learned "
+    "merge table (step, pair, merged, count)",
+    tags=("text", "tokenizer", "iterative", "training"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction as iterated dataflow (operators/bpe.py has
+    the full story): one corpus-sized shuffle builds the distinct-word
+    frequency table; each of the 6 merge steps is ONE pair-count
+    aggregation over that table (map-side partials) plus a 1-row
+    TakeOrdered argmax -- driver state per step is a single pair
+    string, the same bounded contract as k-means' k x dim doubles.
+    At 100 TB the word table is Heaps'-law small relative to the
+    corpus, which is exactly why production tokenizer trainers use
+    this representation."""
+    from ..operators.bpe import learn_bpe_merges
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = learn_bpe_merges(words, n_merges=6)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, cnt bigint"
+    )
