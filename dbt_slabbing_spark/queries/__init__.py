@@ -108,8 +108,11 @@ _MODULES = (
 #      mm_frame_sample_plan → text_bpe_learn_merges (each displaced
 #      row is trivially/pytest-pinned: the UDF surface gate, the
 #      structural union-by-name, the deterministic hash-fn suite, the
-#      plan-shape-guarded frame sampler). Every displaced row is
-#      r3-stale one more round and rotates FIRST in round 9.
+#      plan-shape-guarded frame sampler), then sim_neardup_pairs →
+#      dedup_semantic_trained (its LSH twin sim_neardup_pairs_lsh
+#      stays prefixed and shares the cosine/threshold kernel, so the
+#      VALUES keep a driver check through the twin). Every displaced
+#      row is r3-stale one more round and rotates FIRST in round 9.
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all 50 verified green by tools/parity_sweep.py
 # on the current 2026-08-14 10:21 testdata before rotation).
@@ -143,7 +146,7 @@ _PRIORITY = (
     # the slot setop_union_by_name was designated to yield (see item 3)
     "sim_brp_euclidean_topk",
     "sim_lsh_bucket_histogram",
-    "sim_neardup_pairs",
+    "dedup_semantic_trained",  # round-8 gate (slot yielded by sim_neardup_pairs)
     "sim_neardup_pairs_lsh",
     "stream_foreach_batch_totals",
     "stream_hourly_type_counts",

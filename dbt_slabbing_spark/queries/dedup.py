@@ -942,3 +942,97 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.30, n_cells=16)
+
+
+def _sql_semdedup_trained_oracle(k: int, iters: int, dim: int, dp: int, threshold: str) -> str:
+    # dedup_semantic_clusters' oracle with the seeded quantizer swapped
+    # for TRAINED cells: the Lloyd's iterations replay exactly like
+    # ml_kmeans_cells (analytics_extra.py), then the within-cell pair
+    # scan and first-wins verdict are byte-identical to the seeded gate.
+    p = float(10**dp)
+    mean_list = ", ".join(
+        f"round(avg(dv[{i + 1}]) * {p}) / {p} + 0.0" for i in range(dim)
+    )
+    prev = "c0"
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+    a{i} AS (
+        SELECT vec_id, dv, cell FROM (
+            SELECT v.vec_id, v.dv, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       (list_dot_product(v.dv, v.dv)
+                        - 2 * list_dot_product(v.dv, c.cv)
+                        + list_dot_product(c.cv, c.cv)), c.cell) AS rn
+            FROM v, {prev} c
+        ) WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT cell, [{mean_list}] AS mv FROM a{i} GROUP BY cell
+    ),
+    c{i} AS (
+        SELECT p.cell, coalesce(m.mv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN m{i} m ON p.cell = m.cell
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+               dv AS cv
+        FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT {k})
+    ),{",".join(iter_ctes)},
+    assigned AS (
+        SELECT vec_id, dv, cell FROM (
+            SELECT v.vec_id, v.dv, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       (list_dot_product(v.dv, v.dv)
+                        - 2 * list_dot_product(v.dv, c.cv)
+                        + list_dot_product(c.cv, c.cv)), c.cell) AS rn
+            FROM v, {prev} c
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round((list_dot_product(a.dv, b.dv)
+                     / (sqrt(list_dot_product(a.dv, a.dv))
+                        * sqrt(list_dot_product(b.dv, b.dv)))) * 1000000.0)
+              / 1000000.0 + 0.0 >= {threshold}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           (d.dup_of IS NULL) AS keep, d.dup_of
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_trained",
+    _sql_semdedup_trained_oracle(k=8, iters=2, dim=64, dp=9, threshold="0.30"),
+    "SemDeDup over TRAINED cells (distributed Lloyd's k-means, 2 "
+    "iterations): within-cell cosine >= 0.30 pairs, first-wins "
+    "representatives -- the paper's production shape (trained "
+    "quantizer), fully value-hash-checked including the training",
+    tags=("dedup", "similarity", "semantic", "ml", "training"),
+)
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup paper's n_cells contract assumes TRAINED cells
+    (Abbas 2023 uses k-means over LAION embeddings); the seeded gate
+    dedup_semantic_clusters keeps the reconstruct-without-state idiom,
+    and this gate adds the production shape now that operators/
+    kmeans.py makes training itself SQL-replayable. Same scale story:
+    training is iters x (map + k-row agg); the only quadratic work is
+    the within-cell pair equi-join, Sigma|cell|^2 bounded by n_cells --
+    and trained cells BALANCE the quadratic cost where seeded cells
+    can concentrate it (the reason production uses them)."""
+    from ..operators.kmeans import kmeans_fit
+    from ..operators.semdedup import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _counts = kmeans_fit(emb, k=8, iters=2, round_dp=9)
+    return semantic_dedup(emb, threshold=0.30, centroids=cents)
