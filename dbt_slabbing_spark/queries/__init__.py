@@ -111,8 +111,11 @@ _MODULES = (
 #      plan-shape-guarded frame sampler), then sim_neardup_pairs →
 #      dedup_semantic_trained (its LSH twin sim_neardup_pairs_lsh
 #      stays prefixed and shares the cosine/threshold kernel, so the
-#      VALUES keep a driver check through the twin). Every displaced
-#      row is r3-stale one more round and rotates FIRST in round 9.
+#      VALUES keep a driver check through the twin), then
+#      stream_sliding_user_activity → stream_domain_cap (the streaming
+#      family keeps three prefixed rows incl. the newcomer). Every
+#      displaced row is r3-stale one more round and rotates FIRST in
+#      round 9.
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all 50 verified green by tools/parity_sweep.py
 # on the current 2026-08-14 10:21 testdata before rotation).
@@ -150,7 +153,7 @@ _PRIORITY = (
     "sim_neardup_pairs_lsh",
     "stream_foreach_batch_totals",
     "stream_hourly_type_counts",
-    "stream_sliding_user_activity",
+    "stream_domain_cap",  # round-8 gate (slot yielded by stream_sliding_user_activity)
     "subquery_not_in_null_semantics",
     "text_bpe_token_estimate",
     "text_fingerprint_groups",

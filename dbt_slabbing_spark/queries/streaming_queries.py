@@ -342,3 +342,27 @@ def stream_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="stream_quality_funnel_")
     return jobs.streaming_quality_funnel(spark, sf_dir, work, rows_per_batch=200)
+
+
+@register(
+    "stream_domain_cap",
+    # Closed form of the ingest-time cap under doc_id-ordered arrival:
+    # a doc is kept iff its rank within its domain (by doc_id) is
+    # within the cap — the same rule text_domain_filter applies in
+    # batch (there ordered by a quality key; arrival order here).
+    """
+    SELECT doc_id, source AS domain,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15 AS kept
+    FROM documents
+    """,
+    "per-domain document cap AT INGEST (first 15 per domain in arrival "
+    "order): one state-store counter per domain via "
+    "applyInPandasWithState on RocksDB -- the streaming twin of the "
+    "domain-curation count cap; oracle states the global closed form",
+    tags=("streaming", "domains", "quality", "training"),
+)
+def stream_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_domain_cap_")
+    return jobs.streaming_domain_cap(spark, sf_dir, work, cap=15, rows_per_batch=200)

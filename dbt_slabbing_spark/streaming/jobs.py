@@ -718,3 +718,84 @@ def streaming_quality_funnel(
         finally:
             q.stop()
     return spark.read.parquet(verdict_dir).select("doc_id", "verdict")
+
+
+def streaming_domain_cap(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    cap: int = 15,
+    rows_per_batch: int = 200,
+    state_store_provider: str | None = ROCKSDB_PROVIDER,
+) -> DataFrame:
+    """Per-domain document cap AT INGEST: the first ``cap`` docs of
+    each domain (arrival order) are kept, the rest rejected -- the
+    streaming twin of operators/domains.py::cap_docs_per_domain, so
+    the RefinedWeb no-single-site-dominates rule holds while the crawl
+    lands instead of in a later batch sweep.
+
+    State per domain is ONE counter in the state store
+    (applyInPandasWithState, RocksDB by default): per-batch cost is
+    proportional to the batch, state to the number of distinct domains
+    -- at 100 TB that is millions of counters, trivially
+    RocksDB-sized. Within a batch, a domain's rows are ordered by
+    doc_id before claiming slots; with the replay source's
+    doc_id-ordered arrival this makes the incremental verdicts equal
+    the global closed form (row_number per domain by doc_id <= cap),
+    independent of micro-batch slicing -- which is what the oracle
+    states and the slicing-invariance test pins.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..catalog import _ensure_workers_can_import
+    from ..sources.replay_stream import register_replay_source
+
+    _ensure_workers_can_import(spark)
+    register_replay_source(spark)
+    verdict_dir = f"{work_dir}/verdicts"
+
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+        .select("doc_id", F.col("source").alias("domain"))
+    )
+
+    def claim(key, pdfs, state) -> "object":
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        taken = int(state.get[0]) if state.exists else 0
+        n = len(rows)
+        seq = range(taken + 1, taken + n + 1)
+        state.update((taken + n,))
+        yield pd.DataFrame(
+            {"doc_id": rows["doc_id"], "domain": rows["domain"],
+             "kept": [s <= cap for s in seq]}
+        )
+
+    claims = stream.groupBy("domain").applyInPandasWithState(
+        claim,
+        outputStructType="doc_id bigint, domain string, kept boolean",
+        stateStructType="taken bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(verdict_dir)
+
+    with _state_store_provider(spark, state_store_provider):
+        q = (
+            claims.writeStream.outputMode("update")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .foreachBatch(handle)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.parquet(verdict_dir).select("doc_id", "domain", "kept")

@@ -316,6 +316,46 @@ def test_quality_funnel_slicing_invariant_and_matches_batch(spark, tmp_path):
     assert state_dirs, "quality funnel produced no state store files"
 
 
+def test_domain_cap_slicing_invariant_and_matches_batch_rule(spark, tmp_path):
+    """stream_domain_cap: verdicts independent of micro-batch slicing
+    (37-row batches == one giant batch — 37 splits domains MID-batch),
+    and equal to the global closed form (rank-by-doc_id ≤ cap), i.e.
+    the batch cap_docs_per_domain with arrival order as the key."""
+    from pyspark.sql import Window
+
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.streaming.jobs import streaming_domain_cap
+    from tests.conftest import SF_SMOKE
+
+    small = {
+        (r["doc_id"], r["domain"]): r["kept"]
+        for r in streaming_domain_cap(
+            spark, SF_SMOKE, str(tmp_path / "s"), cap=7, rows_per_batch=37
+        ).collect()
+    }
+    big = {
+        (r["doc_id"], r["domain"]): r["kept"]
+        for r in streaming_domain_cap(
+            spark, SF_SMOKE, str(tmp_path / "b"), cap=7, rows_per_batch=100000
+        ).collect()
+    }
+    assert small == big and len(small) > 0
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["source"]): r["kept"]
+        for r in table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", (F.row_number().over(w) <= 7).alias("kept"))
+        .collect()
+    }
+    assert small == want
+    # the cap actually bites AND keeps something per domain
+    kept_per_domain: dict[str, int] = {}
+    for (_d, dom), kept in small.items():
+        kept_per_domain[dom] = kept_per_domain.get(dom, 0) + int(kept)
+    assert set(kept_per_domain.values()) == {7}
+
+
 def test_quality_funnel_classifier_stage_matches_batch(spark, tmp_path):
     """classifier_weights= at INGEST: the streaming funnel's classifier
     stage (a stateless Column between the rules and the state-store
