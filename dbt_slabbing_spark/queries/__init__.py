@@ -131,7 +131,9 @@ _PRIORITY = (
     "dedup_simhash",
     "fn_case_classification",
     "sim_ivf_trained_topk",  # round-8 gate (slot yielded by fn_hash_suite)
-    "fn_math_suite",
+    "text_bpe_encode_tokens",  # round-8 gate, never driver-checked:
+    # takes fn_math_suite's slot (r3-green byte-stable scalar suite ->
+    # round-9 rotation queue)
     "fn_null_handling",
     "join_fuzzy_levenshtein",
     "join_null_safe_equality",

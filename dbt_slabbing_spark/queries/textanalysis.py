@@ -939,13 +939,15 @@ def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bpe_oracle(n_merges: int) -> str:
+def _bpe_learn_ctes(n_merges: int) -> str:
     # Unrolled merge loop (one pairs/best/words CTE triple per step —
     # the same iterative-dataflow oracle idiom as PageRank and
     # ml_kmeans_cells). The double-space symbol encoding makes DuckDB's
     # left-to-right replace() reproduce BPE's greedy pass exactly; see
     # operators/bpe.py for the encoding argument. All-integer counts:
-    # no float conventions needed anywhere.
+    # no float conventions needed anywhere. Returns the CTE body shared
+    # by the learn gate (reads b1..bN) and the encode gate (applies
+    # b1..bN to every word of every document).
     steps = []
     prev = "w0"
     for i in range(1, n_merges + 1):
@@ -967,11 +969,7 @@ def _sql_bpe_oracle(n_merges: int) -> str:
         FROM {prev} t, b{i} b
     )""")
         prev = f"w{i}"
-    union = "\n    UNION ALL ".join(
-        f"SELECT step, pair, merged, cnt FROM b{i}" for i in range(1, n_merges + 1)
-    )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
         FROM documents
     ),
@@ -982,9 +980,51 @@ def _sql_bpe_oracle(n_merges: int) -> str:
     w0 AS (
         SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s, f
         FROM words
-    ),{",".join(steps)}
+    ),{",".join(steps)}"""
+
+
+def _sql_bpe_oracle(n_merges: int) -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, pair, merged, cnt FROM b{i}" for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_learn_ctes(n_merges)}
     SELECT CAST(step AS INT) AS step, pair, merged, cnt
     FROM ({union})
+    """
+
+
+def _sql_bpe_encode_oracle(n_merges: int) -> str:
+    # ENCODE side: cross join the six 1-row merge CTEs onto documents
+    # and apply the replace chain inside a list_transform lambda
+    # (DuckDB lambdas capture enclosing-query columns, so b1.pair etc.
+    # are in scope). Token stream md5 makes this a full value-hash
+    # check of every token of every document.
+    sym = "' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '"
+    chain = sym
+    for i in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, ' ' || replace(b{i}.pair, ' ', '  ') || ' ', "
+            f"' ' || b{i}.merged || ' ')"
+        )
+    merge_tables = ", ".join(f"b{i}" for i in range(1, n_merges + 1))
+    return f"""
+    WITH {_bpe_learn_ctes(n_merges)},
+    enc AS (
+        SELECT d.doc_id,
+               flatten(list_transform(
+                   list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                               w -> w <> ''),
+                   w -> string_split(trim({chain}), '  '))) AS toks,
+               len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                               w -> w <> '')) AS nw
+        FROM documents d, {merge_tables}
+    )
+    SELECT doc_id,
+           CAST(nw AS INT) AS n_words,
+           CAST(len(toks) AS INT) AS n_bpe_tokens,
+           md5(array_to_string(toks, ' ')) AS tokens_md5
+    FROM enc
     """
 
 
@@ -1023,4 +1063,52 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe_merges(words, n_merges=6)
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, cnt bigint"
+    )
+
+
+@register(
+    "text_bpe_encode_tokens",
+    _sql_bpe_encode_oracle(6),
+    "ENCODE side of the learned tokenizer: apply the 6 learned BPE "
+    "merges to every word of every document -- per-doc word count, "
+    "BPE token count, and md5 of the full ordered token stream",
+    tags=("text", "tokenizer", "training"),
+)
+def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION after induction (the step a training
+    pipeline runs over the whole corpus): the learned merge table is
+    tiny (6 rows), so it ships as PLAN LITERALS -- encoding is a pure
+    map over the document scan (split -> per-word symbolize -> 6
+    chained replaces inside a transform() lambda -> flatten), whole-
+    stage codegen, no join, no shuffle, no UDF. The corpus-sized work
+    is exactly one pass; only the learning phase (text_bpe_learn_merges'
+    bounded-driver-state loop) ran aggregations. The md5 over the
+    ordered token stream makes the oracle a full value-hash check of
+    every emitted token."""
+    from ..operators.bpe import apply_merges, learn_bpe_merges, symbolize
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = learn_bpe_merges(words, n_merges=6)
+    warr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    toks = F.flatten(
+        F.transform(
+            warr,
+            lambda w: F.split(F.trim(apply_merges(symbolize(w), merges)), "  "),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(warr).cast("int").alias("n_words"),
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.md5(F.array_join(toks, " ")).alias("tokens_md5"),
     )

@@ -79,3 +79,37 @@ def test_bpe_chain_overlap_merges_every_other_occurrence(spark):
 def test_bpe_stops_when_no_pairs_remain(spark):
     df = spark.createDataFrame([("a", 5), ("b", 3)], "word string, freq long")
     assert learn_bpe_merges(df, n_merges=4) == []
+
+
+def test_bpe_encode_matches_symbol_list_segmentation(spark):
+    """text_bpe_encode_tokens' per-doc token stream must equal the
+    reference symbol-list implementation's segmentation re-applied to
+    each document's word sequence (same 6 merges the gate learns)."""
+    import hashlib
+    import re
+
+    from dbt_slabbing_spark.queries import registry
+
+    docs = table(spark, SF_SMOKE, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    freqs = {r["word"]: int(r["freq"]) for r in words.collect()}
+    _merges, segmented = _ref_bpe(freqs, 6)
+
+    got = {
+        r["doc_id"]: r
+        for r in registry()["text_bpe_encode_tokens"].fn(spark, SF_SMOKE).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert set(got) == set(texts) and len(got) > 0
+    for doc_id, text in texts.items():
+        ws = [w for w in re.split(r"\s+", text.lower()) if w != ""]
+        toks = [t for w in ws for t in segmented[w]]
+        row = got[doc_id]
+        assert row["n_words"] == len(ws)
+        assert row["n_bpe_tokens"] == len(toks), doc_id
+        assert row["tokens_md5"] == hashlib.md5(" ".join(toks).encode()).hexdigest()

@@ -448,6 +448,19 @@ def test_quality_classifier_is_map_only(spark):
     assert "*(" in plan and "FileScan parquet" in plan
 
 
+def test_bpe_encode_is_map_only(spark):
+    """The ENCODE side of the learned tokenizer ships the 6-row merge
+    table as plan literals (chained replace inside a transform lambda):
+    the returned plan must be one map over the documents scan — no
+    join, no shuffle, no aggregation, no Python UDF. The learning phase
+    runs its own bounded jobs beforehand; what prices per-corpus-byte
+    at 100 TB is exactly this single pass."""
+    plan = _executed_plan(registry()["text_bpe_encode_tokens"].fn(spark, SF_SMOKE))
+    for op in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython", "Aggregate"):
+        assert op not in plan, f"unexpected {op} in map-only encode plan\n" + plan[:3000]
+    assert "FileScan parquet" in plan
+
+
 def test_q3_bucketed_layout_zero_shuffle_exchanges(spark):
     """q3 over the bucketed fact layout must need NO shuffle exchange
     anywhere: the revenue agg runs on the scan partitioning, the
