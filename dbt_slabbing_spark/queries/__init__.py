@@ -134,7 +134,9 @@ _PRIORITY = (
     "text_bpe_encode_tokens",  # round-8 gate, never driver-checked:
     # takes fn_math_suite's slot (r3-green byte-stable scalar suite ->
     # round-9 rotation queue)
-    "fn_null_handling",
+    "ml_power_iteration_pc1",  # round-8 gate, never driver-checked:
+    # takes fn_null_handling's slot (r3-green byte-stable scalar suite
+    # -> round-9 rotation queue)
     "join_fuzzy_levenshtein",
     "join_null_safe_equality",
     "text_bpe_learn_merges",  # round-8 gate (slot yielded by mm_frame_sample_plan)

@@ -909,6 +909,101 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pca_oracle(dim: int, iters: int, dp: int, proj_dp: int) -> str:
+    # Unrolled power iteration (same iterative-dataflow oracle idiom as
+    # _sql_kmeans_oracle / PageRank). Means and E[x_i*x_j] are rounded
+    # to `dp` decimals straight out of their aggregates, the covariance
+    # is the computational formula over those rounded values, and each
+    # iteration's normalized vector is rounded to `dp` — matching
+    # operators/pca.py bit-for-bit so the projection sees identical
+    # doubles. The 64-term dot-product sums differ across engines only
+    # in summation order (~1e-16), far below the 1e-9 grid.
+    from . import sql_round
+
+    prev = "v0"
+    iter_ctes = []
+    for t in range(1, iters + 1):
+        iter_ctes.append(f"""
+    w{t} AS (
+        SELECT c.i, sum(c.c * p.x) AS w
+        FROM c JOIN {prev} p ON c.j = p.i
+        GROUP BY c.i
+    ),
+    n{t} AS (SELECT sqrt(sum(w * w)) AS nm FROM w{t}),
+    v{t} AS (
+        SELECT w.i, {sql_round("w.w / n.nm", dp)} AS x
+        FROM w{t} w, n{t} n
+    )""")
+        prev = f"v{t}"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    dims AS (SELECT CAST(range + 1 AS BIGINT) AS d FROM range({dim})),
+    m AS (
+        SELECT d.d AS i, {sql_round("avg(v.dv[d.d])", dp)} AS m
+        FROM v CROSS JOIN dims d GROUP BY d.d
+    ),
+    cm AS (
+        SELECT di.d AS i, dj.d AS j,
+               {sql_round("avg(v.dv[di.d] * v.dv[dj.d])", dp)} AS cxy
+        FROM v CROSS JOIN dims di CROSS JOIN dims dj
+        GROUP BY di.d, dj.d
+    ),
+    c AS (
+        SELECT cm.i, cm.j, {sql_round("cm.cxy - mi.m * mj.m", dp)} AS c
+        FROM cm JOIN m mi ON cm.i = mi.i JOIN m mj ON cm.j = mj.i
+    ),
+    v0 AS (SELECT d AS i, 1.0 / sqrt({dim}) AS x FROM dims),{",".join(iter_ctes)},
+    lam AS (SELECT {sql_round("nm", dp)} AS lam FROM n{iters})
+    SELECT e.vec_id,
+           {sql_round("sum((e.dv[p.i] - m.m) * p.x)", proj_dp)} AS pc1_score,
+           any_value(lam.lam) AS lambda1
+    FROM v e, v{iters} p, m, lam
+    WHERE m.i = p.i
+    GROUP BY e.vec_id
+    """
+
+
+@register(
+    "ml_power_iteration_pc1",
+    _sql_pca_oracle(dim=64, iters=4, dp=9, proj_dp=6),
+    "distributed PCA top principal component (fixed 4-step power "
+    "iteration over the one-pass covariance matrix, per-step 9-dp "
+    "rounding, exact-dyadic 1/8 seed): per-vector projection score on "
+    "pc1 + the eigenvalue estimate",
+    tags=("ml", "iterative", "similarity", "training"),
+)
+def ml_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB decomposition of PCA: ONE corpus pass builds the d x d
+    co-moment matrix (mapInPandas numpy partials -- the partial-agg
+    state IS the matrix -- merged by a <= d^2-row shuffle), the power
+    iteration is O(d^2) DRIVER arithmetic on 4 KB of state, and the
+    projection is a map-only codegen stage with means and eigvec inlined
+    as plan literals. operators/pca.py has the full rounding story
+    (Spark-side dround on every aggregate, decimal HALF_UP replica for
+    the driver steps)."""
+    from ..operators.pca import comoment_stats, power_iteration
+
+    dim, iters = 64, 4
+    emb = table(spark, sf_dir, "embeddings")
+    means, cov, _n = comoment_stats(emb, "embedding", dim, round_dp=9)
+    v, lam = power_iteration(cov, iters=iters, round_dp=9)
+
+    def el(i: int):
+        return F.element_at(F.col("embedding"), i + 1).cast("double")
+
+    score = (el(0) - F.lit(means[0])) * F.lit(v[0])
+    for i in range(1, dim):
+        score = score + (el(i) - F.lit(means[i])) * F.lit(v[i])
+    return emb.select(
+        "vec_id",
+        dround(score, 6).alias("pc1_score"),
+        F.lit(lam).alias("lambda1"),
+    )
+
+
 def _sql_kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
     # Unrolled Lloyd's (recursive CTE members can't aggregate — same
     # constraint as _sql_pagerank_oracle): one assignment CTE + one

@@ -461,6 +461,18 @@ def test_bpe_encode_is_map_only(spark):
     assert "FileScan parquet" in plan
 
 
+def test_pca_projection_is_map_only(spark):
+    """ml_power_iteration_pc1's RETURNED plan is the projection stage:
+    means and eigenvector ride as plan literals, so it must be one map
+    over the embeddings scan — no join, no shuffle, no aggregation, no
+    Python UDF. The co-moment pass ran its own bounded jobs; the
+    per-corpus-byte cost at 100 TB is one scan there and one here."""
+    plan = _executed_plan(registry()["ml_power_iteration_pc1"].fn(spark, SF_SMOKE))
+    for op in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython", "Aggregate"):
+        assert op not in plan, f"unexpected {op} in map-only projection plan\n" + plan[:3000]
+    assert "FileScan parquet" in plan
+
+
 def test_q3_bucketed_layout_zero_shuffle_exchanges(spark):
     """q3 over the bucketed fact layout must need NO shuffle exchange
     anywhere: the revenue agg runs on the scan partitioning, the
