@@ -122,7 +122,9 @@ _MODULES = (
 _PRIORITY = (
     "window_sessionize_batch",
     "window_running_revenue",
-    "agg_approx_topk_event_types",
+    "agg_heavy_hitters_mg",  # round-8 gate, never driver-checked:
+    # takes agg_approx_topk_event_types's slot (r3-green approx-topk
+    # twin of the same sketch family -> round-9 rotation queue)
     "agg_corr_regression",
     "agg_exact_distribution",
     "agg_mode_priority_by_status",

@@ -909,6 +909,78 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_heavy_hitters_mg",
+    """
+    WITH t AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+    ),
+    c AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM t WHERE word <> '' GROUP BY word
+    ),
+    tot AS (SELECT CAST(sum(true_cnt) AS BIGINT) AS n FROM c)
+    SELECT c.word, c.true_cnt,
+           TRUE AS in_summary, TRUE AS est_le_true, TRUE AS within_bound
+    FROM c, tot
+    WHERE c.true_cnt * 33 > tot.n
+    """,
+    "Misra-Gries mergeable heavy-hitter sketch (k=32) over corpus "
+    "words, evaluated against exact counts: for every word with "
+    "true count > n/(k+1) the sketch GUARANTEES presence, no "
+    "overcount, and error <= n/(k+1) -- emitted as verdict columns "
+    "(estimates are stream-order-dependent by construction)",
+    tags=("agg", "sketch", "text"),
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-family sketch (operators/heavyhitters.py): per-partition
+    MG counters (<= k state each, one streaming pass), one <= k*P-row
+    shuffle to key-sum partials, driver-side capacity merge -- at
+    100 TB this is the frequent-terms answer that needs NO
+    groupBy(word) over Heaps-law millions of distinct words. The exact
+    groupBy here is the EVALUATION harness (same pattern as
+    dedup_lsh_quality_metrics): it proves the three mergeable-summaries
+    guarantees hold on this corpus, which is the deterministic,
+    oracle-checkable part of an order-dependent sketch."""
+    from ..operators.heavyhitters import misra_gries
+
+    k = 32
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    summary = misra_gries(words, "word", k)
+    sk = spark.createDataFrame(
+        list(summary.items()) or [("", 0)], "word string, est long"
+    )
+    exact = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    tot = exact.agg(F.sum("true_cnt").cast("bigint").alias("_n"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("true_cnt") * (k + 1) > F.col("_n"))
+        .join(F.broadcast(sk), "word", "left")
+        .select(
+            "word",
+            "true_cnt",
+            F.col("est").isNotNull().alias("in_summary"),
+            (F.coalesce(F.col("est"), F.lit(0)) <= F.col("true_cnt")).alias(
+                "est_le_true"
+            ),
+            (
+                (F.col("true_cnt") - F.coalesce(F.col("est"), F.lit(0)))
+                * (k + 1)
+                <= F.col("_n")
+            ).alias("within_bound"),
+        )
+    )
+
+
 def _sql_pca_oracle(dim: int, iters: int, dp: int, proj_dp: int) -> str:
     # Unrolled power iteration (same iterative-dataflow oracle idiom as
     # _sql_kmeans_oracle / PageRank). Means and E[x_i*x_j] are rounded
