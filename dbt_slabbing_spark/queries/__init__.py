@@ -162,7 +162,9 @@ _PRIORITY = (
     "stream_domain_cap",  # round-8 gate (slot yielded by stream_sliding_user_activity)
     "subquery_not_in_null_semantics",
     "text_bpe_token_estimate",
-    "text_fingerprint_groups",
+    "text_proximity_search",  # round-8 gate, never driver-checked:
+    # takes text_fingerprint_groups's slot (r3-green -> round-9
+    # rotation queue)
     "text_langid_confusion",
     "text_token_histogram",
     "train_curriculum_order",

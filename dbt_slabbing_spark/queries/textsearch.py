@@ -382,3 +382,106 @@ def text_ccnet_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# positional proximity search (NEAR operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_proximity_search",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, u.i AS pos, w[u.i] AS word
+        FROM d, UNNEST(generate_series(1, len(d.w))) u(i)
+    ),
+    cnt AS (SELECT word, count(*) AS c FROM t GROUP BY word),
+    top2 AS (
+        SELECT word, row_number() OVER (ORDER BY c DESC, word) AS rn
+        FROM cnt QUALIFY rn <= 2
+    ),
+    p1 AS (SELECT doc_id, pos FROM t
+           WHERE word = (SELECT word FROM top2 WHERE rn = 1)),
+    p2 AS (SELECT doc_id, pos FROM t
+           WHERE word = (SELECT word FROM top2 WHERE rn = 2))
+    SELECT p1.doc_id,
+           (SELECT word FROM top2 WHERE rn = 1) AS term1,
+           (SELECT word FROM top2 WHERE rn = 2) AS term2,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p1 JOIN p2
+      ON p1.doc_id = p2.doc_id AND p2.pos - p1.pos BETWEEN 1 AND 3
+    GROUP BY p1.doc_id
+    """,
+    "positional proximity search (the NEAR operator of a full-text "
+    "index): for the two most frequent corpus terms, count per doc the "
+    "ordered position pairs where term2 follows term1 within 3 words",
+    tags=("text", "search"),
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR/k) matching, the positional-postings query BM25
+    doesn't cover. The query terms ride as plan literals after a
+    bounded 2-row TakeOrdered, so matching is MAP-ONLY: per doc,
+    1-based position lists of each term come from an indexed
+    transform() over the word array, and the window test is a nested
+    filter over the two lists (per-doc lists are doc-length-bounded,
+    so the nested scan is O(occ1*occ2) WITHIN a doc, never across
+    docs). At 100 TB there is no shuffle at all — contrast with the
+    inverted-index join shape (positions table self-joined on doc_id
+    with a band predicate), which this plan collapses because both
+    postings lists live in the same row. The oracle states exactly
+    that join shape over an UNNEST positions table."""
+    docs = table(spark, sf_dir, "documents")
+    words_flat = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(2)
+        .collect()  # bounded: the 2 query terms
+    )
+    t1, t2 = words_flat[0]["word"], words_flat[1]["word"]
+
+    warr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(
+                warr, lambda w, i: F.when(w == F.lit(term), i + 1)
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    with_pos = docs.select(
+        "doc_id", positions(t1).alias("_p1"), positions(t2).alias("_p2")
+    )
+    pairs = F.size(
+        F.flatten(
+            F.transform(
+                F.col("_p1"),
+                lambda x: F.filter(
+                    F.col("_p2"), lambda y: (y > x) & (y <= x + F.lit(3))
+                ),
+            )
+        )
+    )
+    return (
+        with_pos.select(
+            "doc_id",
+            F.lit(t1).alias("term1"),
+            F.lit(t2).alias("term2"),
+            pairs.cast("bigint").alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )

@@ -56,3 +56,37 @@ def test_global_row_number_preserves_caller_columns(spark):
     rows = sorted((r["rn"], r["id"], r["_pid"]) for r in out.collect())
     assert [t[0] for t in rows] == list(range(1, 101))
     assert all(t[2] == t[1] % 3 for t in rows)
+
+
+def test_proximity_pair_window_semantics(spark):
+    """Hand-built docs pin the NEAR/3 contract: ordered (term1 before
+    term2), within 3 words, every qualifying position pair counted,
+    reverse order and distance-4 pairs not counted."""
+    import dbt_slabbing_spark.queries.textsearch as ts
+    from dbt_slabbing_spark.queries import registry
+
+    rows = [
+        (1, "alpha x beta"),          # d=2: 1 pair
+        (2, "alpha x y z beta"),      # d=4: 0
+        (3, "beta alpha"),            # reverse only: 0
+        (4, "alpha beta alpha beta"), # (1,2),(3,4),(1,4)? d=3 -> yes: 3 pairs
+        (5, "alpha alpha beta"),      # (1,3),(2,3): 2 pairs
+        # filler docs so 'alpha'/'beta' are the top-2 terms
+        (6, "alpha beta alpha beta alpha beta zz"),
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in registry()["text_proximity_search"].fn(spark, tmp).collect()
+        }
+    assert got[1]["n_pairs"] == 1 and got[1]["term1"] == "alpha"
+    assert 2 not in got and 3 not in got
+    assert got[4]["n_pairs"] == 3
+    assert got[5]["n_pairs"] == 2
+    # alpha at 1,3,5; beta at 2,4,6: (1,2),(1,4),(3,4),(3,6),(5,6)
+    assert got[6]["n_pairs"] == 5
