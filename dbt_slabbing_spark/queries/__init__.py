@@ -140,7 +140,9 @@ _PRIORITY = (
     # takes fn_null_handling's slot (r3-green byte-stable scalar suite
     # -> round-9 rotation queue)
     "join_fuzzy_levenshtein",
-    "join_null_safe_equality",
+    "join_bloom_prefilter_membership",  # round-8 gate, never
+    # driver-checked: takes join_null_safe_equality's slot (r3-green
+    # -> round-9 rotation queue)
     "text_bpe_learn_merges",  # round-8 gate (slot yielded by mm_frame_sample_plan)
     "mm_size_stats_by_source",
     "q21_sole_late_supplier",

@@ -161,3 +161,106 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable bloom-filter membership (explicit bloom semi-join prefilter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_bloom_prefilter_membership",
+    """
+    WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    lanes AS (SELECT * FROM (VALUES (0), (1), (2), (3)) j(j)),
+    bits AS (
+        SELECT DISTINCT
+            ('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' ||
+                                CAST(m.k AS VARCHAR)), 1, 8))::BIGINT
+            % 32768 AS pos
+        FROM mem m, lanes j
+    ),
+    probe AS (
+        SELECT c.c_custkey,
+            ('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' ||
+                                CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT
+            % 32768 AS pos
+        FROM customer c, lanes j
+    ),
+    hits AS (
+        SELECT p.c_custkey, count(b.pos) AS nb
+        FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY p.c_custkey
+    )
+    SELECT h.c_custkey,
+           (m.k IS NOT NULL) AS is_member,
+           (h.nb = 4) AS bloom_hit
+    FROM hits h LEFT JOIN mem m ON h.c_custkey = m.k
+    """,
+    "portable bloom-filter membership: k=4 seeded-md5 bit positions "
+    "mod 32768 over the distinct order-placing customers; every "
+    "customer probed -- is_member vs bloom_hit exposes the exact "
+    "false-positive population (no false negatives by construction)",
+    tags=("join", "sketch"),
+)
+def join_bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom semi-join prefilter as an EXPLICIT reusable operator
+    (Spark's own runtime bloom injection -- InjectRuntimeFilter --
+    declines any creation side that isn't a selective filter over a
+    scan, e.g. q3's orders JOIN customer; this is the hand-rolled
+    equivalent for those shapes). Portable hashing (one seeded md5 per
+    lane, operators/hashing.py) makes the bit set BIT-REPRODUCIBLE in
+    DuckDB, so unlike sketch gates with order-dependent state the
+    false positives themselves are value-hash-checked data.
+
+    100 TB shape: the 'filter' is a DISTINCT-position relation bounded
+    by m=32768 rows regardless of member count -- build is one
+    k-lane explode + distinct (shuffle capped at m output rows),
+    membership is a BROADCAST join against the probe side's k exploded
+    lanes + one count-per-key aggregation. Used as a prefilter, the
+    false-positive rate (observable here as bloom_hit & !is_member)
+    is the fraction of useless rows the expensive downstream join
+    still sees."""
+    from ..operators.hashing import hex_to_long, seeded_md5
+
+    m_bits, k = 32768, 4
+
+    def pos(seed: int, key):
+        # NB: seeded_md5 already returns the md5 hex — take its first
+        # 32 bits directly (md5_long32 would hash a second time and
+        # silently diverge from the oracle's single-md5 positions)
+        return (
+            hex_to_long(F.substring(seeded_md5(seed, key.cast("string")), 1, 8))
+            % m_bits
+        ).alias("pos")
+
+    members = (
+        table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    )
+    bits = members.select(
+        F.explode(F.array(*[pos(j, F.col("k")) for j in range(k)])).alias("pos")
+    ).distinct()
+    probe = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .select(
+            "c_custkey",
+            F.explode(
+                F.array(*[pos(j, F.col("c_custkey")) for j in range(k)])
+            ).alias("pos"),
+        )
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("_b", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("_b").alias("nb"))
+    )
+    return hits.join(
+        F.broadcast(members.withColumn("_m", F.lit(1))),
+        hits.c_custkey == members.k,
+        "left",
+    ).select(
+        "c_custkey",
+        F.col("_m").isNotNull().alias("is_member"),
+        (F.col("nb") == k).alias("bloom_hit"),
+    )

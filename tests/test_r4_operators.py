@@ -256,3 +256,40 @@ def test_pagerank_mass_conserved_and_positive(spark):
     assert all(r["rank"] > 0 for r in ranks)
     top = max(ranks, key=lambda r: r["rank"])
     assert top["outdeg"] > min(r["outdeg"] for r in ranks)
+
+
+def test_bloom_membership_no_false_negatives_and_portable_positions(spark):
+    """Every order-placing customer must bloom-hit (no false negatives),
+    and the engine's bit positions must equal a hashlib replica of the
+    portable single-md5 lane hash (guards the double-md5 trap where the
+    filter stays self-consistent but silently diverges from the
+    oracle)."""
+    import hashlib
+
+    from dbt_slabbing_spark.queries import registry
+    from tests.conftest import SF_SMOKE
+
+    rows = registry()["join_bloom_prefilter_membership"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r["bloom_hit"] for r in rows if r["is_member"])
+
+    # portability: position of lane j for key k = first 32 md5 bits of
+    # f"{j}|{k}" mod 32768 — recompute for one known member key
+    from dbt_slabbing_spark.catalog import table
+    from pyspark.sql import functions as F
+    from dbt_slabbing_spark.operators.hashing import hex_to_long, seeded_md5
+
+    key = table(spark, SF_SMOKE, "orders").agg(F.min("o_custkey")).collect()[0][0]
+    got = (
+        spark.range(1)
+        .select(
+            *[
+                (hex_to_long(F.substring(seeded_md5(j, F.lit(str(key))), 1, 8)) % 32768).alias(f"p{j}")
+                for j in range(4)
+            ]
+        )
+        .collect()[0]
+    )
+    for j in range(4):
+        want = int(hashlib.md5(f"{j}|{key}".encode()).hexdigest()[:8], 16) % 32768
+        assert got[f"p{j}"] == want, (j, key)
