@@ -127,7 +127,9 @@ _PRIORITY = (
     # twin of the same sketch family -> round-9 rotation queue)
     "agg_corr_regression",
     "agg_exact_distribution",
-    "agg_mode_priority_by_status",
+    "layout_manifest_delete",  # round-8 gate, never driver-checked:
+    # takes agg_mode_priority_by_status's slot (r3-green -> round-9
+    # rotation queue)
     "dedup_minhash_lsh",
     "dedup_normalized_md5",
     "dedup_simhash",

@@ -243,3 +243,78 @@ def join_salted_replicated_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "layout_manifest_delete",
+    """
+    WITH cond AS (
+        SELECT *, (o_orderstatus = 'F' AND o_totalprice < 100000.0) AS del
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted,
+           CAST(sum(CASE WHEN NOT coalesce(del, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_after,
+           CAST(sum(CASE WHEN NOT coalesce(del, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rows_read,
+           CAST(count(DISTINCT CASE WHEN NOT coalesce(del, FALSE)
+                                    THEN o_orderkey END) AS BIGINT) AS n_keys,
+           round((sum(CASE WHEN NOT coalesce(del, FALSE)
+                           THEN o_totalprice END)) * 100.0) / 100.0 + 0.0
+               AS sum_price
+    FROM cond
+    """,
+    "manifest-commit targeted DELETE end-to-end: copy orders into a "
+    "multi-file manifest table, delete_rows a predicate, read the "
+    "committed snapshot back through the manifest -- before/deleted/"
+    "after counts and a survivor checksum (count, distinct keys, "
+    "2-dp price sum)",
+    tags=("layout", "maintenance"),
+)
+def layout_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the table-format maintenance path END-TO-END under the
+    driver's oracle gate (operators/layout.py::delete_rows was
+    previously pytest-only): an 8-file copy of orders becomes a
+    manifest table, the DELETE rewrites only affected files and
+    commits ONE atomic manifest swap, and the verdict reads the new
+    snapshot THROUGH the manifest. Everything emitted is
+    distribution-independent (counts, distinct keys, rounded sum), so
+    the oracle is the plain SQL statement of DELETE semantics over
+    orders — including the NULL-predicate row survival rule. Runs its
+    jobs eagerly and cleans up its tempdir before returning."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import delete_rows, read_table
+
+    work = tempfile.mkdtemp(prefix="manifest_delete_gate_")
+    try:
+        table(spark, sf_dir, "orders").repartition(8, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(work)
+        stats = delete_rows(
+            spark, work, "o_orderstatus = 'F' AND o_totalprice < 100000.0"
+        )
+        survivors = read_table(spark, work)
+        row = survivors.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_read"),
+            F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
+            dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                stats["rows_before"],
+                stats["rows_deleted"],
+                stats["rows_after"],
+                row["n_rows_read"],
+                row["n_keys"],
+                float(row["sum_price"]),
+            )
+        ],
+        "rows_before bigint, rows_deleted bigint, rows_after bigint, "
+        "n_rows_read bigint, n_keys bigint, sum_price double",
+    )
