@@ -154,7 +154,9 @@ _PRIORITY = (
     "sample_train_test_split",
     "sample_weighted_mixture",
     "sample_weighted_noreplacement",
-    "setop_except_nations",
+    "stream_trending_topk",  # round-8 gate, never driver-checked:
+    # takes setop_except_nations's slot (r3-green -> round-9 rotation
+    # queue)
     "text_domain_filter",  # round-8 gate, never driver-checked: takes
     # the slot setop_union_by_name was designated to yield (see item 3)
     "sim_brp_euclidean_topk",

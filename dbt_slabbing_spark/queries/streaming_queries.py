@@ -366,3 +366,29 @@ def stream_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="stream_domain_cap_")
     return jobs.streaming_domain_cap(spark, sf_dir, work, cap=15, rows_per_batch=200)
+
+
+@register(
+    "stream_trending_topk",
+    """
+    WITH c AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY window_start, prop_k
+    )
+    SELECT window_start, prop_k, n, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start ORDER BY n DESC, prop_k) AS rn
+        FROM c
+    ) WHERE rn <= 3
+    """,
+    "streaming trending-items mart: tumbling hourly counts per "
+    "JSON-extracted property maintained by the stream, top-3 rank "
+    "applied as a batch window over the emitted mart (count DESC, "
+    "key ASC tie-break) vs the batch twin",
+    tags=("streaming", "window"),
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.trending_topk(spark, sf_dir, k=3)

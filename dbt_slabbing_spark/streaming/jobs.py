@@ -96,6 +96,39 @@ def sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("w.start").alias("window_start"), "user_bucket", "n")
 
 
+def trending_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Streaming agg feeding a ranked serving mart — the trending-items
+    shape: tumbling hourly counts per JSON-extracted property key
+    maintained BY THE STREAM (watermarked state), the top-k rank
+    applied as a BATCH window over the emitted mart (streaming DFs
+    can't host row_number; the production pipeline ranks in the
+    serving query exactly like this). Tie-break (count DESC, key ASC)
+    keeps the result deterministic under replay."""
+    from pyspark.sql import Window
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_completion(agg, "complete")
+    rk = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("prop_k"))
+    return (
+        out.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "prop_k",
+            "n",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 30-minute gap per user."""
     agg = (
