@@ -125,7 +125,9 @@ _PRIORITY = (
     "agg_heavy_hitters_mg",  # round-8 gate, never driver-checked:
     # takes agg_approx_topk_event_types's slot (r3-green approx-topk
     # twin of the same sketch family -> round-9 rotation queue)
-    "agg_corr_regression",
+    "ts_attribution_position_based",  # round-8 gate, never
+    # driver-checked: takes agg_corr_regression's slot (r3-green ->
+    # round-9 rotation queue)
     "agg_exact_distribution",
     "layout_manifest_delete",  # round-8 gate, never driver-checked:
     # takes agg_mode_priority_by_status's slot (r3-green -> round-9

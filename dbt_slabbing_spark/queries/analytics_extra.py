@@ -1157,3 +1157,89 @@ def ml_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cell bigint, dim bigint, coord double, n_members bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_attribution_position_based",
+    """
+    WITH convs AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT event_id AS touch_id, user_id, event_type AS channel, ts
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+        SELECT t.channel,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.ts, t.touch_id) AS pos,
+               count(*) OVER (PARTITION BY c.conv_id) AS n
+        FROM touches t JOIN convs c ON t.user_id = c.user_id
+         AND t.ts < c.conv_ts AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           round((sum(CASE WHEN n = 1 THEN 1.0
+                           WHEN pos = 1 OR pos = n THEN
+                                (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
+                           ELSE 0.2 / (n - 2) END)) * 1000000.0)
+               / 1000000.0 + 0.0 AS credit
+    FROM j GROUP BY channel
+    """,
+    "position-based (U-shaped) multi-touch attribution: each purchase "
+    "distributes exactly 1.0 of credit over its 7-day lookback "
+    "view/click touch sequence -- 40/20/40 first/middles/last "
+    "(100 percent single-touch, 50/50 two-touch) -- summed per channel",
+    tags=("timeseries", "window", "join"),
+)
+def ts_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ads-analytics workhorse the funnel/retention family was
+    missing. Plan shape: ONE equi-join on user_id (the lookback bound
+    is a post-join filter on the hash join, never a time-range
+    explosion), then windows keyed by conversion id -- both shuffles
+    are on high-cardinality keys, nothing global. Per-row credit is
+    exact rational arithmetic on (pos, n) evaluated identically by
+    both engines; only the channel sum needs the 6-dp rounding
+    convention. Invariant pinned by the oracle: total credit ==
+    number of attributed conversions."""
+    ev = table(spark, sf_dir, "events")
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        "ts",
+    )
+    j = touches.join(convs, "user_id").filter(
+        (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wp = Window.partitionBy("conv_id").orderBy("ts", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    credited = j.select(
+        "channel",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "channel",
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.when(F.col("n") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+        .alias("_credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        dround(F.sum("_credit"), 6).alias("credit"),
+    )

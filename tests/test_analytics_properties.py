@@ -163,3 +163,37 @@ def test_hll_sketch_estimate_envelope(spark, sf_dir):
     assert len(rows) >= 2  # per-priority scopes + __ALL__
     for r in rows:
         assert abs(r["est_nd"] - r["exact_nd"]) <= max(0.05 * r["exact_nd"], 2), r
+
+
+def test_attribution_credit_sums_to_attributed_conversions(spark):
+    """Position-based attribution invariant: summed channel credit ==
+    number of conversions that had at least one lookback touch (each
+    such conversion distributes exactly 1.0)."""
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.queries import registry
+    from tests.conftest import SF_SMOKE
+
+    out = registry()["ts_attribution_position_based"].fn(spark, SF_SMOKE).collect()
+    total_credit = sum(r["credit"] for r in out)
+
+    ev = table(spark, SF_SMOKE, "events")
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("cts")
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts"
+    )
+    attributed = (
+        touches.join(convs, "user_id")
+        .filter(
+            (F.col("ts") < F.col("cts"))
+            & (F.col("ts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    assert attributed > 0
+    assert abs(total_credit - attributed) < 1e-3
