@@ -128,7 +128,9 @@ _PRIORITY = (
     "ts_attribution_position_based",  # round-8 gate, never
     # driver-checked: takes agg_corr_regression's slot (r3-green ->
     # round-9 rotation queue)
-    "agg_exact_distribution",
+    "text_bigram_surprisal",  # round-8 gate, never driver-checked:
+    # takes agg_exact_distribution's slot (r3-green -> round-9
+    # rotation queue)
     "layout_manifest_delete",  # round-8 gate, never driver-checked:
     # takes agg_mode_priority_by_status's slot (r3-green -> round-9
     # rotation queue)

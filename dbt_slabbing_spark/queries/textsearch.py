@@ -485,3 +485,100 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pairs") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram language model surprisal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_surprisal",
+    # Jelinek-Mercer interpolated bigram LM, lambda = 0.5 (exact dyadic):
+    # p(w2|w1) = 0.5*c2(w1,w2)/cctx(w1) + 0.5*c1(w2)/t, where the
+    # context count cctx is derived FROM the bigram table (so the model
+    # is self-consistent at doc boundaries). The KenLM-perplexity
+    # filter one order up from text_unigram_surprisal.
+    f"""
+    WITH d AS (
+        SELECT doc_id, {{words}} AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w[u.i] AS w1, w[u.i + 1] AS w2
+        FROM d, UNNEST(generate_series(1, len(d.w) - 1)) AS u(i)
+        WHERE len(d.w) > 1
+    ),
+    tok AS (
+        SELECT unnest(w) AS tok FROM d WHERE len(w) > 0
+    ),
+    c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+    c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    ),
+    cctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc FROM c2 GROUP BY w1)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round((avg(-ln(
+               0.5 * (CAST(c2.c AS DOUBLE) / CAST(cctx.cc AS DOUBLE))
+               + 0.5 * (CAST(c1.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+           ))) * 10000.0) / 10000.0 + 0.0 AS mean_surprisal
+    FROM bg
+    JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+    JOIN cctx ON bg.w1 = cctx.w1
+    JOIN c1 ON bg.w2 = c1.tok
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+    """.replace("{words}", _SQL_WORDS),
+    "interpolated bigram-LM mean surprisal per doc (Jelinek-Mercer "
+    "lambda=0.5 over corpus bigram/unigram counts; the next-order "
+    "perplexity quality filter above text_unigram_surprisal)",
+    tags=("text", "quality", "training"),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: bigram extraction is a map-only arrays_zip over the
+    word array (no positions join); the bigram count dim joins back as
+    a SHUFFLE equi-join keyed (w1, w2) — bigram types grow superlinearly
+    in vocabulary, so unlike the unigram dim it must never broadcast
+    (the text_tfidf_top_terms driver-OOM argument, one order up); the
+    unigram dim and the scalar total stay broadcast. lambda = 0.5 is
+    exact-dyadic so the interpolation is two IEEE-exact halvings, and
+    ln parity follows the unigram gate's established libm agreement."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("w")
+    )
+    bg = (
+        docs.filter(F.size("w") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("w"), 1, F.size("w") - 1).alias("w1"),
+                    F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2"),
+                )
+            ).alias("_b"),
+        )
+        .select("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    toks = docs.filter(F.size("w") > 0).select(F.explode("w").alias("tok"))
+    c1 = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c1c"))
+    tot = c1.agg(F.sum("c1c").cast("bigint").alias("t"))
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2c")
+    )
+    cctx = c2.groupBy("w1").agg(F.sum("c2c").cast("bigint").alias("cc"))
+    p = (
+        F.lit(0.5) * (F.col("c2c").cast("double") / F.col("cc").cast("double"))
+        + F.lit(0.5) * (F.col("c1c").cast("double") / F.col("t").cast("double"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(cctx, "w1")
+        .join(F.broadcast(c1), bg.w2 == c1.tok)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            dround(F.avg(-F.log(p)), 4).alias("mean_surprisal"),
+        )
+    )
