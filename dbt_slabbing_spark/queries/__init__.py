@@ -135,7 +135,9 @@ _PRIORITY = (
     # takes agg_mode_priority_by_status's slot (r3-green -> round-9
     # rotation queue)
     "dedup_minhash_lsh",
-    "dedup_normalized_md5",
+    "ml_logreg_gd",  # round-8 gate, never driver-checked: takes
+    # dedup_normalized_md5's slot (r3-green, oracle shape shared with
+    # the prefixed dedup_exact twin family -> round-9 rotation queue)
     "dedup_simhash",
     "fn_case_classification",
     "sim_ivf_trained_topk",  # round-8 gate (slot yielded by fn_hash_suite)

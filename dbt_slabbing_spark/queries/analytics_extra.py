@@ -1243,3 +1243,114 @@ def ts_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         dround(F.sum("_credit"), 6).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# logistic regression training (full-batch GD, fixed iterations)
+# ---------------------------------------------------------------------------
+
+
+def _sql_logreg_oracle(dim: int, iters: int, lr: float, dp: int) -> str:
+    # Unrolled full-batch gradient descent (the kmeans/pca oracle
+    # idiom): per iteration a score CTE (sum over the weight rows), an
+    # error CTE (sigmoid minus label), per-dim + bias gradient CTEs
+    # rounded to `dp`, and exact-dyadic update CTEs. Accuracy compares
+    # round(z, dp) > 0 so no exp() sits on the decision boundary.
+    from . import sql_round
+
+    wprev, bprev = "w0", "b0"
+    ctes = []
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+    s{t} AS (
+        SELECT v.vec_id, v.y, sum(w.wt * v.dv[w.dim]) AS s
+        FROM v, {wprev} w GROUP BY v.vec_id, v.y
+    ),
+    e{t} AS (
+        SELECT s.vec_id, s.y,
+               1.0 / (1.0 + exp(-(b.b + s.s))) - s.y AS err
+        FROM s{t} s, {bprev} b
+    ),
+    g{t} AS (
+        SELECT d.dim, {sql_round("avg(e.err * v.dv[d.dim])", dp)} AS g
+        FROM e{t} e JOIN v ON e.vec_id = v.vec_id CROSS JOIN dims d
+        GROUP BY d.dim
+    ),
+    gb{t} AS (SELECT {sql_round("avg(err)", dp)} AS g FROM e{t}),
+    w{t} AS (
+        SELECT w.dim, w.wt - {lr} * g.g AS wt
+        FROM {wprev} w JOIN g{t} g ON w.dim = g.dim
+    ),
+    b{t} AS (SELECT b.b - {lr} * g.g AS b FROM {bprev} b, gb{t} g)""")
+        wprev, bprev = f"w{t}", f"b{t}"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+               CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+        FROM embeddings
+    ),
+    dims AS (SELECT CAST(range + 1 AS BIGINT) AS dim FROM range({dim})),
+    w0 AS (SELECT dim, CAST(0.0 AS DOUBLE) AS wt FROM dims),
+    b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b),{",".join(ctes)},
+    sf AS (
+        SELECT v.vec_id, v.y, sum(w.wt * v.dv[w.dim]) AS s
+        FROM v, {wprev} w GROUP BY v.vec_id, v.y
+    ),
+    acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ({sql_round("b.b + sf.s", dp)} > 0)
+                                  = (sf.y = 1.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM sf, {bprev} b
+    )
+    SELECT CAST(0 AS BIGINT) AS dim, b.b AS weight, a.n, a.n_correct
+    FROM {bprev} b, acc a
+    UNION ALL
+    SELECT w.dim, w.wt AS weight, a.n, a.n_correct
+    FROM {wprev} w, acc a
+    """
+
+
+@register(
+    "ml_logreg_gd",
+    _sql_logreg_oracle(dim=64, iters=3, lr=2.0, dp=9),
+    "distributed logistic-regression training (full-batch GD, 3 fixed "
+    "iterations, lr=2.0, per-step 9-dp gradient rounding) on "
+    "embeddings vs the binary target label < 5: final weights "
+    "long-format (dim 0 = bias) + training accuracy",
+    tags=("ml", "iterative", "training"),
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supervised-TRAINING member of the iterated-dataflow ML
+    family (kmeans, pca): per iteration one map-only literal-weight
+    score pass + ONE (d+1)-value gradient aggregate; the driver holds
+    65 doubles between steps. operators/logreg.py has the full
+    rounding story; the exp()-free decision threshold makes accuracy
+    replayable. Emitted long-format (dim, weight) like
+    ml_kmeans_cells because the canonicalizer can't hash arrays."""
+    from ..operators.logreg import _z, logreg_fit
+
+    dim, iters, lr, dp = 64, 3, 2.0, 9
+    emb = table(spark, sf_dir, "embeddings")
+    y = (F.col("label") < 5).cast("double")
+    w, b = logreg_fit(emb, "embedding", y, dim, iters=iters, lr=lr, round_dp=dp)
+    acc_row = (
+        emb.select(
+            (dround(_z("embedding", w, b), dp) > 0).alias("_pred"),
+            (F.col("label") < 5).alias("_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("_pred") == F.col("_y")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .collect()[0]
+    )
+    rows = [(0, float(b), acc_row["n"], acc_row["n_correct"])] + [
+        (j + 1, float(w[j]), acc_row["n"], acc_row["n_correct"])
+        for j in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "dim bigint, weight double, n bigint, n_correct bigint"
+    )
