@@ -138,7 +138,9 @@ _PRIORITY = (
     "ml_logreg_gd",  # round-8 gate, never driver-checked: takes
     # dedup_normalized_md5's slot (r3-green, oracle shape shared with
     # the prefixed dedup_exact twin family -> round-9 rotation queue)
-    "dedup_simhash",
+    "ml_naive_bayes_langid",  # round-8 gate, never driver-checked:
+    # takes dedup_simhash's slot (r3-green; simhash-PAIRS variant
+    # keeps banding coverage elsewhere -> round-9 rotation queue)
     "fn_case_classification",
     "sim_ivf_trained_topk",  # round-8 gate (slot yielded by fn_hash_suite)
     "text_bpe_encode_tokens",  # round-8 gate, never driver-checked:

@@ -1354,3 +1354,128 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim bigint, weight double, n bigint, n_correct bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# multinomial naive Bayes language identification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_naive_bayes_langid",
+    # Multinomial NB with add-1 smoothing, trained on the corpus's own
+    # (text, lang) pairs and evaluated in-sample: score(d, l) =
+    # ln prior(l) + sum_tok ln((c(tok,l)+1)/(T(l)+V)). Scores rounded
+    # to 6 dp before the argmax so libm ln summation order can't flip
+    # a rank; tie-break lang ASC.
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(regexp_replace(trim(lower(text)),
+                                                  '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    classes AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                FROM tok GROUP BY lang),
+    tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM classes),
+    cw AS (SELECT tok, lang, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY tok, lang),
+    tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cw GROUP BY lang),
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    dim AS (
+        SELECT v.tok, c.lang,
+               ln((CAST(coalesce(cw.c, 0) + 1 AS DOUBLE))
+                  / CAST(t.t + s.v AS DOUBLE)) AS lp
+        FROM vocab v CROSS JOIN classes c
+        LEFT JOIN cw ON cw.tok = v.tok AND cw.lang = c.lang
+        JOIN tl t ON t.lang = c.lang CROSS JOIN vsize s
+    ),
+    scored AS (
+        SELECT tok.doc_id, tok.lang AS actual, d.lang AS class,
+               round((any_value(ln(CAST(c.nd AS DOUBLE) / CAST(tt.n AS DOUBLE)))
+                      + sum(d.lp)) * 1000000.0) / 1000000.0 + 0.0 AS score
+        FROM tok JOIN dim d ON tok.tok = d.tok
+        JOIN classes c ON c.lang = d.lang CROSS JOIN tot tt
+        GROUP BY tok.doc_id, tok.lang, d.lang
+    )
+    SELECT doc_id, actual, class AS pred_lang, score,
+           (class = actual) AS correct
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, class) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    "multinomial naive Bayes language ID trained on the corpus itself "
+    "(add-1 smoothing, in-sample eval): per-doc argmax class score "
+    "(6-dp rounded, lang-ASC tie-break) + correctness flag",
+    tags=("ml", "text", "training"),
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINABLE text classifier whose training replays exactly in
+    SQL (counts + one ln per dim cell) -- the counts-based complement
+    of the frozen-weight fasttext-style scorer. Plan: the smoothed
+    log-prob dim is vocab x classes built from two count aggregates
+    (map-side combined); scoring joins doc tokens to the dim as a
+    SHUFFLE equi-join on token (vocab dims must not broadcast -- the
+    tfidf argument) then aggregates per (doc, class); the argmax is a
+    per-doc WindowGroupLimit. Everything scales as one corpus pass +
+    vocab-sized dims."""
+    from ..operators import text as T
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    classes = tok.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("nd")
+    )
+    tot = classes.agg(F.sum("nd").cast("bigint").alias("n"))
+    cw = tok.groupBy("tok", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tl = cw.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t"))
+    vocab = tok.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    dim = (
+        vocab.crossJoin(F.broadcast(classes))
+        .join(cw, ["tok", "lang"], "left")
+        .join(F.broadcast(tl), "lang")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "tok",
+            "lang",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("t") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    prior = F.log(F.col("nd").cast("double") / F.col("n").cast("double"))
+    scored = (
+        tok.join(dim.withColumnRenamed("lang", "class"), "tok")
+        .join(
+            F.broadcast(classes.select(F.col("lang").alias("class"), "nd")),
+            "class",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", F.col("lang").alias("actual"), "class")
+        .agg(
+            dround(F.any_value(prior) + F.sum("lp"), 6).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("class"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("class").alias("pred_lang"),
+            "score",
+            (F.col("class") == F.col("actual")).alias("correct"),
+        )
+    )

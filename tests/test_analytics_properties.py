@@ -197,3 +197,35 @@ def test_attribution_credit_sums_to_attributed_conversions(spark):
     )
     assert attributed > 0
     assert abs(total_credit - attributed) < 1e-3
+
+
+def test_naive_bayes_separates_disjoint_vocab_corpora(spark):
+    """On a corpus where each language has a disjoint vocabulary NB
+    must classify every doc correctly, including docs containing words
+    unseen in the winning class (add-1 smoothing keeps scores finite)."""
+    import os
+    import tempfile
+
+    from dbt_slabbing_spark.queries import registry
+
+    rows = [
+        (1, "aaa bbb aaa", "xx"),
+        (2, "bbb aaa aaa aaa", "xx"),
+        (3, "ccc ddd ccc", "yy"),
+        (4, "ddd ccc ddd ddd", "yy"),
+        # mixed doc: majority-xx words plus one yy word -> xx wins
+        (5, "aaa aaa bbb ccc", "xx"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, t, l, "s", len(t)) for i, t, l in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in registry()["ml_naive_bayes_langid"].fn(spark, tmp).collect()
+        }
+    assert len(got) == 5
+    for i, _t, lang in rows:
+        assert got[i]["pred_lang"] == lang, (i, got[i])
+        assert got[i]["correct"]
