@@ -154,7 +154,9 @@ _PRIORITY = (
     # driver-checked: takes join_null_safe_equality's slot (r3-green
     # -> round-9 rotation queue)
     "text_bpe_learn_merges",  # round-8 gate (slot yielded by mm_frame_sample_plan)
-    "mm_size_stats_by_source",
+    "ts_event_transition_matrix",  # round-8 gate, never
+    # driver-checked: takes mm_size_stats_by_source's slot (r3-green
+    # -> round-9 rotation queue)
     "q21_sole_late_supplier",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -189,7 +191,9 @@ _PRIORITY = (
     "udf_grouped_ols_slope",
     "ml_kmeans_cells",  # round-8 gate, never driver-checked: takes the
     # slot udf_row_at_a_time_upper was designated to yield (see item 3)
-    "window_first_last_order",
+    "ml_psi_value_drift",  # round-8 gate, never driver-checked:
+    # takes window_first_last_order's slot (r3-green -> round-9
+    # rotation queue)
     "window_lag_lead_gaps",
     "window_ntile_quartiles",
     "window_range_hourly_sum",

@@ -1479,3 +1479,172 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("class") == F.col("actual")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# first-order event transition matrix (user-journey Markov chain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           round((CAST(n AS DOUBLE) /
+                  CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE))
+                 * 1000000.0) / 1000000.0 + 0.0 AS p
+    FROM c
+    """,
+    "first-order Markov transition matrix over per-user event journeys "
+    "(lag by event time, ties broken by event_id): counts and "
+    "row-normalized transition probabilities",
+    tags=("timeseries", "window"),
+)
+def ts_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey structure mining: ONE shuffle keyed user_id for the
+    lag window (journeys are per-user partition-local), then the
+    transition counts collapse to a |types|^2-row matrix — map-side
+    combinable, tiny output at any corpus size. The row normalization
+    runs as a window over that tiny matrix, not over events."""
+    ev = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        dround(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# population stability index (distribution drift monitor)
+# ---------------------------------------------------------------------------
+
+_SQL_PA = "(CAST(f.ca AS DOUBLE) / CAST(t.ta AS DOUBLE))"
+_SQL_PB = "(CAST(f.cb AS DOUBLE) / CAST(t.tb AS DOUBLE))"
+
+
+@register(
+    "ml_psi_value_drift",
+    # PSI between the first and second half-month of events, per event
+    # type, over FIXED value-bucket edges (exact comparisons, no
+    # quantile estimation): PSI = sum_b (pB - pA) ln(pB/pA), add-1
+    # count smoothing keeping empty buckets finite. < 0.1 stable,
+    # > 0.25 shifted (the standard scorecard rule of thumb).
+    f"""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'A' ELSE 'B' END
+                   AS period,
+               CASE WHEN value < 25 THEN 0 WHEN value < 50 THEN 1
+                    WHEN value < 75 THEN 2 WHEN value < 100 THEN 3
+                    WHEN value < 150 THEN 4 WHEN value < 200 THEN 5
+                    WHEN value < 300 THEN 6 ELSE 7 END AS bucket
+        FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM binned),
+    buckets AS (SELECT CAST(range AS INT) AS bucket FROM range(8)),
+    grid AS (SELECT t.event_type, b.bucket FROM types t CROSS JOIN buckets b),
+    c AS (
+        SELECT event_type, bucket,
+               CAST(sum(CASE WHEN period = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN period = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM binned GROUP BY event_type, bucket
+    ),
+    f AS (
+        SELECT g.event_type, g.bucket,
+               coalesce(c.ca, 0) + 1 AS ca, coalesce(c.cb, 0) + 1 AS cb
+        FROM grid g LEFT JOIN c
+          ON g.event_type = c.event_type AND g.bucket = c.bucket
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+        FROM f GROUP BY event_type
+    )
+    SELECT f.event_type,
+           any_value(t.ta) - 8 AS n_a,
+           any_value(t.tb) - 8 AS n_b,
+           round((sum(({_SQL_PB} - {_SQL_PA}) * ln({_SQL_PB} / {_SQL_PA})))
+                 * 1000000.0) / 1000000.0 + 0.0 AS psi
+    FROM f JOIN t ON f.event_type = t.event_type
+    GROUP BY f.event_type
+    """,
+    "population stability index per event type between the first and "
+    "second half-month (fixed value buckets, add-1 smoothing): the "
+    "standard distribution-drift monitor of an ML feature pipeline",
+    tags=("ml", "timeseries", "agg"),
+)
+def ml_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring as pure aggregation: one pass bins every event
+    (fixed-edge CASE, codegen), counts collapse to |types| x 8 rows
+    (map-side combined), and PSI is arithmetic over that tiny grid --
+    at 100 TB the corpus-sized work is exactly the one binned count.
+    The bucket grid is completed by a cross join against the fixed
+    bucket list so silent-empty buckets still contribute their
+    smoothed mass, and n_a/n_b report RAW (pre-smoothing) sizes."""
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "A")
+        .otherwise("B")
+        .alias("period"),
+        F.when(F.col("value") < 25, 0)
+        .when(F.col("value") < 50, 1)
+        .when(F.col("value") < 75, 2)
+        .when(F.col("value") < 100, 3)
+        .when(F.col("value") < 150, 4)
+        .when(F.col("value") < 200, 5)
+        .when(F.col("value") < 300, 6)
+        .otherwise(7)
+        .alias("bucket"),
+    )
+    types = binned.select("event_type").distinct()
+    buckets = spark.range(8).select(F.col("id").cast("int").alias("bucket"))
+    grid = types.crossJoin(F.broadcast(buckets))
+    c = binned.groupBy("event_type", "bucket").agg(
+        F.sum((F.col("period") == "A").cast("int")).cast("bigint").alias("ca"),
+        F.sum((F.col("period") == "B").cast("int")).cast("bigint").alias("cb"),
+    )
+    f = grid.join(c, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        (F.coalesce(F.col("ca"), F.lit(0)) + 1).alias("ca"),
+        (F.coalesce(F.col("cb"), F.lit(0)) + 1).alias("cb"),
+    )
+    t = f.groupBy("event_type").agg(
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cb").cast("bigint").alias("tb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("ta").cast("double")
+    pb = F.col("cb").cast("double") / F.col("tb").cast("double")
+    return (
+        f.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.any_value("ta") - 8).alias("n_a"),
+            (F.any_value("tb") - 8).alias("n_b"),
+            dround(F.sum((pb - pa) * F.log(pb / pa)), 6).alias("psi"),
+        )
+    )
