@@ -261,17 +261,56 @@ def ensure_manifest(path) -> list[str]:
     return files
 
 
-def read_table(spark, path) -> DataFrame:
+def read_table(spark, path, merge_schema: bool = False) -> DataFrame:
     """Read a parquet directory through its manifest when one exists
     (the committed snapshot — orphan files from interrupted maintenance
-    are invisible), else the plain directory."""
+    are invisible), else the plain directory.
+
+    ``merge_schema=True`` unions the per-file schemas (parquet
+    ``mergeSchema``): columns absent from older files read as NULL —
+    the add-column schema-evolution read path for tables grown by
+    :func:`append_files` across schema generations."""
     import pathlib
 
     p = pathlib.Path(path)
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if (p / _MANIFEST).exists():
         live = ensure_manifest(p)
-        return spark.read.parquet(*[str(p / n) for n in live])
-    return spark.read.parquet(str(p))
+        return reader.parquet(*[str(p / n) for n in live])
+    return reader.parquet(str(p))
+
+
+def append_files(spark, path, df: DataFrame) -> dict:
+    """INSERT/append as a manifest commit — and with it, add-column
+    schema evolution over plain parquet (the Delta/Iceberg semantics):
+    the appended frame may carry columns the existing files lack (or
+    lack columns they have); each file keeps its own schema and
+    :func:`read_table` with ``merge_schema=True`` reconciles them,
+    missing columns reading as NULL.
+
+    Mechanics: write ``df`` to a staging dir, hard-move the part files
+    into the table dir under unique names, then atomically publish
+    old+new via ONE manifest swap. Crash before the commit → the new
+    files are invisible orphans (:func:`vacuum_orphans` reclaims);
+    readers never see a partial append. Returns ``{"n_files_added",
+    "n_files_total"}``."""
+    import pathlib
+    import shutil
+    import uuid
+
+    p = pathlib.Path(path)
+    live = ensure_manifest(p)
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".append-{token}")
+    df.write.mode("overwrite").parquet(str(staging))
+    added = []
+    for i, f in enumerate(sorted(staging.glob("*.parquet"))):
+        name = f"append-{token}-{i:05d}.parquet"
+        shutil.move(str(f), str(p / name))
+        added.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    _commit_manifest(p, live + added)
+    return {"n_files_added": len(added), "n_files_total": len(live) + len(added)}
 
 
 def vacuum_orphans(path) -> list[str]:
@@ -347,8 +386,15 @@ def delete_rows(spark, path: str, predicate: str | Column) -> dict:
     # data pages); match attribution runs over the FILTERED scan, so
     # the predicate pushes into parquet and row-group stats skip clean
     # files/groups.
-    rows_before = spark.read.parquet(*live_paths).count()
-    df = spark.read.parquet(*live_paths).withColumn("_file", F.input_file_name())
+    # mergeSchema: the predicate may reference a column added by a
+    # later append_files generation; files predating it read NULL there
+    # (predicate NULL → row survives, per the DELETE semantics below)
+    rows_before = spark.read.option("mergeSchema", "true").parquet(*live_paths).count()
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*live_paths)
+        .withColumn("_file", F.input_file_name())
+    )
     per_file = (
         df.filter(cond)
         .groupBy("_file")

@@ -307,3 +307,84 @@ def test_compaction_respects_manifest_and_skips_orphans(spark, tmp_path, monkeyp
     compact_parquet_dir(spark, target, target_file_bytes=10 * 1024 * 1024)
     assert not (pathlib.Path(target) / "_manifest.json").exists()
     assert {r["event_id"] for r in spark.read.parquet(target).collect()} == set(before) - victims
+
+
+def test_append_files_schema_evolution_and_cross_generation_delete(spark, tmp_path):
+    """append_files commits new files atomically to the manifest; a
+    later generation may ADD a column (merge_schema read reconciles,
+    older files read NULL there), and delete_rows works across
+    generations — including a predicate on the added column, where
+    pre-evolution rows evaluate NULL and therefore SURVIVE."""
+    from dbt_slabbing_spark.operators.layout import (
+        append_files,
+        delete_rows,
+        ensure_manifest,
+        read_table,
+        vacuum_orphans,
+    )
+
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).coalesce(1).write.parquet(t)
+    ensure_manifest(t)
+
+    # generation 2: adds a `score` column
+    stats = append_files(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(3, "c", 0.5), (4, "d", 0.9)], "id long, name string, score double"
+        ).coalesce(1),
+    )
+    assert stats["n_files_added"] == 1
+
+    merged = read_table(spark, t, merge_schema=True)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["score"] is None and rows[4]["score"] == 0.9
+
+    # delete on the ADDED column: gen-1 rows see NULL -> survive
+    d = delete_rows(spark, t, "score > 0.7")
+    assert d["rows_deleted"] == 1 and d["rows_after"] == 3
+    after = {r["id"] for r in read_table(spark, t, merge_schema=True).collect()}
+    assert after == {1, 2, 3}
+
+    # delete on a base column spanning both generations
+    d2 = delete_rows(spark, t, "id IN (1, 3)")
+    assert d2["rows_deleted"] == 2
+    assert {r["id"] for r in read_table(spark, t, merge_schema=True).collect()} == {2}
+    vacuum_orphans(t)
+
+
+def test_append_files_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
+    """A crash after moving files but before the manifest swap leaves
+    the appended rows INVISIBLE (orphans), and vacuum reclaims them."""
+    import dbt_slabbing_spark.operators.layout as layout
+
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame([(1,)], "id long").coalesce(1).write.parquet(t)
+    layout.ensure_manifest(t)
+
+    real_commit = layout._commit_manifest
+
+    def boom(p, files):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(layout, "_commit_manifest", boom)
+    try:
+        layout.append_files(
+            spark, t, spark.createDataFrame([(2,)], "id long").coalesce(1)
+        )
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(layout, "_commit_manifest", real_commit)
+
+    assert {r["id"] for r in layout.read_table(spark, t).collect()} == {1}
+    removed = layout.vacuum_orphans(t)
+    assert len(removed) == 1 and removed[0].startswith("append-")
+    # retry converges
+    layout.append_files(
+        spark, t, spark.createDataFrame([(2,)], "id long").coalesce(1)
+    )
+    assert {r["id"] for r in layout.read_table(spark, t).collect()} == {1, 2}
