@@ -176,7 +176,9 @@ _PRIORITY = (
     "stream_foreach_batch_totals",
     "stream_hourly_type_counts",
     "stream_domain_cap",  # round-8 gate (slot yielded by stream_sliding_user_activity)
-    "subquery_not_in_null_semantics",
+    "sql_recursive_reachability",  # round-8 gate, never
+    # driver-checked: takes subquery_not_in_null_semantics's slot
+    # (r3-green -> round-9 rotation queue)
     "text_bpe_token_estimate",
     "text_proximity_search",  # round-8 gate, never driver-checked:
     # takes text_fingerprint_groups's slot (r3-green -> round-9

@@ -436,3 +436,51 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).cast("int").alias("min_k"),
         F.max(k).cast("int").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RECURSIVE (join-shape): bipartite BFS reachability
+# ---------------------------------------------------------------------------
+
+_REACH_SQL = """
+WITH RECURSIVE reach(node, d) AS (
+    SELECT concat('s', CAST((SELECT min(s_suppkey) FROM {supplier}) AS STRING)), 0
+    UNION ALL
+    SELECT e.dst, r.d + 1
+    FROM reach r JOIN (
+        SELECT DISTINCT concat('s', CAST(l_suppkey AS STRING)) AS src,
+                        concat('p', CAST(l_partkey AS STRING)) AS dst
+        FROM {lineitem}
+        UNION ALL
+        SELECT DISTINCT concat('p', CAST(l_partkey AS STRING)),
+                        concat('s', CAST(l_suppkey AS STRING))
+        FROM {lineitem}
+    ) e ON e.src = r.node
+    WHERE r.d < 2
+)
+SELECT node, CAST(min(d) AS INT) AS depth
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_reachability",
+    _REACH_SQL.format(supplier="supplier", lineitem="lineitem"),
+    "JOIN-shape recursive CTE: BFS over the supplier-part bipartite "
+    "graph from the lowest supplier key, 2 hops, min depth per reached "
+    "node -- the other native WITH RECURSIVE execution path next to "
+    "the generator-shape month spine",
+    tags=("sql", "recursive", "graph"),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 executes this natively (UnionLoop with a per-step JOIN
+    against the recursive relation) -- the recursion each iteration is
+    frontier x edges, so the DEPTH BOUND is the scale contract: at
+    depth 2 the frontier is one supplier's parts then their suppliers
+    (path counts, not closed sets -- unbounded depth on a dense graph
+    multiplies paths; the iterative operators in operators/graph.py
+    with per-round dedup are the unbounded-depth tool). min(d) per
+    node collapses duplicate paths at the end."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_adv_li")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("_adv_supp")
+    return spark.sql(_REACH_SQL.format(supplier="_adv_supp", lineitem="_adv_li"))
