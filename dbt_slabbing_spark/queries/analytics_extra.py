@@ -1433,18 +1433,27 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = tok.groupBy("lang").agg(
         F.count_distinct("doc_id").cast("bigint").alias("nd")
     )
-    tot = classes.agg(F.sum("nd").cast("bigint").alias("n"))
+    # BOTH global scalars (total docs n = sum of per-class nd since a
+    # doc has exactly one lang; vocab size v) fold into ONE aggregate
+    # over tok, crossJoined at exactly ONE point (the dim build, which
+    # also absorbs the per-class prior) — the corpus invariant caps
+    # single-partition exchanges at 1/query, and two attachment points
+    # would defeat exchange reuse because column pruning specializes
+    # each copy of the aggregate
+    tots = tok.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n"),
+        F.count_distinct("tok").cast("bigint").alias("v"),
+    )
     cw = tok.groupBy("tok", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     tl = cw.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t"))
     vocab = tok.select("tok").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     dim = (
         vocab.crossJoin(F.broadcast(classes))
         .join(cw, ["tok", "lang"], "left")
         .join(F.broadcast(tl), "lang")
-        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(tots))
         .select(
             "tok",
             "lang",
@@ -1452,19 +1461,18 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
                 / (F.col("t") + F.col("v")).cast("double")
             ).alias("lp"),
+            F.log(F.col("nd").cast("double") / F.col("n").cast("double")).alias(
+                "prior"
+            ),
         )
     )
-    prior = F.log(F.col("nd").cast("double") / F.col("n").cast("double"))
     scored = (
-        tok.join(dim.withColumnRenamed("lang", "class"), "tok")
-        .join(
-            F.broadcast(classes.select(F.col("lang").alias("class"), "nd")),
-            "class",
+        tok.join(
+            dim.withColumnRenamed("lang", "class"), "tok"
         )
-        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", F.col("lang").alias("actual"), "class")
         .agg(
-            dround(F.any_value(prior) + F.sum("lp"), 6).alias("score")
+            dround(F.any_value(F.col("prior")) + F.sum("lp"), 6).alias("score")
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("class"))
