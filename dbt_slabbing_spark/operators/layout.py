@@ -236,13 +236,60 @@ def _uri_to_name(uri: str) -> str:
 def _commit_manifest(p, files: list[str]) -> None:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
-    every manifest-based mutation (POSIX rename atomicity)."""
+    every manifest-based mutation (POSIX rename atomicity).
+
+    Each commit also appends the prior snapshot to an in-document
+    ``history`` list (version-numbered), so the single atomic file
+    doubles as the table's version log — the time-travel read path
+    (:func:`read_table` ``version=``) and :func:`manifest_versions`
+    resolve old snapshots from it. Rewriting the history on every
+    commit is O(versions · files) metadata — the same cost class as a
+    Delta checkpoint, and metadata-only (no data file is ever copied).
+    """
     import json
     import os
 
+    mf = p / _MANIFEST
+    version, history = 1, []
+    if mf.exists():
+        prev = json.loads(mf.read_text())
+        version = int(prev.get("version", 1)) + 1
+        history = prev.get("history", [])
+        history.append(
+            {"version": int(prev.get("version", 1)), "files": prev["files"]}
+        )
     tmp = p / (_MANIFEST + ".tmp")
-    tmp.write_text(json.dumps({"files": sorted(files)}))
-    os.replace(str(tmp), str(p / _MANIFEST))
+    tmp.write_text(
+        json.dumps({"files": sorted(files), "version": version, "history": history})
+    )
+    os.replace(str(tmp), str(mf))
+
+
+def manifest_versions(path) -> list[int]:
+    """All queryable snapshot versions, oldest→newest (the current
+    version last)."""
+    import json
+    import pathlib
+
+    mf = pathlib.Path(path) / _MANIFEST
+    doc = json.loads(mf.read_text())
+    return [int(h["version"]) for h in doc.get("history", [])] + [
+        int(doc.get("version", 1))
+    ]
+
+
+def _files_at_version(p, version: int) -> list[str]:
+    import json
+
+    doc = json.loads((p / _MANIFEST).read_text())
+    if version == int(doc.get("version", 1)):
+        return sorted(doc["files"])
+    for h in doc.get("history", []):
+        if int(h["version"]) == version:
+            return sorted(h["files"])
+    raise ValueError(
+        f"version {version} not in manifest (have {manifest_versions(p)})"
+    )
 
 
 def ensure_manifest(path) -> list[str]:
@@ -261,7 +308,9 @@ def ensure_manifest(path) -> list[str]:
     return files
 
 
-def read_table(spark, path, merge_schema: bool = False) -> DataFrame:
+def read_table(
+    spark, path, merge_schema: bool = False, version: int | None = None
+) -> DataFrame:
     """Read a parquet directory through its manifest when one exists
     (the committed snapshot — orphan files from interrupted maintenance
     are invisible), else the plain directory.
@@ -269,14 +318,33 @@ def read_table(spark, path, merge_schema: bool = False) -> DataFrame:
     ``merge_schema=True`` unions the per-file schemas (parquet
     ``mergeSchema``): columns absent from older files read as NULL —
     the add-column schema-evolution read path for tables grown by
-    :func:`append_files` across schema generations."""
+    :func:`append_files` across schema generations.
+
+    ``version=N`` time-travels: the scan sees exactly the file list of
+    snapshot N (``VERSION AS OF`` over plain parquet). Old snapshots
+    stay readable because every mutation is copy-on-write — displaced
+    files are unlinked only AFTER the commit, and :func:`vacuum_orphans`
+    (which deletes files no retained snapshot references) is the
+    retention boundary, exactly Delta's VACUUM contract: travel past
+    what vacuum kept raises on the missing files."""
     import pathlib
 
     p = pathlib.Path(path)
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if (p / _MANIFEST).exists():
-        live = ensure_manifest(p)
+        live = (
+            _files_at_version(p, version)
+            if version is not None
+            else ensure_manifest(p)
+        )
+        missing = [n for n in live if not (p / n).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot {version} references vacuumed files: {missing}"
+            )
         return reader.parquet(*[str(p / n) for n in live])
+    if version is not None:
+        raise ValueError("version= requires a manifest table")
     return reader.parquet(str(p))
 
 
@@ -313,15 +381,23 @@ def append_files(spark, path, df: DataFrame) -> dict:
     return {"n_files_added": len(added), "n_files_total": len(live) + len(added)}
 
 
-def vacuum_orphans(path) -> list[str]:
-    """Delete data files not referenced by the manifest — the cleanup
-    pass for files orphaned by a crash between a manifest commit and
-    its post-commit unlinks (or by a pre-commit abort). Safe at any
-    time: the manifest is the source of truth. Returns removed names."""
+def vacuum_orphans(path, retain_versions: int = 0) -> list[str]:
+    """Delete data files not referenced by any retained snapshot — the
+    cleanup pass for files orphaned by a crash between a manifest
+    commit and its post-commit unlinks (or by a pre-commit abort), and
+    the RETENTION BOUNDARY for time travel: ``retain_versions=N``
+    additionally protects files referenced by the N most recent
+    historical snapshots (Delta's VACUUM retention, expressed in
+    versions rather than hours); the default 0 keeps only the current
+    snapshot readable. Safe at any time: the manifest is the source of
+    truth. Returns removed names."""
     import pathlib
 
     p = pathlib.Path(path)
     live = set(ensure_manifest(p))
+    if retain_versions:
+        for v in manifest_versions(p)[:-1][-retain_versions:]:
+            live |= set(_files_at_version(p, v))
     removed = []
     for f in p.glob("*.parquet"):
         if f.name not in live:
@@ -341,7 +417,9 @@ def _unlink_quiet(f) -> None:
         pass
 
 
-def delete_rows(spark, path: str, predicate: str | Column) -> dict:
+def delete_rows(
+    spark, path: str, predicate: str | Column, retain: bool = False
+) -> dict:
     """Targeted row deletion from a parquet table: rewrite ONLY the
     files that contain matching rows — the GDPR / right-to-be-forgotten
     maintenance op, i.e. a table format's copy-on-write DELETE
@@ -434,6 +512,119 @@ def delete_rows(spark, path: str, predicate: str | Column) -> dict:
     shutil.rmtree(str(staging), ignore_errors=True)
     gone = set(affected_names)
     _commit_manifest(p, [n for n in live if n not in gone] + new_names)  # ATOMIC
-    for n in affected_names:  # post-commit cleanup; failure → orphans only
-        _unlink_quiet(p / n)
+    if not retain:  # retain=True keeps displaced originals on disk so
+        # prior snapshots stay time-travel-readable until vacuum (the
+        # Delta contract); default unlinks eagerly (space-frugal)
+        for n in affected_names:  # post-commit cleanup; failure → orphans only
+            _unlink_quiet(p / n)
+    return stats
+
+
+def merge_rows(
+    spark,
+    path: str,
+    source: DataFrame,
+    on: str | list[str],
+    retain: bool = False,
+) -> dict:
+    """MERGE INTO / upsert as a copy-on-write manifest commit:
+    ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *``
+    with ``on`` as the record key (Hudi's record-key upsert contract:
+    every target row sharing a matched key is replaced by the ONE
+    source row for that key — the primary-key-table reading of MERGE).
+    A source with duplicate keys is rejected up front, matching
+    Delta/SQL MERGE's multiple-matches error.
+
+    Cost model mirrors :func:`delete_rows`: one scan semi-joined
+    against the (broadcastable) source key set attributes matched rows
+    to files, ONLY affected files are rewritten (their unmatched rows
+    survive verbatim), the whole source lands as fresh files, and the
+    switch is ONE atomic manifest swap. Untouched files are neither
+    read beyond footers nor copied. At 100 TB: the source key set ships
+    as a broadcast semi/anti join (the plan shape used here), affected
+    ≪ total when the merge key is the layout key, and the commit is
+    O(1) metadata — a table format's MERGE snapshot, not a table
+    rewrite.
+
+    Crash windows are identical to :func:`delete_rows` (staged files
+    invisible until the commit; post-commit unlink failures leave
+    orphans for :func:`vacuum_orphans`). ``retain=True`` keeps the
+    displaced originals for time travel.
+
+    Returns ``{"rows_before", "rows_updated", "rows_inserted",
+    "rows_after", "n_files_total", "n_files_rewritten",
+    "n_files_added"}`` — ``rows_updated`` counts REPLACED target rows
+    (≥ matched source keys when the target held duplicates).
+    """
+    import pathlib
+    import shutil
+    import uuid
+
+    keys = [on] if isinstance(on, str) else list(on)
+    p = pathlib.Path(path)
+    live = ensure_manifest(p)
+    live_paths = [str(p / n) for n in live]
+
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError("merge source has duplicate record keys")
+    src = source.cache()
+    n_src = src.count()
+
+    tgt = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*live_paths)
+        .withColumn("_file", F.input_file_name())
+    )
+    src_keys = F.broadcast(src.select(*keys))
+    per_file = (
+        tgt.join(src_keys, on=keys, how="left_semi")
+        .groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .collect()  # bounded: one row per AFFECTED file
+    )
+    rows_updated = sum(r["_hits"] for r in per_file)
+    affected_uris = [r["_file"] for r in per_file]
+    affected_names = sorted({_uri_to_name(u) for u in affected_uris})
+    matched_keys = src.join(tgt.select(*keys), on=keys, how="left_semi").count()
+    rows_before = spark.read.parquet(*live_paths).count()
+    stats = {
+        "rows_before": int(rows_before),
+        "rows_updated": int(rows_updated),
+        "rows_inserted": int(n_src - matched_keys),
+        "rows_after": int(rows_before - rows_updated + n_src),
+        "n_files_total": len(live),
+        "n_files_rewritten": len(affected_names),
+    }
+
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".merge-{token}")
+    new_names = []
+    if affected_names:
+        survivors = (
+            tgt.filter(F.col("_file").isin(affected_uris))
+            .join(src_keys, on=keys, how="left_anti")
+            .drop("_file")
+            .repartition(max(1, len(affected_names)))
+        )
+        survivors.write.mode("overwrite").parquet(str(staging / "rewrite"))
+        for i, f in enumerate(sorted((staging / "rewrite").glob("*.parquet"))):
+            name = f"part-merge-{token}-r{i:05d}.parquet"
+            f.rename(p / name)
+            new_names.append(name)
+    # the whole source (updates + inserts) lands as fresh files
+    src.write.mode("overwrite").parquet(str(staging / "insert"))
+    for i, f in enumerate(sorted((staging / "insert").glob("*.parquet"))):
+        name = f"part-merge-{token}-i{i:05d}.parquet"
+        f.rename(p / name)
+        new_names.append(name)
+    shutil.rmtree(str(staging), ignore_errors=True)
+    src.unpersist()
+    stats["n_files_added"] = len(new_names)
+
+    gone = set(affected_names)
+    _commit_manifest(p, [n for n in live if n not in gone] + new_names)  # ATOMIC
+    if not retain:
+        for n in affected_names:
+            _unlink_quiet(p / n)
     return stats

@@ -188,7 +188,10 @@ _PRIORITY = (
     "train_curriculum_order",
     "ts_forward_fill_hourly",
     "ts_funnel_conversion",
-    "ts_gap_fill_hourly",
+    "layout_merge_upsert",  # round-8 gate, never driver-checked: takes
+    # ts_gap_fill_hourly's slot (r3-green; its forward-fill twin stays
+    # prefixed and shares the spine/join kernel -> round-9 rotation
+    # queue)
     "ts_retention_cohorts",
     "udf_grouped_ols_slope",
     "ml_kmeans_cells",  # round-8 gate, never driver-checked: takes the
@@ -197,7 +200,9 @@ _PRIORITY = (
     # takes window_first_last_order's slot (r3-green -> round-9
     # rotation queue)
     "window_lag_lead_gaps",
-    "window_ntile_quartiles",
+    "layout_time_travel",  # round-8 gate, never driver-checked: takes
+    # window_ntile_quartiles's slot (r3-green; the window family keeps
+    # five prefixed rows -> round-9 rotation queue)
     "window_range_hourly_sum",
     "window_rank_dense_percent",
 )

@@ -318,3 +318,217 @@ def layout_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_before bigint, rows_deleted bigint, rows_after bigint, "
         "n_rows_read bigint, n_keys bigint, sum_price double",
     )
+
+
+@register(
+    "layout_merge_upsert",
+    # MERGE semantics replayed in plain SQL: merged = (target rows
+    # whose key is NOT a source key) UNION ALL source. Updates = keys
+    # o_orderkey % 7 = 0 with bumped price + status 'U'; inserts =
+    # negated keys derived from o_orderkey % 5 = 1 (negatives cannot
+    # collide with real keys).
+    """
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 100000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    ins AS (
+        SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 5 = 1
+    ),
+    merged AS (
+        SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+    ),
+    stats AS (
+        SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_before,
+               CAST((SELECT count(*) FROM upd) AS BIGINT)    AS rows_updated,
+               CAST((SELECT count(*) FROM ins) AS BIGINT)    AS rows_inserted
+    )
+    SELECT s.rows_before, s.rows_updated, s.rows_inserted,
+           CAST(count(*) AS BIGINT)                   AS rows_after,
+           CAST(count(DISTINCT m.o_orderkey) AS BIGINT) AS n_keys,
+           round(sum(m.o_totalprice) * 100.0) / 100.0 + 0.0 AS sum_price,
+           CAST(sum(CASE WHEN m.o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated_status,
+           CAST(sum(CASE WHEN m.o_orderkey < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inserted_rows
+    FROM merged m, stats s
+    GROUP BY s.rows_before, s.rows_updated, s.rows_inserted
+    """,
+    "copy-on-write MERGE INTO (record-key upsert) end-to-end: copy "
+    "orders into a multi-file manifest table, merge a source of "
+    "updates (bumped price, status 'U') + inserts (negated keys), "
+    "read the committed snapshot back -- merge stats and a survivor "
+    "checksum",
+    tags=("layout", "maintenance"),
+)
+def layout_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::merge_rows END-TO-END under the
+    oracle gate: an 8-file copy of orders becomes a manifest table,
+    MERGE rewrites only the files holding matched keys, appends the
+    source as fresh files, and commits ONE atomic manifest swap; the
+    verdict reads the new snapshot THROUGH the manifest. All emitted
+    values are distribution-independent (counts, distinct keys,
+    rounded sum), so the oracle is the SQL statement of MERGE
+    semantics over orders. Cleans up its tempdir before returning."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import merge_rows, read_table
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    orders = table(spark, sf_dir, "orders").select(*cols)
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    ins = orders.filter(F.col("o_orderkey") % 5 == 1).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), *cols[1:]
+    )
+    work = tempfile.mkdtemp(prefix="merge_upsert_gate_")
+    try:
+        orders.repartition(8, "o_orderkey").write.mode("overwrite").parquet(work)
+        stats = merge_rows(spark, work, upd.unionByName(ins), on="o_orderkey")
+        merged = read_table(spark, work)
+        row = merged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+            F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
+            dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum((F.col("o_orderstatus") == "U").cast("int"))
+            .cast("bigint")
+            .alias("n_updated_status"),
+            F.sum((F.col("o_orderkey") < 0).cast("int"))
+            .cast("bigint")
+            .alias("n_inserted_rows"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                stats["rows_before"],
+                stats["rows_updated"],
+                stats["rows_inserted"],
+                row["rows_after"],
+                row["n_keys"],
+                float(row["sum_price"]),
+                row["n_updated_status"],
+                row["n_inserted_rows"],
+            )
+        ],
+        "rows_before bigint, rows_updated bigint, rows_inserted bigint, "
+        "rows_after bigint, n_keys bigint, sum_price double, "
+        "n_updated_status bigint, n_inserted_rows bigint",
+    )
+
+
+@register(
+    "layout_time_travel",
+    # Three snapshots replayed in SQL: v1 = orders (adoption), v2 =
+    # v1 + appended slice (negated keys from o_orderkey % 13 = 0),
+    # v3 = v2 minus DELETE o_orderstatus='O' AND o_totalprice<150000
+    # (predicate TRUE only; applies to appended rows too).
+    """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    app AS (
+        SELECT -o_orderkey AS o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM app),
+    v3 AS (
+        SELECT * FROM v2
+        WHERE NOT coalesce(o_orderstatus = 'O' AND o_totalprice < 150000.0,
+                           FALSE)
+    )
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           round(sum(o_totalprice) * 100.0) / 100.0 + 0.0 AS sum_price
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           round(sum(o_totalprice) * 100.0) / 100.0 + 0.0
+    FROM v2
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           round(sum(o_totalprice) * 100.0) / 100.0 + 0.0
+    FROM v3
+    """,
+    "manifest time travel (VERSION AS OF over plain parquet): adopt "
+    "orders (v1), append a slice (v2), delete a predicate with "
+    "retained originals (v3), then read ALL THREE snapshots back "
+    "through the version log -- per-version counts and checksums",
+    tags=("layout", "maintenance"),
+)
+def layout_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the manifest version log END-TO-END: every mutation in
+    operators/layout.py commits a new version whose file list stays
+    queryable (copy-on-write + retained originals), so `read_table(
+    version=N)` reproduces each historical snapshot exactly — the
+    Delta/Iceberg `VERSION AS OF` read expressed over plain parquet +
+    one atomic manifest file. The verdict re-reads v1/v2/v3 AFTER all
+    three commits and emits per-version distribution-independent
+    checksums; vacuum honoring `retain_versions` is pytest-covered."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        delete_rows,
+        ensure_manifest,
+        merge_rows,  # noqa: F401  (sibling op; see test module)
+        read_table,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    app = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="time_travel_gate_")
+    try:
+        orders.repartition(8, "o_orderkey").write.mode("overwrite").parquet(work)
+        ensure_manifest(work)  # v1: adoption commit
+        from ..operators.layout import append_files
+
+        append_files(spark, work, app)  # v2
+        delete_rows(
+            spark,
+            work,
+            "o_orderstatus = 'O' AND o_totalprice < 150000.0",
+            retain=True,  # keep displaced originals: v2/v1 stay readable
+        )  # v3
+        out = []
+        for v in (1, 2, 3):
+            row = (
+                read_table(spark, work, version=v)
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
+                    dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+                )
+                .collect()[0]
+            )
+            out.append((v, row["n_rows"], row["n_keys"], float(row["sum_price"])))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "version int, n_rows bigint, n_keys bigint, sum_price double"
+    )
