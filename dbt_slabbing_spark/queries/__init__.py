@@ -162,7 +162,10 @@ _PRIORITY = (
     "q5_local_supplier",
     "q9_product_type_profit",
     "sample_train_test_split",
-    "sample_weighted_mixture",
+    "ml_item_cofiltering",  # round-8 gate, never driver-checked: takes
+    # sample_weighted_mixture's slot (r3-green; the md5-keyed sampling
+    # kernel keeps two prefixed rows via train_test_split and
+    # weighted_noreplacement -> round-9 rotation queue)
     "sample_weighted_noreplacement",
     "stream_trending_topk",  # round-8 gate, never driver-checked:
     # takes setop_except_nations's slot (r3-green -> round-9 rotation

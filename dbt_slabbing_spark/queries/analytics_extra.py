@@ -1656,3 +1656,137 @@ def ml_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum((pb - pa) * F.log(pb / pa)), 6).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# item-item collaborative filtering (neighborhood recommender)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_item_cofiltering",
+    # Implicit-feedback item-item CF: interactions = (user, item=props.k)
+    # over view/click/purchase events, capped to each user's top-32
+    # items (count DESC, item ASC) so a hot user contributes <= 32^2
+    # candidate pairs; cosine sim = co / sqrt(n_i * n_j) rounded to
+    # 6 dp before ranking; top-3 neighbors per item, tie neighbor ASC.
+    """
+    WITH inter AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id, item
+    ),
+    capped AS (
+        SELECT user_id, item FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY cnt DESC, item) AS rn
+            FROM inter
+        ) WHERE rn <= 32
+    ),
+    pop AS (SELECT item, CAST(count(*) AS BIGINT) AS n_users
+            FROM capped GROUP BY item),
+    co AS (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS co_users
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY i, j
+    ),
+    sim AS (
+        SELECT i, j, co_users,
+               round(CAST(co_users AS DOUBLE)
+                     / sqrt(CAST(pi.n_users AS DOUBLE)
+                            * CAST(pj.n_users AS DOUBLE))
+                     * 1000000.0) / 1000000.0 + 0.0 AS sim
+        FROM co JOIN pop pi ON pi.item = co.i
+                JOIN pop pj ON pj.item = co.j
+    ),
+    sym AS (
+        SELECT i AS item, j AS neighbor, co_users, sim FROM sim
+        UNION ALL
+        SELECT j AS item, i AS neighbor, co_users, sim FROM sim
+    )
+    SELECT item, neighbor, co_users, sim, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY item
+                                     ORDER BY sim DESC, neighbor) AS rn
+        FROM sym
+    ) WHERE rn <= 3
+    """,
+    "item-item collaborative filtering (implicit feedback): per-user "
+    "top-32-capped interactions, user-keyed co-occurrence self-join, "
+    "cosine similarity (6-dp rounded), top-3 neighbors per item",
+    tags=("ml", "recommender"),
+)
+def ml_item_cofiltering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood recommender (Sarwar et al. 2001, item-based
+    CF): candidates come from a USER-KEYED equi self-join of the
+    per-user-capped interaction set — the cap (top-32 items per user)
+    bounds a hot user's pair contribution at 32^2, making total work
+    linear in users, never interactions^2 (the same df-cap discipline
+    as the shingle joins). Popularities attach as item-keyed shuffle
+    joins (an item catalog does not broadcast at scale — the tfidf
+    argument), and the per-item top-3 compiles to WindowGroupLimit
+    both sides of the exchange. Cosine is one sqrt + one divide, both
+    IEEE-exact, rounded to 6 dp before the rank so libm cannot flip a
+    neighbor order cross-engine."""
+    ev = table(spark, sf_dir, "events")
+    inter = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("item")
+    )
+    capped = (
+        inter.withColumn("rn", F.row_number().over(w_user))
+        .filter(F.col("rn") <= 32)
+        .select("user_id", "item")
+    )
+    pop = capped.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
+    )
+    sim = (
+        co.join(pop.select(F.col("item").alias("i"), F.col("n_users").alias("n_i")), "i")
+        .join(pop.select(F.col("item").alias("j"), F.col("n_users").alias("n_j")), "j")
+        .select(
+            "i",
+            "j",
+            "co_users",
+            dround(
+                F.col("co_users").cast("double")
+                / F.sqrt(
+                    F.col("n_i").cast("double") * F.col("n_j").cast("double")
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    sym = sim.select(
+        F.col("i").alias("item"), F.col("j").alias("neighbor"), "co_users", "sim"
+    ).unionByName(
+        sim.select(
+            F.col("j").alias("item"), F.col("i").alias("neighbor"), "co_users", "sim"
+        )
+    )
+    w_item = Window.partitionBy("item").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w_item))
+        .filter(F.col("rn") <= 3)
+        .select("item", "neighbor", "co_users", "sim", F.col("rn").cast("int").alias("rank"))
+    )
