@@ -173,7 +173,10 @@ _PRIORITY = (
     "text_domain_filter",  # round-8 gate, never driver-checked: takes
     # the slot setop_union_by_name was designated to yield (see item 3)
     "sim_brp_euclidean_topk",
-    "sim_lsh_bucket_histogram",
+    "ml_als_rank1",  # round-8 gate, never driver-checked: takes
+    # sim_lsh_bucket_histogram's slot (r3-green; the hyperplane-LSH
+    # kernel keeps prefixed rows via sim_neardup_pairs_lsh and
+    # sim_brp_euclidean_topk -> round-9 rotation queue)
     "dedup_semantic_trained",  # round-8 gate (slot yielded by sim_neardup_pairs)
     "sim_neardup_pairs_lsh",
     "stream_foreach_batch_totals",

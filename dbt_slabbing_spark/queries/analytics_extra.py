@@ -1790,3 +1790,133 @@ def ml_item_cofiltering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("item", "neighbor", "co_users", "sim", F.col("rn").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# rank-1 alternating least squares (matrix-factorization recommender)
+# ---------------------------------------------------------------------------
+
+
+def _sql_als_oracle(lam: float, sweeps: int, dp: int) -> str:
+    """Unrolled-CTE replay of the rank-1 ALS alternation: each half
+    step is one grouped aggregate (exactly the engine's dataflow), with
+    factors rounded to ``dp`` after every half step so cross-engine
+    float summation noise (~1e-14) stays far below the rounding
+    spacing — the kmeans/pagerank bit-alignment recipe."""
+    p = float(10**dp)
+
+    def rnd(expr: str) -> str:
+        return f"round(({expr}) * {p}) / {p} + 0.0"
+
+    ctes = [
+        f"""r AS (
+        SELECT user_id AS u, CAST(json_extract_string(props, '$.k') AS INT) AS i,
+               {rnd('avg(value)')} AS rating
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY u, i
+    )""",
+        "q0 AS (SELECT DISTINCT i, 1.0 AS q FROM r)",
+    ]
+    qprev = "q0"
+    for s in range(1, sweeps + 1):
+        ctes.append(
+            f"""p{s} AS (
+        SELECT r.u, {rnd(f'sum(r.rating * {qprev}.q) / ({lam} + sum({qprev}.q * {qprev}.q))')} AS p
+        FROM r JOIN {qprev} ON {qprev}.i = r.i GROUP BY r.u
+    )"""
+        )
+        ctes.append(
+            f"""q{s} AS (
+        SELECT r.i, {rnd(f'sum(r.rating * p{s}.p) / ({lam} + sum(p{s}.p * p{s}.p))')} AS q
+        FROM r JOIN p{s} ON p{s}.u = r.u GROUP BY r.i
+    )"""
+        )
+        qprev = f"q{s}"
+    last = sweeps
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    rmse AS (
+        SELECT round(sqrt(avg((r.rating - p{last}.p * q{last}.q)
+                              * (r.rating - p{last}.p * q{last}.q)))
+                     * 1000000.0) / 1000000.0 + 0.0 AS rmse
+        FROM r JOIN p{last} ON p{last}.u = r.u
+               JOIN q{last} ON q{last}.i = r.i
+    )
+    SELECT 'user' AS kind, CAST(u AS BIGINT) AS id, p AS factor, rmse.rmse
+    FROM p{last}, rmse
+    UNION ALL
+    SELECT 'item', CAST(i AS BIGINT), q, rmse.rmse FROM q{last}, rmse
+    """
+
+
+@register(
+    "ml_als_rank1",
+    _sql_als_oracle(lam=0.1, sweeps=2, dp=9),
+    "rank-1 ALS matrix factorization on (user, item=props.k, "
+    "avg purchase value): 2 alternating closed-form sweeps from "
+    "q=1 init, lambda=0.1, 9-dp per-half-step rounding -- final "
+    "user/item factors long-format + training RMSE",
+    tags=("ml", "recommender", "iterative", "training"),
+)
+def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matrix-factorization member of the iterated-dataflow ML
+    family (kmeans, pagerank, logreg): rank-1 ALS where each half
+    step's closed form p_u = sum_i(r*q)/(lambda + sum_i q^2) is ONE
+    grouped aggregate over the ratings joined to the other side's
+    factor frame — no driver-side state at all, so the shape carries
+    to full-rank factors (per-key solves via applyInPandas) and any
+    user/item cardinality; at 100 TB each sweep persists its factor
+    frame instead of recomputing lineage (noted, not needed at gate
+    scale). Factors round to 9 dp after every half step for
+    cross-engine bit-alignment; RMSE is the query's ONE global
+    aggregate."""
+    lam, sweeps, dp = 0.1, 2, 9
+    ev = table(spark, sf_dir, "events")
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("int").alias("i"),
+        )
+        .agg(dround(F.avg("value"), dp).alias("rating"))
+    )
+    q = r.select("i").distinct().withColumn("q", F.lit(1.0))
+    for _ in range(sweeps):
+        p = (
+            r.join(q, "i")
+            .groupBy("u")
+            .agg(
+                dround(
+                    F.sum(F.col("rating") * F.col("q"))
+                    / (F.lit(lam) + F.sum(F.col("q") * F.col("q"))),
+                    dp,
+                ).alias("p")
+            )
+        )
+        q = (
+            r.join(p, "u")
+            .groupBy("i")
+            .agg(
+                dround(
+                    F.sum(F.col("rating") * F.col("p"))
+                    / (F.lit(lam) + F.sum(F.col("p") * F.col("p"))),
+                    dp,
+                ).alias("q")
+            )
+        )
+    err = F.col("rating") - F.col("p") * F.col("q")
+    rmse = (
+        r.join(p, "u")
+        .join(q, "i")
+        .agg(dround(F.sqrt(F.avg(err * err)), 6).alias("rmse"))
+    )
+    users = p.select(
+        F.lit("user").alias("kind"), F.col("u").cast("bigint").alias("id"),
+        F.col("p").alias("factor"),
+    )
+    items = q.select(
+        F.lit("item").alias("kind"), F.col("i").cast("bigint").alias("id"),
+        F.col("q").alias("factor"),
+    )
+    return users.unionByName(items).crossJoin(F.broadcast(rmse))
