@@ -210,7 +210,9 @@ _PRIORITY = (
     # window_ntile_quartiles's slot (r3-green; the window family keeps
     # five prefixed rows -> round-9 rotation queue)
     "window_range_hourly_sum",
-    "window_rank_dense_percent",
+    "ml_decision_stump",  # round-8 gate, never driver-checked: takes
+    # window_rank_dense_percent's slot (r3-green; the window family
+    # keeps four prefixed rows -> round-9 rotation queue)
 )
 
 

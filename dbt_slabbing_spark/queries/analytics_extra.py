@@ -1920,3 +1920,144 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("factor"),
     )
     return users.unionByName(items).crossJoin(F.broadcast(rmse))
+
+
+# ---------------------------------------------------------------------------
+# histogram-based decision-stump split finder (tree-boosting kernel)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_decision_stump",
+    # Histogram split finding (the XGBoost/LightGBM approx algorithm)
+    # for a depth-1 classification tree on y = (label < 5): features =
+    # embedding dims 0..7, candidate thresholds = feature values
+    # rounded to 2 dp (the histogram buckets), split x <= t. With a
+    # 0/1 target the per-bucket stats (n, sum_y) are INTEGERS, prefix
+    # sums stay integers, and the variance gain is exact-int arithmetic
+    # until one final division -- bit-exact cross-engine, rounded to
+    # 9 dp only to pin the rank order. Top-5 splits, tie (f, t) ASC.
+    """
+    WITH pts AS (
+        SELECT feats.f,
+               round(CAST(embedding[feats.f + 1] AS DOUBLE) * 100.0) / 100.0
+                   + 0.0 AS bucket,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS f) feats
+    ),
+    hist AS (
+        SELECT f, bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM pts GROUP BY f, bucket
+    ),
+    cum AS (
+        SELECT f, bucket,
+               CAST(sum(n) OVER w AS BIGINT)  AS cn,
+               CAST(sum(sy) OVER w AS BIGINT) AS csy,
+               CAST(sum(n) OVER t AS BIGINT)  AS tn,
+               CAST(sum(sy) OVER t AS BIGINT) AS tsy
+        FROM hist
+        WINDOW w AS (PARTITION BY f ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               t AS (PARTITION BY f)
+    ),
+    gains AS (
+        SELECT f, bucket AS threshold, cn AS n_left, csy AS sy_left,
+               round(((CAST(tsy AS DOUBLE) - CAST(tsy * tsy AS DOUBLE) / tn)
+                      - (CAST(csy AS DOUBLE) - CAST(csy * csy AS DOUBLE) / cn)
+                      - (CAST(tsy - csy AS DOUBLE)
+                         - CAST((tsy - csy) * (tsy - csy) AS DOUBLE)
+                           / (tn - cn)))
+                     * 1000000000.0) / 1000000000.0 + 0.0 AS gain
+        FROM cum WHERE cn < tn
+    )
+    SELECT CAST(f AS INT) AS f, threshold, n_left, sy_left, gain,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY gain DESC, f, threshold) AS rn
+        FROM gains
+    ) WHERE rn <= 5
+    """,
+    "histogram-based decision-stump split finder on embedding dims "
+    "0..7 vs y=(label<5): 2-dp bucket histograms, integer prefix-sum "
+    "split stats, exact variance gain, top-5 splits",
+    tags=("ml", "training", "tree"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-finding kernel every distributed tree booster is
+    built on (XGBoost's approx histogram algorithm): ONE pass builds
+    per-(feature, bucket) histograms (map-side combinable), a
+    feature-keyed prefix-sum window turns them into left/right split
+    statistics — never a per-candidate rescan of the data — and the
+    global top-k is the query's one single-partition window. With a
+    0/1 target the histogram stats and prefix sums are all integers,
+    so the variance gain is exact integer arithmetic until one final
+    IEEE division: fully hash-checkable cross-engine. Scales as
+    O(rows x features) explode + O(buckets) state, the exact shape
+    that trains boosted trees on 100 TB."""
+    emb = table(spark, sf_dir, "embeddings")
+    feats = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("f")
+    pts = emb.select(
+        feats,
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    ).select(
+        "f",
+        (dround(F.element_at("embedding", F.col("f") + 1).cast("double"), 2)).alias(
+            "bucket"
+        ),
+        "y",
+    )
+    hist = pts.groupBy("f", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    w = (
+        Window.partitionBy("f")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("f")
+    cum = hist.select(
+        "f",
+        "bucket",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("sy").over(w).cast("bigint").alias("csy"),
+        F.sum("n").over(t).cast("bigint").alias("tn"),
+        F.sum("sy").over(t).cast("bigint").alias("tsy"),
+    )
+    d = F.col  # noqa: E731 — brevity for the gain expression
+    gain = dround(
+        (d("tsy").cast("double") - (d("tsy") * d("tsy")).cast("double") / d("tn"))
+        - (d("csy").cast("double") - (d("csy") * d("csy")).cast("double") / d("cn"))
+        - (
+            (d("tsy") - d("csy")).cast("double")
+            - ((d("tsy") - d("csy")) * (d("tsy") - d("csy"))).cast("double")
+            / (d("tn") - d("cn"))
+        ),
+        9,
+    )
+    gains = (
+        cum.filter(d("cn") < d("tn"))
+        .select(
+            "f",
+            d("bucket").alias("threshold"),
+            d("cn").alias("n_left"),
+            d("csy").alias("sy_left"),
+            gain.alias("gain"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("gain"), F.asc("f"), F.asc("threshold"))
+    return (
+        gains.withColumn("rn", F.row_number().over(w_rank))
+        .filter(d("rn") <= 5)
+        .select(
+            d("f").cast("int").alias("f"),
+            "threshold",
+            "n_left",
+            "sy_left",
+            "gain",
+            d("rn").cast("int").alias("rank"),
+        )
+    )
