@@ -141,7 +141,9 @@ _PRIORITY = (
     "ml_naive_bayes_langid",  # round-8 gate, never driver-checked:
     # takes dedup_simhash's slot (r3-green; simhash-PAIRS variant
     # keeps banding coverage elsewhere -> round-9 rotation queue)
-    "fn_case_classification",
+    "profile_chi2_independence",  # round-8 gate, never driver-checked:
+    # takes fn_case_classification's slot (r3-green byte-stable scalar
+    # suite -> round-9 rotation queue)
     "sim_ivf_trained_topk",  # round-8 gate (slot yielded by fn_hash_suite)
     "text_bpe_encode_tokens",  # round-8 gate, never driver-checked:
     # takes fn_math_suite's slot (r3-green byte-stable scalar suite ->
@@ -190,7 +192,11 @@ _PRIORITY = (
     # takes text_fingerprint_groups's slot (r3-green -> round-9
     # rotation queue)
     "text_langid_confusion",
-    "text_token_histogram",
+    "profile_ks_two_sample",  # round-8 gate, never driver-checked:
+    # takes text_token_histogram's slot (r3-green; the token-stats
+    # kernel is trivially pytest-pinned and the histogram shape keeps
+    # driver coverage via the agg_histogram family -> round-9 rotation
+    # queue)
     "train_curriculum_order",
     "ts_forward_fill_hourly",
     "ts_funnel_conversion",

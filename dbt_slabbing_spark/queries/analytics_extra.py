@@ -2061,3 +2061,169 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             d("rn").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov + chi-square independence (drift tests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_ks_two_sample",
+    # Exact two-sample KS between purchase and click value
+    # distributions: per distinct value, conditional counts; ordered
+    # prefix sums give both ECDFs; the sup statistic is found on the
+    # CROSS-MULTIPLIED integer |cn1*N2 - cn2*N1| so the argmax is
+    # exact integer arithmetic; D divides once at the end (6 dp).
+    """
+    WITH pts AS (
+        SELECT value AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY value
+    ),
+    cum AS (
+        SELECT x,
+               CAST(sum(n1) OVER w AS BIGINT) AS cn1,
+               CAST(sum(n2) OVER w AS BIGINT) AS cn2,
+               CAST(sum(n1) OVER t AS BIGINT) AS tn1,
+               CAST(sum(n2) OVER t AS BIGINT) AS tn2
+        FROM pts
+        WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW),
+               t AS ()
+    ),
+    scored AS (SELECT *, abs(cn1 * tn2 - cn2 * tn1) AS num FROM cum)
+    SELECT x AS x_at, tn1 AS n1, tn2 AS n2,
+           round(CAST(num AS DOUBLE) / (CAST(tn1 AS DOUBLE) * tn2)
+                 * 1000000.0) / 1000000.0 + 0.0 AS d_stat
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY num DESC, x) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    "exact two-sample Kolmogorov-Smirnov statistic between purchase "
+    "and click value distributions: integer cross-multiplied ECDF gap "
+    "argmax, D at 6 dp with its location and sample sizes",
+    tags=("profile", "drift", "stats"),
+)
+def profile_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-drift significance test beside the PSI monitor
+    (ml_psi_value_drift): one conditional-count aggregate per distinct
+    value, ONE globally-ordered prefix-sum window (the query's single
+    allowed single-partition exchange; at 100 TB this becomes the
+    range-partitioned grouped_prefix_sum in operators/ordering.py),
+    and an integer argmax. Cross-multiplying the ECDF gap to
+    |cn1*N2 - cn2*N1| keeps the sup-statistic selection EXACT —
+    no float compare decides the argmax — and D divides exactly once."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pts = ev.groupBy(F.col("value").alias("x")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = Window.partitionBy()
+    cum = pts.select(
+        "x",
+        F.sum("n1").over(w).cast("bigint").alias("cn1"),
+        F.sum("n2").over(w).cast("bigint").alias("cn2"),
+        F.sum("n1").over(t).cast("bigint").alias("tn1"),
+        F.sum("n2").over(t).cast("bigint").alias("tn2"),
+    )
+    scored = cum.withColumn(
+        "num", F.abs(F.col("cn1") * F.col("tn2") - F.col("cn2") * F.col("tn1"))
+    )
+    w_rank = Window.orderBy(F.desc("num"), F.asc("x"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("x").alias("x_at"),
+            F.col("tn1").alias("n1"),
+            F.col("tn2").alias("n2"),
+            dround(
+                F.col("num").cast("double")
+                / (F.col("tn1").cast("double") * F.col("tn2")),
+                6,
+            ).alias("d_stat"),
+        )
+    )
+
+
+@register(
+    "profile_chi2_independence",
+    # Pearson chi-square independence of event_type x hour-of-day
+    # bucket (hour % 8): observed counts and marginals are integers;
+    # chi2 is computed via the algebraic identity
+    # sum((O-E)^2/E) = N * sum(O^2/(row*col)) - N so the grand total N
+    # folds into the FINAL aggregate instead of costing a second
+    # single-partition window; only the per-cell O^2/(row*col) terms
+    # are float, summed over <=40 cells and rounded to 6 dp.
+    """
+    WITH obs AS (
+        SELECT event_type, CAST(hour(ts) % 8 AS INT) AS hb,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, hb
+    ),
+    m AS (
+        SELECT *,
+               CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+               CAST(sum(o) OVER (PARTITION BY hb) AS BIGINT)         AS col_tot
+        FROM obs
+    )
+    SELECT round((CAST(sum(o) AS DOUBLE)
+                  * sum(CAST(o * o AS DOUBLE)
+                        / (CAST(row_tot AS DOUBLE) * col_tot))
+                  - sum(o)) * 1000000.0) / 1000000.0 + 0.0 AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT hb) - 1) AS BIGINT) AS dof,
+           CAST(sum(o) AS BIGINT) AS n
+    FROM m
+    """,
+    "Pearson chi-square independence test of event_type vs hour-of-day "
+    "bucket: integer contingency marginals, chi2 at 6 dp with degrees "
+    "of freedom and sample size",
+    tags=("profile", "drift", "stats"),
+)
+def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-drift / feature-dependence screening at corpus
+    scale: the contingency table collapses to |types| x |buckets|
+    integer cells in one map-side-combined aggregate, marginals are
+    per-cell window sums over that TINY frame, and the chi-square
+    reduce is the query's one global aggregate. Nothing here scales
+    with row count except the first aggregate."""
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.hour("ts") % 8).cast("int").alias("hb")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    m = obs.select(
+        "*",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("bigint").alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("hb")).cast("bigint").alias("col_tot"),
+    )
+    return m.agg(
+        dround(
+            F.sum("o").cast("double")
+            * F.sum(
+                (F.col("o") * F.col("o")).cast("double")
+                / (F.col("row_tot").cast("double") * F.col("col_tot"))
+            )
+            - F.sum("o"),
+            6,
+        ).alias("chi2"),
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("hb") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum("o").cast("bigint").alias("n"),
+    )
