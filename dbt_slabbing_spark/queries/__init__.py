@@ -181,13 +181,20 @@ _PRIORITY = (
     # sim_brp_euclidean_topk -> round-9 rotation queue)
     "dedup_semantic_trained",  # round-8 gate (slot yielded by sim_neardup_pairs)
     "sim_neardup_pairs_lsh",
-    "stream_foreach_batch_totals",
+    "ts_session_paths_topk",  # round-8 gate, never driver-checked:
+    # takes stream_foreach_batch_totals's slot (r3-green; the
+    # streaming family keeps three prefixed rows via
+    # stream_hourly_type_counts, stream_trending_topk and
+    # stream_domain_cap -> round-9 rotation queue)
     "stream_hourly_type_counts",
     "stream_domain_cap",  # round-8 gate (slot yielded by stream_sliding_user_activity)
     "sql_recursive_reachability",  # round-8 gate, never
     # driver-checked: takes subquery_not_in_null_semantics's slot
     # (r3-green -> round-9 rotation queue)
-    "text_bpe_token_estimate",
+    "agg_countmin_sketch",  # round-8 gate, never driver-checked:
+    # takes text_bpe_token_estimate's slot (r3-green; the BPE family
+    # keeps two prefixed rows via learn_merges and encode_tokens ->
+    # round-9 rotation queue)
     "text_proximity_search",  # round-8 gate, never driver-checked:
     # takes text_fingerprint_groups's slot (r3-green -> round-9
     # rotation queue)
@@ -211,7 +218,10 @@ _PRIORITY = (
     "ml_psi_value_drift",  # round-8 gate, never driver-checked:
     # takes window_first_last_order's slot (r3-green -> round-9
     # rotation queue)
-    "window_lag_lead_gaps",
+    "ts_ewma_smoothing",  # round-8 gate, never driver-checked:
+    # takes window_lag_lead_gaps's slot (r3-green; the lag/lead kernel
+    # keeps a driver check through window_sessionize_batch, which is
+    # built on it and stays prefixed -> round-9 rotation queue)
     "layout_time_travel",  # round-8 gate, never driver-checked: takes
     # window_ntile_quartiles's slot (r3-green; the window family keeps
     # five prefixed rows -> round-9 rotation queue)

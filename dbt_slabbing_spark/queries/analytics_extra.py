@@ -2227,3 +2227,285 @@ def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.sum("o").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (mergeable frequency estimation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_countmin_sketch",
+    # Count-min sketch (Cormode & Muthukrishnan 2005) with d=3 md5
+    # hash rows x w=32 buckets over item = props.k: counters are plain
+    # grouped sums (mergeable by construction), the estimate is the
+    # min over the item's 3 counters, and with FIXED hash functions
+    # the whole sketch replays exactly in SQL — est/true/overcount all
+    # value-hash-checked, plus the one-sided guarantee est >= true as
+    # a verdict column. Top-20 items by true count (item ASC ties).
+    """
+    WITH items AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM events
+    ),
+    truth AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS true_n
+        FROM items GROUP BY item
+    ),
+    cells AS (
+        SELECT r.r,
+               CAST(('0x' || substr(md5(r.r || '|' || i.item), 1, 8))::BIGINT
+                    % 32 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM items i CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r) r
+        GROUP BY r.r, bucket
+    ),
+    est AS (
+        SELECT t.item, t.true_n, CAST(min(c.c) AS BIGINT) AS est_n
+        FROM truth t
+        JOIN (SELECT unnest(generate_series(0, 2)) AS r) rr ON TRUE
+        JOIN cells c
+          ON c.r = rr.r
+         AND c.bucket = ('0x' || substr(md5(rr.r || '|' || t.item), 1, 8))::BIGINT % 32
+        GROUP BY t.item, t.true_n
+    )
+    SELECT item, true_n, est_n, est_n - true_n AS overcount,
+           est_n >= true_n AS never_undercounts
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY true_n DESC, item) AS rn
+        FROM est
+    ) WHERE rn <= 20
+    """,
+    "count-min sketch (d=3 md5 rows, w=32 buckets) over item=props.k: "
+    "exact counter replay, min-over-rows estimate, overcount and the "
+    "one-sided est>=true guarantee for the top-20 items",
+    tags=("aggregate", "sketch"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable frequency sketch beside the Misra-Gries heavy
+    hitter (agg_heavy_hitters_mg): counters are per-(row, bucket)
+    grouped SUMS, so partial sketches combine map-side and union
+    across streams/partitions by addition — the property that makes
+    CMS the standard distributed/streaming frequency summary. The
+    d x w counter table is 96 rows at any corpus size; estimates
+    attach via a broadcast join of the counter table to the distinct
+    item frame. Portable md5 bucket hashing (operators/hashing.py
+    conventions) keeps the sketch bit-identical cross-engine."""
+    from ..operators.hashing import hex_to_long
+
+    ev = table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("item")
+    )
+    truth = ev.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    rows3 = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r")
+
+    def bucket(r: F.Column, item: F.Column) -> F.Column:
+        return F.pmod(
+            hex_to_long(
+                F.substring(
+                    F.md5(F.concat(r.cast("string"), F.lit("|"), item.cast("string"))),
+                    1,
+                    8,
+                )
+            ),
+            F.lit(32),
+        ).cast("bigint")
+
+    cells = (
+        ev.select("item", rows3)
+        .select("r", bucket(F.col("r"), F.col("item")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    est = (
+        truth.select("item", "true_n", rows3)
+        .withColumn("bucket", bucket(F.col("r"), F.col("item")))
+        .join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("item", "true_n")
+        .agg(F.min("c").cast("bigint").alias("est_n"))
+    )
+    w_rank = Window.orderBy(F.desc("true_n"), F.asc("item"))
+    return (
+        est.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "item",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+            (F.col("est_n") >= F.col("true_n")).alias("never_undercounts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# session path mining (top journey sequences)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_session_paths_topk",
+    # Top-10 session journeys: 30-min-gap sessionization (the
+    # window_sessionize_batch kernel), path = first 8 event types of
+    # the session joined by '>', ranked by frequency (path ASC ties).
+    """
+    WITH gapped AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS session_id
+        FROM gapped
+    ),
+    pos AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS pos
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY pos) AS path
+        FROM pos WHERE pos <= 8
+        GROUP BY user_id, session_id
+    ),
+    counts AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rn
+        FROM counts
+    ) WHERE rn <= 10
+    """,
+    "session path mining: 30-min-gap sessionization, path = first 8 "
+    "event types per session joined by '>', top-10 paths by frequency",
+    tags=("timeseries", "window", "sessionization"),
+)
+def ts_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The journey-analytics complement of the transition matrix
+    (ts_event_transition_matrix): where the Markov view is memoryless,
+    path mining keeps whole ordered sequences. All heavy work rides
+    user-keyed window partitions (sessionize + position) and one
+    path-keyed count; truncating to 8 positions bounds the path key.
+    collect_list inside a deterministic (ts, event_id) window keeps
+    the engine-side concatenation order identical to the oracle's
+    ordered string_agg."""
+    ev = table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    prev_ms = F.unix_millis(F.lag("ts").over(order_w))
+    gapped = ev.withColumn(
+        "is_start",
+        F.when(prev_ms.isNull() | ((ms - prev_ms) > 1800000), 1).otherwise(0),
+    )
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = gapped.withColumn(
+        "session_id", F.sum("is_start").over(run_w).cast("bigint")
+    )
+    pos_w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pos = sess.withColumn("pos", F.row_number().over(pos_w)).filter(
+        F.col("pos") <= 8
+    )
+    agg_w = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    paths = (
+        pos.withColumn(
+            "path", F.array_join(F.collect_list("event_type").over(agg_w), ">")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.first("path").alias("path"))
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select("path", "n_sessions", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (exponential moving average as an ordered fold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_ewma_smoothing",
+    # Per-user hourly revenue series smoothed by an alpha=0.5 EWMA:
+    # y_1 = x_1, y_t = round9(0.5*y_{t-1} + 0.5*x_t). Both engines
+    # fold over the SAME hour-ordered list with identical per-step
+    # 9-dp rounding (Spark F.aggregate vs DuckDB list_reduce, which
+    # seeds with the first element exactly like the engine's init).
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               round(sum(value) * 100.0) / 100.0 + 0.0 AS x
+        FROM events GROUP BY user_id, h
+    ),
+    series AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+               list(x ORDER BY h) AS xs
+        FROM hourly GROUP BY user_id
+    )
+    SELECT user_id, n_hours,
+           round(xs[1] * 100.0) / 100.0 + 0.0 AS first_x,
+           round(CAST(list_reduce(
+                     CAST(xs AS DOUBLE[]),
+                     (acc, x) -> round((acc * 0.5 + x * 0.5)
+                                       * 1000000000.0) / 1000000000.0 + 0.0
+                 ) AS DOUBLE) * 1000000000.0) / 1000000000.0 + 0.0 AS ewma
+    FROM series
+    """,
+    "alpha=0.5 EWMA over each user's hourly revenue series as an "
+    "ordered fold with per-step 9-dp rounding: final smoothed value "
+    "per user",
+    tags=("timeseries", "fold"),
+)
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA as a pure Column-expression fold: the per-user series is
+    collected hour-ordered (struct sort, deterministic — hours are
+    unique per user) and F.aggregate folds it JVM-side with per-step
+    9-dp rounding, seeding with the first element exactly as DuckDB's
+    list_reduce does. alpha=0.5 keeps every multiply an exact
+    power-of-two scale, so the only float noise is the adds —
+    far below the per-step rounding spacing. One user-keyed shuffle;
+    series length is bounded by the time range, not the corpus
+    (at 100 TB the fold stays per-user-linear and map-local after
+    the hourly aggregate)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(dround(F.sum("value"), 2).alias("x"))
+    series = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs"),
+    )
+    step = lambda acc, x: dround(acc * 0.5 + x * 0.5, 9)  # noqa: E731
+    return series.select(
+        "user_id",
+        "n_hours",
+        dround(F.element_at("xs", 1), 2).alias("first_x"),
+        dround(
+            F.aggregate(
+                F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+                F.element_at("xs", 1),
+                step,
+            ),
+            9,
+        ).alias("ewma"),
+    )
