@@ -198,13 +198,19 @@ _PRIORITY = (
     "text_proximity_search",  # round-8 gate, never driver-checked:
     # takes text_fingerprint_groups's slot (r3-green -> round-9
     # rotation queue)
-    "text_langid_confusion",
+    "graph_common_neighbors",  # round-8 gate, never driver-checked:
+    # takes text_langid_confusion's slot (r3-green; langid keeps a
+    # prefixed driver row via ml_naive_bayes_langid -> round-9
+    # rotation queue)
     "profile_ks_two_sample",  # round-8 gate, never driver-checked:
     # takes text_token_histogram's slot (r3-green; the token-stats
     # kernel is trivially pytest-pinned and the histogram shape keeps
     # driver coverage via the agg_histogram family -> round-9 rotation
     # queue)
-    "train_curriculum_order",
+    "ts_rfm_segments",  # round-8 gate, never driver-checked: takes
+    # train_curriculum_order's slot (r3-green; the global_row_number
+    # ordering kernel is plan-guard pytest-pinned -> round-9 rotation
+    # queue)
     "ts_forward_fill_hourly",
     "ts_funnel_conversion",
     "layout_merge_upsert",  # round-8 gate, never driver-checked: takes
@@ -225,7 +231,11 @@ _PRIORITY = (
     "layout_time_travel",  # round-8 gate, never driver-checked: takes
     # window_ntile_quartiles's slot (r3-green; the window family keeps
     # five prefixed rows -> round-9 rotation queue)
-    "window_range_hourly_sum",
+    "ts_cusum_changepoint",  # round-8 gate, never driver-checked:
+    # takes window_range_hourly_sum's slot (r3-green; the hourly-
+    # bucket aggregation shape keeps driver coverage via
+    # stream_hourly_type_counts, which stays prefixed -> round-9
+    # rotation queue)
     "ml_decision_stump",  # round-8 gate, never driver-checked: takes
     # window_rank_dense_percent's slot (r3-green; the window family
     # keeps four prefixed rows -> round-9 rotation queue)

@@ -2509,3 +2509,304 @@ def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# common-neighbors link prediction (supplier-supplier over shared parts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_common_neighbors",
+    # Link prediction on the supplier-part bipartite graph: candidate
+    # supplier pairs come from a PART-KEYED equi self-join of distinct
+    # (part, supplier) edges, df-capped at 16 suppliers per part
+    # (ordered suppkey ASC) so a hub part contributes <= 16^2 pairs;
+    # scores = common-neighbor count + Jaccard (6 dp); top-10 pairs.
+    """
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    capped AS (
+        SELECT p, s FROM (
+            SELECT *, row_number() OVER (PARTITION BY p ORDER BY s) AS rn
+            FROM edges
+        ) WHERE rn <= 16
+    ),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM capped GROUP BY s),
+    cn AS (
+        SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common
+        FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+        GROUP BY s1, s2
+    ),
+    scored AS (
+        SELECT s1, s2, common,
+               round(CAST(common AS DOUBLE)
+                     / (d1.d + d2.d - common) * 1000000.0) / 1000000.0 + 0.0
+                   AS jaccard
+        FROM cn JOIN deg d1 ON d1.s = s1 JOIN deg d2 ON d2.s = s2
+    )
+    SELECT s1, s2, common, jaccard, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY common DESC, s1, s2) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+    "common-neighbors link prediction over the supplier-part graph: "
+    "per-part capped edge self-join, common count + Jaccard score, "
+    "top-10 supplier pairs",
+    tags=("graph", "ml"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-prediction member of the graph family (triangle count,
+    PageRank, connected components): candidates are generated by a
+    part-keyed equi self-join of the df-capped edge list — the same
+    hub-cap discipline as the shingle joins, bounding a hot part's
+    contribution at 16^2 pairs so work is linear in parts. Degrees
+    attach as supplier-keyed shuffle joins; the global top-10 is the
+    one single-partition window. Jaccard = common / (d1 + d2 - common)
+    from exact integers, one division, rounded before the rank."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    w_cap = Window.partitionBy("p").orderBy("s")
+    capped = (
+        edges.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= 16)
+        .select("p", "s")
+    )
+    deg = capped.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a, b = capped.alias("a"), capped.alias("b")
+    cn = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    scored = (
+        cn.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            dround(
+                F.col("common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("common"), F.asc("s1"), F.asc("s2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select("s1", "s2", "common", "jaccard", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (customer-value mart)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_rfm_segments",
+    # RFM quintile segmentation of customers with orders: recency =
+    # days from last order to the fixed reference 1998-12-31 (a fixed
+    # anchor avoids a global max scalar), frequency = order count,
+    # monetary = 2-dp total spend. ALL THREE metrics are melted into
+    # one (metric, value) frame and quintiled by a SINGLE window
+    # PARTITIONED BY metric (deterministic order: value, custkey) --
+    # one hash exchange, no global sort; recency ntile is on -days so
+    # quintile 5 = most recent everywhere. Segment = R*100+F*10+M.
+    """
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                              DATE '1998-12-31') AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice) * 100.0) / 100.0 + 0.0 AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    melted AS (
+        SELECT custkey, 'r' AS metric, -CAST(recency_days AS DOUBLE) AS v
+        FROM base
+        UNION ALL
+        SELECT custkey, 'f', CAST(frequency AS DOUBLE) FROM base
+        UNION ALL
+        SELECT custkey, 'm', monetary FROM base
+    ),
+    scored AS (
+        SELECT custkey, metric,
+               CAST(ntile(5) OVER (PARTITION BY metric
+                                   ORDER BY v, custkey) AS INT) AS q
+        FROM melted
+    ),
+    rfm AS (
+        SELECT custkey,
+               max(CASE WHEN metric = 'r' THEN q END) AS r,
+               max(CASE WHEN metric = 'f' THEN q END) AS f,
+               max(CASE WHEN metric = 'm' THEN q END) AS m
+        FROM scored GROUP BY custkey
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(custkey) AS BIGINT) AS sample_custkey
+    FROM rfm GROUP BY segment
+    """,
+    "RFM customer segmentation: recency/frequency/monetary quintiles "
+    "via one metric-partitioned ntile window over the melted frame, "
+    "segment code R*100+F*10+M with sizes and a sample customer",
+    tags=("timeseries", "mart", "window"),
+)
+def ts_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic customer-value mart. The interesting plan decision:
+    three independent global quantile ranks would cost three
+    single-partition sorts; melting (custkey, metric, value) and
+    quintiling with ONE window PARTITIONED BY metric turns that into
+    a single 3-key hash exchange whose partitions sort independently
+    (at larger metric fan-outs this is also skew-salt-able). A fixed
+    recency anchor date replaces the global max-date scalar. ntile
+    order is fully deterministic (value, custkey), so quintile
+    boundaries replay exactly cross-engine."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.col("o_orderdate")).cast("date")
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        dround(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    melted = (
+        base.select(
+            "custkey",
+            F.lit("r").alias("metric"),
+            (-F.col("recency_days")).cast("double").alias("v"),
+        )
+        .unionByName(
+            base.select(
+                "custkey",
+                F.lit("f").alias("metric"),
+                F.col("frequency").cast("double").alias("v"),
+            )
+        )
+        .unionByName(
+            base.select("custkey", F.lit("m").alias("metric"), F.col("monetary").alias("v"))
+        )
+    )
+    w_q = Window.partitionBy("metric").orderBy("v", "custkey")
+    scored = melted.select(
+        "custkey", "metric", F.ntile(5).over(w_q).cast("int").alias("q")
+    )
+    rfm = scored.groupBy("custkey").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("q"))).alias("r"),
+        F.max(F.when(F.col("metric") == "f", F.col("q"))).alias("f"),
+        F.max(F.when(F.col("metric") == "m", F.col("q"))).alias("m"),
+    )
+    return rfm.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("custkey").cast("bigint").alias("sample_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (daily revenue level shift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_cusum_changepoint",
+    # Offline CUSUM changepoint: C_t = cumsum_t - t * (total/N) over
+    # the daily revenue series. Daily totals land as integer CENTS so
+    # the prefix sums are exact and the argmax decides on the
+    # cross-multiplied integer |n*cx - t*total| (float cumulative
+    # error at series length would swamp any rounding); the selection
+    # is ORDER BY + LIMIT 1 (TakeOrderedAndProject -- no second
+    # global sort), and the level means derive from the argmax row.
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(round(sum(o_totalprice) * 100.0) AS BIGINT) AS xc
+        FROM orders GROUP BY day
+    ),
+    cum AS (
+        SELECT day,
+               CAST(row_number() OVER w AS BIGINT) AS t,
+               CAST(sum(xc) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cx,
+               CAST(sum(xc) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS BIGINT) AS total,
+               CAST(count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY day)
+    ),
+    dev AS (SELECT *, abs(n * cx - t * total) AS num FROM cum)
+    SELECT CAST(day AS VARCHAR) AS change_day, t AS t_at, n AS n_days,
+           round(CAST(num AS DOUBLE) / (100.0 * n) * 1000000.0)
+               / 1000000.0 + 0.0 AS c_abs,
+           round(CAST(cx AS DOUBLE) / (100.0 * t) * 10000.0)
+               / 10000.0 + 0.0 AS mean_before,
+           CASE WHEN t < n
+                THEN round(CAST(total - cx AS DOUBLE) / (100.0 * (n - t))
+                           * 10000.0) / 10000.0 + 0.0 END AS mean_after
+    FROM dev ORDER BY num DESC, day LIMIT 1
+    """,
+    "offline CUSUM changepoint on the daily revenue series: argmax of "
+    "|cumsum - t*mean| with the level means either side of the break",
+    tags=("timeseries", "stats"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection for pipeline monitoring (the batch twin
+    of the PSI/KS drift family): ONE ordered window pass computes the
+    cumulative sum, the series total, and the position — C_t =
+    cumsum_t - t*mean needs no second scan because total/N ride the
+    same window spec — and the argmax is ORDER BY + LIMIT 1, which
+    compiles to TakeOrderedAndProject instead of a second global
+    sort. The daily series is bounded by the time range, not the
+    corpus; at 100 TB only the first aggregate sees data volume."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100.0).cast("bigint").alias("xc")
+    )
+    w = Window.orderBy("day")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = daily.select(
+        "day",
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.sum("xc").over(w_run).cast("bigint").alias("cx"),
+        F.sum("xc").over(w_all).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    dev = cum.withColumn(
+        "num", F.abs(F.col("n") * F.col("cx") - F.col("t") * F.col("total"))
+    )
+    return (
+        dev.orderBy(F.desc("num"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").cast("string").alias("change_day"),
+            F.col("t").alias("t_at"),
+            F.col("n").alias("n_days"),
+            dround(F.col("num").cast("double") / (100.0 * F.col("n")), 6).alias(
+                "c_abs"
+            ),
+            dround(F.col("cx").cast("double") / (100.0 * F.col("t")), 4).alias(
+                "mean_before"
+            ),
+            F.when(
+                F.col("t") < F.col("n"),
+                dround(
+                    (F.col("total") - F.col("cx")).cast("double")
+                    / (100.0 * (F.col("n") - F.col("t"))),
+                    4,
+                ),
+            ).alias("mean_after"),
+        )
+    )
