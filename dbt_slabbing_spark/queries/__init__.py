@@ -151,7 +151,10 @@ _PRIORITY = (
     "ml_power_iteration_pc1",  # round-8 gate, never driver-checked:
     # takes fn_null_handling's slot (r3-green byte-stable scalar suite
     # -> round-9 rotation queue)
-    "join_fuzzy_levenshtein",
+    "ml_kn_trigram_lm",  # round-8 gate, never driver-checked: takes
+    # join_fuzzy_levenshtein's slot (r3-green; its banded candidate
+    # equi-join shape keeps driver coverage via the prefixed dedup/sim
+    # band joins -> round-9 rotation queue)
     "join_bloom_prefilter_membership",  # round-8 gate, never
     # driver-checked: takes join_null_safe_equality's slot (r3-green
     # -> round-9 rotation queue)
@@ -163,7 +166,10 @@ _PRIORITY = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "q9_product_type_profit",
-    "sample_train_test_split",
+    "profile_benford_digits",  # round-8 gate, never driver-checked:
+    # takes sample_train_test_split's slot (r3-green; the md5-keyed
+    # sampling kernel keeps a prefixed row via
+    # sample_weighted_noreplacement -> round-9 rotation queue)
     "ml_item_cofiltering",  # round-8 gate, never driver-checked: takes
     # sample_weighted_mixture's slot (r3-green; the md5-keyed sampling
     # kernel keeps two prefixed rows via train_test_split and

@@ -2810,3 +2810,62 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profiling (fraud / data-quality screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_benford_digits",
+    # First-significant-digit distribution of o_totalprice vs the
+    # Benford expectation log10(1+1/d). The digit is taken from the
+    # INTEGER cents string (float formatting is engine-specific;
+    # integer formatting is exact, and *100 preserves the leading
+    # digit), so the counts are exact and only the two frequencies
+    # are floats (6 dp).
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / tot * 1000000.0) / 1000000.0 + 0.0
+               AS obs_freq,
+           round(log10(1.0 + 1.0 / digit) * 1000000.0) / 1000000.0 + 0.0
+               AS benford_freq
+    FROM c, t
+    """,
+    "Benford first-significant-digit profile of o_totalprice: exact "
+    "digit counts from the integer cents string, observed vs expected "
+    "log10(1+1/d) frequency per digit",
+    tags=("profile", "stats"),
+)
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic anomaly/fabrication screen for financial columns,
+    as one map-only digit extraction + a 9-row aggregate. Extracting
+    the digit from the integer-cents STRING sidesteps engine-specific
+    float formatting and log10-at-power-of-ten edge cases; the total
+    attaches as the query's one broadcast scalar."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100.0).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        dround(F.col("n").cast("double") / F.col("tot"), 6).alias("obs_freq"),
+        dround(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
+    )

@@ -582,3 +582,150 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg(-F.log(p)), 4).alias("mean_surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney trigram language model (trained on the corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_kn_trigram_lm",
+    # Interpolated Kneser-Ney (Chen & Goodman 1999) with absolute
+    # discount D=0.75, all orders derived self-consistently from the
+    # TRIGRAM type/count tables (the KenLM construction):
+    #   p_cont(w3)   = N1+(.w3) / N1+(..)
+    #   p2(w3|w2)    = max(N1+(.w2w3)-D,0)/N1+(.w2.)
+    #                  + (D*N1+(w2.)/N1+(.w2.)) * p_cont(w3)
+    #   p3(w3|w1w2)  = max(c3-D,0)/c(w1w2)
+    #                  + (D*N1+(w1w2.)/c(w1w2)) * p2(w3|w2)
+    # Every count is an exact integer; the probability is ONE fixed
+    # expression tree of IEEE ops written identically on both sides,
+    # rounded to 9 dp. Top-20 trigrams by count (w1,w2,w3 ASC ties).
+    f"""
+    WITH d AS (SELECT doc_id, {{words}} AS w FROM documents),
+    tri AS (
+        SELECT w[u.i] AS w1, w[u.i + 1] AS w2, w[u.i + 2] AS w3
+        FROM d, UNNEST(generate_series(1, len(d.w) - 2)) AS u(i)
+        WHERE len(d.w) > 2
+    ),
+    c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+           FROM tri GROUP BY w1, w2, w3),
+    ctx AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cc,
+                   CAST(count(*) AS BIGINT) AS nt
+            FROM c3 GROUP BY w1, w2),
+    nm AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1mid
+           FROM c3 GROUP BY w2, w3),
+    nc2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1ctx
+            FROM c3 GROUP BY w2),
+    ns AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1start
+           FROM nm GROUP BY w2),
+    nr AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1right
+           FROM nm GROUP BY w3),
+    nbb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM nm),
+    top AS (
+        SELECT w1, w2, w3, c FROM c3
+        ORDER BY c DESC, w1, w2, w3 LIMIT 20
+    )
+    SELECT top.w1, top.w2, top.w3, top.c AS c3,
+           round((CAST(nr.n1right AS DOUBLE) / nbb.nb)
+                 * 1000000000.0) / 1000000000.0 + 0.0 AS p_cont,
+           round((greatest(nm.n1mid - 0.75, 0.0) / nc2.n1ctx
+                  + (0.75 * ns.n1start / nc2.n1ctx)
+                    * (CAST(nr.n1right AS DOUBLE) / nbb.nb))
+                 * 1000000000.0) / 1000000000.0 + 0.0 AS p_bi,
+           round(((top.c - 0.75) / ctx.cc
+                  + (0.75 * ctx.nt / ctx.cc)
+                    * (greatest(nm.n1mid - 0.75, 0.0) / nc2.n1ctx
+                       + (0.75 * ns.n1start / nc2.n1ctx)
+                         * (CAST(nr.n1right AS DOUBLE) / nbb.nb)))
+                 * 1000000000.0) / 1000000000.0 + 0.0 AS p_kn
+    FROM top
+    JOIN ctx ON ctx.w1 = top.w1 AND ctx.w2 = top.w2
+    JOIN nm  ON nm.w2 = top.w2 AND nm.w3 = top.w3
+    JOIN nc2 ON nc2.w2 = top.w2
+    JOIN ns  ON ns.w2 = top.w2
+    JOIN nr  ON nr.w3 = top.w3
+    CROSS JOIN nbb
+    """.replace("{words}", _SQL_WORDS),
+    "interpolated Kneser-Ney trigram LM trained on the corpus "
+    "(D=0.75, continuation counts from the trigram type table): "
+    "top-20 trigrams with continuation/bigram/trigram KN "
+    "probabilities",
+    tags=("ml", "text", "training"),
+)
+def ml_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM TRAINING at corpus scale — the estimator behind the
+    KenLM-style perplexity filters (text_unigram_surprisal /
+    text_bigram_surprisal consume such a model; this gate builds the
+    state-of-the-art smoothing). Everything reduces over the trigram
+    count table: context totals and type counts fold into ONE
+    (w1,w2)-keyed aggregate, continuation tables are successive
+    type-count aggregates of it, and the bigram-type universe N1+(..)
+    is the query's one global scalar. The top-20 selection happens
+    BEFORE the dim joins (TakeOrderedAndProject, then broadcast-sized
+    probes) — the serve-only-what-you-rank shape that holds at 100 TB,
+    where the count tables shard by n-gram key and never collect.
+    All counts are exact integers; each probability is a single fixed
+    IEEE expression tree shared with the oracle, 9-dp rounded."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("w")
+    )
+    tri = (
+        docs.filter(F.size("w") > 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("w"), 1, F.size("w") - 2).alias("w1"),
+                    F.slice(F.col("w"), 2, F.size("w") - 2).alias("w2"),
+                    F.slice(F.col("w"), 3, F.size("w") - 2).alias("w3"),
+                )
+            ).alias("_t")
+        )
+        .select(
+            F.col("_t.w1").alias("w1"),
+            F.col("_t.w2").alias("w2"),
+            F.col("_t.w3").alias("w3"),
+        )
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ctx = c3.groupBy("w1", "w2").agg(
+        F.sum("c").cast("bigint").alias("cc"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    nm = c3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1mid")
+    )
+    nc2 = c3.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1ctx"))
+    ns = nm.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1start"))
+    nr = nm.groupBy("w3").agg(F.count(F.lit(1)).cast("bigint").alias("n1right"))
+    nbb = nm.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    top = c3.orderBy(
+        F.desc("c"), F.asc("w1"), F.asc("w2"), F.asc("w3")
+    ).limit(20)
+    p_cont = F.col("n1right").cast("double") / F.col("nb")
+    p_bi = F.greatest(F.col("n1mid") - 0.75, F.lit(0.0)) / F.col("n1ctx") + (
+        0.75 * F.col("n1start") / F.col("n1ctx")
+    ) * p_cont
+    p_kn = (F.col("c") - 0.75) / F.col("cc") + (
+        0.75 * F.col("nt") / F.col("cc")
+    ) * p_bi
+    return (
+        top.join(ctx, ["w1", "w2"])
+        .join(nm, ["w2", "w3"])
+        .join(nc2, "w2")
+        .join(ns, "w2")
+        .join(nr, "w3")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("c").alias("c3"),
+            dround(p_cont, 9).alias("p_cont"),
+            dround(p_bi, 9).alias("p_bi"),
+            dround(p_kn, 9).alias("p_kn"),
+        )
+    )
