@@ -223,7 +223,10 @@ _PRIORITY = (
     # ts_gap_fill_hourly's slot (r3-green; its forward-fill twin stays
     # prefixed and shares the spine/join kernel -> round-9 rotation
     # queue)
-    "ts_retention_cohorts",
+    "stream_ewma_alert",  # round-8 gate, never driver-checked: takes
+    # ts_retention_cohorts's slot (r3-green; the customer-behavior
+    # mart family keeps prefixed rows via ts_rfm_segments and
+    # ts_funnel_conversion -> round-9 rotation queue)
     "udf_grouped_ols_slope",
     "ml_kmeans_cells",  # round-8 gate, never driver-checked: takes the
     # slot udf_row_at_a_time_upper was designated to yield (see item 3)

@@ -392,3 +392,46 @@ def stream_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.trending_topk(spark, sf_dir, k=3)
+
+
+@register(
+    "stream_ewma_alert",
+    # Global closed form of the ingest-time EWMA monitor under
+    # event_id-ordered arrival, replayed as the IDENTICAL integer
+    # recursion (nano-units; alpha=0.5 as the half-up integer average)
+    # in a recursive CTE: y_1 = x_1 (no alert), y_t = (y_{t-1} + x_t
+    # + 1) // 2 with alert when |x_t - y_{t-1}| > 50e9 nano-units.
+    """
+    WITH RECURSIVE x AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 1000000000.0) AS BIGINT) AS xn,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS BIGINT) AS rn
+        FROM events
+    ),
+    steps AS (
+        SELECT user_id, rn, event_id, xn AS yn, FALSE AS alert
+        FROM x WHERE rn = 1
+        UNION ALL
+        SELECT x.user_id, x.rn, x.event_id,
+               (s.yn + x.xn + 1) // 2 AS yn,
+               abs(x.xn - s.yn) > 50000000000 AS alert
+        FROM steps s JOIN x ON x.user_id = s.user_id AND x.rn = s.rn + 1
+    )
+    SELECT event_id, user_id,
+           CAST(yn AS DOUBLE) / 1000000000.0 AS ewma, alert
+    FROM steps
+    """,
+    "per-user EWMA anomaly alerts AT INGEST (alpha=0.5, threshold 50): "
+    "integer nano-unit state in the state store via "
+    "applyInPandasWithState on RocksDB; the oracle replays the exact "
+    "integer recursion as a recursive CTE",
+    tags=("streaming", "stateful", "drift"),
+)
+def stream_ewma_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_ewma_alert_")
+    return jobs.streaming_ewma_alert(
+        spark, sf_dir, work, threshold=50.0, rows_per_batch=2000
+    )

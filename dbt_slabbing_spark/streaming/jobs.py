@@ -832,3 +832,108 @@ def streaming_domain_cap(
         finally:
             q.stop()
     return spark.read.parquet(verdict_dir).select("doc_id", "domain", "kept")
+
+
+def streaming_ewma_alert(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    threshold: float = 50.0,
+    rows_per_batch: int = 2000,
+    state_store_provider: str | None = ROCKSDB_PROVIDER,
+) -> DataFrame:
+    """Per-user EWMA anomaly monitor AT INGEST: each arriving event is
+    scored against the user's smoothed value baseline (alpha=0.5 EWMA)
+    BEFORE the baseline absorbs it — |x - ewma_prev| > threshold
+    raises the alert — then the state advances. The numeric-state
+    member of the custom stateful family (the band-dedup/funnel/cap
+    states are claims and counters; this one is a running float
+    statistic).
+
+    Exactness contract: state lives in integer NANO-UNITS
+    (x_n = round(value*1e9), the alpha=0.5 step is the integer
+    half-up average (y + x + 1) // 2), so the fold is EXACT integer
+    arithmetic — no cross-engine float drift, and the oracle replays
+    the identical recursion as a recursive CTE. Events arrive
+    event_id-ordered from the replay source and each batch folds its
+    rows event_id-sorted per user, so verdicts equal the global
+    closed form independent of micro-batch slicing (pinned by test).
+
+    Scale: state = one bigint per user (RocksDB-sized at any user
+    count); per-batch cost proportional to the batch. The emitted
+    alert stream is exactly what pages an on-call or feeds a
+    downstream quarantine topic.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..catalog import _ensure_workers_can_import
+    from ..sources.replay_stream import register_replay_source
+
+    _ensure_workers_can_import(spark)
+    register_replay_source(spark)
+    verdict_dir = f"{work_dir}/verdicts"
+    thr_n = int(round(threshold * 1e9))
+
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+        .select("event_id", "user_id", "value")
+    )
+
+    def track(key, pdfs, state) -> "object":
+        import math
+
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("event_id")
+        yn = int(state.get[0]) if state.exists else None
+        out_ewma, out_alert = [], []
+        for v in rows["value"]:
+            # round-half-away-from-zero to nano-units, matching
+            # DuckDB/Spark round() on doubles
+            xn = int(math.copysign(math.floor(abs(v) * 1e9 + 0.5), v))
+            if yn is None:
+                out_alert.append(False)
+                yn = xn
+            else:
+                out_alert.append(abs(xn - yn) > thr_n)
+                yn = (yn + xn + 1) // 2  # exact half-up integer average
+            out_ewma.append(yn / 1e9)
+        state.update((yn,))
+        yield pd.DataFrame(
+            {
+                "event_id": rows["event_id"],
+                "user_id": rows["user_id"],
+                "ewma": out_ewma,
+                "alert": out_alert,
+            }
+        )
+
+    tracked = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="event_id bigint, user_id bigint, ewma double, alert boolean",
+        stateStructType="yn bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(verdict_dir)
+
+    with _state_store_provider(spark, state_store_provider):
+        q = (
+            tracked.writeStream.outputMode("update")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .foreachBatch(handle)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.parquet(verdict_dir).select(
+        "event_id", "user_id", "ewma", "alert"
+    )

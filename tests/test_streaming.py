@@ -392,3 +392,59 @@ def test_quality_funnel_classifier_stage_matches_batch(spark, tmp_path):
             assert stream[doc_id] == v, (doc_id, v, stream[doc_id])
         else:  # 'near_dup'/'kept': past the streaming funnel's stages
             assert stream[doc_id] == "kept", (doc_id, v, stream[doc_id])
+
+
+def test_ewma_alert_slicing_invariant_and_matches_fold(spark, tmp_path):
+    """stream_ewma_alert: verdicts independent of micro-batch slicing
+    (41-row batches split users MID-series vs one giant batch), and
+    equal to an independent Python replay of the exact integer
+    recursion y_t = (y_{t-1} + x_t + 1) // 2 in nano-units."""
+    import math
+
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.streaming.jobs import streaming_ewma_alert
+    from tests.conftest import SF_SMOKE
+
+    small = {
+        r["event_id"]: (r["user_id"], r["ewma"], r["alert"])
+        for r in streaming_ewma_alert(
+            spark, SF_SMOKE, str(tmp_path / "s"), threshold=50.0, rows_per_batch=41
+        ).collect()
+    }
+    big = {
+        r["event_id"]: (r["user_id"], r["ewma"], r["alert"])
+        for r in streaming_ewma_alert(
+            spark,
+            SF_SMOKE,
+            str(tmp_path / "b"),
+            threshold=50.0,
+            rows_per_batch=10**6,
+        ).collect()
+    }
+    assert small == big and len(small) > 0
+
+    # independent model: per-user fold in event_id order
+    rows = sorted(
+        (
+            (r["event_id"], r["user_id"], r["value"])
+            for r in table(spark, SF_SMOKE, "events")
+            .select("event_id", "user_id", "value")
+            .collect()
+        )
+    )
+    state: dict[int, int] = {}
+    want = {}
+    for eid, uid, v in rows:
+        xn = int(math.copysign(math.floor(abs(v) * 1e9 + 0.5), v))
+        yn = state.get(uid)
+        if yn is None:
+            alert, yn = False, xn
+        else:
+            alert = abs(xn - yn) > 50_000_000_000
+            yn = (yn + xn + 1) // 2
+        state[uid] = yn
+        want[eid] = (uid, yn / 1e9, alert)
+    assert small == want
+    # both alert outcomes occur (non-vacuous threshold)
+    alerts = {a for (_u, _e, a) in small.values()}
+    assert alerts == {True, False}
