@@ -84,6 +84,7 @@ _MODULES = (
     "streaming_queries",
     "advanced_sql",
     "analytics_extra",
+    "mining",
     "bucketed",
     "reference_pipeline",
     "funnel",
@@ -134,7 +135,10 @@ _PRIORITY = (
     "layout_manifest_delete",  # round-8 gate, never driver-checked:
     # takes agg_mode_priority_by_status's slot (r3-green -> round-9
     # rotation queue)
-    "dedup_minhash_lsh",
+    "dedup_sorted_neighborhood",  # round-8 gate, never driver-checked:
+    # takes dedup_minhash_lsh's slot (r3-green; the minhash band kernel
+    # keeps a prefixed driver row via sim_neardup_pairs_lsh -> round-9
+    # rotation queue)
     "ml_logreg_gd",  # round-8 gate, never driver-checked: takes
     # dedup_normalized_md5's slot (r3-green, oracle shape shared with
     # the prefixed dedup_exact twin family -> round-9 rotation queue)
@@ -162,10 +166,22 @@ _PRIORITY = (
     "ts_event_transition_matrix",  # round-8 gate, never
     # driver-checked: takes mm_size_stats_by_source's slot (r3-green
     # -> round-9 rotation queue)
-    "q21_sole_late_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q9_product_type_profit",
+    "train_contrastive_negatives",  # round-8 gate, never
+    # driver-checked: takes q21_sole_late_supplier's slot (r3-green;
+    # q21's VALUES keep a driver check through q21_bucketed_layout —
+    # identical result set, r7-green — and bench re-times both every
+    # round -> round-9 rotation queue)
+    "profile_gini_concentration",  # round-8 gate, never driver-checked:
+    # takes q3_shipping_priority's slot (r3-green; q3's VALUES keep a
+    # driver check through q3_bucketed_layout — identical result set,
+    # r7-green -> round-9 rotation queue)
+    "ml_assoc_rules_pairs",  # round-8 gate, never driver-checked: takes
+    # q5_local_supplier's slot (r3-green; the TPC-H multi-dim join
+    # family keeps r7-fresh driver rows via the two bucketed-layout
+    # gates -> round-9 rotation queue)
+    "text_pmi_collocations",  # round-8 gate, never driver-checked:
+    # takes q9_product_type_profit's slot (r3-green; same TPC-H family
+    # argument as q5 -> round-9 rotation queue)
     "profile_benford_digits",  # round-8 gate, never driver-checked:
     # takes sample_train_test_split's slot (r3-green; the md5-keyed
     # sampling kernel keeps a prefixed row via
@@ -218,7 +234,10 @@ _PRIORITY = (
     # ordering kernel is plan-guard pytest-pinned -> round-9 rotation
     # queue)
     "ts_forward_fill_hourly",
-    "ts_funnel_conversion",
+    "profile_mad_outliers",  # round-8 gate, never driver-checked:
+    # takes ts_funnel_conversion's slot (r3-green; the customer-
+    # behavior mart family keeps a prefixed driver row via
+    # ts_rfm_segments -> round-9 rotation queue)
     "layout_merge_upsert",  # round-8 gate, never driver-checked: takes
     # ts_gap_fill_hourly's slot (r3-green; its forward-fill twin stays
     # prefixed and shares the spine/join kernel -> round-9 rotation

@@ -37,6 +37,9 @@ _SINGLE_PARTITION_BUDGET = {
     "dedup_mllib_minhash_lsh": 3,  # three 1-row verdict aggregates
     "agg_hll_sketch_rollup": 2,  # global sketch-union + exact-count, both 1-row
     "graph_triangle_count": 2,  # edge-count + triangle-count, both 1-row
+    # the ordering kernel's offset window is O(#partitions) rows, not
+    # data rows; the SNM self-join plans that subtree once per side
+    "dedup_sorted_neighborhood": 2,
 }
 
 # Streaming jobs execute on build (memory-sink materialization) and are
