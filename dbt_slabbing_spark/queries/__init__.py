@@ -246,7 +246,11 @@ _PRIORITY = (
     # ts_retention_cohorts's slot (r3-green; the customer-behavior
     # mart family keeps prefixed rows via ts_rfm_segments and
     # ts_funnel_conversion -> round-9 rotation queue)
-    "udf_grouped_ols_slope",
+    "dedup_entity_resolution",  # round-8 gate, never driver-checked:
+    # takes udf_grouped_ols_slope's slot (r3-green; the pandas-UDF
+    # value kernels are pytest-pinned — hypothesis fold-model +
+    # grouped-median — and the whole UDF surface keeps parity-sweep
+    # coverage -> round-9 rotation queue)
     "ml_kmeans_cells",  # round-8 gate, never driver-checked: takes the
     # slot udf_row_at_a_time_upper was designated to yield (see item 3)
     "ml_psi_value_drift",  # round-8 gate, never driver-checked:

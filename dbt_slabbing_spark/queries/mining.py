@@ -39,7 +39,7 @@ from ..operators import text as T
 from ..operators.hashing import md5_long32
 from ..operators.ordering import global_row_number
 from . import dround, register
-from .dedup import _SQL_WORDS
+from .dedup import _SQL_SHINGLE_CTES, _SQL_WORDS
 
 # ---------------------------------------------------------------------------
 # market-basket association rules (brand pairs co-ordered)
@@ -499,6 +499,15 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to 0<gap<=w — never a full range join;
     verification joins shingles on (doc, shingle) keys, quadratic only
     within the w-bounded candidate set."""
+    pairs = _snm_verified_pairs(spark, sf_dir)
+    return pairs.select("id_a", "id_b", "gap", dround(F.col("_jac"), 4).alias("jaccard"))
+
+
+def _snm_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, gap, _jac): sorted-neighborhood candidate pairs
+    (rank-window w, id_a = lower rank) verified at uncapped trigram
+    Jaccard >= ``_SNM_MIN_JACCARD`` (``_jac`` unrounded). Shared by
+    the SNM gate and the entity-resolution pipeline."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # let-bind the word array through a 1-element transform (the
     # word_shingles trick) so the regex split runs once, not thrice
@@ -563,7 +572,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(za, "id_a")
         .join(zb, "id_b")
         .filter(jac >= _SNM_MIN_JACCARD)
-        .select("id_a", "id_b", "gap", dround(jac, 4).alias("jaccard"))
+        .select("id_a", "id_b", "gap", jac.alias("_jac"))
     )
 
 
@@ -644,4 +653,133 @@ def train_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(negs), F.col("_nb") == F.col("_tgt"))
         .select("anchor_id", "neg_rank", "negative_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-pass-blocking entity resolution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_entity_resolution",
+    # End-to-end entity resolution with MULTI-PASS blocking (the
+    # Hernandez & Stolfo multi-pass rule: one blocking key misses what
+    # another catches): pass 1 = sorted-neighborhood pairs at uncapped
+    # trigram Jaccard >= 0.25, pass 2 = df-capped shingle-sharing
+    # pairs at Jaccard >= 0.2; the union feeds a connected-components
+    # closure and each entity emits one golden record (min doc_id =
+    # entity id, member/source counts, max n_chars).
+    f"""
+    WITH RECURSIVE {{shingles}},
+    csizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
+    ),
+    cinter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    jedges AS (
+        SELECT id_a, id_b FROM cinter
+        JOIN csizes sa ON sa.doc_id = id_a
+        JOIN csizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    keyed AS (
+        SELECT doc_id,
+               coalesce(w[1], '') || ' ' || coalesce(w[2], '') || ' '
+                   || coalesce(w[3], '') AS snm_key
+        FROM norm
+    ),
+    ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY snm_key, doc_id) AS r
+        FROM keyed
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a
+        JOIN ranked b ON b.r > a.r AND b.r <= a.r + {_SNM_WINDOW}
+    ),
+    usizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingle_all GROUP BY doc_id
+    ),
+    uinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN shingle_all sa ON sa.doc_id = c.id_a
+        JOIN shingle_all sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY c.id_a, c.id_b
+    ),
+    sedges AS (
+        SELECT least(i.id_a, i.id_b) AS id_a,
+               greatest(i.id_a, i.id_b) AS id_b
+        FROM uinter i
+        JOIN usizes za ON za.doc_id = i.id_a
+        JOIN usizes zb ON zb.doc_id = i.id_b
+        WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common)
+              >= {_SNM_MIN_JACCARD}
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM jedges
+        UNION
+        SELECT id_a, id_b FROM sedges
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+        SELECT s AS n, s AS label FROM sym
+        UNION
+        SELECT sym.d, reach.label FROM reach JOIN sym ON sym.s = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, min(label) AS entity_id FROM reach GROUP BY n)
+    SELECT CAST(c.entity_id AS BIGINT) AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(max(d.n_chars) AS BIGINT) AS max_n_chars
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY c.entity_id
+    """.replace("{shingles}", _SQL_SHINGLE_CTES),
+    "end-to-end entity resolution: multi-pass blocking (sorted "
+    "neighborhood + shingle sharing) -> Jaccard-verified edges -> "
+    "connected components -> one golden record per entity",
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record-linkage capstone over the dedup kernels: multi-pass
+    blocking unions two CHEAP candidate generators with different
+    failure modes (key-locality misses reordered prefixes; shingle
+    sharing misses short docs and is df-capped for skew), so recall
+    comes from the union while each pass stays equi-join-shaped.
+    100-TB shape: both passes are the already-audited SNM / capped-
+    shingle plans (the SNM ordering-kernel offset window keeps this
+    query's single-partition budget at 2); the closure is the
+    iterative min-label propagation of operators/graph.py (diameter-
+    bounded rounds, each one keyed shuffle); golden-record emission is
+    one doc-keyed join + one aggregate. Oracle: both passes replayed
+    inline, closure as a recursive CTE (the dedup_connected_components
+    pattern)."""
+    from ..operators.graph import connected_components
+
+    from .dedup import _jaccard_pairs
+
+    snm = _snm_verified_pairs(spark, sf_dir).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    docs = table(spark, sf_dir, "documents")
+    jac = _jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    edges = snm.unionByName(jac).distinct()
+    labels = connected_components(edges, src="id_a", dst="id_b")
+    return (
+        labels.join(docs, labels.node == docs.doc_id)
+        .groupBy(F.col("component").cast("bigint").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.max("n_chars").cast("bigint").alias("max_n_chars"),
+        )
     )

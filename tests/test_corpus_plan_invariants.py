@@ -40,6 +40,7 @@ _SINGLE_PARTITION_BUDGET = {
     # the ordering kernel's offset window is O(#partitions) rows, not
     # data rows; the SNM self-join plans that subtree once per side
     "dedup_sorted_neighborhood": 2,
+    "dedup_entity_resolution": 2,  # embeds the SNM pass (same budget)
 }
 
 # Streaming jobs execute on build (memory-sink materialization) and are

@@ -238,3 +238,84 @@ def test_contrastive_negatives_match_python_model(spark):
     for a, _r, _n in got:
         per_anchor[a] = per_anchor.get(a, 0) + 1
     assert max(per_anchor.values()) <= 4
+
+
+def test_entity_resolution_matches_python_union_find(spark):
+    rows = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+
+    def words(text: str) -> list[str]:
+        return _words(text)
+
+    def shingles(text: str) -> set[str]:
+        w = words(text)
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    # pass 1: sorted-neighborhood pairs at uncapped Jaccard >= 0.25
+    def key(text: str) -> str:
+        w = words(text)
+        return " ".join((w + ["", "", ""])[:3])
+
+    ranked = sorted(((key(r["text"]), r["doc_id"], r["text"]) for r in rows))
+    edges: set[tuple[int, int]] = set()
+    for i in range(len(ranked)):
+        for j in range(i + 1, min(i + 9, len(ranked))):
+            sa, sb = shingles(ranked[i][2]), shingles(ranked[j][2])
+            common = len(sa & sb)
+            union = len(sa) + len(sb) - common
+            if union and common / union >= 0.25:
+                a, b = sorted((ranked[i][1], ranked[j][1]))
+                edges.add((a, b))
+    # pass 2: df-capped (50) shingle-sharing pairs at Jaccard >= 0.2
+    df_count: dict[str, int] = {}
+    doc_sh = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    for shs in doc_sh.values():
+        for s in shs:
+            df_count[s] = df_count.get(s, 0) + 1
+    capped = {d: {s for s in shs if df_count[s] <= 50} for d, shs in doc_sh.items()}
+    by_sh: dict[str, list[int]] = {}
+    for d, shs in capped.items():
+        for s in shs:
+            by_sh.setdefault(s, []).append(d)
+    cand = {
+        (a, b)
+        for ds in by_sh.values()
+        for a in ds
+        for b in ds
+        if a < b
+    }
+    for a, b in cand:
+        common = len(capped[a] & capped[b])
+        union = len(capped[a]) + len(capped[b]) - common
+        if union and common / union >= 0.2:
+            edges.add((a, b))
+    # union-find closure
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for d in parent:
+        comp.setdefault(find(d), []).append(d)
+    meta = {r["doc_id"]: (r["source"], r["n_chars"]) for r in rows}
+    expected = {
+        min(ms): (
+            len(ms),
+            len({meta[d][0] for d in ms}),
+            max(meta[d][1] for d in ms),
+        )
+        for ms in comp.values()
+    }
+    got = {
+        r["entity_id"]: (r["n_members"], r["n_sources"], r["max_n_chars"])
+        for r in _run(spark, "dedup_entity_resolution")
+    }
+    assert got == expected
+    assert got, "ER gate is vacuous at sf0.001 — no entities"
