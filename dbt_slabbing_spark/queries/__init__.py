@@ -114,9 +114,16 @@ _MODULES = (
 #      stays prefixed and shares the cosine/threshold kernel, so the
 #      VALUES keep a driver check through the twin), then
 #      stream_sliding_user_activity → stream_domain_cap (the streaming
-#      family keeps three prefixed rows incl. the newcomer). Every
-#      displaced row is r3-stale one more round and rotates FIRST in
-#      round 9.
+#      family keeps three prefixed rows incl. the newcomer). Later
+#      round-8 waves swapped further gates in; each swap's displaced
+#      row and its coverage-keeper twin are annotated INLINE at the
+#      entry below. Final round-8 composition (audited by max round
+#      per key over CORRECTNESS_r0*.json): the 2 promised r2 rows +
+#      43 round-8 never-driver-checked gates + 5 r3-green keeper
+#      twins that other displacements cite (weighted_noreplacement,
+#      brp_euclidean_topk, neardup_pairs_lsh, hourly_type_counts,
+#      forward_fill_hourly) = 50. Every displaced row is r3-stale one
+#      more round and rotates FIRST in round 9.
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all 50 verified green by tools/parity_sweep.py
 # on the current 2026-08-14 10:21 testdata before rotation).
