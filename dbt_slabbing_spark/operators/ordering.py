@@ -22,6 +22,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin_range_partitioning(parted: DataFrame) -> DataFrame:
+    """Persist a range-partitioned frame so BOTH kernel consumers (the
+    per-partition counts/partials subtree and the rank/running-sum
+    subtree) observe ONE materialized partitioning.
+
+    Why this is a correctness pin, not a perf cache: the two consumers
+    are separate subtrees in the physical plan, and column pruning
+    makes them non-identical whenever the frame carries payload columns
+    beyond the sort key — measured on Spark 4.1: AQE stage reuse does
+    NOT fire then, so each subtree executes its OWN range exchange.
+    ``repartitionByRange`` draws its split points by reservoir-sampling
+    the child with a seed derived from the RDD id; two independent
+    exchanges can therefore pick DIFFERENT boundaries once partitions
+    are large enough for sampling to engage (they only coincide at
+    small scale, where the sketch sees every row). Divergent boundaries
+    make the offset table disagree with the ranked frame's partition
+    ids — silently corrupted ranks. Persisting pins one exchange: both
+    subtrees read the same in-memory/disk partitions (and a re-run of
+    an evicted block replays the SAME shuffle files, not a fresh
+    sample). Cost: the exchange runs once instead of twice; lifetime is
+    session LRU (these frames are intermediate-sized — the corpus slice
+    being ranked)."""
+    from pyspark import StorageLevel
+
+    return parted.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def global_row_number(
     df: DataFrame, order_exprs: list[Column], out_col: str = "rn"
 ) -> DataFrame:
@@ -37,7 +64,9 @@ def global_row_number(
 
     sfx = uuid.uuid4().hex[:8]
     pid, off = f"_pid_{sfx}", f"_offset_{sfx}"
-    parted = df.repartitionByRange(*order_exprs).withColumn(pid, F.spark_partition_id())
+    parted = _pin_range_partitioning(
+        df.repartitionByRange(*order_exprs).withColumn(pid, F.spark_partition_id())
+    )
     psizes = parted.groupBy(pid).agg(F.count(F.lit(1)).alias("_n"))
     w_tiny = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
     offsets = psizes.withColumn(
@@ -82,8 +111,10 @@ def grouped_prefix_sum(
     sfx = uuid.uuid4().hex[:8]
     pid, off = f"_pid_{sfx}", f"_offset_{sfx}"
     gcols = [F.col(c) for c in group_cols]
-    parted = df.repartitionByRange(*gcols, *order_exprs).withColumn(
-        pid, F.spark_partition_id()
+    parted = _pin_range_partitioning(
+        df.repartitionByRange(*gcols, *order_exprs).withColumn(
+            pid, F.spark_partition_id()
+        )
     )
     psums = parted.groupBy(pid, *group_cols).agg(F.sum(value_col).alias("_s"))
     w_tiny = (

@@ -90,3 +90,43 @@ def test_proximity_pair_window_semantics(spark):
     assert got[5]["n_pairs"] == 2
     # alpha at 1,3,5; beta at 2,4,6: (1,2),(1,4),(3,4),(3,6),(5,6)
     assert got[6]["n_pairs"] == 5
+
+
+def test_ordering_kernels_pin_one_range_partitioning(spark):
+    """Both kernel consumers (counts/partials and rank/running-sum)
+    must observe ONE materialized range partitioning: with a payload
+    column, column pruning makes the two subtrees non-identical, AQE
+    stage reuse does not fire, and two independent range exchanges can
+    reservoir-sample DIFFERENT split points at scale — silently
+    corrupting the ranks. The kernels persist the partitioned frame;
+    the executed plan must read it from the cache."""
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.operators.ordering import (
+        global_row_number,
+        grouped_prefix_sum,
+    )
+
+    # payload column NOT in the sort key -> the historical no-reuse shape
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    out = global_row_number(df, [F.col("k"), F.col("id")], out_col="rn")
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert sorted(r["rn"] for r in rows) == list(range(1, 501))
+
+    cum = grouped_prefix_sum(
+        df.withColumn("v", F.lit(1)), ["k"], [F.col("id")], "v", out_col="cum"
+    )
+    crows = cum.collect()
+    cplan = cum._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in cplan or "TableCacheQueryStage" in cplan
+    # per-group running count of 1s in id order == per-group rank
+    by_k = {}
+    for r in sorted(crows, key=lambda r: (r["k"], r["id"])):
+        by_k[r["k"]] = by_k.get(r["k"], 0) + 1
+        assert r["cum"] == by_k[r["k"]]
