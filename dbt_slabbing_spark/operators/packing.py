@@ -50,9 +50,16 @@ def concat_chunk_spans(
     as a per-partition window. Identical result for any contiguous
     range partitioning; every stage is parallel at 100 TB.
     """
+    from .ordering import _pin_range_partitioning
+
     toks = docs.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
-    parted = toks.repartitionByRange(F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # pinned for the same reason as the ordering kernels: psums and the
+    # join-back are separate subtrees, and two independent range
+    # exchanges may reservoir-sample different split points at scale
+    parted = _pin_range_partitioning(
+        toks.repartitionByRange(F.col(id_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     psums = parted.groupBy("_pid").agg(F.sum("n_tokens").alias("_psum"))
     w_tiny = (
