@@ -508,7 +508,13 @@ def _snm_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank-window w, id_a = lower rank) verified at uncapped trigram
     Jaccard >= ``_SNM_MIN_JACCARD`` (``_jac`` unrounded). Shared by
     the SNM gate and the entity-resolution pipeline."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return snm_pairs_over(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def snm_pairs_over(docs: DataFrame) -> DataFrame:
+    """The SNM pipeline over an arbitrary (doc_id, text) frame — the
+    injection point for the hypothesis property test, which runs it on
+    generated corpora (dup keys, short docs, empty texts)."""
     # let-bind the word array through a 1-element transform (the
     # word_shingles trick) so the regex split runs once, not thrice
     snm_key = F.element_at(

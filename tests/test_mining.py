@@ -319,3 +319,90 @@ def test_entity_resolution_matches_python_union_find(spark):
     }
     assert got == expected
     assert got, "ER gate is vacuous at sf0.001 — no entities"
+
+
+# --------------------------------------------------------------------------
+# hypothesis properties (the test_analytics_properties.py pattern: tiny
+# generated tables, plain-Python model, the same pipeline the gate runs)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=30))
+def test_gini_rank_sum_identity_matches_pairwise_definition(spark, xs):
+    """The gate's rank-sum formula G = (2*S1 - (n+1)*S0)/(n*S0) must
+    equal the definitional mean-absolute-difference Gini
+    sum_ij |xi-xj| / (2*n*sum x) on ARBITRARY positive counts —
+    including ties, singletons and all-equal lists."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = len(xs)
+    pairwise = sum(abs(a - b) for a in xs for b in xs) / (2.0 * n * sum(xs))
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "custkey long, x long"
+    )
+    w = Window.orderBy("x", "custkey")
+    ranked = df.withColumn("i", F.row_number().over(w))
+    nn = F.count(F.lit(1))
+    s0 = F.sum("x")
+    s1 = F.sum(F.col("i") * F.col("x"))
+    [row] = ranked.agg(
+        (
+            (F.lit(2.0) * s1.cast("double") - (nn + F.lit(1.0)) * s0.cast("double"))
+            / (nn.cast("double") * s0.cast("double"))
+        ).alias("g")
+    ).collect()
+    assert abs(row["g"] - pairwise) < 1e-9
+
+
+_WORDS_ALPHABET = ["alpha", "beta", "gamma", "delta", "eps"]
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS_ALPHABET), min_size=0, max_size=6),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_docs_strategy)
+def test_snm_pairs_property_on_generated_corpora(spark, word_lists):
+    """snm_pairs_over must equal the brute-force sorted-window model on
+    arbitrary tiny corpora: duplicate texts (tied sort keys), empty
+    texts, docs under 3 words (no shingles -> never verified)."""
+    from dbt_slabbing_spark.queries.mining import (
+        _SNM_MIN_JACCARD,
+        _SNM_WINDOW,
+        snm_pairs_over,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows or [(0, "")], "doc_id long, text string")
+    if not rows:
+        rows = [(0, "")]
+
+    def key(text):
+        w = text.split()
+        return " ".join((w + ["", "", ""])[:3])
+
+    def shingles(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    ranked = sorted(((key(t), d, t) for d, t in rows))
+    expected = {}
+    for i in range(len(ranked)):
+        for j in range(i + 1, min(i + 1 + _SNM_WINDOW, len(ranked))):
+            sa, sb = shingles(ranked[i][2]), shingles(ranked[j][2])
+            common = len(sa & sb)
+            union = len(sa) + len(sb) - common
+            if union and common / union >= _SNM_MIN_JACCARD:
+                expected[(ranked[i][1], ranked[j][1])] = j - i
+    got = {
+        (r["id_a"], r["id_b"]): r["gap"]
+        for r in snm_pairs_over(df).collect()
+    }
+    assert got == expected
