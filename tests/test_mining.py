@@ -406,3 +406,52 @@ def test_snm_pairs_property_on_generated_corpora(spark, word_lists):
         for r in snm_pairs_over(df).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# plan guards: the mining wave's scale claims, pinned structurally
+# --------------------------------------------------------------------------
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contrastive_negatives_anchors_never_shuffle(spark):
+    """The negative pool (B*k rows) must BROADCAST to the anchors: the
+    only hash exchange allowed is the pool-side bucket window; the
+    anchor scan flows straight into a BroadcastHashJoin."""
+    import re
+
+    plan = _executed_plan(
+        _REG["train_contrastive_negatives"].fn(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
+def test_assoc_rules_top20_is_take_ordered_not_rank_window(spark):
+    """The top-20 selection must compile to TakeOrderedAndProject (no
+    global rank window), and the brand-support dims must broadcast —
+    the one single-partition exchange is the scalar basket count."""
+    plan = _executed_plan(_REG["ml_assoc_rules_pairs"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_pmi_top20_is_take_ordered_and_totals_fused(spark):
+    """PMI's top-20 must be a TakeOrderedAndProject and both corpus
+    totals must come from ONE single-partition aggregate."""
+    plan = _executed_plan(_REG["text_pmi_collocations"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
+
+
+def test_mad_outliers_has_no_single_partition_exchange(spark):
+    """Both median passes are keyed group-bys with broadcast dims —
+    nothing in the plan may collapse to a single partition."""
+    plan = _executed_plan(_REG["profile_mad_outliers"].fn(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
