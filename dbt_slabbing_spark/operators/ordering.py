@@ -41,9 +41,13 @@ def _pin_range_partitioning(parted: DataFrame) -> DataFrame:
     ids — silently corrupted ranks. Persisting pins one exchange: both
     subtrees read the same in-memory/disk partitions (and a re-run of
     an evicted block replays the SAME shuffle files, not a fresh
-    sample). Cost: the exchange runs once instead of twice; lifetime is
-    session LRU (these frames are intermediate-sized — the corpus slice
-    being ranked)."""
+    sample). Cost: the exchange runs once instead of twice. Lifetime:
+    memory blocks evict under pressure (to disk); the cache entry
+    itself lives until the session ends — each kernel call caches one
+    intermediate-sized frame (the corpus slice being ranked), so a
+    long-lived session issuing MANY kernel calls should unpersist or
+    clearCache between jobs. Production-shaped runs (one job per
+    session) never notice."""
     from pyspark import StorageLevel
 
     return parted.persist(StorageLevel.MEMORY_AND_DISK)
