@@ -6,7 +6,7 @@
     python tools/run_query.py --list [--tag dedup]
 
 The engine-as-a-product entry point: the registry is the query surface
-(193 named queries, COVERAGE.md maps them to the reference + the §2.6
+(237 named queries, COVERAGE.md maps them to the reference + the §2.6
 inventory), and this runner is how a shell user executes one against a
 parquet directory — show rows, or `--explain` the executed physical
 plan (the formatted mode the SCALE.md audits quote).
