@@ -127,6 +127,8 @@ _MODULES = (
 # Staleness audit: registry keys vs max round per key across
 # CORRECTNESS_r0*.json (all 50 verified green by tools/parity_sweep.py
 # on the current 2026-08-14 10:21 testdata before rotation).
+# `python tools/rotation_audit.py` automates this audit and prints the
+# proposed next-round queue.
 _PRIORITY = (
     "window_sessionize_batch",
     "window_running_revenue",
