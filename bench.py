@@ -38,32 +38,39 @@ from dbt_slabbing_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
 
+# (short, registry_name, summed). summed=True marks the 8 queries whose
+# sum is the BASELINE.md-comparable headline "value" (r1-r8 series);
+# summed=False extras are timed and reported per-query only. The flag
+# lives ON the tuple so adding an extra can't silently inflate the
+# headline again (BENCH_r08's recorded 2.7843 s wrongly summed the new
+# q21_bucketed because the old hand-maintained name list wasn't updated;
+# comparable 8-query sum was 2.5502 s — footnoted in BASELINE.md).
 HEADLINE = [
-    ("q1", "q1_pricing_summary"),
-    ("q3", "q3_shipping_priority"),
-    ("q5", "q5_local_supplier"),
-    ("window_topk", "window_topk_orders_per_customer"),
-    ("events_hourly", None),  # batch twin of the streaming rollup, below
-    ("q9", "q9_product_type_profit"),  # join-heavy: 5-table + agg
-    ("q21", "q21_sole_late_supplier"),  # decorrelated EXISTS/NOT EXISTS
-    ("minhash", "dedup_minhash_lsh"),  # LLM-pipeline dedup representative
+    ("q1", "q1_pricing_summary", True),
+    ("q3", "q3_shipping_priority", True),
+    ("q5", "q5_local_supplier", True),
+    ("window_topk", "window_topk_orders_per_customer", True),
+    ("events_hourly", None, True),  # batch twin of the streaming rollup, below
+    ("q9", "q9_product_type_profit", True),  # join-heavy: 5-table + agg
+    ("q21", "q21_sole_late_supplier", True),  # decorrelated EXISTS/NOT EXISTS
+    ("minhash", "dedup_minhash_lsh", True),  # LLM-pipeline dedup representative
     # 100 TB distinct-count story: exact bitmap rollup (one scan, coarser
     # levels merge bitmaps not rows, no count_distinct Expand). Added in
     # round 4 so regressions in the Expand-free plan are caught; no
     # BASELINE.md twin (the reference has no sketch rollup) — tracked
     # round-over-round instead.
-    ("bitmap_rollup", "agg_bitmap_exact_distinct_rollup"),
+    ("bitmap_rollup", "agg_bitmap_exact_distinct_rollup", False),
     # round-7 extra (non-summed, like bitmap_rollup): q3 over the
     # order-key-bucketed layout — the warm-up runs pay the one-time
     # bucketed write (ensure_orderkey_bucketed_tables short-circuits
     # after that), so the timed runs measure the query alone. At the
     # floor-bound sf0.1 it tracks parity; the layout's win is the
     # sf1/sf3 table in BASELINE.md §Round-7 (−30%/−21%).
-    ("q3_bucketed", "q3_bucketed_layout"),
+    ("q3_bucketed", "q3_bucketed_layout", False),
     # round-8 extra: q21 over the SAME bucketed tables — the layout-
     # REUSE claim measured round-over-round, not once (r8 interleaved
     # at sf0.1: 231-260 ms vs plain q21's 376-435 ms, ~−40%).
-    ("q21_bucketed", "q21_bucketed_layout"),
+    ("q21_bucketed", "q21_bucketed_layout", False),
 ]
 
 
@@ -109,7 +116,7 @@ def _events_hourly_batch(spark, sf_dir):
 
 def _time_headline(spark, reg) -> dict[str, float]:
     times: dict[str, float] = {}
-    for short, name in HEADLINE:
+    for short, name, _summed in HEADLINE:
         fn = reg[name].fn if name else _events_hourly_batch
         fn(spark, SF_DIR).toPandas()
         fn(spark, SF_DIR).toPandas()  # warm: codegen cache + OS page cache
@@ -175,14 +182,16 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     times = {
         s: (times_aqe_on[s] if AQE_PIN[s] == "on" else times_aqe_off[s])
-        for s, _ in HEADLINE
+        for s, _, _summed in HEADLINE
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # "value" stays the sum of the 8 BASELINE.md-comparable queries so it
-    # is comparable to BENCH_r1-r4 and the oracle; extras (bitmap_rollup)
-    # are reported per-query but not summed into the headline metric.
-    _base8 = [s for s, _ in HEADLINE if s not in ("bitmap_rollup", "q3_bucketed")]
+    # is comparable to BENCH_r1-r8 and the oracle; extras are reported
+    # per-query but never summed (the summed flag is structural, on the
+    # HEADLINE tuples).
+    _base8 = [s for s, _, summed in HEADLINE if summed]
+    assert len(_base8) == 8, f"headline series must stay 8-query comparable: {_base8}"
     print(
         json.dumps(
             {

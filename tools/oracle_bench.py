@@ -41,7 +41,7 @@ def main() -> None:
 
     reg = registry()
     times: dict[str, float] = {}
-    for short, name in HEADLINE:
+    for short, name, _summed in HEADLINE:
         sql = reg[name].oracle if name else EVENTS_HOURLY_SQL
         con.sql(sql).df()  # warm
         con.sql(sql).df()
@@ -51,8 +51,9 @@ def main() -> None:
             con.sql(sql).df()
             best = min(best, time.perf_counter() - t0)
         times[short] = round(best, 4)
+    base = [s for s, _, summed in HEADLINE if summed]
     print(json.dumps({"metric": "oracle_warm_query_sec", "queries": times,
-                      "value": round(sum(times.values()), 4), "sf": SF_DIR}))
+                      "value": round(sum(times[s] for s in base), 4), "sf": SF_DIR}))
 
 
 if __name__ == "__main__":
