@@ -233,10 +233,80 @@ def _uri_to_name(uri: str) -> str:
     return pathlib.PurePosixPath(path).name
 
 
-def _commit_manifest(p, files: list[str]) -> None:
+class ManifestConflictError(RuntimeError):
+    """Optimistic-concurrency abort: the manifest advanced past the
+    version this mutation read, so publishing would discard the other
+    writer's commit. Raised BEFORE anything is published or unlinked —
+    the table is intact, the loser's staged files are invisible orphans
+    (:func:`vacuum_orphans` reclaims), and the caller retries the whole
+    operation against the new snapshot. The same contract as Delta's
+    ``ConcurrentModificationException`` / Iceberg's commit-conflict
+    retry loop."""
+
+
+def _read_snapshot(p) -> tuple[int, list[str]]:
+    """(version, live files) of the current manifest; (0, []) when the
+    table has no manifest yet (version 0 = "expect to create")."""
+    import json
+
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return 0, []
+    doc = json.loads(mf.read_text())
+    return int(doc.get("version", 1)), sorted(doc["files"])
+
+
+def _manifest_lock(p, timeout: float = 10.0):
+    """O_CREAT|O_EXCL lock file guarding the read-check-swap in
+    :func:`_commit_manifest` so the version check and the publish are
+    one atomic step on a shared POSIX filesystem. Held only for the
+    metadata rewrite (µs-ms) — data staging happens outside it. On an
+    object store this maps to the conditional-put primitive
+    (S3 If-None-Match / GCS generation preconditions) that Delta/
+    Iceberg commit services use; the lock file is the local-FS stand-in.
+    Returns the fd; caller must :func:`_manifest_unlock`."""
+    import os
+    import time
+
+    lock = str(p / (_MANIFEST + ".lock"))
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"manifest lock {lock} held past {timeout}s — stale "
+                    "lock from a crashed committer? remove it manually"
+                ) from None
+            time.sleep(0.02)
+
+
+def _manifest_unlock(p, fd: int) -> None:
+    import os
+
+    os.close(fd)
+    try:
+        os.unlink(str(p / (_MANIFEST + ".lock")))
+    except OSError:
+        pass
+
+
+def _commit_manifest(p, files: list[str], expected_version: int | None = None) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
-    every manifest-based mutation (POSIX rename atomicity).
+    every manifest-based mutation (POSIX rename atomicity). Returns the
+    committed version.
+
+    ``expected_version`` is the optimistic-concurrency precondition:
+    the version the mutation READ when it planned its file list (0 =
+    the table had no manifest). Under the commit lock the current
+    version is re-read; if it moved, :class:`ManifestConflictError` is
+    raised and NOTHING is written — two interleaved committers can
+    never silently drop each other's files (the round-8 last-wins race:
+    a delete_rows racing a merge_rows could publish a manifest
+    referencing files the loser had already unlinked). ``None`` skips
+    the check (single-writer legacy paths and tests).
 
     Each commit also appends the prior snapshot to an in-document
     ``history`` list (version-numbered), so the single atomic file
@@ -250,19 +320,31 @@ def _commit_manifest(p, files: list[str]) -> None:
     import os
 
     mf = p / _MANIFEST
-    version, history = 1, []
-    if mf.exists():
-        prev = json.loads(mf.read_text())
-        version = int(prev.get("version", 1)) + 1
-        history = prev.get("history", [])
-        history.append(
-            {"version": int(prev.get("version", 1)), "files": prev["files"]}
+    fd = _manifest_lock(p)
+    try:
+        version, history = 1, []
+        if mf.exists():
+            prev = json.loads(mf.read_text())
+            cur = int(prev.get("version", 1))
+            version = cur + 1
+            history = prev.get("history", [])
+            history.append({"version": cur, "files": prev["files"]})
+        else:
+            cur = 0
+        if expected_version is not None and cur != expected_version:
+            raise ManifestConflictError(
+                f"manifest at version {cur}, expected {expected_version}: "
+                "a concurrent commit landed first; retry against the new "
+                "snapshot (nothing was published)"
+            )
+        tmp = p / (_MANIFEST + ".tmp")
+        tmp.write_text(
+            json.dumps({"files": sorted(files), "version": version, "history": history})
         )
-    tmp = p / (_MANIFEST + ".tmp")
-    tmp.write_text(
-        json.dumps({"files": sorted(files), "version": version, "history": history})
-    )
-    os.replace(str(tmp), str(mf))
+        os.replace(str(tmp), str(mf))
+        return version
+    finally:
+        _manifest_unlock(p, fd)
 
 
 def manifest_versions(path) -> list[int]:
@@ -304,8 +386,22 @@ def ensure_manifest(path) -> list[str]:
     if mf.exists():
         return sorted(json.loads(mf.read_text())["files"])
     files = sorted(f.name for f in p.glob("*.parquet"))
-    _commit_manifest(p, files)
+    try:
+        _commit_manifest(p, files, expected_version=0)
+    except ManifestConflictError:
+        # a concurrent adopter created version 1 first — same directory
+        # listing; read theirs
+        return _read_snapshot(p)[1]
     return files
+
+
+def _snapshot_for_update(p) -> tuple[int, list[str]]:
+    """(version, live files) a mutation plans against — adopting a
+    plain parquet directory into the manifest contract on first touch.
+    The returned version is the OCC precondition for the mutation's
+    eventual :func:`_commit_manifest`."""
+    ensure_manifest(p)
+    return _read_snapshot(p)
 
 
 def read_table(
@@ -367,7 +463,7 @@ def append_files(spark, path, df: DataFrame) -> dict:
     import uuid
 
     p = pathlib.Path(path)
-    live = ensure_manifest(p)
+    vers, live = _snapshot_for_update(p)
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".append-{token}")
     df.write.mode("overwrite").parquet(str(staging))
@@ -377,7 +473,21 @@ def append_files(spark, path, df: DataFrame) -> dict:
         shutil.move(str(f), str(p / name))
         added.append(name)
     shutil.rmtree(staging, ignore_errors=True)
-    _commit_manifest(p, live + added)
+    # OCC with blind-append auto-rebase (Delta's AppendOnly resolution):
+    # an append removes nothing, so a conflicting commit is resolved by
+    # re-reading the new snapshot and re-attaching our uniquely-named
+    # files to it — no data work repeats, only the metadata commit.
+    for _ in range(10):
+        try:
+            _commit_manifest(p, live + added, expected_version=vers)
+            break
+        except ManifestConflictError:
+            vers, live = _read_snapshot(p)
+    else:
+        raise ManifestConflictError(
+            "append could not commit after 10 rebases (pathological "
+            "commit contention); staged files are orphans for vacuum"
+        )
     return {"n_files_added": len(added), "n_files_total": len(live) + len(added)}
 
 
@@ -437,8 +547,17 @@ def delete_rows(
     "affected" a small fraction by LAYOUT), replacement files are
     written for the affected set only, and the switch is ONE atomic
     manifest swap (:func:`_commit_manifest`) — exactly a table format's
-    snapshot commit, so it carries to S3/GCS unchanged. Untouched files
-    are neither copied nor rewritten; they simply stay listed.
+    snapshot commit. Untouched files are neither copied nor rewritten;
+    they simply stay listed.
+
+    Concurrency: the commit is optimistic — it carries the manifest
+    version this operation read, and a conflicting interleaved commit
+    raises :class:`ManifestConflictError` BEFORE anything is published
+    or unlinked (the table is intact; retry the whole call). On POSIX
+    the check-and-swap is made atomic by a lock file; on S3/GCS the
+    same contract needs the store's conditional put (see
+    :func:`_manifest_lock`) — the mechanics port, the primitive is
+    swapped.
 
     Crash windows (both fault-injection-tested):
     - before the manifest commit → readers still see the old snapshot
@@ -458,7 +577,7 @@ def delete_rows(
 
     p = pathlib.Path(path)
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    live = ensure_manifest(p)
+    vers, live = _snapshot_for_update(p)
     live_paths = [str(p / n) for n in live]
     # rows_before: count-star compiles to a footer-metadata read (no
     # data pages); match attribution runs over the FILTERED scan, so
@@ -511,7 +630,14 @@ def delete_rows(
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
     gone = set(affected_names)
-    _commit_manifest(p, [n for n in live if n not in gone] + new_names)  # ATOMIC
+    # ATOMIC + OCC: raises ManifestConflictError (publishing nothing)
+    # if another commit landed since `vers` — critically BEFORE the
+    # unlinks below, so a losing delete can never remove files a
+    # winning concurrent commit still references. Caller retries the
+    # whole operation; the staged replacements are orphans for vacuum.
+    _commit_manifest(
+        p, [n for n in live if n not in gone] + new_names, expected_version=vers
+    )
     if not retain:  # retain=True keeps displaced originals on disk so
         # prior snapshots stay time-travel-readable until vacuum (the
         # Delta contract); default unlinks eagerly (space-frugal)
@@ -562,7 +688,7 @@ def merge_rows(
 
     keys = [on] if isinstance(on, str) else list(on)
     p = pathlib.Path(path)
-    live = ensure_manifest(p)
+    vers, live = _snapshot_for_update(p)
     live_paths = [str(p / n) for n in live]
 
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
@@ -623,7 +749,10 @@ def merge_rows(
     stats["n_files_added"] = len(new_names)
 
     gone = set(affected_names)
-    _commit_manifest(p, [n for n in live if n not in gone] + new_names)  # ATOMIC
+    # ATOMIC + OCC: conflict aborts BEFORE any unlink (see delete_rows)
+    _commit_manifest(
+        p, [n for n in live if n not in gone] + new_names, expected_version=vers
+    )
     if not retain:
         for n in affected_names:
             _unlink_quiet(p / n)
