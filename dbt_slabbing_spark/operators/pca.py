@@ -134,6 +134,13 @@ def power_iteration(
     for _ in range(iters):
         w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         nm = math.sqrt(sum(x * x for x in w))
+        if nm == 0.0:
+            # degenerate input (e.g. all-constant column → zero
+            # covariance): every direction is an eigenvector with
+            # eigenvalue 0; return the current v with lam = 0.0 rather
+            # than ZeroDivisionError — the defined-result convention of
+            # kmeans_fit's empty-cell carry
+            return v, 0.0
         v = [pyround(x / nm, round_dp) for x in w]
         lam = pyround(nm, round_dp)
     return v, lam

@@ -399,8 +399,12 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Global closed form of the ingest-time EWMA monitor under
     # event_id-ordered arrival, replayed as the IDENTICAL integer
     # recursion (nano-units; alpha=0.5 as the half-up integer average)
-    # in a recursive CTE: y_1 = x_1 (no alert), y_t = (y_{t-1} + x_t
-    # + 1) // 2 with alert when |x_t - y_{t-1}| > 50e9 nano-units.
+    # in a recursive CTE: y_1 = x_1 (no alert), y_t = floor((y_{t-1} +
+    # x_t + 1) / 2) with alert when |x_t - y_{t-1}| > 50e9 nano-units.
+    # The step is written floor((a+b)/2.0), NOT DuckDB's `//`: `//`
+    # TRUNCATES toward zero while the job's Python `//` FLOORS, and the
+    # two diverge whenever y+x+1 is negative and odd. The double
+    # division is exact here (|nano state| ≤ ~1e12 ≪ 2^53).
     """
     WITH RECURSIVE x AS (
         SELECT event_id, user_id,
@@ -414,7 +418,7 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x WHERE rn = 1
         UNION ALL
         SELECT x.user_id, x.rn, x.event_id,
-               (s.yn + x.xn + 1) // 2 AS yn,
+               CAST(floor((s.yn + x.xn + 1) / 2.0) AS BIGINT) AS yn,
                abs(x.xn - s.yn) > 50000000000 AS alert
         FROM steps s JOIN x ON x.user_id = s.user_id AND x.rn = s.rn + 1
     )

@@ -449,6 +449,14 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .collect()  # bounded: the 2 query terms
     )
+    if len(words_flat) < 2:
+        # degenerate corpus (< 2 distinct non-empty words): no term
+        # pair exists to search — empty result with the declared
+        # schema, matching the oracle's NULL scalar subqueries (which
+        # then match no document) instead of an IndexError
+        return spark.createDataFrame(
+            [], "doc_id bigint, term1 string, term2 string, n_pairs bigint"
+        )
     t1, t2 = words_flat[0]["word"], words_flat[1]["word"]
 
     warr = F.filter(

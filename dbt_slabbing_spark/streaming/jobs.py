@@ -899,7 +899,12 @@ def streaming_ewma_alert(
                 yn = xn
             else:
                 out_alert.append(abs(xn - yn) > thr_n)
-                yn = (yn + xn + 1) // 2  # exact half-up integer average
+                # exact half-up integer average; Python // FLOORS (also
+                # for negative odd sums), and the oracle's step is
+                # written floor((a+b)/2.0) — not DuckDB's truncating
+                # `//` — so the recursion matches over the operator's
+                # whole double domain, not just the testdata's [0, 560]
+                yn = (yn + xn + 1) // 2
             out_ewma.append(yn / 1e9)
         state.update((yn,))
         yield pd.DataFrame(

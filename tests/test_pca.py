@@ -104,3 +104,14 @@ def test_pc1_gate_scores_match_numpy_projection(spark):
         want = pyround(float((vec - m) @ v), 6)
         assert got[k]["pc1_score"] == pytest.approx(want, abs=2e-6)
         assert got[k]["lambda1"] == pytest.approx(lam, abs=1e-8)
+
+
+def test_power_iteration_zero_covariance_returns_defined_result():
+    """Degenerate input (all-constant column → zero covariance matrix)
+    must return (current v, lam=0.0) — the kmeans empty-cell-carry
+    convention — not ZeroDivisionError."""
+    from dbt_slabbing_spark.operators.pca import power_iteration
+
+    v, lam = power_iteration([[0.0, 0.0], [0.0, 0.0]], iters=5)
+    assert lam == 0.0
+    assert len(v) == 2 and all(x == v[0] for x in v)

@@ -448,3 +448,30 @@ def test_ewma_alert_slicing_invariant_and_matches_fold(spark, tmp_path):
     # both alert outcomes occur (non-vacuous threshold)
     alerts = {a for (_u, _e, a) in small.values()}
     assert alerts == {True, False}
+
+
+def test_ewma_oracle_step_floors_like_python_for_negative_values():
+    """Pin the cross-engine step semantics over the NEGATIVE domain the
+    testdata never exercises (events.value is [0, 560] there): the
+    oracle's CAST(floor((a+b+1)/2.0) AS BIGINT) must equal Python's
+    flooring (a+b+1)//2 — DuckDB's integer `//` would NOT (it truncates
+    toward zero, diverging whenever a+b+1 is negative and odd)."""
+    import duckdb
+
+    pairs = [
+        (a, b)
+        for a in (-5_000_000_001, -3, -2, -1, 0, 1, 2, 3, 7_000_000_003)
+        for b in (-4_000_000_003, -3, -1, 0, 1, 3, 9_000_000_001)
+    ]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CAST(floor((a + b + 1) / 2.0) AS BIGINT) FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in pairs)
+        + ") t(a, b)"
+    ).fetchall()
+    want = [(a + b + 1) // 2 for a, b in pairs]
+    assert [g[0] for g in got] == want
+    # and the truncating operator really does diverge — the reason for
+    # the floor() form (guards against someone "simplifying" it back)
+    trunc = con.execute("SELECT (-4 + 0 + 1) // 2").fetchone()[0]
+    assert trunc == -1 and (-4 + 0 + 1) // 2 == -2

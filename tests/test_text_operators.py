@@ -130,3 +130,22 @@ def test_ordering_kernels_pin_one_range_partitioning(spark):
     for r in sorted(crows, key=lambda r: (r["k"], r["id"])):
         by_k[r["k"]] = by_k.get(r["k"], 0) + 1
         assert r["cum"] == by_k[r["k"]]
+
+
+def test_proximity_search_degenerate_corpus_returns_empty(spark, tmp_path):
+    """A corpus with fewer than two distinct non-empty words has no
+    term pair to search: the engine must return an EMPTY frame with the
+    declared schema (matching the oracle's NULL scalar subqueries), not
+    IndexError on the bounded 2-row collect."""
+    from dbt_slabbing_spark.queries import registry
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, "hello hello hello", "en", "web", 17), (2, "  hello ", "en", "web", 8)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    df = registry()["text_proximity_search"].fn(spark, str(sf))
+    assert df.columns == ["doc_id", "term1", "term2", "n_pairs"]
+    assert df.count() == 0

@@ -95,12 +95,16 @@ def main() -> int:
         key = f"r{latest_green[n]}" if n in latest_green else ("RED" if n in latest_any else "never")
         hist[key] = hist.get(key, 0) + 1
     print(f"registry: {len(reg)} queries; prefix: {len(_PRIORITY)}")
+    # numeric round order (lexicographic would put r10 before r2 from
+    # round 10 on), with never/RED pushed to the end
     print("freshness (latest green driver round):",
-          dict(sorted(hist.items(), key=lambda kv: kv[0])))
+          dict(sorted(hist.items(),
+                      key=lambda kv: (not kv[0].startswith("r"),
+                                      int(kv[0][1:]) if kv[0].startswith("r") else -1))))
     if red_latest:
         print(f"!! latest driver row RED for: {sorted(red_latest)}")
     in_prefix = set(_PRIORITY)
-    stale_prefixed = [n for n in _PRIORITY if latest_green.get(n, 0) and n in latest_any]
+    stale_prefixed = [n for n in _PRIORITY if n in latest_green and n in latest_any]
     print("prefix rows never driver-checked:",
           sum(1 for n in _PRIORITY if n not in latest_any))
     oldest = sorted((latest_green.get(n, 0), n) for n in stale_prefixed)[:5]
