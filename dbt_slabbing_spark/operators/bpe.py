@@ -65,15 +65,38 @@ def adjacent_pairs(sym_str) -> "F.Column":
     )
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Bounded-lineage seam: materialize the working table and cut its
+    logical plan (`localCheckpoint(eager=True)`), so the next iteration
+    plans against the checkpointed data instead of re-deriving every
+    prior merge's `replace` from the scan. The superseded checkpoint's
+    cached blocks are reclaimed by Spark's ContextCleaner once the
+    rebound reference drops. On a multi-executor cluster the same seam
+    would use `checkpoint()` into a reliable directory (localCheckpoint
+    blocks die with an executor); the plan contract is identical."""
+    return df.localCheckpoint(eager=True)
+
+
 def learn_bpe_merges(
     words: DataFrame,
     word_col: str = "word",
     freq_col: str = "freq",
     n_merges: int = 6,
+    checkpoint_every: int = 32,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table; returns
     ``[(step, 'x y', 'xy', count), …]`` in merge order. Stops early if
-    no pair remains (corpus fully merged)."""
+    no pair remains (corpus fully merged).
+
+    Bounded lineage (the kmeans bounded-driver-state contract's sibling):
+    each iteration stacks one `replace` projection, so an unpersisted
+    working table would make iteration N re-execute all N−1 prior
+    replaces from the scan — O(steps²) total work and O(steps) plan
+    depth, the dominant cost at a real 30k-merge vocabulary. Every
+    ``checkpoint_every`` merges the table is materialized and its
+    lineage cut (:func:`_truncate_lineage`), making training O(steps)
+    with plan depth ≤ ``checkpoint_every`` while driver state stays one
+    pair string per iteration."""
     cur = words.select(
         symbolize(F.col(word_col)).alias("s"), F.col(freq_col).alias("f")
     )
@@ -96,6 +119,8 @@ def learn_bpe_merges(
             F.replace(F.col("s"), F.lit(pat), F.lit(" " + merged + " ")).alias("s"),
             "f",
         )
+        if step % checkpoint_every == 0:
+            cur = _truncate_lineage(cur)
         merges.append((step, pair, merged, cnt))
     return merges
 

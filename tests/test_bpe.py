@@ -113,3 +113,38 @@ def test_bpe_encode_matches_symbol_list_segmentation(spark):
         assert row["n_words"] == len(ws)
         assert row["n_bpe_tokens"] == len(toks), doc_id
         assert row["tokens_md5"] == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+def test_bpe_checkpointing_bounds_lineage_and_preserves_merges(spark, monkeypatch):
+    """Bounded-lineage training (the O(steps²) fix): with
+    checkpoint_every=N, _truncate_lineage fires exactly
+    floor(steps / N) times, every checkpointed frame's plan is cut to a
+    scan (no stacked replace projections), and the learned merge table
+    is IDENTICAL to the checkpoint-free run."""
+    from dbt_slabbing_spark.operators import bpe
+
+    docs = table(spark, SF_SMOKE, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    baseline = learn_bpe_merges(words, n_merges=9, checkpoint_every=10**9)
+
+    real = bpe._truncate_lineage
+    seen: list[int] = []
+
+    def spy(df):
+        out = real(df)
+        # lineage really is cut: the checkpointed plan is a bare scan
+        # of materialized rows, with none of the stacked replaces
+        assert "replace" not in out._jdf.queryExecution().optimizedPlan().toString()
+        seen.append(1)
+        return out
+
+    monkeypatch.setattr(bpe, "_truncate_lineage", spy)
+    got = learn_bpe_merges(words, n_merges=9, checkpoint_every=3)
+    assert got == baseline and len(got) == 9
+    assert len(seen) == 3  # steps 3, 6, 9
