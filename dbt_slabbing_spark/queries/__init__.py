@@ -153,7 +153,11 @@ _PRIORITY = (
     "agg_grouping_sets",
     "agg_histogram_buckets",
     "agg_histogram_quantile_rollup",
-    "agg_hll_sketch_rollup",
+    "search_rrf_hybrid_topk",  # round-9 gate, never driver-checked:
+    # takes agg_hll_sketch_rollup's slot (r4-green; the sketch-rollup
+    # family keeps a prefixed driver row via
+    # agg_bitmap_exact_distinct_rollup and agg_histogram_quantile_rollup
+    # -> head of the round-10 queue)
 )
 
 

@@ -737,3 +737,277 @@ def ml_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(p_kn, 9).alias("p_kn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the text and dense channels
+# ---------------------------------------------------------------------------
+
+#: RRF constant (Cormack et al. 2009, "Reciprocal Rank Fusion
+#: outperforms Condorcet and individual rank learning methods" — k=60
+#: is the paper's constant and the default in every major serving
+#: stack). Per-query fused score = Σ_channels 1/(k + rank).
+RRF_K = 60
+#: one single-term text query per retrieval query, paired with the
+#: anchor embedding vec_id == query id (documents and embeddings share
+#: the 0..N-1 id space in the testdata).
+RRF_QUERY_TERMS: tuple[str, ...] = ("table", "scan", "window")
+
+
+def _sql_rrf_oracle() -> str:
+    nq = len(RRF_QUERY_TERMS)
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(w, t -> t = '{term}')) AS BIGINT) AS tf{i}"
+        for i, term in enumerate(RRF_QUERY_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(nq)
+    )
+    tf_case = " ".join(f"WHEN {i} THEN tf{i}" for i in range(nq))
+    df_case = " ".join(f"WHEN {i} THEN df{i}" for i in range(nq))
+    dvec = "list_transform({col}, x -> CAST(x AS DOUBLE))"
+    cos = (
+        "round((list_dot_product(qv.v, cv.v) / "
+        "(sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v)))) "
+        "* 1000000.0) / 1000000.0 + 0.0"
+    )
+    return f"""
+    WITH feat AS (
+        SELECT doc_id, CAST(len(w) AS INT) AS dl,
+               {tf_cols}
+        FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+        WHERE len(w) > 0
+    ),
+    qids AS (SELECT unnest(range({nq})) AS qid),
+    tlong AS (
+        SELECT CAST(q.qid AS BIGINT) AS qid, f.doc_id, f.dl,
+               CASE q.qid {tf_case} END AS tf
+        FROM feat f CROSS JOIN qids q
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+               {df_cols}
+        FROM feat
+    ),
+    slong AS (
+        SELECT CAST(q.qid AS BIGINT) AS qid, s.n_docs, s.avgdl,
+               CASE q.qid {df_case} END AS dfq
+        FROM stats s CROSS JOIN qids q
+    ),
+    tscored AS (
+        SELECT t.qid, t.doc_id,
+               round((ln(1.0 + (s.n_docs - s.dfq + 0.5) / (s.dfq + 0.5))
+                      * (t.tf * {BM25_K1 + 1.0})
+                      / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / s.avgdl)))
+                     * 10000.0) / 10000.0 + 0.0 AS s
+        FROM tlong t JOIN slong s ON t.qid = s.qid
+        WHERE t.tf > 0
+    ),
+    trank AS (
+        SELECT qid, doc_id, rank_text FROM (
+            SELECT qid, doc_id,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)
+                        AS BIGINT) AS rank_text
+            FROM tscored
+        ) WHERE rank_text <= 20
+    ),
+    planes AS (
+        SELECT vec_id AS pid, {dvec.format(col="embedding")} AS pv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    bucketed AS (
+        SELECT e.vec_id, p.pid // 4 AS band,
+               CAST(sum(CASE WHEN list_dot_product({dvec.format(col="e.embedding")}, p.pv) > 0
+                             THEN (CAST(1 AS BIGINT) << (p.pid % 4)) ELSE 0 END) AS BIGINT) AS bkt
+        FROM embeddings e, planes p
+        GROUP BY e.vec_id, p.pid // 4
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS qid, c.vec_id AS doc_id
+        FROM bucketed q JOIN bucketed c
+          ON q.band = c.band AND q.bkt = c.bkt AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {nq}
+    ),
+    vecs AS (SELECT vec_id, {dvec.format(col="embedding")} AS v FROM embeddings),
+    dscored AS (
+        SELECT cand.qid, cand.doc_id, {cos} AS cos
+        FROM cand
+        JOIN vecs qv ON qv.vec_id = cand.qid
+        JOIN vecs cv ON cv.vec_id = cand.doc_id
+    ),
+    drank AS (
+        SELECT qid, doc_id, rank_dense FROM (
+            SELECT qid, doc_id,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id)
+                        AS BIGINT) AS rank_dense
+            FROM dscored
+        ) WHERE rank_dense <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(t.qid, d.qid) AS qid,
+               COALESCE(t.doc_id, d.doc_id) AS doc_id,
+               CAST(COALESCE(t.rank_text, 0) AS BIGINT) AS rank_text,
+               CAST(COALESCE(d.rank_dense, 0) AS BIGINT) AS rank_dense,
+               round((COALESCE(1.0 / ({RRF_K} + t.rank_text), 0.0)
+                      + COALESCE(1.0 / ({RRF_K} + d.rank_dense), 0.0))
+                     * 1000000000.0) / 1000000000.0 + 0.0 AS rrf_score
+        FROM trank t FULL JOIN drank d
+          ON t.qid = d.qid AND t.doc_id = d.doc_id
+    )
+    SELECT qid, doc_id, rank_text, rank_dense, rrf_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= 10
+    """
+
+
+@register(
+    "search_rrf_hybrid_topk",
+    _sql_rrf_oracle(),
+    "hybrid retrieval serving shape: per-query reciprocal-rank fusion "
+    "(k=60) of a single-term BM25 text channel and a banded-LSH dense "
+    "channel; all rank arithmetic integer, fused score a fixed-order "
+    "two-term sum of 1/(k+rank) so the oracle is exact",
+    tags=("text", "search", "similarity", "training"),
+)
+def search_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the engine's two retrieval channels —
+    the standard RAG serving composition (RRF constant 60, per-query
+    top-10, rank 0 = "not surfaced by this channel").
+
+    100 TB shape: each channel is itself scale-clean (BM25: one scalar
+    corpus-stats aggregate broadcast to a map-side scorer + per-query
+    top-k window; dense: banded-LSH bucket EQUI-join with broadcast
+    anchors — never all-pairs), and the fusion is a (qid, doc_id)
+    equi-join of two already-top-k-truncated candidate lists: ≤ 20
+    rows per query per channel regardless of corpus size, so the
+    fusion cost is O(queries · k), independent of the 100 TB corpus.
+    """
+    from ..operators.similarity import cosine, dot
+
+    nq = len(RRF_QUERY_TERMS)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", T.words(F.col("text")).alias("w"))
+        .withColumn("dl", F.size("w"))
+        .filter(F.col("dl") > 0)
+    )
+    feat = docs.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.filter(F.col("w"), _term_eq(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, term in enumerate(RRF_QUERY_TERMS)
+        ],
+    )
+    stack_tf = ", ".join(f"{i}L, tf{i}" for i in range(nq))
+    tlong = feat.select(
+        "doc_id", "dl", F.expr(f"stack({nq}, {stack_tf}) AS (qid, tf)")
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(nq)
+        ],
+    )
+    stack_df = ", ".join(f"{i}L, df{i}" for i in range(nq))
+    slong = stats.select(
+        "n_docs", "avgdl", F.expr(f"stack({nq}, {stack_df}) AS (qid, dfq)")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    tscored = (
+        tlong.filter(F.col("tf") > 0)
+        .join(F.broadcast(slong), on="qid")
+        .select("qid", "doc_id", dround(idf * (F.col("tf") * (BM25_K1 + 1.0)) / norm, 4).alias("s"))
+    )
+    wq = Window.partitionBy("qid")
+    trank = (
+        tscored.withColumn(
+            "rank_text",
+            F.row_number().over(wq.orderBy(F.desc("s"), F.asc("doc_id"))).cast("bigint"),
+        )
+        .filter(F.col("rank_text") <= 20)
+        .select("qid", "doc_id", "rank_text")
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    bucketed = (
+        emb.crossJoin(F.broadcast(planes))
+        .withColumn("band", F.expr("pid div 4"))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.when(
+                    dot(F.col("embedding"), F.col("pv")) > 0,
+                    F.expr("shiftleft(cast(1 as bigint), pid % 4)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bkt")
+        )
+    )
+    anchors = bucketed.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("band").alias("_ab"), F.col("bkt").alias("_abkt")
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(anchors),
+            (F.col("band") == F.col("_ab"))
+            & (F.col("bkt") == F.col("_abkt"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    dscored = (
+        cand.join(
+            F.broadcast(vecs.withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "_qv")).filter(
+                F.col("qid") < nq
+            ),
+            on="qid",
+        )
+        .join(vecs.withColumnRenamed("vec_id", "doc_id"), on="doc_id")
+        .select("qid", "doc_id", dround(cosine(F.col("_qv"), F.col("v")), 6).alias("cos"))
+    )
+    drank = (
+        dscored.withColumn(
+            "rank_dense",
+            F.row_number().over(wq.orderBy(F.desc("cos"), F.asc("doc_id"))).cast("bigint"),
+        )
+        .filter(F.col("rank_dense") <= 20)
+        .select("qid", "doc_id", "rank_dense")
+    )
+
+    fused = (
+        trank.join(drank, on=["qid", "doc_id"], how="full")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            "doc_id",
+            F.coalesce("rank_text", F.lit(0).cast("bigint")).alias("rank_text"),
+            F.coalesce("rank_dense", F.lit(0).cast("bigint")).alias("rank_dense"),
+            dround(
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_text")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0)),
+                9,
+            ).alias("rrf_score"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rn", F.row_number().over(wq.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
+        )
+        .filter(F.col("rn") <= 10)
+        .select("qid", "doc_id", "rank_text", "rank_dense", "rrf_score")
+    )

@@ -149,3 +149,29 @@ def test_proximity_search_degenerate_corpus_returns_empty(spark, tmp_path):
     df = registry()["text_proximity_search"].fn(spark, str(sf))
     assert df.columns == ["doc_id", "term1", "term2", "n_pairs"]
     assert df.count() == 0
+
+
+def test_rrf_fusion_score_consistent_with_ranks(spark):
+    """search_rrf_hybrid_topk: the fused score must equal the RRF
+    closed form of the emitted ranks (rank 0 = channel miss contributes
+    nothing), every query returns at most 10 rows, and at least one row
+    is fused from BOTH channels somewhere (non-vacuous hybrid)."""
+    from dbt_slabbing_spark.queries import registry
+    from dbt_slabbing_spark.queries.textsearch import RRF_K, RRF_QUERY_TERMS
+    from tests.conftest import SF_SMOKE
+
+    rows = registry()["search_rrf_hybrid_topk"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    per_q: dict[int, int] = {}
+    both = 0
+    for r in rows:
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+        want = (1.0 / (RRF_K + r["rank_text"]) if r["rank_text"] else 0.0) + (
+            1.0 / (RRF_K + r["rank_dense"]) if r["rank_dense"] else 0.0
+        )
+        assert r["rrf_score"] == round(want, 9)
+        assert want > 0.0  # a surfaced row came from at least one channel
+        both += 1 if (r["rank_text"] and r["rank_dense"]) else 0
+    assert set(per_q) <= set(range(len(RRF_QUERY_TERMS)))
+    assert all(n <= 10 for n in per_q.values())
+    assert both >= 1
