@@ -444,7 +444,7 @@ def read_table(
     return reader.parquet(str(p))
 
 
-def append_files(spark, path, df: DataFrame) -> dict:
+def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
     """INSERT/append as a manifest commit — and with it, add-column
     schema evolution over plain parquet (the Delta/Iceberg semantics):
     the appended frame may carry columns the existing files lack (or
@@ -464,7 +464,11 @@ def append_files(spark, path, df: DataFrame) -> dict:
 
     p = pathlib.Path(path)
     vers, live = _snapshot_for_update(p)
-    token = uuid.uuid4().hex[:12]
+    # token: caller-supplied idempotence key (e.g. a streaming batch id
+    # — see append_batch_idempotent) instead of the random default; the
+    # appended file names embed it, making "was this logical append
+    # already committed?" answerable from the live list alone.
+    token = token or uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".append-{token}")
     df.write.mode("overwrite").parquet(str(staging))
     added = []
@@ -489,6 +493,37 @@ def append_files(spark, path, df: DataFrame) -> dict:
             "commit contention); staged files are orphans for vacuum"
         )
     return {"n_files_added": len(added), "n_files_total": len(live) + len(added)}
+
+
+def append_batch_idempotent(spark, path, df: DataFrame, batch_id: int) -> bool:
+    """Exactly-once micro-batch append for a streaming foreachBatch
+    sink landing in a manifest table: the batch id is the idempotence
+    key. Returns True if the batch was appended, False if it was
+    already committed (a replay after a sink-side failure — Spark
+    re-runs a failed micro-batch with the SAME batch_id, never two
+    concurrently).
+
+    Mechanics: the appended file names embed ``batch-<id>``, so "was
+    this batch committed?" is a prefix test against the LIVE list — the
+    manifest's atomic commit is the transaction boundary. Crash before
+    the commit → the staged files are invisible orphans and the replay
+    re-appends (correct); crash after → the replay sees the batch in
+    the live list and skips (correct). This is the
+    ``stream_foreach_batch_totals`` batch-id-idempotence recipe with
+    the manifest commit replacing dynamic partition overwrite — the
+    landing zone becomes a real table (time travel, DELETE/MERGE,
+    schema evolution) instead of a batch_id-partitioned directory.
+    """
+    import pathlib
+
+    p = pathlib.Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    token = f"batch-{int(batch_id):08d}"
+    live = ensure_manifest(p)
+    if any(n.startswith(f"append-{token}-") for n in live):
+        return False
+    append_files(spark, path, df, token=token)
+    return True
 
 
 def vacuum_orphans(path, retain_versions: int = 0) -> list[str]:

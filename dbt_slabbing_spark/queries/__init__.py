@@ -152,7 +152,10 @@ _PRIORITY = (
     "agg_filtered_counts",
     "agg_grouping_sets",
     "agg_histogram_buckets",
-    "agg_histogram_quantile_rollup",
+    "stream_manifest_append",  # round-9 gate, never driver-checked:
+    # takes agg_histogram_quantile_rollup's slot (r4-green; the
+    # histogram family keeps a prefixed driver row via
+    # agg_histogram_buckets -> head of the round-10 queue)
     "search_rrf_hybrid_topk",  # round-9 gate, never driver-checked:
     # takes agg_hll_sketch_rollup's slot (r4-green; the sketch-rollup
     # family keeps a prefixed driver row via

@@ -439,3 +439,27 @@ def stream_ewma_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_ewma_alert(
         spark, sf_dir, work, threshold=50.0, rows_per_batch=2000
     )
+
+
+@register(
+    "stream_manifest_append",
+    # The manifest table holds exactly the replayed events (each batch
+    # committed once, replays skipped), so the rollup read through the
+    # manifest equals the batch aggregate over the raw table —
+    # independent of micro-batch slicing.
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "foreachBatch → manifest-table landing zone: each micro-batch is an "
+    "atomic manifest commit keyed by batch_id (exactly-once under "
+    "replay; OCC lets maintenance run beside the sink) → rollup read "
+    "through the manifest",
+    tags=("streaming", "sink", "layout"),
+)
+def stream_manifest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_manifest_append_")
+    return jobs.streaming_manifest_append(spark, sf_dir, work, rows_per_batch=2000)

@@ -942,3 +942,71 @@ def streaming_ewma_alert(
     return spark.read.parquet(verdict_dir).select(
         "event_id", "user_id", "ewma", "alert"
     )
+
+
+def streaming_manifest_append(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    rows_per_batch: int = 2000,
+) -> DataFrame:
+    """Streaming landing zone AS A MANIFEST TABLE: each micro-batch of
+    the event stream is appended through the lakehouse manifest commit
+    (`operators/layout.py::append_batch_idempotent`) with the batch id
+    as the exactly-once idempotence key — composing the two layers so
+    the streaming sink lands in a REAL table (time travel, DELETE /
+    MERGE, schema evolution, vacuum) rather than a bare directory of
+    part files.
+
+    Exactly-once: Spark re-runs a failed micro-batch with the same
+    batch_id; the appended file names embed it, so a replayed batch is
+    a no-op prefix test against the live list (see
+    append_batch_idempotent — the manifest swap is the transaction
+    boundary, replacing `foreach_batch_totals`' dynamic partition
+    overwrite). Returns the per-type rollup read THROUGH the manifest,
+    which the oracle states over the raw events — equal regardless of
+    micro-batch slicing.
+
+    100 TB story: per-batch cost is O(batch) (stage + move + O(1)
+    metadata commit); the small-files steady state this creates is
+    exactly what compact_parquet_dir / vacuum_orphans maintain, and
+    the OCC commit lets maintenance run BESIDE the live sink.
+    """
+    from ..catalog import _ensure_workers_can_import
+    from ..operators.layout import append_batch_idempotent, read_table
+    from ..sources.replay_stream import register_replay_source
+
+    _ensure_workers_can_import(spark)
+    register_replay_source(spark)
+    table_dir = f"{work_dir}/events_table"
+
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_batch_idempotent(spark, table_dir, batch_df, batch_id)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .foreachBatch(land)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_table(spark, table_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -475,3 +475,43 @@ def test_ewma_oracle_step_floors_like_python_for_negative_values():
     # the floor() form (guards against someone "simplifying" it back)
     trunc = con.execute("SELECT (-4 + 0 + 1) // 2").fetchone()[0]
     assert trunc == -1 and (-4 + 0 + 1) // 2 == -2
+
+
+def test_manifest_append_sink_exactly_once_under_replay(spark, tmp_path):
+    """stream_manifest_append: the manifest table lands exactly the
+    replayed events regardless of batch slicing, and a REPLAYED batch id
+    is a committed no-op (no new manifest version, no new files, no
+    duplicate rows) — the exactly-once contract of the sink."""
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.operators import layout
+    from dbt_slabbing_spark.streaming.jobs import streaming_manifest_append
+    from tests.conftest import SF_SMOKE
+
+    rollup = {
+        r["event_type"]: (r["n"], r["total_value"])
+        for r in streaming_manifest_append(
+            spark, SF_SMOKE, str(tmp_path / "w"), rows_per_batch=997
+        ).collect()
+    }
+    tdir = str(tmp_path / "w" / "events_table")
+    n_events = table(spark, SF_SMOKE, "events").count()
+    assert sum(n for n, _ in rollup.values()) == n_events
+
+    vers_before = layout.manifest_versions(tdir)
+    live_before = layout.ensure_manifest(tdir)
+    assert len(vers_before) >= 2  # multiple micro-batches committed
+
+    # replay batch 0 with (adversarially) DIFFERENT content — a
+    # committed batch id must be skipped purely on the live list
+    replay_df = spark.createDataFrame(
+        [(-1, 999, "dup", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    assert layout.append_batch_idempotent(spark, tdir, replay_df, 0) is False
+    assert layout.manifest_versions(tdir) == vers_before
+    assert layout.ensure_manifest(tdir) == live_before
+    assert layout.read_table(spark, tdir).count() == n_events
+
+    # an UNSEEN batch id still appends (the guard is per-batch, not global)
+    assert layout.append_batch_idempotent(spark, tdir, replay_df, 10**6) is True
+    assert layout.read_table(spark, tdir).count() == n_events + 1
