@@ -349,7 +349,13 @@ def _commit_manifest(p, files: list[str], expected_version: int | None = None) -
 
 def manifest_versions(path) -> list[int]:
     """All queryable snapshot versions, oldest→newest (the current
-    version last)."""
+    version last).
+
+    Scope (SCALE.md §Maintenance "Table versioning"): the manifest is
+    the FILE-LEVEL copy-on-write versioning mechanism for large
+    mutable tables; its sibling ``sinks.py::write_snapshot`` publishes
+    FULL-TABLE ``v=N`` versions for derived tables recomputed whole.
+    One reader contract, two write granularities; they do not nest."""
     import json
     import pathlib
 

@@ -104,6 +104,15 @@ def write_snapshot(df: DataFrame, path: str, target_files: int | None = None) ->
     reader halfway through v=3 is untouched by a concurrent v=4 commit.
     The ``_SUCCESS`` marker (written last by the Hadoop committer) is
     the commit point; crashed half-writes are never listed.
+
+    Scope (SCALE.md §Maintenance "Table versioning"): this is the
+    FULL-TABLE-version mechanism — every publish is a complete copy,
+    right for derived tables (marts, model outputs) recomputed whole.
+    For large mutable fact tables taking targeted DELETE/MERGE/appends,
+    use the FILE-LEVEL copy-on-write manifest
+    (``operators/layout.py::read_table(version=...)``) instead: same
+    reader contract, O(affected files) per mutation. The two do not
+    nest.
     """
     spark = df.sparkSession
     existing = _version_dirs(spark, path)
