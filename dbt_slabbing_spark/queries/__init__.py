@@ -85,6 +85,7 @@ _MODULES = (
     "advanced_sql",
     "analytics_extra",
     "mining",
+    "curation",
     "bucketed",
     "reference_pipeline",
     "funnel",
@@ -147,11 +148,21 @@ _PRIORITY = (
     "window_ntile_quartiles",
     "window_range_hourly_sum",
     "window_rank_dense_percent",
-    "agg_bitmap_exact_distinct_rollup",
-    "agg_cube_priority_status",
-    "agg_filtered_counts",
-    "agg_grouping_sets",
-    "agg_histogram_buckets",
+    "text_decontaminate_ngram",  # round-9 gate, never driver-checked:
+    # takes agg_bitmap_exact_distinct_rollup's slot (r4-green AND
+    # re-timed by bench.py every round as the bitmap_rollup extra ->
+    # head of the round-10 queue)
+    "text_chunk_overlap",  # round-9 gate, never driver-checked: takes
+    # agg_cube_priority_status's slot (r4-green; the grouping-analytics
+    # family is parity-sweep covered -> round-10 queue)
+    "pii_mask_identifiers",  # round-9 gate, never driver-checked:
+    # takes agg_filtered_counts's slot (r4-green -> round-10 queue)
+    "ml_knn_label_audit",  # round-9 gate, never driver-checked: takes
+    # agg_grouping_sets's slot (r4-green -> round-10 queue)
+    "search_mmr_diversify",  # round-9 gate, never driver-checked:
+    # takes agg_histogram_buckets's slot (r4-green -> round-10 queue;
+    # NB this also displaces the histogram family's last prefixed row —
+    # it is parity-sweep covered and queued first next round)
     "stream_manifest_append",  # round-9 gate, never driver-checked:
     # takes agg_histogram_quantile_rollup's slot (r4-green; the
     # histogram family keeps a prefixed driver row via
