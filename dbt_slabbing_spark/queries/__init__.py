@@ -120,8 +120,14 @@ _PRIORITY = (
     "join_null_safe_equality",
     "mm_frame_sample_plan",
     "mm_size_stats_by_source",
-    "q21_sole_late_supplier",
-    "q3_shipping_priority",
+    "search_prf_expansion_topk",  # round-9 gate, never driver-checked:
+    # takes q21_sole_late_supplier's slot (r3-green; q21's VALUES keep
+    # a driver check through q21_bucketed_layout — identical result
+    # set, r7-green — and bench re-times both every round -> head of
+    # the round-10 queue)
+    "ml_tree_depth2_splits",  # round-9 gate, never driver-checked:
+    # takes q3_shipping_priority's slot (same twin argument via
+    # q3_bucketed_layout, r7-green -> head of the round-10 queue)
     "q5_local_supplier",
     "q9_product_type_profit",
     "sample_train_test_split",

@@ -2869,3 +2869,219 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("n").cast("double") / F.col("tot"), 6).alias("obs_freq"),
         dround(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
     )
+
+
+@register(
+    "ml_tree_depth2_splits",
+    # Level-wise tree growth (the LightGBM/XGBoost depth-wise step
+    # ml_decision_stump is the kernel of): pick the best root split,
+    # partition the rows by it, and run the SAME integer-stat histogram
+    # split finder inside each child. Side assignment uses the 2-dp
+    # BUCKETED value (histogram split semantics), so every statistic
+    # stays an exact integer and the gain is exact-int arithmetic until
+    # one final division — identical cross-engine.
+    """
+    WITH base AS (
+        SELECT embedding, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    ),
+    feats AS (SELECT unnest(generate_series(0, 7)) AS f),
+    pts AS (
+        SELECT feats.f,
+               round(CAST(embedding[feats.f + 1] AS DOUBLE) * 100.0) / 100.0 + 0.0 AS bucket,
+               y
+        FROM base CROSS JOIN feats
+    ),
+    hist AS (
+        SELECT f, bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+        FROM pts GROUP BY f, bucket
+    ),
+    cum AS (
+        SELECT f, bucket,
+               CAST(sum(n) OVER w AS BIGINT) AS cn, CAST(sum(sy) OVER w AS BIGINT) AS csy,
+               CAST(sum(n) OVER t AS BIGINT) AS tn, CAST(sum(sy) OVER t AS BIGINT) AS tsy
+        FROM hist
+        WINDOW w AS (PARTITION BY f ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               t AS (PARTITION BY f)
+    ),
+    gains AS (
+        SELECT f, bucket AS threshold, cn, csy, tn, tsy,
+               round(((CAST(tsy AS DOUBLE) - CAST(tsy * tsy AS DOUBLE) / tn)
+                      - (CAST(csy AS DOUBLE) - CAST(csy * csy AS DOUBLE) / cn)
+                      - (CAST(tsy - csy AS DOUBLE)
+                         - CAST((tsy - csy) * (tsy - csy) AS DOUBLE) / (tn - cn)))
+                     * 1000000000.0) / 1000000000.0 + 0.0 AS gain
+        FROM cum WHERE cn < tn
+    ),
+    root AS (
+        SELECT f, threshold, tn, cn, csy, tsy, gain
+        FROM gains ORDER BY gain DESC, f, threshold LIMIT 1
+    ),
+    sided AS (
+        SELECT CASE WHEN round(CAST(b.embedding[r.f + 1] AS DOUBLE) * 100.0) / 100.0 + 0.0
+                         <= r.threshold
+                    THEN 'left' ELSE 'right' END AS node,
+               b.embedding, b.y
+        FROM base b CROSS JOIN root r
+    ),
+    pts2 AS (
+        SELECT s.node, feats.f,
+               round(CAST(s.embedding[feats.f + 1] AS DOUBLE) * 100.0) / 100.0 + 0.0 AS bucket,
+               s.y
+        FROM sided s CROSS JOIN feats
+    ),
+    hist2 AS (
+        SELECT node, f, bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+        FROM pts2 GROUP BY node, f, bucket
+    ),
+    cum2 AS (
+        SELECT node, f, bucket,
+               CAST(sum(n) OVER w AS BIGINT) AS cn, CAST(sum(sy) OVER w AS BIGINT) AS csy,
+               CAST(sum(n) OVER t AS BIGINT) AS tn, CAST(sum(sy) OVER t AS BIGINT) AS tsy
+        FROM hist2
+        WINDOW w AS (PARTITION BY node, f ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               t AS (PARTITION BY node, f)
+    ),
+    gains2 AS (
+        SELECT node, f, bucket AS threshold, cn, csy, tn,
+               round(((CAST(tsy AS DOUBLE) - CAST(tsy * tsy AS DOUBLE) / tn)
+                      - (CAST(csy AS DOUBLE) - CAST(csy * csy AS DOUBLE) / cn)
+                      - (CAST(tsy - csy AS DOUBLE)
+                         - CAST((tsy - csy) * (tsy - csy) AS DOUBLE) / (tn - cn)))
+                     * 1000000000.0) / 1000000000.0 + 0.0 AS gain
+        FROM cum2 WHERE cn < tn
+    ),
+    best2 AS (
+        SELECT node, f, threshold, tn AS n_node, cn AS n_left, csy AS sy_left, gain
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY node
+                                         ORDER BY gain DESC, f, threshold) AS rn
+            FROM gains2
+        ) WHERE rn = 1
+    )
+    SELECT 'root' AS node, CAST(f AS INT) AS f, threshold, tn AS n_node,
+           cn AS n_left, csy AS sy_left, gain
+    FROM root
+    UNION ALL
+    SELECT node, CAST(f AS INT) AS f, threshold, n_node, n_left, sy_left, gain
+    FROM best2
+    """,
+    "level-wise depth-2 tree growth: best root split, then the "
+    "integer-stat histogram split finder re-run INSIDE each child "
+    "(bucketed side assignment, exact-int gains) — the distributed "
+    "GBM growth step on top of ml_decision_stump's kernel",
+    tags=("ml", "training", "tree"),
+)
+def ml_tree_depth2_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 growth without any driver-side state: the root split is
+    a 1-row frame (TakeOrdered, no single-partition exchange) broadcast
+    into the side assignment; each level is one explode + one
+    map-side-combinable histogram + a (node, f)-keyed prefix-sum
+    window. At 100 TB this is exactly two passes over the data with
+    O(nodes x features x buckets) state — XGBoost's level-wise
+    schedule expressed as DataFrame ops."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "embedding", F.when(F.col("label") < 5, 1).otherwise(0).alias("y")
+    )
+    feats = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("f")
+    d = F.col
+
+    def bucketed(expr):
+        return dround(expr.cast("double"), 2)
+
+    def gain_col():
+        return dround(
+            (d("tsy").cast("double") - (d("tsy") * d("tsy")).cast("double") / d("tn"))
+            - (d("csy").cast("double") - (d("csy") * d("csy")).cast("double") / d("cn"))
+            - (
+                (d("tsy") - d("csy")).cast("double")
+                - ((d("tsy") - d("csy")) * (d("tsy") - d("csy"))).cast("double")
+                / (d("tn") - d("cn"))
+            ),
+            9,
+        )
+
+    def split_stats(pts, node_cols: list[str]):
+        hist = pts.groupBy(*node_cols, "f", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+        )
+        w = (
+            Window.partitionBy(*node_cols, "f")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        t = Window.partitionBy(*node_cols, "f")
+        cum = hist.select(
+            *node_cols,
+            "f",
+            "bucket",
+            F.sum("n").over(w).cast("bigint").alias("cn"),
+            F.sum("sy").over(w).cast("bigint").alias("csy"),
+            F.sum("n").over(t).cast("bigint").alias("tn"),
+            F.sum("sy").over(t).cast("bigint").alias("tsy"),
+        )
+        return cum.filter(d("cn") < d("tn")).withColumn("gain", gain_col())
+
+    pts = base.select(feats, "embedding", "y").select(
+        "f", bucketed(F.element_at("embedding", d("f") + 1)).alias("bucket"), "y"
+    )
+    # Root split as a BOUNDED 1-ROW COLLECT (the kmeans contract): the
+    # limit runs as a TakeOrdered action and the split re-enters the
+    # second pass as plan literals — a lazy root frame would embed a
+    # global-sort Exchange SinglePartition once per consumer subtree.
+    root = (
+        split_stats(pts, [])
+        .orderBy(F.desc("gain"), F.asc("f"), F.asc("bucket"))
+        .limit(1)
+        .collect()[0]
+    )
+    rf, rt = int(root["f"]), float(root["bucket"])
+    sided = base.select(
+        F.when(
+            bucketed(F.element_at("embedding", F.lit(rf) + 1)) <= F.lit(rt), "left"
+        )
+        .otherwise("right")
+        .alias("node"),
+        "embedding",
+        "y",
+    )
+    pts2 = sided.select("node", feats, "embedding", "y").select(
+        "node", "f", bucketed(F.element_at("embedding", d("f") + 1)).alias("bucket"), "y"
+    )
+    wnode = Window.partitionBy("node").orderBy(
+        F.desc("gain"), F.asc("f"), F.asc("bucket")
+    )
+    best2 = (
+        split_stats(pts2, ["node"])
+        .withColumn("rn", F.row_number().over(wnode))
+        .filter(d("rn") == 1)
+        .select(
+            "node",
+            d("f").cast("int").alias("f"),
+            d("bucket").alias("threshold"),
+            d("tn").alias("n_node"),
+            d("cn").alias("n_left"),
+            d("csy").alias("sy_left"),
+            "gain",
+        )
+    )
+    root_row = spark.createDataFrame(
+        [
+            (
+                "root",
+                rf,
+                rt,
+                int(root["tn"]),
+                int(root["cn"]),
+                int(root["csy"]),
+                float(root["gain"]),
+            )
+        ],
+        "node string, f int, threshold double, n_node bigint, "
+        "n_left bigint, sy_left bigint, gain double",
+    )
+    return root_row.unionByName(best2)

@@ -1011,3 +1011,197 @@ def search_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("qid", "doc_id", "rank_text", "rank_dense", "rrf_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# pseudo-relevance-feedback query expansion (RM3-lite)
+# ---------------------------------------------------------------------------
+
+PRF_FEEDBACK_DOCS = 10
+PRF_EXPANSION_TERMS = 5
+#: original-term weight numerator / expansion-term weight numerator over
+#: a common denominator of 2 (i.e. weights 1.0 and 0.5 — exact dyadic)
+PRF_W_ORIG, PRF_W_EXP = 2, 1
+
+
+def _sql_prf_oracle() -> str:
+    from .textanalysis import _SQL_STOP_LIST
+
+    orig = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1_1 = BM25_K1 + 1.0
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, CAST(len(w) AS INT) AS dl, w
+        FROM docs WHERE len(w) > 0
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM feat
+    ),
+    tok AS (
+        SELECT doc_id, dl, unnest(w) AS term FROM feat
+    ),
+    tf AS (
+        SELECT doc_id, CAST(any_value(dl) AS INT) AS dl, term,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    -- integer-scaled per-(doc, term) BM25 partial: round(score*1e4)
+    s4 AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(round((ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * (tf.tf * {k1_1})
+                           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl)))
+                          * 10000.0) AS BIGINT) AS s4
+        FROM tf JOIN df USING (term) CROSS JOIN stats s
+    ),
+    base AS (
+        SELECT doc_id, CAST(sum(s4) AS BIGINT) AS base4
+        FROM s4 WHERE term IN ({orig}) GROUP BY doc_id
+    ),
+    fb AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY base4 DESC, doc_id) AS rn
+            FROM base
+        ) WHERE rn <= {PRF_FEEDBACK_DOCS}
+    ),
+    exp_terms AS (
+        SELECT term FROM (
+            SELECT t.term, CAST(sum(t.tf) AS BIGINT) AS fb_tf,
+                   row_number() OVER (ORDER BY sum(t.tf) DESC, t.term) AS rn
+            FROM tf t JOIN fb USING (doc_id)
+            WHERE t.term NOT IN ({orig})
+              AND NOT list_contains({_SQL_STOP_LIST}, t.term)
+            GROUP BY t.term
+        ) WHERE rn <= {PRF_EXPANSION_TERMS}
+    ),
+    qterms AS (
+        SELECT term, {PRF_W_ORIG} AS wnum FROM (VALUES ({orig.replace("', '", "'), ('")})) v(term)
+        UNION ALL
+        SELECT term, {PRF_W_EXP} AS wnum FROM exp_terms
+    ),
+    fused AS (
+        SELECT s4.doc_id, CAST(sum(q.wnum * s4.s4) AS BIGINT) AS total4
+        FROM s4 JOIN qterms q USING (term)
+        GROUP BY s4.doc_id
+    )
+    SELECT doc_id, total4,
+           round((CAST(total4 AS DOUBLE) / 20000.0) * 10000.0) / 10000.0 + 0.0 AS score
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY total4 DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= 20
+    """
+
+
+@register(
+    "search_prf_expansion_topk",
+    _sql_prf_oracle(),
+    "pseudo-relevance-feedback query expansion (RM3-lite): BM25 top-10 "
+    "feedback docs -> top-5 expansion terms by feedback tf (stoplist/"
+    "original excluded) -> rescore with dyadic weights 1.0/0.5; "
+    "per-term scores integer-scaled (x1e4) before summation so the "
+    "fused score is an exact integer cross-engine",
+    tags=("text", "search", "training"),
+)
+def search_prf_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass retrieval with feedback expansion, all shuffles keyed:
+    one explode builds the (doc, term, tf) table (doc-keyed agg), df is
+    a term-keyed agg, the corpus stats are ONE broadcast scalar row,
+    and both ranking passes reuse the SAME integer-scaled per-(doc,
+    term) partial-score table — the feedback pass filters it to the
+    original terms, the rescore pass joins it against the 8-row
+    broadcast term-weight table. The only data-dependent driver state
+    is nothing at all: expansion terms stay a (tiny) DataFrame.
+
+    Float discipline: each per-term BM25 partial is rounded and scaled
+    to an INTEGER (x 1e4) before any summation, so cross-engine
+    aggregation order cannot perturb the fused score (sum of BIGINTs),
+    and ranking ties break on doc_id."""
+    from ..operators.text import STOPWORDS
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", T.words(F.col("text")).alias("w"))
+        .withColumn("dl", F.size("w"))
+        .filter(F.col("dl") > 0)
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.any_value("dl").alias("dl"),
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+        )
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    s4 = (
+        tf.join(df_t, on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 10000.0)
+            .cast("bigint")
+            .alias("s4"),
+        )
+    ).persist()  # reused by the feedback pass AND the rescore pass
+    base = (
+        s4.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum("s4").cast("bigint").alias("base4"))
+    )
+    # Global top-k values that FEED later stages are taken as bounded
+    # driver collects (the kmeans <= k-rows contract): a lazy mid-plan
+    # orderBy+limit would compile to a global-sort Exchange
+    # SinglePartition carrying one row PER DOC, while .limit().collect()
+    # runs as a TakeOrdered ACTION (per-partition partial top-k, driver
+    # merge of k rows) and re-enters the plan as broadcast literals.
+    fb_ids = [
+        r["doc_id"]
+        for r in base.orderBy(F.desc("base4"), F.asc("doc_id"))
+        .limit(PRF_FEEDBACK_DOCS)
+        .collect()  # bounded: 10 feedback doc ids
+    ]
+    exp_rows = (
+        tf.filter(F.col("doc_id").isin(fb_ids))
+        .filter(~F.col("term").isin(*BM25_TERMS) & ~F.col("term").isin(*STOPWORDS))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("fb_tf"))
+        .orderBy(F.desc("fb_tf"), F.asc("term"))
+        .limit(PRF_EXPANSION_TERMS)
+        .collect()  # bounded: 5 expansion terms
+    )
+    qterms = spark.createDataFrame(
+        [(t, PRF_W_ORIG) for t in BM25_TERMS]
+        + [(r["term"], PRF_W_EXP) for r in exp_rows],
+        "term string, wnum int",
+    )
+    fused = (
+        s4.join(F.broadcast(qterms), on="term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wnum") * F.col("s4")).cast("bigint").alias("total4"))
+    )
+    return (
+        fused.orderBy(F.desc("total4"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "total4",
+            dround(F.col("total4").cast("double") / 20000.0, 4).alias("score"),
+        )
+    )

@@ -41,6 +41,11 @@ _SINGLE_PARTITION_BUDGET = {
     # data rows; the SNM self-join plans that subtree once per side
     "dedup_sorted_neighborhood": 2,
     "dedup_entity_resolution": 2,  # embeds the SNM pass (same budget)
+    # ONE 1-row corpus-stats aggregate, physically executed once inside
+    # the persisted s4 table; it prints twice because InMemoryTableScan
+    # repeats the cached subtree under both consumers (feedback pass +
+    # rescore pass)
+    "search_prf_expansion_topk": 2,
 }
 
 # Streaming jobs execute on build (memory-sink materialization) and are

@@ -155,3 +155,126 @@ def test_mmr_matches_python_greedy_model(spark):
         for r in _REG["search_mmr_diversify"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) == MMR_QUERIES * MMR_PICKS
+
+
+def _bm25_s4(spark):
+    """Python model of the integer-scaled per-(doc, term) BM25 partials
+    used by search_prf_expansion_topk."""
+    import math
+
+    words = _doc_words(spark)
+    feats = {d: w for d, w in words.items() if len(w) > 0}
+    n_docs = len(feats)
+    avgdl = sum(len(w) for w in feats.values()) / n_docs
+    tf = {}
+    for d, w in feats.items():
+        for t in w:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {}
+    for (_d, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    s4 = {}
+    for (d, t), f in tf.items():
+        idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        dl = len(feats[d])
+        score = idf * (f * 2.2) / (f + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        s4[(d, t)] = round(score * 10000.0)
+    return feats, tf, s4
+
+
+def test_prf_expansion_matches_python_model(spark):
+    from dbt_slabbing_spark.queries.textsearch import (
+        BM25_TERMS,
+        PRF_EXPANSION_TERMS,
+        PRF_FEEDBACK_DOCS,
+        PRF_W_EXP,
+        PRF_W_ORIG,
+    )
+    from dbt_slabbing_spark.operators.text import STOPWORDS
+
+    feats, tf, s4 = _bm25_s4(spark)
+    base = {}
+    for (d, t), v in s4.items():
+        if t in BM25_TERMS:
+            base[d] = base.get(d, 0) + v
+    fb = [d for d, _ in sorted(base.items(), key=lambda kv: (-kv[1], kv[0]))[:PRF_FEEDBACK_DOCS]]
+    fb_tf = {}
+    for (d, t), f in tf.items():
+        if d in fb and t not in BM25_TERMS and t not in STOPWORDS:
+            fb_tf[t] = fb_tf.get(t, 0) + f
+    exp = [t for t, _ in sorted(fb_tf.items(), key=lambda kv: (-kv[1], kv[0]))[:PRF_EXPANSION_TERMS]]
+    weights = {t: PRF_W_ORIG for t in BM25_TERMS} | {t: PRF_W_EXP for t in exp}
+    fused = {}
+    for (d, t), v in s4.items():
+        if t in weights:
+            fused[d] = fused.get(d, 0) + weights[t] * v
+    # display score = round-half-up(total4/2)/1e4: an ODD total4 lands
+    # exactly on a .5 4-dp boundary, where Spark's BigDecimal HALF_UP
+    # and DuckDB's half-away-from-zero agree (positive values) but
+    # Python's round() banker's-rounds — so the model uses the integer
+    # ceil closed form instead of float round()
+    want = {
+        d: (tot, ((tot + 1) // 2) / 10000.0)
+        for d, tot in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    }
+    got = {
+        r["doc_id"]: (r["total4"], r["score"])
+        for r in _REG["search_prf_expansion_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) == 20
+
+
+def test_tree_depth2_matches_python_model(spark):
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), 1 if r["label"] < 5 else 0)
+        for r in table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def best_split(rows):
+        # rows: list of (bucketed-feature-values[8], y)
+        hist = {}
+        for vals, y in rows:
+            for f in range(8):
+                k = (f, vals[f])
+                n, sy = hist.get(k, (0, 0))
+                hist[k] = (n + 1, sy + y)
+        best = None
+        for f in range(8):
+            buckets = sorted(b for (ff, b) in hist if ff == f)
+            tn = sum(hist[(f, b)][0] for b in buckets)
+            tsy = sum(hist[(f, b)][1] for b in buckets)
+            cn = csy = 0
+            for b in buckets:
+                n, sy = hist[(f, b)]
+                cn, csy = cn + n, csy + sy
+                if cn >= tn:
+                    continue
+                gain = round(
+                    (tsy - tsy * tsy / tn)
+                    - (csy - csy * csy / cn)
+                    - ((tsy - csy) - (tsy - csy) ** 2 / (tn - cn)),
+                    9,
+                ) + 0.0
+                key = (gain, -f, -b)
+                if best is None or key > best[0]:
+                    best = (key, f, b, tn, cn, csy, gain)
+        return best
+
+    rows = [
+        ([round(v * 100.0) / 100.0 + 0.0 for v in e[:8]], y) for e, y in emb.values()
+    ]
+    root = best_split(rows)
+    _k, rf, rt, tn, cn, csy, gain = root
+    want = {"root": (rf, rt, tn, cn, csy, gain)}
+    for node, side in (("left", True), ("right", False)):
+        sub = [r for r in rows if (r[0][rf] <= rt) == side]
+        _k2, f2, t2, tn2, cn2, csy2, g2 = best_split(sub)
+        want[node] = (f2, t2, tn2, cn2, csy2, g2)
+
+    got = {
+        r["node"]: (
+            r["f"], r["threshold"], r["n_node"], r["n_left"], r["sy_left"], r["gain"]
+        )
+        for r in _REG["ml_tree_depth2_splits"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
