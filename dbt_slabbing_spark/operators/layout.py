@@ -532,6 +532,63 @@ def append_batch_idempotent(spark, path, df: DataFrame, batch_id: int) -> bool:
     return True
 
 
+def compact_table(
+    spark, path, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """OPTIMIZE for manifest tables (Delta's ``OPTIMIZE`` /
+    Iceberg's ``rewrite_data_files``): rewrite the LIVE file list into
+    ⌈live_bytes / target⌉ balanced files and publish the swap as ONE
+    optimistic-concurrency manifest commit — the object-store-safe
+    compaction the directory-swap :func:`compact_parquet_dir` docstring
+    promises ("write a new immutable prefix, flip the reader through a
+    metadata commit"). Displaced originals are NOT unlinked: prior
+    snapshots keep time-traveling until :func:`vacuum_orphans` reclaims
+    them (a compaction changes layout, not content, so history stays
+    cheap to retain).
+
+    Cost: O(live bytes) data rewrite + O(1) metadata. Concurrency: a
+    DELETE/MERGE/append landing between our snapshot read and the
+    commit raises :class:`ManifestConflictError` BEFORE anything is
+    published (the staged files become orphans) — compaction is the
+    maintenance writer that must always lose conflicts, since retrying
+    it is free and dropping a concurrent mutation is not. The read
+    uses ``mergeSchema`` so an evolved table compacts into its unified
+    schema (older files' missing columns materialize as NULL — the
+    same reconciliation a read does).
+
+    Returns ``{"n_files_before", "n_files_after", "version"}``.
+    """
+    import pathlib
+    import shutil
+    import uuid
+
+    p = pathlib.Path(path)
+    vers, live = _snapshot_for_update(p)
+    total = sum((p / n).stat().st_size for n in live)
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".compact-{token}")
+    (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[str(p / n) for n in live])
+        .repartition(int(n_files))
+        .write.mode("overwrite")
+        .parquet(str(staging))
+    )
+    new_names = []
+    for i, f in enumerate(sorted(staging.glob("*.parquet"))):
+        name = f"compact-{token}-{i:05d}.parquet"
+        f.rename(p / name)
+        new_names.append(name)
+    shutil.rmtree(str(staging), ignore_errors=True)
+    version = _commit_manifest(p, new_names, expected_version=vers)  # ATOMIC + OCC
+    return {
+        "n_files_before": len(live),
+        "n_files_after": len(new_names),
+        "version": version,
+    }
+
+
 def vacuum_orphans(path, retain_versions: int = 0) -> list[str]:
     """Delete data files not referenced by any retained snapshot — the
     cleanup pass for files orphaned by a crash between a manifest

@@ -129,7 +129,11 @@ _PRIORITY = (
     # takes q3_shipping_priority's slot (same twin argument via
     # q3_bucketed_layout, r7-green -> head of the round-10 queue)
     "q5_local_supplier",
-    "q9_product_type_profit",
+    "layout_compact_manifest",  # round-9 gate, never driver-checked:
+    # takes q9_product_type_profit's slot (r3-green; the TPC-H
+    # multi-dim join family keeps r7-fresh driver rows via the two
+    # bucketed-layout gates and bench re-times q9 every round -> head
+    # of the round-10 queue)
     "sample_train_test_split",
     "sample_weighted_mixture",
     "setop_except_nations",

@@ -532,3 +532,81 @@ def layout_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "version int, n_rows bigint, n_keys bigint, sum_price double"
     )
+
+
+@register(
+    "layout_compact_manifest",
+    # Compaction changes LAYOUT, not content: the verdict states the
+    # table's content checksum (row count, distinct keys, 2-dp value
+    # sum) over the raw events — identical before and after — plus the
+    # structural facts the maintenance pass guarantees (file count
+    # shrinks to the byte-derived target of 1 at this scale; versions:
+    # adopt=1, 3 appends, compact=5).
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys,
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST(1 AS BIGINT) AS n_files_after,
+           CAST(5 AS BIGINT) AS version
+    FROM events
+    """,
+    "manifest-table OPTIMIZE end-to-end: land events in 3 appended "
+    "micro-batches (small files), compact_table rewrites the live list "
+    "and publishes ONE OCC manifest commit, verdict reads the new "
+    "snapshot through the manifest — content checksum unchanged, file "
+    "count at the byte-derived target, version log intact",
+    tags=("layout", "maintenance"),
+)
+def layout_compact_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the r9 manifest-aware compaction END-TO-END: three
+    batch-id-keyed appends fragment the table (the streaming-sink
+    steady state), compact_table coalesces the live list behind one
+    atomic OCC commit, and the verdict is read THROUGH the manifest.
+    Time-travel to the pre-compaction snapshot and the conflict path
+    are pytest-covered (test_layout_concurrency / test_r9_layout)."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_batch_idempotent,
+        compact_table,
+        manifest_versions,
+        read_table,
+    )
+
+    work = tempfile.mkdtemp(prefix="manifest_compact_gate_")
+    tdir = work + "/t"
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for b in range(3):
+            append_batch_idempotent(
+                spark, tdir, ev.filter(F.col("event_id") % 3 == b).repartition(4), b
+            )
+        stats = compact_table(spark, tdir)
+        assert stats["version"] == len(manifest_versions(tdir))
+        row = (
+            read_table(spark, tdir)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct("event_id").cast("bigint").alias("n_keys"),
+                dround(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["n_keys"],
+                float(row["sum_value"]),
+                stats["n_files_after"],
+                stats["version"],
+            )
+        ],
+        "n_rows bigint, n_keys bigint, sum_value double, "
+        "n_files_after bigint, version bigint",
+    )

@@ -135,3 +135,55 @@ def test_append_rebases_over_concurrent_commit(spark, tmp_path, monkeypatch):
 
     ids = {r["event_id"] for r in read_table(spark, target).collect()}
     assert ids == set(before) | {-1, -2}
+
+
+def test_compact_table_preserves_content_history_and_loses_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """r9 manifest-aware OPTIMIZE: content checksum unchanged, the
+    pre-compaction snapshot stays time-travelable (originals retained
+    until vacuum), vacuum with no retention reclaims them, and a
+    concurrent mutation landing before the compaction commit makes the
+    COMPACTION abort (maintenance always loses conflicts)."""
+    from dbt_slabbing_spark.operators.layout import (
+        compact_table,
+        manifest_versions,
+        vacuum_orphans,
+    )
+
+    target = str(tmp_path / "t")
+    before = _write_events_by_user(spark, target)
+    ensure_manifest(target)
+    append_files(
+        spark,
+        target,
+        spark.createDataFrame(
+            [(-1, 999, "app", 1.0)],
+            "event_id bigint, user_id bigint, event_type string, value double",
+        ),
+    )
+    pre_versions = manifest_versions(target)
+    pre_files = layout._read_snapshot(pathlib.Path(target))[1]
+
+    stats = compact_table(spark, target)
+    assert stats["n_files_before"] == len(pre_files)
+    assert stats["n_files_after"] < stats["n_files_before"]
+    ids = {r["event_id"] for r in read_table(spark, target).collect()}
+    assert ids == set(before) | {-1}
+
+    # prior snapshot still reads (originals retained, not unlinked)
+    old = read_table(spark, target, version=pre_versions[-1])
+    assert {r["event_id"] for r in old.collect()} == set(before) | {-1}
+    # vacuum with no retention reclaims exactly the displaced originals
+    removed = vacuum_orphans(target)
+    assert set(removed) == set(pre_files)
+    assert {r["event_id"] for r in read_table(spark, target).collect()} == ids
+
+    # compaction racing a delete: the DELETE wins, compaction aborts
+    _arm_interloper(
+        monkeypatch, lambda: delete_rows(spark, target, "user_id = 3")
+    )
+    with pytest.raises(ManifestConflictError):
+        compact_table(spark, target)
+    ids2 = {r["event_id"] for r in read_table(spark, target).collect()}
+    assert ids2 == {k for k in ids if k == -1 or before.get(k) != 3}
