@@ -128,7 +128,11 @@ _PRIORITY = (
     "ml_tree_depth2_splits",  # round-9 gate, never driver-checked:
     # takes q3_shipping_priority's slot (same twin argument via
     # q3_bucketed_layout, r7-green -> head of the round-10 queue)
-    "q5_local_supplier",
+    "ts_holt_linear_forecast",  # round-9 gate, never driver-checked:
+    # takes q5_local_supplier's slot (r3-green; the TPC-H multi-dim
+    # join family keeps r7-fresh driver rows via the two bucketed-
+    # layout gates and bench re-times q5 every round -> head of the
+    # round-10 queue)
     "layout_compact_manifest",  # round-9 gate, never driver-checked:
     # takes q9_product_type_profit's slot (r3-green; the TPC-H
     # multi-dim join family keeps r7-fresh driver rows via the two

@@ -3085,3 +3085,104 @@ def ml_tree_depth2_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_left bigint, sy_left bigint, gain double",
     )
     return root_row.unionByName(best2)
+
+
+@register(
+    "ts_holt_linear_forecast",
+    # Holt's linear (double exponential) smoothing, alpha=beta=0.5
+    # (exact dyadic), per user over the hourly revenue series:
+    #   l_1 = x_1, b_1 = 0;  for t>=2:
+    #   l_t = round9(0.5*x_t + 0.5*(l_{t-1} + b_{t-1}))
+    #   b_t = round9(0.5*(l_t - l_{t-1}) + 0.5*b_{t-1})
+    # one-step forecast = round9(l_n + b_n). Both engines fold the SAME
+    # hour-ordered list with identical per-step 9-dp rounding. The
+    # accumulator is a 2-element [level, trend] DOUBLE LIST, not a
+    # struct: DuckDB's list_reduce MUTATES a struct accumulator field
+    # by field (struct_pack's second field already sees the first
+    # field's NEW value — found by probing; [10,12,11] gives trend
+    # 0.3125 instead of 0.375), while a fresh list literal evaluates
+    # both elements against the OLD accumulator. Every literal is CAST
+    # to DOUBLE because a bare 0.0 parses as DECIMAL and silently
+    # truncates the fold.
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               round(sum(value) * 100.0) / 100.0 + 0.0 AS x
+        FROM events GROUP BY user_id, h
+    ),
+    series AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+               list(x ORDER BY h) AS xs
+        FROM hourly GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, n_hours,
+               list_reduce(
+                   list_transform(CAST(xs AS DOUBLE[]),
+                                  x -> [x, CAST(0.0 AS DOUBLE)]),
+                   (acc, x) -> [
+                       round((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+                             * 1000000000.0) / 1000000000.0 + 0.0,
+                       round((0.5 * (round((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+                                           * 1000000000.0) / 1000000000.0 + 0.0
+                                     - acc[1])
+                              + 0.5 * acc[2])
+                             * 1000000000.0) / 1000000000.0 + 0.0]
+               ) AS s
+        FROM series
+    )
+    SELECT user_id, n_hours,
+           round(s[1] * 1000000000.0) / 1000000000.0 + 0.0 AS level,
+           round(s[2] * 1000000000.0) / 1000000000.0 + 0.0 AS trend,
+           round((s[1] + s[2]) * 1000000000.0) / 1000000000.0 + 0.0 AS forecast_1
+    FROM folded
+    """,
+    "Holt's linear trend smoothing (alpha=beta=0.5 dyadic) per user "
+    "over hourly revenue: struct-accumulator ordered fold with "
+    "per-step 9-dp rounding; final (level, trend) + one-step forecast",
+    tags=("timeseries", "fold", "forecast"),
+)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trend-aware sibling of ts_ewma_smoothing — same per-user
+    hour-ordered JVM-side fold (F.aggregate), but the accumulator is a
+    (level, trend) struct, giving the classic Holt forecaster. The
+    level update is re-derived inside the trend expression rather than
+    let-bound: a lambda variable can't bind a sub-expression mid-fold,
+    and the recomputation is two scalar ops per step. alpha=beta=0.5
+    keeps every multiply an exact power-of-two scale; per-step 9-dp
+    rounding pins the cross-engine bits. One user-keyed shuffle; the
+    fold is map-local after the hourly aggregate."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(dround(F.sum("value"), 2).alias("x"))
+    series = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs"),
+    )
+
+    def step(acc, x):
+        new_l = dround(x * 0.5 + (acc["l"] + acc["b"]) * 0.5, 9)
+        new_b = dround((new_l - acc["l"]) * 0.5 + acc["b"] * 0.5, 9)
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = series.select(
+        "user_id",
+        "n_hours",
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.struct(
+                F.element_at("xs", 1).alias("l"), F.lit(0.0).alias("b")
+            ),
+            step,
+        ).alias("s"),
+    )
+    return folded.select(
+        "user_id",
+        "n_hours",
+        dround(F.col("s.l"), 9).alias("level"),
+        dround(F.col("s.b"), 9).alias("trend"),
+        dround(F.col("s.l") + F.col("s.b"), 9).alias("forecast_1"),
+    )

@@ -229,3 +229,47 @@ def test_naive_bayes_separates_disjoint_vocab_corpora(spark):
     for i, _t, lang in rows:
         assert got[i]["pred_lang"] == lang, (i, got[i])
         assert got[i]["correct"]
+
+
+def test_holt_linear_matches_python_fold(spark):
+    """ts_holt_linear_forecast: replay the exact (level, trend) integer
+    recursion in Python from the same hour-ordered series."""
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.queries import registry
+    from dbt_slabbing_spark.rounding import dround
+    from tests.conftest import SF_SMOKE
+
+    hourly = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(dround(F.sum("value"), 2).alias("x"))
+        .collect()
+    )
+    import math
+
+    def r9(v: float) -> float:
+        # Spark/DuckDB round() is half-AWAY-FROM-ZERO; Python's round()
+        # banker's-rounds, and the dyadic halving in this recursion
+        # lands on exact .5 at the 10th digit constantly (a 9-dp value
+        # halved ends in ...5), so the convention matters every step.
+        return math.copysign(math.floor(abs(v) * 1e9 + 0.5), v) / 1e9 + 0.0
+
+    series: dict[int, list[tuple]] = {}
+    for r in hourly:
+        series.setdefault(r["user_id"], []).append((r["h"], r["x"]))
+    want = {}
+    for uid, hx in series.items():
+        xs = [x for _h, x in sorted(hx)]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            nl = r9(0.5 * x + 0.5 * (l + b))
+            b = r9(0.5 * (nl - l) + 0.5 * b)
+            l = nl
+        want[uid] = (len(xs), r9(l), r9(b), r9(l + b))
+    got = {
+        r["user_id"]: (r["n_hours"], r["level"], r["trend"], r["forecast_1"])
+        for r in registry()["ts_holt_linear_forecast"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 5
