@@ -113,7 +113,10 @@ _PRIORITY = (
     "dedup_normalized_md5",
     "dedup_simhash",
     "fn_case_classification",
-    "fn_hash_suite",
+    "ts_pattern_v_shape",  # round-9 gate, never driver-checked: takes
+    # fn_hash_suite's slot (r3-green deterministic hash-fn suite,
+    # byte-stable and pytest-pinned — the same displacement argument
+    # as round 8 -> head of the round-10 queue)
     "fn_math_suite",
     "fn_null_handling",
     "join_fuzzy_levenshtein",

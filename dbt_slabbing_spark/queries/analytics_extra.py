@@ -3186,3 +3186,67 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("s.b"), 9).alias("trend"),
         dround(F.col("s.l") + F.col("s.b"), 9).alias("forecast_1"),
     )
+
+
+@register(
+    "ts_pattern_v_shape",
+    # MATCH_RECOGNIZE-style complex-event detection without the SQL
+    # extension (Spark has no MATCH_RECOGNIZE): a strict V-shape is an
+    # event whose value is strictly below both its 2 predecessors
+    # (descending) and its 2 successors (ascending) in the user's
+    # event_id-ordered series — expressed as lag/lead windows, the
+    # CEP shape every funnel/anomaly pipeline builds this way. All
+    # comparisons are on raw parquet doubles (bit-identical cross-
+    # engine, no rounding needed); the count and the first matching
+    # event are exact integers.
+    """
+    WITH s AS (
+        SELECT user_id, event_id, value,
+               lag(value, 2)  OVER w AS p2, lag(value, 1)  OVER w AS p1,
+               lead(value, 1) OVER w AS n1, lead(value, 2) OVER w AS n2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    hits AS (
+        SELECT user_id, event_id
+        FROM s
+        WHERE p2 > p1 AND p1 > value AND value < n1 AND n1 < n2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_patterns,
+           CAST(min(event_id) AS BIGINT) AS first_event_id
+    FROM hits GROUP BY user_id
+    """,
+    "complex-event pattern detection (strict 2-down-2-up V-shape) per "
+    "user via lag/lead windows — the MATCH_RECOGNIZE workhorse shape; "
+    "per-user count + first matching event",
+    tags=("timeseries", "window", "cep"),
+)
+def ts_pattern_v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user-keyed window pass (lag/lead share a single sort within
+    the same WindowExec), then a user-keyed count — two shuffles on the
+    same key, and AQE/EnsureRequirements reuses the partitioning for
+    the aggregate. At 100 TB the pattern match stays a per-user linear
+    scan; no state beyond the 5-row frame."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("event_id")
+    s = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 2).over(w).alias("p2"),
+        F.lag("value", 1).over(w).alias("p1"),
+        F.lead("value", 1).over(w).alias("n1"),
+        F.lead("value", 2).over(w).alias("n2"),
+    )
+    hits = s.filter(
+        (F.col("p2") > F.col("p1"))
+        & (F.col("p1") > F.col("value"))
+        & (F.col("value") < F.col("n1"))
+        & (F.col("n1") < F.col("n2"))
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        F.min("event_id").cast("bigint").alias("first_event_id"),
+    )
