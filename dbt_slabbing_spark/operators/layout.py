@@ -328,7 +328,24 @@ def _commit_manifest(p, files: list[str], expected_version: int | None = None) -
             cur = int(prev.get("version", 1))
             version = cur + 1
             history = prev.get("history", [])
-            history.append({"version": cur, "files": prev["files"]})
+            # DELTA-encoded history entry (r9): store what the NEW
+            # commit adds/removes relative to the displaced snapshot,
+            # not the displaced snapshot's full file list. Full-list
+            # entries made the manifest O(versions x files) — at a
+            # streaming landing zone's commit rate (stream_manifest_
+            # append: one commit per micro-batch) that is quadratic
+            # total metadata; deltas store each file name O(1) times
+            # and old snapshots reconstruct by reverse-replay from the
+            # live list (_files_at_version). Pre-r9 full-list entries
+            # ("files") are still read (back-compat in the replay).
+            old_set, new_set = set(prev["files"]), set(files)
+            history.append(
+                {
+                    "version": cur,
+                    "added": sorted(new_set - old_set),
+                    "removed": sorted(old_set - new_set),
+                }
+            )
         else:
             cur = 0
         if expected_version is not None and cur != expected_version:
@@ -367,17 +384,36 @@ def manifest_versions(path) -> list[int]:
 
 
 def _files_at_version(p, version: int) -> list[str]:
+    """File list of historical snapshot ``version``, reconstructed by
+    REVERSE-REPLAYING the delta-encoded history from the live list
+    (entry for v records the v → v+1 transition, so
+    F_v = (F_{v+1} − added_v) ∪ removed_v). Pre-r9 full-list entries
+    (``files``) short-circuit the walk — mixed-format manifests from
+    tables created before the delta encoding stay readable."""
     import json
 
     doc = json.loads((p / _MANIFEST).read_text())
-    if version == int(doc.get("version", 1)):
+    cur = int(doc.get("version", 1))
+    if version == cur:
         return sorted(doc["files"])
-    for h in doc.get("history", []):
-        if int(h["version"]) == version:
-            return sorted(h["files"])
-    raise ValueError(
-        f"version {version} not in manifest (have {manifest_versions(p)})"
-    )
+    hist = {int(h["version"]): h for h in doc.get("history", [])}
+    if version not in hist:
+        raise ValueError(
+            f"version {version} not in manifest (have {manifest_versions(p)})"
+        )
+    files = set(doc["files"])
+    for v in range(cur - 1, version - 1, -1):
+        h = hist.get(v)
+        if h is None:
+            raise ValueError(
+                f"history gap at version {v} (pruned?); cannot "
+                f"reconstruct version {version}"
+            )
+        if "files" in h:  # pre-r9 full-list entry: self-contained
+            files = set(h["files"])
+        else:
+            files = (files - set(h.get("added", ()))) | set(h.get("removed", ()))
+    return sorted(files)
 
 
 def ensure_manifest(path) -> list[str]:
@@ -403,9 +439,13 @@ def ensure_manifest(path) -> list[str]:
 
 def _snapshot_for_update(p) -> tuple[int, list[str]]:
     """(version, live files) a mutation plans against — adopting a
-    plain parquet directory into the manifest contract on first touch.
+    plain parquet directory into the manifest contract on first touch
+    (creating the directory itself for a brand-new table — an append
+    against a table that doesn't exist yet creates it, the INSERT-
+    creates-table convenience every table format ships).
     The returned version is the OCC precondition for the mutation's
     eventual :func:`_commit_manifest`."""
+    p.mkdir(parents=True, exist_ok=True)
     ensure_manifest(p)
     return _read_snapshot(p)
 
@@ -612,6 +652,44 @@ def vacuum_orphans(path, retain_versions: int = 0) -> list[str]:
             f.unlink()
             removed.append(f.name)
     return sorted(removed)
+
+
+def prune_history(path, retain_versions: int) -> list[int]:
+    """Drop history entries older than the ``retain_versions`` most
+    recent — the metadata half of the retention story
+    (:func:`vacuum_orphans` is the data half; run this first, then
+    vacuum with the same retention). Time travel to a pruned version
+    raises. Metadata-only: no new version is created (Delta's log
+    retention works the same way — cleanup is not a commit). Runs
+    under the commit lock so it can't race a concurrent commit's
+    read-modify-write. Returns the pruned version numbers.
+
+    Why it exists: even delta-encoded history grows with total commit
+    count (every file name appears once), and a streaming landing zone
+    commits per micro-batch — unbounded retention means unbounded
+    metadata. Pruning bounds the manifest at O(live files +
+    retained-window churn)."""
+    import json
+    import os
+    import pathlib
+
+    p = pathlib.Path(str(path))
+    mf = p / _MANIFEST
+    fd = _manifest_lock(p)
+    try:
+        doc = json.loads(mf.read_text())
+        hist = sorted(doc.get("history", []), key=lambda h: int(h["version"]))
+        keep = hist[len(hist) - retain_versions :] if retain_versions else []
+        pruned = [int(h["version"]) for h in hist[: len(hist) - len(keep)]]
+        if not pruned:
+            return []
+        doc["history"] = keep
+        tmp = p / (_MANIFEST + ".tmp")
+        tmp.write_text(json.dumps(doc))
+        os.replace(str(tmp), str(mf))
+        return pruned
+    finally:
+        _manifest_unlock(p, fd)
 
 
 def _unlink_quiet(f) -> None:

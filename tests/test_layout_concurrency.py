@@ -187,3 +187,99 @@ def test_compact_table_preserves_content_history_and_loses_conflicts(
         compact_table(spark, target)
     ids2 = {r["event_id"] for r in read_table(spark, target).collect()}
     assert ids2 == {k for k in ids if k == -1 or before.get(k) != 3}
+
+
+def test_history_is_delta_encoded_and_linear(spark, tmp_path):
+    """r9 metadata-scale fix: history entries store per-commit deltas,
+    so N single-file appends cost O(N) total history names (the old
+    full-list entries cost O(N^2)); every snapshot still reconstructs
+    exactly by reverse replay."""
+    import json
+
+    target = tmp_path / "t"
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [(i, 999, "app", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    ).coalesce(1)
+    n = 20
+    for i in range(n):
+        append_files(spark, str(target), mk(i))
+    doc = json.loads((target / layout._MANIFEST).read_text())
+    hist_names = sum(
+        len(h.get("added", ())) + len(h.get("removed", ())) + len(h.get("files", ()))
+        for h in doc["history"]
+    )
+    # one added name per transition (incl. the adoption->first-append
+    # one), zero full lists: O(N) total history names
+    assert hist_names == n
+    # every historical snapshot reconstructs exactly (v=1 is the empty
+    # adoption snapshot; version v holds v-1 single-row files)
+    versions = layout.manifest_versions(str(target))
+    assert versions == list(range(1, n + 2))
+    assert layout._files_at_version(target, 1) == []
+    for v in versions[1:]:
+        assert len(layout._files_at_version(target, v)) == v - 1
+        assert read_table(spark, str(target), version=v).count() == v - 1
+
+
+def test_history_back_compat_with_full_list_entries(spark, tmp_path):
+    """A pre-r9 manifest (full-list history entries) must stay readable
+    and extendable: new commits append DELTA entries on top and every
+    version — old-format and new — still time-travels."""
+    import json
+
+    target = tmp_path / "t"
+    target.mkdir()
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [(i, 999, "app", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    ).coalesce(1)
+    mk(0).write.parquet(str(target / "a.parquet"))
+    first = sorted(f.name for f in (target / "a.parquet").glob("*.parquet"))
+    # hand-write an OLD-format manifest: v2 live = {b}, history v1 = {a}
+    mk(1).write.parquet(str(target / "b.parquet"))
+    second = sorted(f.name for f in (target / "b.parquet").glob("*.parquet"))
+    old_live = [f"a.parquet/{n}" for n in first] + [f"b.parquet/{n}" for n in second]
+    (target / layout._MANIFEST).write_text(
+        json.dumps(
+            {
+                "files": old_live,
+                "version": 2,
+                "history": [{"version": 1, "files": [f"a.parquet/{n}" for n in first]}],
+            }
+        )
+    )
+    assert read_table(spark, str(target), version=1).count() == 1
+    assert read_table(spark, str(target), version=2).count() == 2
+    append_files(spark, str(target), mk(2))  # v3, delta entry
+    doc = json.loads((target / layout._MANIFEST).read_text())
+    assert "files" in doc["history"][0] and "added" in doc["history"][1]
+    assert read_table(spark, str(target), version=1).count() == 1
+    assert read_table(spark, str(target), version=2).count() == 2
+    assert read_table(spark, str(target)).count() == 3
+
+
+def test_prune_history_bounds_metadata_and_time_travel(spark, tmp_path):
+    from dbt_slabbing_spark.operators.layout import prune_history, vacuum_orphans
+
+    target = str(tmp_path / "t")
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [(i, 999, "app", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    ).coalesce(1)
+    for i in range(6):
+        append_files(spark, target, mk(i))
+    # v1 = empty adoption snapshot, v2..v7 = one more file each
+    assert layout.manifest_versions(target) == [1, 2, 3, 4, 5, 6, 7]
+    pruned = prune_history(target, retain_versions=2)
+    assert pruned == [1, 2, 3, 4]
+    assert layout.manifest_versions(target) == [5, 6, 7]
+    # within retention: still travels; beyond: raises
+    assert read_table(spark, target, version=5).count() == 4
+    with pytest.raises(ValueError, match="not in manifest"):
+        read_table(spark, target, version=2)
+    # idempotent; vacuum with the same retention keeps retained files
+    assert prune_history(target, retain_versions=2) == []
+    removed = vacuum_orphans(target, retain_versions=2)
+    assert removed == []  # appends never displaced a file
+    assert read_table(spark, target).count() == 6
