@@ -89,12 +89,17 @@ KNN_QUERIES = 20
 )
 def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # word_shingles takes the raw text (it let-binds words() internally)
+    # word_shingles takes the raw text (it let-binds words() internally).
+    # The distinct (doc, shingle) table is PERSISTED: three consumers
+    # (benchmark set, per-doc counts, overlap join) would otherwise each
+    # re-run the corpus explode+distinct — measured 3x the query cost at
+    # sf3 (34 s -> the shuffle runs once).
     sh = (
         docs.select(
             "doc_id", F.explode(T.word_shingles(F.col("text"), DECON_K)).alias("sh")
         )
         .distinct()
+        .persist()
     )
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench = sh.filter(is_bench).select("sh").distinct()
