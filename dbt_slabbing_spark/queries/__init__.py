@@ -117,7 +117,10 @@ _PRIORITY = (
     # fn_hash_suite's slot (r3-green deterministic hash-fn suite,
     # byte-stable and pytest-pinned — the same displacement argument
     # as round 8 -> head of the round-10 queue)
-    "fn_math_suite",
+    "agg_kmv_distinct_estimate",  # round-9 gate, never driver-checked:
+    # takes fn_math_suite's slot (r3-green byte-stable scalar suite,
+    # pytest-pinned — the same displacement argument as round 8 ->
+    # head of the round-10 queue)
     "fn_null_handling",
     "join_fuzzy_levenshtein",
     "join_null_safe_equality",

@@ -292,3 +292,81 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (25, 50, 75, 95)
     ]
     return grouped.select("l_returnflag", *checks)
+
+
+@register(
+    "agg_kmv_distinct_estimate",
+    # KMV / bottom-k sketch (Bar-Yossef et al. 2002; the k-minimum-
+    # values distinct estimator behind Theta sketches): hash every key
+    # to a 60-bit integer (portable md5 idiom), keep the k=256 smallest
+    # DISTINCT hash values, estimate |D| = (k-1) / u_k with u_k = the
+    # k-th minimum normalized to [0,1). The estimator arithmetic is one
+    # double division of exact integers — bit-identical cross-engine —
+    # and the gate publishes the sketch boundary (k-th min hash), the
+    # estimate, the exact count, and an integer 1e4-scaled relative
+    # error so the accuracy claim itself is hash-checked.
+    """
+    WITH h AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                             AS BIGINT) AS hv
+        FROM lineitem
+    ),
+    bottom AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+    agg AS (
+        SELECT CAST(max(hv) AS BIGINT) AS kth_min_hash,
+               CAST(count(*) AS BIGINT) AS k
+        FROM bottom
+    ),
+    exact AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS true_distinct
+        FROM lineitem
+    )
+    SELECT a.k,
+           a.kth_min_hash,
+           CAST(round((a.k - 1) * 1152921504606846976.0 / a.kth_min_hash)
+                AS BIGINT) AS est_distinct,
+           e.true_distinct,
+           CAST(round(abs((a.k - 1) * 1152921504606846976.0 / a.kth_min_hash
+                          - e.true_distinct)
+                      / e.true_distinct * 10000.0) AS BIGINT) AS rel_err_x10k
+    FROM agg a CROSS JOIN exact e
+    """,
+    "KMV bottom-k distinct-count sketch (k=256, 60-bit portable md5 "
+    "hashes): k-th-minimum estimator vs the exact count, relative "
+    "error integer-scaled — the mergeable Theta-sketch building block",
+    tags=("aggregation", "sketch"),
+)
+def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale story: the bottom-k set is MERGEABLE (union two sketches =
+    bottom-k of the merged values), so at 100 TB each partition keeps
+    its local bottom-256 and one k-row merge finishes the job — here
+    expressed as the bounded driver collect of the TakeOrdered action
+    (256 rows), the same contract as kmeans' per-iteration k-row
+    aggregate. The hash distinct is keyed (map-side combinable);
+    nothing global beyond 256 rows ever moves."""
+    from ..operators.hashing import hex_to_long
+
+    li = table(spark, sf_dir, "lineitem")
+    h = li.select(
+        hex_to_long(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15)
+        ).alias("hv")
+    ).distinct()
+    bottom = h.orderBy("hv").limit(256).collect()  # bounded: k rows
+    k = len(bottom)
+    kth = max(r["hv"] for r in bottom)
+    true_distinct = li.select("l_orderkey").distinct().count()
+    est = (k - 1) * 1152921504606846976.0 / kth
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                kth,
+                int(round(est)),
+                true_distinct,
+                int(round(abs(est - true_distinct) / true_distinct * 10000.0)),
+            )
+        ],
+        "k bigint, kth_min_hash bigint, est_distinct bigint, "
+        "true_distinct bigint, rel_err_x10k bigint",
+    )
