@@ -93,105 +93,71 @@ _MODULES = (
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward "driver rows <= 1 round
-# old for the whole registry". Round-9 prefix = exactly the queue
+# old for the whole registry". Round-10 prefix = exactly the queue
 # printed by `python tools/rotation_audit.py` at round start (freshness
-# before rotation: r8:50, r7:50, r6:50, r4:44, r3:43; 0 never-checked):
-# the full 43-row r3-stale cohort (displaced across rounds 7-8 while
-# never-checked gates consumed slots; VERDICT r8 'What's wrong #3')
-# followed by the 7 stalest r4 rows. Gates ADDED in round 9 swap in as
-# they land (never-driver-checked outranks stale-but-green), displacing
-# rows from the r4 tail upward -- each swap annotated INLINE below; the
-# displaced r4 rows stay at the head of the round-10 queue.
+# before rotation: r9:50, r8:50, r7:50, r6:50, r4:44, r3:6;
+# 0 never-checked): the 6-row r3-stale cohort first (q3/q5/q9/q21 +
+# fn_hash_suite/fn_math_suite, whose last green driver rows predate
+# three testdata regenerations -- VERDICT r9 'Next round #1'), then all
+# 44 r4-stale rows. This empties the r3 bucket for good. Gates ADDED in
+# round 10 swap in as they land (never-driver-checked outranks
+# stale-but-green), displacing rows from the r4 tail upward -- each
+# swap annotated INLINE below; the displaced r4 rows stay at the head
+# of the round-11 queue, so r4 remains the oldest cohort the audit
+# prints until round 11 drains it.
 # All 50 verified green by tools/parity_sweep.py on the current
-# 2026-08-14 10:21 testdata before rotation.
+# 2026-08-14 10:21 testdata before rotation (see COVERAGE.md).
 _PRIORITY = (
-    "agg_approx_topk_event_types",
-    "agg_corr_regression",
-    "agg_exact_distribution",
-    "agg_mode_priority_by_status",
-    "dedup_minhash_lsh",
-    "dedup_normalized_md5",
-    "dedup_simhash",
-    "fn_case_classification",
-    "ts_pattern_v_shape",  # round-9 gate, never driver-checked: takes
-    # fn_hash_suite's slot (r3-green deterministic hash-fn suite,
-    # byte-stable and pytest-pinned — the same displacement argument
-    # as round 8 -> head of the round-10 queue)
-    "agg_kmv_distinct_estimate",  # round-9 gate, never driver-checked:
-    # takes fn_math_suite's slot (r3-green byte-stable scalar suite,
-    # pytest-pinned — the same displacement argument as round 8 ->
-    # head of the round-10 queue)
-    "fn_null_handling",
-    "join_fuzzy_levenshtein",
-    "join_null_safe_equality",
-    "mm_frame_sample_plan",
-    "mm_size_stats_by_source",
-    "search_prf_expansion_topk",  # round-9 gate, never driver-checked:
-    # takes q21_sole_late_supplier's slot (r3-green; q21's VALUES keep
-    # a driver check through q21_bucketed_layout — identical result
-    # set, r7-green — and bench re-times both every round -> head of
-    # the round-10 queue)
-    "ml_tree_depth2_splits",  # round-9 gate, never driver-checked:
-    # takes q3_shipping_priority's slot (same twin argument via
-    # q3_bucketed_layout, r7-green -> head of the round-10 queue)
-    "ts_holt_linear_forecast",  # round-9 gate, never driver-checked:
-    # takes q5_local_supplier's slot (r3-green; the TPC-H multi-dim
-    # join family keeps r7-fresh driver rows via the two bucketed-
-    # layout gates and bench re-times q5 every round -> head of the
-    # round-10 queue)
-    "layout_compact_manifest",  # round-9 gate, never driver-checked:
-    # takes q9_product_type_profit's slot (r3-green; the TPC-H
-    # multi-dim join family keeps r7-fresh driver rows via the two
-    # bucketed-layout gates and bench re-times q9 every round -> head
-    # of the round-10 queue)
-    "sample_train_test_split",
-    "sample_weighted_mixture",
-    "setop_except_nations",
-    "setop_union_by_name",
-    "sim_lsh_bucket_histogram",
-    "sim_neardup_pairs",
-    "stream_foreach_batch_totals",
-    "stream_sliding_user_activity",
-    "subquery_not_in_null_semantics",
-    "text_bpe_token_estimate",
-    "text_fingerprint_groups",
-    "text_langid_confusion",
-    "text_token_histogram",
-    "train_curriculum_order",
-    "ts_funnel_conversion",
-    "ts_gap_fill_hourly",
-    "ts_retention_cohorts",
-    "udf_grouped_ols_slope",
-    "udf_row_at_a_time_upper",
-    "window_first_last_order",
-    "window_lag_lead_gaps",
-    "window_ntile_quartiles",
-    "window_range_hourly_sum",
-    "window_rank_dense_percent",
-    "text_decontaminate_ngram",  # round-9 gate, never driver-checked:
-    # takes agg_bitmap_exact_distinct_rollup's slot (r4-green AND
-    # re-timed by bench.py every round as the bitmap_rollup extra ->
-    # head of the round-10 queue)
-    "text_chunk_overlap",  # round-9 gate, never driver-checked: takes
-    # agg_cube_priority_status's slot (r4-green; the grouping-analytics
-    # family is parity-sweep covered -> round-10 queue)
-    "pii_mask_identifiers",  # round-9 gate, never driver-checked:
-    # takes agg_filtered_counts's slot (r4-green -> round-10 queue)
-    "ml_knn_label_audit",  # round-9 gate, never driver-checked: takes
-    # agg_grouping_sets's slot (r4-green -> round-10 queue)
-    "search_mmr_diversify",  # round-9 gate, never driver-checked:
-    # takes agg_histogram_buckets's slot (r4-green -> round-10 queue;
-    # NB this also displaces the histogram family's last prefixed row —
-    # it is parity-sweep covered and queued first next round)
-    "stream_manifest_append",  # round-9 gate, never driver-checked:
-    # takes agg_histogram_quantile_rollup's slot (r4-green; the
-    # histogram family keeps a prefixed driver row via
-    # agg_histogram_buckets -> head of the round-10 queue)
-    "search_rrf_hybrid_topk",  # round-9 gate, never driver-checked:
-    # takes agg_hll_sketch_rollup's slot (r4-green; the sketch-rollup
-    # family keeps a prefixed driver row via
-    # agg_bitmap_exact_distinct_rollup and agg_histogram_quantile_rollup
-    # -> head of the round-10 queue)
+    "fn_hash_suite",
+    "fn_math_suite",
+    "q21_sole_late_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q9_product_type_profit",
+    "agg_bitmap_exact_distinct_rollup",
+    "agg_cube_priority_status",
+    "agg_filtered_counts",
+    "agg_grouping_sets",
+    "agg_histogram_buckets",
+    "agg_histogram_quantile_rollup",
+    "agg_hll_sketch_rollup",
+    "agg_last_state_per_user",
+    "agg_pivot_status",
+    "agg_rollup_flag_status",
+    "agg_salted_hot_keys",
+    "agg_stats_moments",
+    "dedup_cluster_representatives",
+    "dedup_containment_pairs",
+    "dedup_incremental_batch",
+    "fn_collation_suite",
+    "fn_sql_udf_surface",
+    "fn_try_error_safe_suite",
+    "graph_pagerank_supplier_part",
+    "graph_triangle_count",
+    "join_salted_replicated_dim",
+    "join_scd2_point_in_time",
+    "model_incremental_hourly_mart",
+    "profile_orders_columns",
+    "ref_mapping_truth_labels",
+    "sample_group_aware_split",
+    "setop_intersect_except_all",
+    "sim_ivfpq_residual_topk",
+    "sim_lshpq_adc_topk",
+    "sim_pq_adc_topk",
+    "sim_truncated_rerank_topk",
+    "sink_orc_roundtrip",
+    "stream_static_enrich",
+    "stream_stream_left_outer_join",
+    "text_bm25_topk",
+    "text_duplicate_ngram_fraction",
+    "text_repetition_profile",
+    "text_rolling_hash_fingerprint",
+    "text_unigram_surprisal",
+    "ts_anomaly_hourly_zscore",
+    "ts_rolling_7d_user_spend",
+    "ts_rollup_time_hierarchy",
+    "ts_time_weighted_avg",
+    "udf_udtf_dynamic_schema",
 )
 
 
