@@ -256,6 +256,42 @@ def _read_snapshot(p) -> tuple[int, list[str]]:
     return int(doc.get("version", 1)), sorted(doc["files"])
 
 
+#: A lock older than this is presumed abandoned by a crashed committer
+#: and may be TAKEN OVER by a waiting committer (see _manifest_lock).
+#: The lock is only ever held for a metadata rewrite (µs-ms), so 30 s
+#: is orders of magnitude past any legitimate hold time.
+_LOCK_STALE_SECONDS = 30.0
+
+
+def _lock_is_stale(lock: str, stale_after: float) -> bool:
+    """True when the lock file was abandoned: its owning pid is dead,
+    or it is older than ``stale_after`` seconds (covers locks from
+    other hosts / unparseable contents, where pid liveness can't be
+    checked). Missing file → not stale (owner released it; retry the
+    O_EXCL create)."""
+    import os
+    import time
+
+    try:
+        st = os.stat(lock)
+    except OSError:
+        return False
+    if time.time() - st.st_mtime >= stale_after:
+        return True
+    try:
+        with open(lock) as fh:
+            pid = int(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return False  # empty (owner between open and write): use age
+    try:
+        os.kill(pid, 0)  # signal 0: existence probe, sends nothing
+    except ProcessLookupError:
+        return True  # owning pid is dead → abandoned
+    except OSError:
+        return False  # EPERM etc.: pid exists under another uid
+    return False
+
+
 def _manifest_lock(p, timeout: float = 10.0):
     """O_CREAT|O_EXCL lock file guarding the read-check-swap in
     :func:`_commit_manifest` so the version check and the publish are
@@ -264,6 +300,17 @@ def _manifest_lock(p, timeout: float = 10.0):
     object store this maps to the conditional-put primitive
     (S3 If-None-Match / GCS generation preconditions) that Delta/
     Iceberg commit services use; the lock file is the local-FS stand-in.
+
+    The holder's ``pid`` and acquisition time are written INTO the lock
+    file so a committer that crashes between ``os.open`` and
+    :func:`_manifest_unlock` does not wedge the table forever: waiters
+    detect a stale lock (owning pid dead, or older than
+    ``_LOCK_STALE_SECONDS``) and take it over by unlinking and retrying
+    the O_EXCL create — the same dead-owner recovery a Delta/Iceberg
+    lock service (DynamoDB lease TTL) provides. Takeover is logged via
+    the returned fd's fresh contents; two simultaneous takeover
+    attempts race safely (one wins the O_EXCL, the other waits).
+
     Returns the fd; caller must :func:`_manifest_unlock`."""
     import os
     import time
@@ -272,12 +319,20 @@ def _manifest_lock(p, timeout: float = 10.0):
     deadline = time.monotonic() + timeout
     while True:
         try:
-            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            return fd
         except FileExistsError:
+            if _lock_is_stale(lock, _LOCK_STALE_SECONDS):
+                try:
+                    os.unlink(lock)  # takeover; loop retries O_EXCL
+                except OSError:
+                    pass
+                continue
             if time.monotonic() >= deadline:
                 raise TimeoutError(
-                    f"manifest lock {lock} held past {timeout}s — stale "
-                    "lock from a crashed committer? remove it manually"
+                    f"manifest lock {lock} held past {timeout}s by a "
+                    "live committer — back off and retry"
                 ) from None
             time.sleep(0.02)
 
@@ -604,6 +659,8 @@ def compact_table(
 
     p = pathlib.Path(path)
     vers, live = _snapshot_for_update(p)
+    if not live:  # freshly adopted empty dir: nothing to rewrite
+        return {"n_files_before": 0, "n_files_after": 0, "version": vers}
     total = sum((p / n).stat().st_size for n in live)
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     token = uuid.uuid4().hex[:12]
@@ -629,7 +686,9 @@ def compact_table(
     }
 
 
-def vacuum_orphans(path, retain_versions: int = 0) -> list[str]:
+def vacuum_orphans(
+    path, retain_versions: int = 0, grace_seconds: float = 600.0
+) -> list[str]:
     """Delete data files not referenced by any retained snapshot — the
     cleanup pass for files orphaned by a crash between a manifest
     commit and its post-commit unlinks (or by a pre-commit abort), and
@@ -637,18 +696,35 @@ def vacuum_orphans(path, retain_versions: int = 0) -> list[str]:
     additionally protects files referenced by the N most recent
     historical snapshots (Delta's VACUUM retention, expressed in
     versions rather than hours); the default 0 keeps only the current
-    snapshot readable. Safe at any time: the manifest is the source of
-    truth. Returns removed names."""
+    snapshot readable.
+
+    ``grace_seconds`` is the IN-FLIGHT WRITER shield: every mutation
+    (append_files / delete_rows / merge_rows / compact_table /
+    streaming_manifest_append) moves its new files into the table
+    directory BEFORE its manifest commit, so an unreferenced-but-fresh
+    file may be a commit in progress, not garbage — unlinking it would
+    let the writer publish a manifest referencing deleted files
+    (silent data loss the OCC version check cannot see, because the
+    loss happens to the WINNING commit). Files whose mtime is within
+    the grace window are therefore skipped, exactly like Delta VACUUM's
+    retention-hours floor. The default (10 min) is orders of magnitude
+    past any single commit's stage-to-publish gap; pass ``0.0`` only
+    when no writer can possibly be mid-commit (single-writer tests,
+    decommissioned tables). Concurrent-safe under that contract — but
+    NOT "safe at any time" with ``grace_seconds=0``. Returns removed
+    names."""
     import pathlib
+    import time
 
     p = pathlib.Path(path)
     live = set(ensure_manifest(p))
     if retain_versions:
         for v in manifest_versions(p)[:-1][-retain_versions:]:
             live |= set(_files_at_version(p, v))
+    cutoff = time.time() - grace_seconds
     removed = []
     for f in p.glob("*.parquet"):
-        if f.name not in live:
+        if f.name not in live and f.stat().st_mtime <= cutoff:
             f.unlink()
             removed.append(f.name)
     return sorted(removed)

@@ -357,14 +357,22 @@ def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = max(r["hv"] for r in bottom)
     true_distinct = li.select("l_orderkey").distinct().count()
     est = (k - 1) * 1152921504606846976.0 / kth
+
+    def _round_half_up(v: float) -> int:
+        # DuckDB round() is half-away-from-zero; Python round() is
+        # banker's — an exact .5 would diverge cross-engine.
+        import math
+
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
     return spark.createDataFrame(
         [
             (
                 k,
                 kth,
-                int(round(est)),
+                _round_half_up(est),
                 true_distinct,
-                int(round(abs(est - true_distinct) / true_distinct * 10000.0)),
+                _round_half_up(abs(est - true_distinct) / true_distinct * 10000.0),
             )
         ],
         "k bigint, kth_min_hash bigint, est_distinct bigint, "

@@ -242,7 +242,7 @@ def test_delete_rows_crash_before_manifest_commit_is_invisible(spark, tmp_path, 
     # retry converges; vacuum reclaims every orphan from the failed run
     stats = delete_rows(spark, target, "user_id >= 3 AND user_id <= 4")
     assert stats["rows_deleted"] == len(victims)
-    vacuum_orphans(target)
+    vacuum_orphans(target, grace_seconds=0.0)
     live = set(ensure_manifest(target))
     assert {f.name for f in pathlib.Path(target).glob("*.parquet")} == live
     assert {r["event_id"] for r in read_table(spark, target).collect()} == set(before) - victims
@@ -282,7 +282,7 @@ def test_delete_rows_crash_after_commit_leaves_orphans_not_corruption(
     orphans = {f.name for f in pathlib.Path(target).glob("*.parquet")} - live
     assert len(orphans) == stats["n_files_rewritten"]
 
-    removed = vacuum_orphans(target)
+    removed = vacuum_orphans(target, grace_seconds=0.0)
     assert set(removed) == orphans
     assert {r["event_id"] for r in spark.read.parquet(target).collect()} == set(before) - victims
 
@@ -354,7 +354,7 @@ def test_append_files_schema_evolution_and_cross_generation_delete(spark, tmp_pa
     d2 = delete_rows(spark, t, "id IN (1, 3)")
     assert d2["rows_deleted"] == 2
     assert {r["id"] for r in read_table(spark, t, merge_schema=True).collect()} == {2}
-    vacuum_orphans(t)
+    vacuum_orphans(t, grace_seconds=0.0)
 
 
 def test_append_files_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
@@ -381,7 +381,7 @@ def test_append_files_crash_before_commit_is_invisible(spark, tmp_path, monkeypa
     monkeypatch.setattr(layout, "_commit_manifest", real_commit)
 
     assert {r["id"] for r in layout.read_table(spark, t).collect()} == {1}
-    removed = layout.vacuum_orphans(t)
+    removed = layout.vacuum_orphans(t, grace_seconds=0.0)
     assert len(removed) == 1 and removed[0].startswith("append-")
     # retry converges
     layout.append_files(

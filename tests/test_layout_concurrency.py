@@ -175,7 +175,7 @@ def test_compact_table_preserves_content_history_and_loses_conflicts(
     old = read_table(spark, target, version=pre_versions[-1])
     assert {r["event_id"] for r in old.collect()} == set(before) | {-1}
     # vacuum with no retention reclaims exactly the displaced originals
-    removed = vacuum_orphans(target)
+    removed = vacuum_orphans(target, grace_seconds=0.0)
     assert set(removed) == set(pre_files)
     assert {r["event_id"] for r in read_table(spark, target).collect()} == ids
 
@@ -280,6 +280,96 @@ def test_prune_history_bounds_metadata_and_time_travel(spark, tmp_path):
         read_table(spark, target, version=2)
     # idempotent; vacuum with the same retention keeps retained files
     assert prune_history(target, retain_versions=2) == []
-    removed = vacuum_orphans(target, retain_versions=2)
+    removed = vacuum_orphans(target, retain_versions=2, grace_seconds=0.0)
     assert removed == []  # appends never displaced a file
     assert read_table(spark, target).count() == 6
+
+
+# ---------------------------------------------------------------------------
+# Round-10 ADVICE hardening: stale-lock takeover, vacuum grace window,
+# empty-table compaction no-op.
+# ---------------------------------------------------------------------------
+
+
+def test_stale_lock_takeover_dead_pid(tmp_path):
+    """A committer that crashed between os.open and _manifest_unlock
+    (its pid is gone) must not wedge the table: the next committer
+    detects the dead owner and takes the lock over immediately."""
+    import os
+
+    p = tmp_path / "t"
+    p.mkdir()
+    lock = p / (layout._MANIFEST + ".lock")
+    # pid far above any live process on this box but within pid range
+    dead_pid = 999_999_999
+    with pytest.raises(OSError):
+        os.kill(dead_pid, 0)  # precondition: genuinely not running
+    lock.write_text(f"{dead_pid} 123.0")
+    assert layout._commit_manifest(p, ["a.parquet"], expected_version=0) == 1
+    assert layout._read_snapshot(p) == (1, ["a.parquet"])
+
+
+def test_stale_lock_takeover_old_mtime(tmp_path, monkeypatch):
+    """A lock older than the stale threshold is taken over even when
+    the recorded pid is alive (covers cross-host locks where pid
+    liveness is meaningless) — the lock is only ever legitimately held
+    for a metadata rewrite, orders of magnitude under the threshold."""
+    import os
+    import time
+
+    p = tmp_path / "t"
+    p.mkdir()
+    lock = p / (layout._MANIFEST + ".lock")
+    lock.write_text(f"{os.getpid()} {time.time()}")  # live owner...
+    old = time.time() - 120.0
+    os.utime(lock, (old, old))  # ...but the hold is 2 minutes old
+    monkeypatch.setattr(layout, "_LOCK_STALE_SECONDS", 60.0)
+    assert layout._commit_manifest(p, ["a.parquet"], expected_version=0) == 1
+
+
+def test_live_recent_lock_still_blocks(tmp_path):
+    """A fresh lock owned by a live pid is NOT stolen — waiters time
+    out as before (takeover only fires for dead/ancient owners)."""
+    import os
+    import time
+
+    p = tmp_path / "t"
+    p.mkdir()
+    lock = p / (layout._MANIFEST + ".lock")
+    lock.write_text(f"{os.getpid()} {time.time()}")
+    with pytest.raises(TimeoutError, match="live committer"):
+        layout._manifest_lock(p, timeout=0.1)
+    assert lock.exists()  # untouched
+
+
+def test_vacuum_grace_window_protects_inflight_files(spark, tmp_path):
+    """Mutators stage data files into the table dir BEFORE their
+    manifest commit; a vacuum running in that window must not unlink
+    them (the writer would publish a manifest referencing deleted
+    files — loss the OCC check cannot see). Fresh orphans survive the
+    default grace; genuinely old orphans are reclaimed."""
+    import os
+    import time
+
+    target = str(tmp_path / "t")
+    _write_events_by_user(spark, target)
+    ensure_manifest(target)
+    staged = pathlib.Path(target) / "inflight-00000.parquet"
+    staged.write_bytes(b"PAR1")  # freshly staged, commit not yet run
+    assert layout.vacuum_orphans(target) == []  # grace shields it
+    assert staged.exists()
+    old = time.time() - 3600.0
+    os.utime(staged, (old, old))  # now an hour-old genuine orphan
+    assert layout.vacuum_orphans(target) == ["inflight-00000.parquet"]
+    assert not staged.exists()
+
+
+def test_compact_empty_table_is_noop(spark, tmp_path):
+    """compact_table on a freshly adopted empty dir returns a clean
+    zero-file no-op instead of calling spark.read.parquet() with no
+    paths (ADVICE r9)."""
+    target = tmp_path / "t"
+    target.mkdir()
+    stats = layout.compact_table(spark, str(target))
+    assert stats["n_files_before"] == 0
+    assert stats["n_files_after"] == 0

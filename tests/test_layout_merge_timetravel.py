@@ -144,7 +144,7 @@ def test_time_travel_across_append_and_delete(spark, tmp_path):
     assert {r["event_id"] for r in read_table(spark, target).collect()} == v3
 
     # vacuum retaining 2 historical snapshots keeps v1/v2 readable
-    removed = vacuum_orphans(target, retain_versions=2)
+    removed = vacuum_orphans(target, retain_versions=2, grace_seconds=0.0)
     assert removed == []
     assert {
         r["event_id"] for r in read_table(spark, target, version=1).collect()
@@ -152,7 +152,7 @@ def test_time_travel_across_append_and_delete(spark, tmp_path):
 
     # vacuum with NO retention reclaims the displaced originals and
     # time travel past the boundary raises instead of lying
-    removed = vacuum_orphans(target)
+    removed = vacuum_orphans(target, grace_seconds=0.0)
     assert removed  # the delete's displaced originals
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         read_table(spark, target, version=1)
@@ -184,7 +184,7 @@ def test_merge_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
     assert {
         r["event_id"] for r in read_table(spark, target).collect()
     } == set(before)
-    vacuum_orphans(target)
+    vacuum_orphans(target, grace_seconds=0.0)
     stats = merge_rows(spark, target, src, on="event_id")
     assert stats["rows_inserted"] == 1
     assert {
