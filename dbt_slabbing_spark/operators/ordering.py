@@ -84,6 +84,56 @@ def global_row_number(
     )
 
 
+def global_prefix_sums(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_cols: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """Add ``out_cols[i]`` = running sum of ``value_cols[i]`` in global
+    ``order_exprs`` order — the one-group, many-values variant of
+    :func:`grouped_prefix_sum` (an exact-ECDF needs cumulative counts
+    of BOTH samples on one ordered axis; running the kernel twice would
+    pay the range exchange twice and, worse, sample two different sets
+    of split points).
+
+    Same two-pass shape as :func:`global_row_number`: one range
+    exchange, per-partition partials for every value column in ONE
+    map-side-combinable aggregate, one O(#partitions)-row exclusive
+    prefix window, broadcast the offsets back, intra-partition running
+    sums in parallel. Order must be total (unique key or tiebreaker)."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    pid = f"_pid_{sfx}"
+    offs = {c: f"_off_{i}_{sfx}" for i, c in enumerate(value_cols)}
+    parted = _pin_range_partitioning(
+        df.repartitionByRange(*order_exprs).withColumn(pid, F.spark_partition_id())
+    )
+    psums = parted.groupBy(pid).agg(
+        *[F.sum(c).alias(f"_s_{i}") for i, c in enumerate(value_cols)]
+    )
+    w_tiny = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = psums.select(
+        pid,
+        *[
+            F.coalesce(F.sum(f"_s_{i}").over(w_tiny), F.lit(0))
+            .cast("long")
+            .alias(offs[c])
+            for i, c in enumerate(value_cols)
+        ],
+    )
+    w_intra = Window.partitionBy(pid).orderBy(*order_exprs).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = parted.join(F.broadcast(offsets), pid)
+    for c, o in zip(value_cols, out_cols):
+        out = out.withColumn(
+            o, (F.col(offs[c]) + F.sum(c).over(w_intra)).cast("long")
+        )
+    return out.drop(pid, *offs.values())
+
+
 def grouped_prefix_sum(
     df: DataFrame,
     group_cols: list[str],

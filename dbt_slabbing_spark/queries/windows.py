@@ -151,10 +151,42 @@ def window_rank_dense_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "agg"),
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """Global ntile WITHOUT a global window (VERDICT r9 "What's wrong
+    #1": `ntile(4) OVER (ORDER BY ...)` with no PARTITION BY shipped
+    the whole customer table through one task). The distributed
+    re-expression: global rank via the range-partitioned ordering
+    kernel, then the exact SQL NTILE bucket formula — with n rows and
+    k=4 buckets the first n%4 buckets hold ⌈n/k⌉ rows and the rest
+    ⌊n/k⌋, so
+
+        quartile(rn) = ⌈rn / (q+1)⌉                    for rn ≤ r·(q+1)
+                     = r + ⌈(rn − r·(q+1)) / q⌉        otherwise
+        (q = n div 4, r = n mod 4)
+
+    — NOT the equal-width `1 + (rn−1)·k div n`, which disagrees with
+    SQL NTILE whenever k ∤ n (n=6: widths 2,2,1,1 vs 2,1,2,1). The
+    total row count attaches as the query's one broadcast scalar; the
+    only serial step left is the kernel's O(#partitions) offset
+    prefix-sum."""
+    from ..operators.ordering import global_row_number
+
+    cust = table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked = global_row_number(
+        cust, [F.col("c_acctbal"), F.col("c_custkey")], out_col="rn"
+    )
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    n, rn = F.col("_n"), F.col("rn")
+    q = F.floor(n / 4).cast("long")
+    r = (n % 4).cast("long")
+    big = r * (q + 1)  # rows living in the size-(q+1) buckets
+    quart = (
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
     return (
-        table(spark, sf_dir, "customer")
-        .withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("quartile", quart)
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

