@@ -85,7 +85,19 @@ def word_shingles(col: Column, k: int) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(words(col)), shingles_of), 1)
+    # The coalesce is semantically a no-op (element_at(.., 1) of a
+    # 1-element array is never null) but flips the expression's
+    # nullability to false — without it, InferFiltersFromConstraints
+    # materializes `isnotnull(<this whole tree>)` under every
+    # `explode(word_shingles(...))` call site, re-running the full
+    # shingle construction once per row just to null-check it
+    # (measured: the round-10 decontamination plan evaluated the tree
+    # 3× per doc — projection + inferred isnotnull + a pushed-down
+    # size() filter — and the duplicate passes dominated the query).
+    return F.coalesce(
+        F.element_at(F.transform(F.array(words(col)), shingles_of), 1),
+        F.array().cast("array<string>"),
+    )
 
 
 def char_ngrams(col: Column, n: int) -> Column:

@@ -44,6 +44,19 @@ def get_spark(app_name: str = "dbt_slabbing_spark", cpus: str | int | None = Non
         # dims (region/nation/customer/supplier/part at test SF) broadcast;
         # 64 MB is a sane executor-memory-aware ceiling for real clusters too.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # openCostInBytes models the seek cost of opening ANOTHER file
+        # when packing many small files into one split; its 4 MB
+        # default doubles as a split-size FLOOR, which on a single
+        # small-but-expensive-per-row file (compressed text, embedding
+        # arrays) caps read parallelism at bytes/4MB tasks — the sf3
+        # documents corpus (18 MB) scanned 5-wide on 32 cores, and the
+        # whole shingle pipeline above it ran underparallelized
+        # (measured round 10: the decontamination corpus stage). 256 KB
+        # keeps small-file packing sane while letting maxSplitBytes
+        # fall to totalBytes/defaultParallelism, i.e. one split per
+        # core. At cluster scale files dwarf both constants and this
+        # knob is inert.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         # -- python boundary --------------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

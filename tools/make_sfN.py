@@ -103,7 +103,18 @@ def main() -> None:
                 f"SELECT {', '.join(exprs)} FROM read_parquet('{SRC}/{t}.parquet')"
             )
         union = " UNION ALL ".join(selects)
-        con.sql(f"COPY ({union}) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)")
+        # ROW_GROUP_SIZE: DuckDB's default (122,880 rows) packs the
+        # expensive-per-row tables into 1-2 row groups at sfN —
+        # documents (wide text) and embeddings (wide arrays) then scan
+        # with 1-2-way parallelism in ANY reader that splits at
+        # row-group granularity (Spark tasks; DuckDB parallelizes
+        # within groups so it never noticed). A real 100 TB corpus is
+        # thousands of files/row groups; 4,096 rows per group gives the
+        # replicas that shape (sf3 documents: 2 -> 37 groups) without
+        # changing a byte of data. Fact tables keep the default (they
+        # already get 100+ groups).
+        rgs = " , ROW_GROUP_SIZE 4096" if t in ("documents", "embeddings") else ""
+        con.sql(f"COPY ({union}) TO '{args.out}/{t}.parquet' (FORMAT PARQUET{rgs})")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{args.out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
 
