@@ -71,6 +71,14 @@ HEADLINE = [
     # REUSE claim measured round-over-round, not once (r8 interleaved
     # at sf0.1: 231-260 ms vs plain q21's 376-435 ms, ~−40%).
     ("q21_bucketed", "q21_bucketed_layout", False),
+    # round-10 extra (VERDICT r9 "Next round #8"): the re-planned
+    # benchmark decontamination — the one headline exercising the
+    # wide-text explode/broadcast-membership path (map-local
+    # array_distinct, no corpus-wide string shuffle; BASELINE.md
+    # §Round-10 A/B: beats the r9 plan 1.6-1.8×, crosses under DuckDB
+    # at sf10). Non-summed so the r1-r9 8-query series stays
+    # comparable.
+    ("decontaminate", "text_decontaminate_ngram", False),
 ]
 
 
@@ -174,6 +182,10 @@ def main() -> None:
         # barrier tax — off won all three r8 interleaved sf0.1 A/Bs
         # (284/231, 304/260, 295/234 ms on/off).
         "q21_bucketed": "off",
+        # round-10 extra: off wins 2 of 3 fresh interleaved sf0.1
+        # sessions (917/980, 1021/968, 1128/1087 ms on/off) — noise
+        # band, majority keeps the default off.
+        "decontaminate": "off",
     }
     reg = registry()
     times_aqe_on = _time_headline(spark, reg)  # AQE on: the session default
