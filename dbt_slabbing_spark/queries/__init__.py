@@ -157,7 +157,10 @@ _PRIORITY = (
     "ts_rolling_7d_user_spend",
     "ts_rollup_time_hierarchy",
     "ts_time_weighted_avg",
-    "udf_udtf_dynamic_schema",
+    "agg_theta_sketch_setops",  # round-10 gate, never driver-checked:
+    # takes udf_udtf_dynamic_schema's slot (r4-green; re-verified by
+    # this round's full parity sweeps at sf0.01 AND sf0.1 -> head of
+    # the round-11 queue)
 )
 
 

@@ -378,3 +378,161 @@ def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k bigint, kth_min_hash bigint, est_distinct bigint, "
         "true_distinct bigint, rel_err_x10k bigint",
     )
+
+
+@register(
+    "agg_theta_sketch_setops",
+    # Theta-sketch set operations (Dasgupta et al., "Theta-Sketch
+    # Framework"; the KMV gate above is the single-set building
+    # block): per-segment bottom-k sketches over the hashed order-key
+    # domain, then
+    #   union:        theta = min(theta_A, theta_B);
+    #                 est = |{h in S_A ∪ S_B : h < theta}| / theta
+    #   intersection: est = |{h in S_A ∩ S_B : h < theta}| / theta
+    # with theta kept as the EXACT 60-bit integer k-th-min hash
+    # (normalization by 2^60 folds into the estimator as one double
+    # multiply of exact integers — bit-identical cross-engine). The
+    # exact counts and integer 1e4-scaled relative errors ride along
+    # so the accuracy claim itself is hash-checked. Segments: orders
+    # with a returned line (l_returnflag='R') vs orders with a bulk
+    # line (l_quantity>=25) — ~75%/89% of orders, ~69% overlap.
+    """
+    WITH ha AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                             AS BIGINT) AS hv
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    hb AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                             AS BIGINT) AS hv
+        FROM lineitem WHERE l_quantity >= 25
+    ),
+    ba AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+    bb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+    th AS (
+        SELECT least((SELECT max(hv) FROM ba), (SELECT max(hv) FROM bb)) AS theta,
+               (SELECT CAST(count(*) AS BIGINT) FROM ba) AS k_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM bb) AS k_b
+    ),
+    uni AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_u FROM (
+            SELECT hv FROM ba UNION SELECT hv FROM bb
+        ) u, th WHERE u.hv < th.theta
+    ),
+    its AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_i
+        FROM ba JOIN bb USING (hv), th WHERE ba.hv < th.theta
+    ),
+    fl AS (
+        SELECT l_orderkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS fa,
+               max(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS fb
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    ex AS (
+        SELECT CAST(sum(CASE WHEN fa = 1 OR fb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_union,
+               CAST(sum(fa * fb) AS BIGINT) AS exact_intersect
+        FROM fl
+    )
+    SELECT th.k_a, th.k_b, CAST(th.theta AS BIGINT) AS theta_hash,
+           CAST(round(uni.n_u * 1152921504606846976.0 / th.theta) AS BIGINT)
+               AS est_union,
+           ex.exact_union,
+           CAST(round(abs(uni.n_u * 1152921504606846976.0 / th.theta
+                          - ex.exact_union) / ex.exact_union * 10000.0)
+                AS BIGINT) AS err_union_x10k,
+           CAST(round(its.n_i * 1152921504606846976.0 / th.theta) AS BIGINT)
+               AS est_intersect,
+           ex.exact_intersect,
+           CAST(round(abs(its.n_i * 1152921504606846976.0 / th.theta
+                          - ex.exact_intersect) / ex.exact_intersect * 10000.0)
+                AS BIGINT) AS err_intersect_x10k
+    FROM th, uni, its, ex
+    """,
+    "Theta-sketch set operations over per-segment KMV bottom-k sketches "
+    "(k=256): union and intersection distinct-count estimates of "
+    "returned-line vs bulk-line order populations, each beside its "
+    "exact count with an integer-scaled relative error",
+    tags=("aggregation", "sketch"),
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-count analogue of agg_bitmap_audience_overlap that
+    survives 100 TB where exact bitmaps don't: each segment keeps a
+    256-row mergeable bottom-k sketch (per-partition local bottom-k,
+    one k-row merge — here the bounded TakeOrdered collect, same
+    contract as agg_kmv_distinct_estimate), and ALL set-operation
+    arithmetic happens on the two collected sketches driver-side —
+    exactly how a production Theta-sketch library evaluates set ops on
+    tiny sketch summaries. The corpus-sized work is the two keyed
+    distinct aggregates and one per-order flag aggregate (all
+    map-side combinable); nothing data-sized ever funnels through one
+    task. tests/test_theta_sketch.py pins the merge lemma
+    (bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪ bottom_k(B))) the
+    per-partition scale path relies on."""
+    import math
+
+    from ..operators.hashing import hex_to_long
+
+    li = table(spark, sf_dir, "lineitem")
+    hv = hex_to_long(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15)
+    ).alias("hv")
+    bot_a = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(hv).distinct().orderBy("hv").limit(256).collect()
+    )  # bounded: k rows
+    bot_b = (
+        li.filter(F.col("l_quantity") >= 25)
+        .select(hv).distinct().orderBy("hv").limit(256).collect()
+    )  # bounded: k rows
+    sa = {r["hv"] for r in bot_a}
+    sb = {r["hv"] for r in bot_b}
+    theta = min(max(sa), max(sb))
+    n_u = sum(1 for h in sa | sb if h < theta)
+    n_i = sum(1 for h in sa & sb if h < theta)
+    scale = 1152921504606846976.0  # 2^60
+    est_u = n_u * scale / theta
+    est_i = n_i * scale / theta
+    exact = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("fa"),
+            F.max((F.col("l_quantity") >= 25).cast("int")).alias("fb"),
+        )
+        .agg(
+            F.sum(((F.col("fa") == 1) | (F.col("fb") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("exact_union"),
+            F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("exact_intersect"),
+        )
+        .collect()[0]
+    )  # bounded: 1 row
+
+    def _round_half_up(v: float) -> int:
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    return spark.createDataFrame(
+        [
+            (
+                len(sa),
+                len(sb),
+                theta,
+                _round_half_up(est_u),
+                exact["exact_union"],
+                _round_half_up(
+                    abs(est_u - exact["exact_union"]) / exact["exact_union"] * 10000.0
+                ),
+                _round_half_up(est_i),
+                exact["exact_intersect"],
+                _round_half_up(
+                    abs(est_i - exact["exact_intersect"])
+                    / exact["exact_intersect"]
+                    * 10000.0
+                ),
+            )
+        ],
+        "k_a bigint, k_b bigint, theta_hash bigint, est_union bigint, "
+        "exact_union bigint, err_union_x10k bigint, est_intersect bigint, "
+        "exact_intersect bigint, err_intersect_x10k bigint",
+    )
