@@ -155,8 +155,12 @@ _PRIORITY = (
     "text_unigram_surprisal",
     "ts_anomaly_hourly_zscore",
     "ts_rolling_7d_user_spend",
-    "ts_rollup_time_hierarchy",
     "ts_time_weighted_avg",
+    "ts_pattern_three_declines",  # round-10 gate, never driver-checked:
+    # takes ts_rollup_time_hierarchy's slot (r4-green; the ts rollup
+    # family keeps prefixed rows via ts_rolling_7d_user_spend and
+    # ts_time_weighted_avg, and this round's full parity sweeps re-
+    # verify it at sf0.01 AND sf0.1 -> head of the round-11 queue)
     "agg_theta_sketch_setops",  # round-10 gate, never driver-checked:
     # takes udf_udtf_dynamic_schema's slot (r4-green; re-verified by
     # this round's full parity sweeps at sf0.01 AND sf0.1 -> head of

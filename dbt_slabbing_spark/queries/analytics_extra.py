@@ -3225,28 +3225,73 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "window", "cep"),
 )
 def ts_pattern_v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One user-keyed window pass (lag/lead share a single sort within
-    the same WindowExec), then a user-keyed count — two shuffles on the
-    same key, and AQE/EnsureRequirements reuses the partitioning for
-    the aggregate. At 100 TB the pattern match stays a per-user linear
+    """Round 10: re-expressed on the factored pattern kernel
+    (`operators/patterns.py::pattern_match`) with UNCHANGED output —
+    the strict V is the "DDUU" delta pattern anchored at the trough
+    (event position 2). The kernel compiles to the same single
+    user-keyed window pass (lag/lead of the direction column share one
+    sort/WindowExec), then a user-keyed count — two shuffles on the
+    same key. At 100 TB the pattern match stays a per-user linear
     scan; no state beyond the 5-row frame."""
-    from pyspark.sql import Window as W
+    from ..operators.patterns import pattern_match
 
-    w = W.partitionBy("user_id").orderBy("event_id")
-    s = table(spark, sf_dir, "events").select(
-        "user_id",
+    hits = pattern_match(
+        table(spark, sf_dir, "events").select("user_id", "event_id", "value"),
+        ["user_id"],
         "event_id",
         "value",
-        F.lag("value", 2).over(w).alias("p2"),
-        F.lag("value", 1).over(w).alias("p1"),
-        F.lead("value", 1).over(w).alias("n1"),
-        F.lead("value", 2).over(w).alias("n2"),
+        "DDUU",
+        anchor=2,
     )
-    hits = s.filter(
-        (F.col("p2") > F.col("p1"))
-        & (F.col("p1") > F.col("value"))
-        & (F.col("value") < F.col("n1"))
-        & (F.col("n1") < F.col("n2"))
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        F.min("event_id").cast("bigint").alias("first_event_id"),
+    )
+
+
+@register(
+    "ts_pattern_three_declines",
+    # Second pattern through the kernel (VERDICT r9 "Next round #7"):
+    # N=3 consecutive strict declines, anchored at the run's LAST
+    # event — the standard drawdown/churn-risk trigger. Same
+    # lag-encoded oracle family as the V-shape gate.
+    """
+    WITH s AS (
+        SELECT user_id, event_id, value,
+               lag(value, 3) OVER w AS p3, lag(value, 2) OVER w AS p2,
+               lag(value, 1) OVER w AS p1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    hits AS (
+        SELECT user_id, event_id
+        FROM s WHERE p3 > p2 AND p2 > p1 AND p1 > value
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_patterns,
+           CAST(min(event_id) AS BIGINT) AS first_event_id
+    FROM hits GROUP BY user_id
+    """,
+    "complex-event pattern detection (3 consecutive strict declines) "
+    "per user via the delta-pattern kernel; per-user count + first "
+    "matching event",
+    tags=("timeseries", "window", "cep"),
+)
+def ts_pattern_three_declines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pattern_match(events, 'DDD', anchor=3): the anchor row is the
+    last event of the decline run, so overlapping runs count once per
+    terminal event (a 5-decline run yields 3 matches) — the same
+    overlap semantics as the lag-encoded SQL. One user-keyed window
+    pass + one user-keyed count."""
+    from ..operators.patterns import pattern_match
+
+    hits = pattern_match(
+        table(spark, sf_dir, "events").select("user_id", "event_id", "value"),
+        ["user_id"],
+        "event_id",
+        "value",
+        "DDD",
+        anchor=3,
     )
     return hits.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
