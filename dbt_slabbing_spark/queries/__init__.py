@@ -152,10 +152,19 @@ _PRIORITY = (
     "text_duplicate_ngram_fraction",
     "text_repetition_profile",
     "text_rolling_hash_fingerprint",
-    "text_unigram_surprisal",
-    "ts_anomaly_hourly_zscore",
-    "ts_rolling_7d_user_spend",
-    "ts_time_weighted_avg",
+    "ts_seasonal_decompose",  # round-10 gate, never driver-checked:
+    # takes text_unigram_surprisal's slot (r4-green; the surprisal
+    # family keeps coverage via this round's full parity sweeps at
+    # sf0.01 AND sf0.1 -> head of the round-11 queue)
+    "profile_winsorized_stats",  # round-10 gate, never driver-checked:
+    # takes ts_anomaly_hourly_zscore's slot (r4-green; sweep-covered ->
+    # head of the round-11 queue)
+    "profile_entropy_by_column",  # round-10 gate, never driver-checked:
+    # takes ts_rolling_7d_user_spend's slot (r4-green; sweep-covered ->
+    # head of the round-11 queue)
+    "ml_calibration_bins",  # round-10 gate, never driver-checked:
+    # takes ts_time_weighted_avg's slot (r4-green; sweep-covered ->
+    # head of the round-11 queue)
     "ts_pattern_three_declines",  # round-10 gate, never driver-checked:
     # takes ts_rollup_time_hierarchy's slot (r4-green; the ts rollup
     # family keeps prefixed rows via ts_rolling_7d_user_spend and

@@ -3297,3 +3297,211 @@ def ts_pattern_three_declines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
         F.min("event_id").cast("bigint").alias("first_event_id"),
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    # Seasonal-naive decomposition by hour-of-day: the 24-bucket
+    # seasonal profile of hourly revenue (the additive-decomposition
+    # seasonal component every traffic/forecast pipeline computes),
+    # plus the largest residual per bucket with its hour — the
+    # "unusual FOR THIS time of day" anomaly view that the global
+    # z-score gate (ts_anomaly_hourly_zscore) can't express. Hourly
+    # totals are rounded to 2 dp before profiling and the seasonal
+    # mean to 4 dp before the residual subtraction, so both engines
+    # difference IDENTICAL inputs; the peak pick is a deterministic
+    # (|residual| DESC, hour ASC) rank.
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               round((sum(value)) * 100.0) / 100.0 + 0.0 AS x
+        FROM events GROUP BY h
+    ),
+    prof AS (
+        SELECT *,
+               CAST(hour(h) AS INT) AS hod,
+               round((avg(x) OVER (PARTITION BY hour(h))) * 10000.0)
+                   / 10000.0 + 0.0 AS seasonal_avg,
+               CAST(count(*) OVER (PARTITION BY hour(h)) AS BIGINT) AS n_hours
+        FROM hourly
+    ),
+    scored AS (
+        SELECT *, abs(x - seasonal_avg) AS aresid,
+               row_number() OVER (PARTITION BY hod
+                                  ORDER BY abs(x - seasonal_avg) DESC, h) AS rn
+        FROM prof
+    )
+    SELECT hod, n_hours, seasonal_avg,
+           round(aresid * 10000.0) / 10000.0 + 0.0 AS max_abs_resid,
+           CAST(h AS VARCHAR) AS peak_hour
+    FROM scored WHERE rn = 1
+    """,
+    "seasonal-naive decomposition of hourly revenue by hour-of-day: "
+    "24-bucket seasonal profile + per-bucket peak |residual| anomaly "
+    "with its hour",
+    tags=("timeseries", "stats"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus-sized keyed aggregate (hour buckets), then every
+    window runs over the calendar-bounded hourly series partitioned 24
+    ways by hour-of-day — the same time-bounded-not-data-bounded
+    cardinality argument as ts_cusum_changepoint, with no
+    single-partition window at all (hod keys the partitions)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        dround(F.sum("value"), 2).alias("x")
+    )
+    w_hod = Window.partitionBy(F.hour("h"))
+    prof = hourly.select(
+        "h",
+        "x",
+        F.hour("h").cast("int").alias("hod"),
+        dround(F.avg("x").over(w_hod), 4).alias("seasonal_avg"),
+        F.count(F.lit(1)).over(w_hod).cast("bigint").alias("n_hours"),
+    )
+    scored = prof.withColumn("aresid", F.abs(F.col("x") - F.col("seasonal_avg")))
+    w_rank = Window.partitionBy("hod").orderBy(F.desc("aresid"), F.asc("h"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "hod",
+            "n_hours",
+            "seasonal_avg",
+            dround(F.col("aresid"), 4).alias("max_abs_resid"),
+            F.col("h").cast("string").alias("peak_hour"),
+        )
+    )
+
+
+@register(
+    "profile_winsorized_stats",
+    # Winsorization at exact p05/p95 per return-flag group — the
+    # outlier-robust preprocessing step (clip, don't drop) beside the
+    # MAD screen (profile_mad_outliers). The clip BOUNDS are rounded
+    # to 4 dp BEFORE clamping so both engines clamp against identical
+    # constants (interpolated percentiles differ in the last ulp
+    # between engines; a 4 dp snap collapses that); prices are 2 dp so
+    # no data value can sit between the engines' bounds.
+    """
+    WITH b AS (
+        SELECT l_returnflag,
+               round((quantile_cont(l_extendedprice, 0.05)) * 10000.0)
+                   / 10000.0 + 0.0 AS p05,
+               round((quantile_cont(l_extendedprice, 0.95)) * 10000.0)
+                   / 10000.0 + 0.0 AS p95
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           b.p05, b.p95,
+           CAST(sum(CASE WHEN l.l_extendedprice < b.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN l.l_extendedprice > b.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           round((avg(l.l_extendedprice)) * 10000.0) / 10000.0 + 0.0 AS mean_raw,
+           round((avg(least(greatest(l.l_extendedprice, b.p05), b.p95)))
+                 * 10000.0) / 10000.0 + 0.0 AS mean_winsorized
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.p05, b.p95
+    """,
+    "winsorized statistics per return flag: exact p05/p95 bounds "
+    "(4 dp snapped), clip counts each side, and the raw vs winsorized "
+    "mean",
+    tags=("profile", "stats"),
+)
+def profile_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passes over lineitem: one exact-percentile aggregate to a
+    3-row bounds table, broadcast back, one clamp-and-aggregate pass.
+    At 100 TB exact percentiles become approx_percentile or the GK
+    sketch (agg_approx_percentiles shows the swap); the clamp pass is
+    unchanged — bounds stay a broadcast dimension."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        dround(F.percentile("l_extendedprice", F.lit(0.05)), 4).alias("p05"),
+        dround(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+    joined = li.join(F.broadcast(bounds), "l_returnflag")
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return joined.groupBy("l_returnflag", "p05", "p95").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("l_extendedprice") < F.col("p05")).cast("int"))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum((F.col("l_extendedprice") > F.col("p95")).cast("int"))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        dround(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+        dround(F.avg(clipped), 4).alias("mean_winsorized"),
+    ).select(
+        "l_returnflag", "n", "p05", "p95", "n_clipped_low",
+        "n_clipped_high", "mean_raw", "mean_winsorized",
+    )
+
+
+@register(
+    "profile_entropy_by_column",
+    # Shannon entropy (bits) of the categorical order columns — the
+    # standard data-profiling uniformity measure next to the Gini
+    # concentration gate. Entropy folds the grand total in via the
+    # identity H = log2(N) - (1/N)·Σ n·log2(n), so each column needs
+    # only its value counts and ONE keyed total — no per-value
+    # probability division, and every log argument is an exact
+    # integer (the same cross-engine-libm idiom the surprisal gates
+    # established).
+    """
+    WITH u AS (
+        SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR) FROM orders
+    ),
+    c AS (
+        SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY col_name, val
+    )
+    SELECT col_name,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           round((log2(sum(n)) - sum(n * log2(n)) / sum(n)) * 1000000.0)
+               / 1000000.0 + 0.0 AS entropy_bits
+    FROM c GROUP BY col_name
+    """,
+    "Shannon entropy (bits, 6 dp) of categorical order columns via the "
+    "integer-argument identity H = log2(N) - sum(n*log2(n))/N, with "
+    "distinct-value and row counts",
+    tags=("profile", "stats"),
+)
+def profile_entropy_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format unpivot (3× column pruning-friendly scans folded by
+    the union), one (column, value) count aggregate, one column-keyed
+    reduce — all map-side combinable; nothing single-partition. The
+    integer-argument identity keeps both engines' libm calls on the
+    same inputs (log2 of exact counts), the surprisal-family contract."""
+    orders = table(spark, sf_dir, "orders")
+    parts = [
+        orders.select(
+            F.lit("o_orderstatus").alias("col_name"),
+            F.col("o_orderstatus").alias("val"),
+        ),
+        orders.select(
+            F.lit("o_orderpriority").alias("col_name"),
+            F.col("o_orderpriority").alias("val"),
+        ),
+        orders.select(
+            F.lit("order_year").alias("col_name"),
+            F.year("o_orderdate").cast("string").alias("val"),
+        ),
+    ]
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    c = u.groupBy("col_name", "val").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return c.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        dround(
+            F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"), 6
+        ).alias("entropy_bits"),
+    )

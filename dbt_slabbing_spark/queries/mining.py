@@ -789,3 +789,82 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_n_chars"),
         )
     )
+
+
+@register(
+    "ml_calibration_bins",
+    # Model-calibration audit (reliability diagram + expected
+    # calibration error, Guo et al. 2017): decile-bin a model score,
+    # compare each bin's mean predicted probability to its observed
+    # positive rate, and fold the bins into the ECE scalar. The
+    # "model" is the deterministic hash-uniform score
+    # (o_orderkey % 9973) / 9973 against the o_orderstatus='F' label,
+    # so the gate pins the OPERATOR arithmetic, not a trained model:
+    # every per-bin statistic reduces to exact integers (score sums
+    # stay integer via the % 9973 numerator), and ECE's numerator
+    # |9973·n_pos − Σscore_num| is an exact integer too — one double
+    # division per output cell, bit-identical cross-engine.
+    """
+    WITH s AS (
+        SELECT CAST(o_orderkey % 9973 AS BIGINT) AS num,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    b AS (
+        SELECT least(CAST(floor(num * 10.0 / 9973.0) AS INT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(num) AS BIGINT) AS s_num,
+               CAST(sum(label) AS BIGINT) AS n_pos
+        FROM s GROUP BY bin
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM b)
+    SELECT bin, n,
+           round(s_num / (9973.0 * n) * 1000000.0) / 1000000.0 + 0.0
+               AS mean_score,
+           round(CAST(n_pos AS DOUBLE) / n * 1000000.0) / 1000000.0 + 0.0
+               AS obs_rate,
+           round((SELECT sum(abs(9973 * n_pos - s_num)) / (9973.0 * t.n_total)
+                  FROM b) * 1000000.0) / 1000000.0 + 0.0 AS ece
+    FROM b, t
+    """,
+    "calibration reliability bins: decile-binned deterministic score "
+    "vs observed positive rate per bin, with the expected calibration "
+    "error riding every row as a broadcast scalar",
+    tags=("ml", "stats"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side-combinable 10-key aggregate over the scan, then the
+    ECE folds from the 10-row bin table (a zero-grouping-key aggregate
+    crossJoined back as the query's one broadcast scalar) — the
+    reliability-diagram shape at any scale. Integer numerators make
+    mean/rate/ECE each a single double division."""
+    orders = table(spark, sf_dir, "orders")
+    s = orders.select(
+        (F.col("o_orderkey") % 9973).cast("bigint").alias("num"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    b = s.groupBy(
+        F.least(F.floor(F.col("num") * 10.0 / 9973.0).cast("int"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("num").cast("bigint").alias("s_num"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    ece = b.agg(
+        (
+            F.sum(F.abs(F.lit(9973) * F.col("n_pos") - F.col("s_num")))
+            / (9973.0 * F.sum("n"))
+        ).alias("_ece")
+    )
+    return (
+        b.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n",
+            dround(F.col("s_num") / (9973.0 * F.col("n")), 6).alias("mean_score"),
+            dround(F.col("n_pos").cast("double") / F.col("n"), 6).alias("obs_rate"),
+            dround(F.col("_ece"), 6).alias("ece"),
+        )
+    )
