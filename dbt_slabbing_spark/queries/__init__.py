@@ -151,7 +151,10 @@ _PRIORITY = (
     "text_bm25_topk",
     "text_duplicate_ngram_fraction",
     "text_repetition_profile",
-    "text_rolling_hash_fingerprint",
+    "stream_pattern_alert",  # round-10 gate, never driver-checked:
+    # takes text_rolling_hash_fingerprint's slot (r4-green; the text
+    # fingerprint family keeps coverage via this round's full parity
+    # sweeps at sf0.01 AND sf0.1 -> head of the round-11 queue)
     "ts_seasonal_decompose",  # round-10 gate, never driver-checked:
     # takes text_unigram_surprisal's slot (r4-green; the surprisal
     # family keeps coverage via this round's full parity sweeps at

@@ -463,3 +463,35 @@ def stream_manifest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="stream_manifest_append_")
     return jobs.streaming_manifest_append(spark, sf_dir, work, rows_per_batch=2000)
+
+
+@register(
+    "stream_pattern_alert",
+    # Oracle = the batch pattern gate's SQL verbatim (ts_pattern_v_shape):
+    # over the bounded replay processed in event_id order, the stateful
+    # tail detector emits exactly the lag/lead windows' trough set.
+    """
+    WITH s AS (
+        SELECT user_id, event_id, value,
+               lag(value, 2)  OVER w AS p2, lag(value, 1)  OVER w AS p1,
+               lead(value, 1) OVER w AS n1, lead(value, 2) OVER w AS n2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    hits AS (
+        SELECT user_id, event_id
+        FROM s
+        WHERE p2 > p1 AND p1 > value AND value < n1 AND n1 < n2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_patterns,
+           CAST(min(event_id) AS BIGINT) AS first_event_id
+    FROM hits GROUP BY user_id
+    """,
+    "streaming complex-event detection (strict V-shape) via "
+    "applyInPandasWithState with an O(pattern)-sized per-user tail; "
+    "batch-twin SQL oracle (= ts_pattern_v_shape)",
+    tags=("streaming", "stateful", "cep"),
+)
+def stream_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_pattern_v_shape(spark, sf_dir)

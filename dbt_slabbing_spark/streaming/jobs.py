@@ -1010,3 +1010,87 @@ def streaming_manifest_append(
             dround(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def pattern_v_shape_tail(tail: list, batch: list) -> tuple[list, list]:
+    """Pure tail-fold step for the streaming V-shape detector: given the
+    carried ``tail`` (last ≤4 (event_id, value) pairs of the user's
+    already-seen prefix) and the new ``batch`` (event_id-ordered
+    (event_id, value) pairs), return (troughs emitted now, new tail).
+
+    A trough at sequence position i needs 2 predecessors and 2
+    successors; positions with both successors inside the PREVIOUS
+    prefix were already emitted, so only i >= len(tail) - 2 emit now —
+    replaying the same data split at ANY batch boundary yields the same
+    trough set as one pass (pinned by tests/test_pattern_kernel_stream).
+    Factored out of the Arrow UDF so the cross-batch contract is unit-
+    testable without a streaming query."""
+    seq = list(tail) + list(batch)
+    emitted = []
+    start = max(2, len(tail) - 2)
+    for i in range(start, len(seq) - 2):
+        v = seq[i][1]
+        if (
+            seq[i - 2][1] > seq[i - 1][1] > v
+            and v < seq[i + 1][1] < seq[i + 2][1]
+        ):
+            emitted.append(seq[i][0])
+    return emitted, seq[-4:]
+
+
+def streaming_pattern_v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming complex-event detection: the strict V-shape
+    (operators/patterns.py 'DDUU' anchored at the trough) over each
+    user's event_id-ordered stream, as a custom stateful operator.
+
+    State per user = the last 4 (event_id, value) pairs — the pattern
+    window minus one — so a V spanning a micro-batch boundary is
+    detected exactly once when its second successor arrives. Output
+    rows are the trough events; the final rollup (count + first trough
+    per user) equals the batch twin ts_pattern_v_shape, which is the
+    gate's SQL oracle. At 100 TB this is the CEP shape Flink sells:
+    O(pattern) state per key, one shuffle on the key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            st = state.get
+            n = int(st[0])
+            tail = [
+                (int(st[1 + 2 * j]), float(st[2 + 2 * j])) for j in range(n)
+            ]
+        else:
+            tail = []
+        chunks = [pdf for pdf in pdf_iter]
+        emitted: list[int] = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("event_id")
+            pairs = list(zip(batch["event_id"].astype(int), batch["value"].astype(float)))
+            emitted, tail = pattern_v_shape_tail(tail, pairs)
+        flat = [len(tail)]
+        for e, v in tail:
+            flat += [e, v]
+        flat += [0, 0.0] * (4 - len(tail))
+        state.update(tuple(flat))
+        yield pd.DataFrame(
+            {"user_id": [user_id] * len(emitted), "event_id": emitted}
+        )
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+    troughs = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, event_id bigint",
+        stateStructType=(
+            "n int, e1 bigint, v1 double, e2 bigint, v2 double, "
+            "e3 bigint, v3 double, e4 bigint, v4 double"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_completion(troughs, "append")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        F.min("event_id").cast("bigint").alias("first_event_id"),
+    )
