@@ -150,7 +150,10 @@ _PRIORITY = (
     "stream_stream_left_outer_join",
     "text_bm25_topk",
     "text_duplicate_ngram_fraction",
-    "text_repetition_profile",
+    "layout_hilbert_locality",  # round-10 gate, never driver-checked:
+    # takes text_repetition_profile's slot (r4-green; the text quality
+    # family keeps coverage via this round's full parity sweeps at
+    # sf0.01 AND sf0.1 -> head of the round-11 queue)
     "stream_pattern_alert",  # round-10 gate, never driver-checked:
     # takes text_rolling_hash_fingerprint's slot (r4-green; the text
     # fingerprint family keeps coverage via this round's full parity

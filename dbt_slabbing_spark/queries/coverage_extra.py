@@ -610,3 +610,95 @@ def layout_compact_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_keys bigint, sum_value double, "
         "n_files_after bigint, version bigint",
     )
+
+
+@register(
+    "layout_hilbert_locality",
+    # Cross-engine pin of the Hilbert-curve clustering key
+    # (operators/layout.py::with_hilbert_key, the write_hilbert_clustered
+    # / liquid-clustering primitive): the oracle replays the EXACT xy2d
+    # rotation recurrence as a recursive CTE (state (x, y, d), one
+    # iteration per bit, bits=6 -> 64x64 grid), so every key value is
+    # hash-checked, and the locality CLAIM is verified as data: walking
+    # cells in key order, every step between curve-adjacent present
+    # cells has Manhattan distance 1 (the property Z-order lacks);
+    # missing cells (the event sample covers ~90% of the grid) surface
+    # as the counted >1 jumps.
+    """
+    WITH RECURSIVE cells AS (
+        SELECT DISTINCT CAST(user_id % 64 AS BIGINT) AS x0,
+                        CAST(event_id % 64 AS BIGINT) AS y0
+        FROM events
+    ),
+    walk(x0, y0, i, x, y, d) AS (
+        SELECT x0, y0, 5, x0, y0, CAST(0 AS BIGINT) FROM cells
+        UNION ALL
+        SELECT x0, y0, i - 1,
+               CASE WHEN ((y >> i) & 1) = 0
+                    THEN CASE WHEN ((x >> i) & 1) = 1
+                              THEN (CAST(1 AS BIGINT) << i) - 1 - y ELSE y END
+                    ELSE x END,
+               CASE WHEN ((y >> i) & 1) = 0
+                    THEN CASE WHEN ((x >> i) & 1) = 1
+                              THEN (CAST(1 AS BIGINT) << i) - 1 - x ELSE x END
+                    ELSE y END,
+               d + (CAST(1 AS BIGINT) << i) * (CAST(1 AS BIGINT) << i)
+                   * xor(3 * ((x >> i) & 1), (y >> i) & 1)
+        FROM walk WHERE i >= 0
+    ),
+    keyed AS (SELECT x0, y0, d AS hkey FROM walk WHERE i = -1),
+    hops AS (
+        SELECT hkey,
+               abs(x0 - lead(x0) OVER w) + abs(y0 - lead(y0) OVER w) AS jump
+        FROM keyed WINDOW w AS (ORDER BY hkey)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(hkey) AS BIGINT) AS hkey_sum,
+           CAST(count(*) FILTER (WHERE jump = 1) AS BIGINT) AS n_unit_jumps,
+           CAST(max(jump) AS BIGINT) AS max_jump,
+           round(sum(jump) / (count(*) - 1.0) * 1000000.0) / 1000000.0 + 0.0
+               AS avg_jump
+    FROM hops
+    """,
+    "Hilbert-curve clustering key verified value-by-value against a "
+    "recursive-CTE xy2d twin (64x64 grid from event cells), plus the "
+    "locality property as data: unit-jump count / max / average "
+    "Manhattan step between curve-consecutive present cells",
+    tags=("layout", "clustering"),
+)
+def layout_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key derivation is one whole-stage-codegen projection per bit
+    over the distinct-cell aggregate (with_hilbert_key's plan contract);
+    the locality walk is a window over the ≤4096-row cell table —
+    bounded by the 64×64 grid LITERAL in the query, not by data volume
+    (the plan-invariant allowlist entry cites this). At 100 TB the same
+    key feeds write_hilbert_clustered's repartitionByRange: the only
+    data-sized step is the distinct-cell aggregate."""
+    from pyspark.sql import Window as W
+
+    from ..operators.layout import with_hilbert_key
+
+    cells = (
+        table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 64).cast("long").alias("x0"),
+            (F.col("event_id") % 64).cast("long").alias("y0"),
+        )
+        .distinct()
+    )
+    keyed = with_hilbert_key(cells, "x0", "y0", bits=6, out="hkey")
+    w = W.orderBy("hkey")
+    hops = keyed.select(
+        "hkey",
+        (
+            F.abs(F.col("x0") - F.lead("x0").over(w))
+            + F.abs(F.col("y0") - F.lead("y0").over(w))
+        ).alias("jump"),
+    )
+    return hops.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("hkey").cast("bigint").alias("hkey_sum"),
+        F.sum((F.col("jump") == 1).cast("int")).cast("bigint").alias("n_unit_jumps"),
+        F.max("jump").cast("bigint").alias("max_jump"),
+        dround(F.sum("jump") / (F.count(F.lit(1)) - 1.0), 6).alias("avg_jump"),
+    )

@@ -125,6 +125,10 @@ _SP_CHILD_ALLOWED: dict[str, str] = {
     # TPC-H date range), bounded by the time span, not the corpus; the
     # data-sized work is the keyed groupBy BELOW the exchange
     "ts_cusum_changepoint": "HashAggregate",
+    # the locality walk orders the distinct-cell table: <= 4096 rows,
+    # bounded by the 64x64 grid literal in the query (cells are
+    # user_id%64 x event_id%64), not by data volume
+    "layout_hilbert_locality": "HashAggregate",
 }
 
 
