@@ -149,7 +149,11 @@ _PRIORITY = (
     "stream_static_enrich",
     "stream_stream_left_outer_join",
     "text_bm25_topk",
-    "text_duplicate_ngram_fraction",
+    "ml_ols_normal_equations",  # round-10 gate, never driver-checked:
+    # takes text_duplicate_ngram_fraction's slot (r4-green; the n-gram
+    # dedup family keeps prefixed rows via dedup_containment_pairs and
+    # this round's full parity sweeps re-verify it at sf0.01 AND sf0.1
+    # -> head of the round-11 queue)
     "layout_hilbert_locality",  # round-10 gate, never driver-checked:
     # takes text_repetition_profile's slot (r4-green; the text quality
     # family keeps coverage via this round's full parity sweeps at

@@ -868,3 +868,139 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("_ece"), 6).alias("ece"),
         )
     )
+
+
+@register(
+    "ml_ols_normal_equations",
+    # Closed-form multivariate OLS (normal equations, Cramer's rule):
+    # l_extendedprice ~ l_quantity + l_discount over lineitem. The d=2
+    # feature moments (X'X, X'y, y'y) accumulate as EXACT integers —
+    # price rounds to whole dollars, discount to integer cents, so
+    # every sum is a BIGINT — and the 3x3 solve + R² are pure double
+    # polynomials over those integers, written with IDENTICAL
+    # association order in both engines (casts to DOUBLE before any
+    # product that could overflow BIGINT). One map-side-combinable
+    # aggregate touches the data; the solve is O(d³) on one row.
+    """
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT)   AS sq,
+               CAST(sum(d) AS BIGINT)   AS sd,
+               CAST(sum(q * q) AS BIGINT) AS sqq,
+               CAST(sum(q * d) AS BIGINT) AS sqd,
+               CAST(sum(d * d) AS BIGINT) AS sdd,
+               CAST(sum(y) AS BIGINT)   AS sy,
+               CAST(sum(q * y) AS BIGINT) AS sqy,
+               CAST(sum(d * y) AS BIGINT) AS sdy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_discount * 100.0) AS BIGINT) AS d,
+                   CAST(round(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem
+        )
+    ),
+    f AS (
+        SELECT n,
+               CAST(n AS DOUBLE) AS fn, CAST(sq AS DOUBLE) AS fsq,
+               CAST(sd AS DOUBLE) AS fsd, CAST(sqq AS DOUBLE) AS fsqq,
+               CAST(sqd AS DOUBLE) AS fsqd, CAST(sdd AS DOUBLE) AS fsdd,
+               CAST(sy AS DOUBLE) AS fsy, CAST(sqy AS DOUBLE) AS fsqy,
+               CAST(sdy AS DOUBLE) AS fsdy, CAST(syy AS DOUBLE) AS fsyy
+        FROM m
+    ),
+    s AS (
+        SELECT n, fsy, fsqy, fsdy, fsyy, fn,
+               fn * (fsqq * fsdd - fsqd * fsqd)
+                 - fsq * (fsq * fsdd - fsqd * fsd)
+                 + fsd * (fsq * fsqd - fsqq * fsd) AS det,
+               fsy * (fsqq * fsdd - fsqd * fsqd)
+                 - fsq * (fsqy * fsdd - fsqd * fsdy)
+                 + fsd * (fsqy * fsqd - fsqq * fsdy) AS det0,
+               fn * (fsqy * fsdd - fsqd * fsdy)
+                 - fsy * (fsq * fsdd - fsqd * fsd)
+                 + fsd * (fsq * fsdy - fsqy * fsd) AS det1,
+               fn * (fsqq * fsdy - fsqy * fsqd)
+                 - fsq * (fsq * fsdy - fsqy * fsd)
+                 + fsy * (fsq * fsqd - fsqq * fsd) AS det2
+        FROM f
+    )
+    SELECT n,
+           round(det0 / det * 1000000.0) / 1000000.0 + 0.0 AS b0,
+           round(det1 / det * 1000000.0) / 1000000.0 + 0.0 AS b1,
+           round(det2 / det * 1000000.0) / 1000000.0 + 0.0 AS b2,
+           round((1.0 - (fsyy - (det0 / det) * fsy - (det1 / det) * fsqy
+                              - (det2 / det) * fsdy)
+                      / (fsyy - fsy * fsy / fn)) * 1000000.0)
+               / 1000000.0 + 0.0 AS r2
+    FROM s
+    """,
+    "closed-form OLS via normal equations + Cramer (price ~ quantity + "
+    "discount): exact-integer moment aggregate, 3x3 solve, coefficients "
+    "and R² at 6 dp",
+    tags=("ml", "stats"),
+)
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d-features generalization of udf_grouped_ols_slope's 1-D fit
+    and the exact-linear-algebra sibling of ml_logreg_gd's iterative
+    path: at 100 TB the ONLY data-sized step is one combinable
+    aggregate producing the (d+1)x(d+2)/2 integer moments; the solve is
+    a driver-side O(d³) on one collected row (bounded, like the kmeans
+    k-row contract). The Python Cramer below mirrors the oracle's
+    double polynomials term-for-term, so both engines run the same
+    IEEE expression tree."""
+    li = table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100.0).cast("bigint").alias("d"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    m = src.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+        F.sum(F.col("q") * F.col("d")).cast("bigint").alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("q") * F.col("y")).cast("bigint").alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).cast("bigint").alias("sdy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    ).collect()[0]  # bounded: one moments row
+    import math
+
+    fn, fsq, fsd = float(m["n"]), float(m["sq"]), float(m["sd"])
+    fsqq, fsqd, fsdd = float(m["sqq"]), float(m["sqd"]), float(m["sdd"])
+    fsy, fsqy, fsdy, fsyy = (
+        float(m["sy"]), float(m["sqy"]), float(m["sdy"]), float(m["syy"])
+    )
+    det = (
+        fn * (fsqq * fsdd - fsqd * fsqd)
+        - fsq * (fsq * fsdd - fsqd * fsd)
+        + fsd * (fsq * fsqd - fsqq * fsd)
+    )
+    det0 = (
+        fsy * (fsqq * fsdd - fsqd * fsqd)
+        - fsq * (fsqy * fsdd - fsqd * fsdy)
+        + fsd * (fsqy * fsqd - fsqq * fsdy)
+    )
+    det1 = (
+        fn * (fsqy * fsdd - fsqd * fsdy)
+        - fsy * (fsq * fsdd - fsqd * fsd)
+        + fsd * (fsq * fsdy - fsqy * fsd)
+    )
+    det2 = (
+        fn * (fsqq * fsdy - fsqy * fsqd)
+        - fsq * (fsq * fsdy - fsqy * fsd)
+        + fsy * (fsq * fsqd - fsqq * fsd)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    r2 = 1.0 - (fsyy - b0 * fsy - b1 * fsqy - b2 * fsdy) / (fsyy - fsy * fsy / fn)
+
+    def _r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6 + 0.0
+
+    return spark.createDataFrame(
+        [(m["n"], _r6(b0), _r6(b1), _r6(b2), _r6(r2))],
+        "n bigint, b0 double, b1 double, b2 double, r2 double",
+    )
