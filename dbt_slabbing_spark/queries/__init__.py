@@ -148,7 +148,11 @@ _PRIORITY = (
     "sink_orc_roundtrip",
     "stream_static_enrich",
     "stream_stream_left_outer_join",
-    "text_bm25_topk",
+    "fn_bitwise_suite",  # round-10 gate, never driver-checked: takes
+    # text_bm25_topk's slot (r4-green; the BM25 ranking family keeps a
+    # prefixed row via search_rrf_hybrid_topk's BM25 channel in the r9
+    # gates and this round's full parity sweeps re-verify it at sf0.01
+    # AND sf0.1 -> head of the round-11 queue)
     "ml_ols_normal_equations",  # round-10 gate, never driver-checked:
     # takes text_duplicate_ngram_fraction's slot (r4-green; the n-gram
     # dedup family keeps prefixed rows via dedup_containment_pairs and

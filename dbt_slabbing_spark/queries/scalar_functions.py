@@ -368,3 +368,43 @@ def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v GROUP BY seg COLLATE UTF8_LCASE
         """
     )
+
+
+@register(
+    "fn_bitwise_suite",
+    # Bitwise scalar surface: AND/OR/XOR, shifts, popcount, and the
+    # bit-trick idioms sketch/bitmap code leans on (lowest-set-bit
+    # isolation k & -k, power-of-two test, byte extraction). Exact
+    # integer outputs — byte-stable cross-engine by construction.
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)                  AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT)                 AS with_flag,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT)        AS key_xor,
+           CAST((o_orderkey << 3) & 65535 AS BIGINT)         AS shl3_mask,
+           CAST(o_orderkey >> 4 AS BIGINT)                   AS shr4,
+           CAST(bit_count(o_orderkey) AS INT)                AS popcount,
+           CAST(o_orderkey & (-o_orderkey) AS BIGINT)        AS lowest_set_bit,
+           (o_orderkey > 0 AND (o_orderkey & (o_orderkey - 1)) = 0)
+                                                             AS is_pow2,
+           CAST((o_orderkey >> 8) & 255 AS BIGINT)           AS second_byte
+    FROM orders
+    """,
+    "bitwise functions: AND/OR/XOR, shifts, popcount, lowest-set-bit "
+    "and power-of-two idioms",
+    tags=("scalar", "bitwise"),
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("bigint").alias("key_xor"),
+        F.shiftleft(k, 3).bitwiseAND(F.lit(65535)).cast("bigint").alias("shl3_mask"),
+        F.shiftright(k, 4).cast("bigint").alias("shr4"),
+        F.bit_count(k).cast("int").alias("popcount"),
+        k.bitwiseAND(-k).cast("bigint").alias("lowest_set_bit"),
+        ((k > 0) & (k.bitwiseAND(k - 1) == 0)).alias("is_pow2"),
+        F.shiftright(k, 8).bitwiseAND(F.lit(255)).cast("bigint").alias("second_byte"),
+    )
