@@ -147,7 +147,11 @@ _PRIORITY = (
     "sim_truncated_rerank_topk",
     "sink_orc_roundtrip",
     "stream_static_enrich",
-    "stream_stream_left_outer_join",
+    "ts_ewma_crossover",  # round-10 gate, never driver-checked: takes
+    # stream_stream_left_outer_join's slot (r4-green; the stream-stream
+    # join family keeps a prefixed row via stream_static_enrich and
+    # this round's full parity sweeps re-verify it at sf0.01 AND sf0.1
+    # -> head of the round-11 queue)
     "fn_bitwise_suite",  # round-10 gate, never driver-checked: takes
     # text_bm25_topk's slot (r4-green; the BM25 ranking family keeps a
     # prefixed row via search_rrf_hybrid_topk's BM25 channel in the r9

@@ -3505,3 +3505,126 @@ def profile_entropy_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"), 6
         ).alias("entropy_bits"),
     )
+
+
+@register(
+    "ts_ewma_crossover",
+    # Fast/slow EWMA crossover signal (the moving-average golden/death
+    # cross, alpha_fast=0.5, alpha_slow=0.25 — both exact dyadic) per
+    # user over the hourly revenue series:
+    #   f_1 = s_1 = x_1;  for t>=2:
+    #   f_t = round9(0.5*x_t + 0.5*f_{t-1})
+    #   s_t = round9(0.25*x_t + 0.75*s_{t-1})
+    #   golden at t when f_t > s_t and f_{t-1} <= s_{t-1};
+    #   death  at t when f_t < s_t and f_{t-1} >= s_{t-1}.
+    # Same fold contract as ts_holt_linear_forecast: LIST accumulator
+    # (DuckDB's list_reduce mutates struct accumulators field-by-field),
+    # fresh list literal per step so every element sees the OLD
+    # accumulator, per-step 9-dp rounding pinning cross-engine bits,
+    # init via list_transform so the first element IS the initial
+    # state. Counters ride as doubles (exact small ints) and cast to
+    # BIGINT at the end.
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               round(sum(value) * 100.0) / 100.0 + 0.0 AS x
+        FROM events GROUP BY user_id, h
+    ),
+    series AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+               list(x ORDER BY h) AS xs
+        FROM hourly GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, n_hours,
+               list_reduce(
+                   list_transform(CAST(xs AS DOUBLE[]),
+                                  x -> [x, x, CAST(0.0 AS DOUBLE),
+                                        CAST(0.0 AS DOUBLE)]),
+                   (acc, x) -> [
+                       round((0.5 * x[1] + 0.5 * acc[1])
+                             * 1000000000.0) / 1000000000.0 + 0.0,
+                       round((0.25 * x[1] + 0.75 * acc[2])
+                             * 1000000000.0) / 1000000000.0 + 0.0,
+                       acc[3] + CASE WHEN
+                           round((0.5 * x[1] + 0.5 * acc[1])
+                                 * 1000000000.0) / 1000000000.0 + 0.0
+                           > round((0.25 * x[1] + 0.75 * acc[2])
+                                   * 1000000000.0) / 1000000000.0 + 0.0
+                           AND acc[1] <= acc[2]
+                           THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+                       acc[4] + CASE WHEN
+                           round((0.5 * x[1] + 0.5 * acc[1])
+                                 * 1000000000.0) / 1000000000.0 + 0.0
+                           < round((0.25 * x[1] + 0.75 * acc[2])
+                                   * 1000000000.0) / 1000000000.0 + 0.0
+                           AND acc[1] >= acc[2]
+                           THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END]
+               ) AS s
+        FROM series
+    )
+    SELECT user_id, n_hours,
+           CAST(round(s[3]) AS BIGINT) AS n_golden,
+           CAST(round(s[4]) AS BIGINT) AS n_death,
+           round((s[1] - s[2]) * 1000000000.0) / 1000000000.0 + 0.0
+               AS final_spread
+    FROM folded
+    """,
+    "fast/slow EWMA crossover signal (golden/death cross, dyadic "
+    "alphas 0.5/0.25) per user over hourly revenue: ordered list fold "
+    "with per-step 9-dp rounding; crossover counts + final spread",
+    tags=("timeseries", "fold", "cep"),
+)
+def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signal-generation sibling of ts_ewma_smoothing/Holt: ONE
+    JVM-side F.aggregate fold carries (fast, slow, golden, death) — no
+    per-step series materializes, so state stays O(1) per user at any
+    scale. One user-keyed shuffle; the fold is map-local after the
+    hourly aggregate. The new-state expressions are re-derived inline
+    (a lambda can't let-bind mid-fold — the Holt contract), two scalar
+    ops per reuse."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(dround(F.sum("value"), 2).alias("x"))
+    series = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs"),
+    )
+
+    def step(acc, x):
+        nf = dround(0.5 * x + 0.5 * acc["f"], 9)
+        ns = dround(0.25 * x + 0.75 * acc["s"], 9)
+        golden = acc["g"] + F.when(
+            (nf > ns) & (acc["f"] <= acc["s"]), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        death = acc["d"] + F.when(
+            (nf < ns) & (acc["f"] >= acc["s"]), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            nf.alias("f"), ns.alias("s"), golden.alias("g"), death.alias("d")
+        )
+
+    folded = series.select(
+        "user_id",
+        "n_hours",
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.struct(
+                F.element_at("xs", 1).alias("f"),
+                F.element_at("xs", 1).alias("s"),
+                F.lit(0.0).alias("g"),
+                F.lit(0.0).alias("d"),
+            ),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_hours",
+        F.round(F.col("st.g")).cast("bigint").alias("n_golden"),
+        F.round(F.col("st.d")).cast("bigint").alias("n_death"),
+        dround(F.col("st.f") - F.col("st.s"), 9).alias("final_spread"),
+    )
