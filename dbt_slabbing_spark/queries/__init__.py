@@ -145,8 +145,14 @@ _PRIORITY = (
     "sim_lshpq_adc_topk",
     "sim_pq_adc_topk",
     "sim_truncated_rerank_topk",
-    "sink_orc_roundtrip",
-    "stream_static_enrich",
+    "agg_weighted_median",  # round-10 gate, never driver-checked:
+    # takes sink_orc_roundtrip's slot (r4-green; the sink family keeps
+    # pytest roundtrip coverage and this round's full parity sweeps
+    # re-verify it at sf0.01 AND sf0.1 -> head of the round-11 queue)
+    "sample_halfsample_bootstrap_se",  # round-10 gate, never
+    # driver-checked: takes stream_static_enrich's slot (r4-green; the
+    # stream-enrich family keeps sweep coverage this round at sf0.01
+    # AND sf0.1 -> head of the round-11 queue)
     "ts_ewma_crossover",  # round-10 gate, never driver-checked: takes
     # stream_stream_left_outer_join's slot (r4-green; the stream-stream
     # join family keeps a prefixed row via stream_static_enrich and

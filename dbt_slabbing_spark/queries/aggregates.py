@@ -536,3 +536,69 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union bigint, err_union_x10k bigint, est_intersect bigint, "
         "exact_intersect bigint, err_intersect_x10k bigint",
     )
+
+
+@register(
+    "agg_weighted_median",
+    # Quantity-weighted median price per return flag: the smallest
+    # price whose cumulative quantity reaches half the group's total.
+    # The cumulative window orders by (price, quantity); rows tied on
+    # both sort keys may accumulate in either order, but every tied row
+    # shares the same price, so min(price) over the qualifying rows is
+    # deterministic — the standard weighted-median-by-prefix-sum
+    # recipe, expressed identically in both engines.
+    """
+    WITH c AS (
+        SELECT l_returnflag, l_extendedprice AS p,
+               CAST(l_quantity AS BIGINT) AS q,
+               sum(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_quantity
+                         ROWS UNBOUNDED PRECEDING) AS cumq,
+               sum(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_returnflag) AS totq
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(max(totq) AS BIGINT) AS total_weight,
+           round((min(p)) * 100.0) / 100.0 + 0.0 AS weighted_median_price
+    FROM c WHERE 2 * cumq >= totq
+    GROUP BY l_returnflag
+    """,
+    "quantity-weighted median price per return flag via group-keyed "
+    "cumulative-weight windows (first price reaching half the total "
+    "weight)",
+    tags=("agg", "window", "stats"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One group-keyed window pass (the running weight and the group
+    total share the PARTITION BY l_returnflag sort) + one filtered
+    aggregate — no global window, no percentile scan. At 100 TB the
+    3-key partitioning is the skew concern; the salted twin of this
+    shape is agg_salted_hot_keys."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("p", "q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "p",
+        F.sum("q").over(w_cum).alias("cumq"),
+        F.sum("q").over(w_tot).alias("totq"),
+    )
+    return (
+        c.filter(2 * F.col("cumq") >= F.col("totq"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("totq").cast("bigint").alias("total_weight"),
+            dround(F.min("p"), 2).alias("weighted_median_price"),
+        )
+    )

@@ -496,3 +496,118 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+@register(
+    "sample_halfsample_bootstrap_se",
+    # Deterministic resampling standard error (the Poisson/online-
+    # bootstrap shape of Chamandy et al., hash-derived so both engines
+    # draw the SAME replicates): replicate r of 8 keeps the orders
+    # whose portable 32-bit md5 hash has bit r set (~half each),
+    # estimates mean revenue, and the spread of the 8 half-sample means
+    # gives the SE of the full-sample mean (half-sampling inflates
+    # variance 1x, so SE = std/sqrt(8) is reported as-is alongside the
+    # full mean). ONE scan: each replicate is a pair of conditional
+    # sums (integer cents / counts), every mean ONE double division of
+    # exact integers, and the mean/variance of the 8 replicate means
+    # are written as explicit left-associated expressions so both
+    # engines run the identical IEEE tree.
+    """
+    WITH h AS (
+        SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hv
+        FROM orders
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               {reps}
+        FROM h
+    ),
+    e AS (
+        SELECT n, s / (100.0 * n) AS full_mean,
+               {means}
+        FROM m
+    ),
+    g AS (
+        SELECT n, full_mean, m0, m1, m2, m3, m4, m5, m6, m7,
+               (((((((m0 + m1) + m2) + m3) + m4) + m5) + m6) + m7) / 8.0
+                   AS gm
+        FROM e
+    )
+    SELECT n,
+           round(full_mean * 1000000.0) / 1000000.0 + 0.0 AS full_mean,
+           round(gm * 1000000.0) / 1000000.0 + 0.0 AS replicate_mean,
+           round(sqrt((((((((
+                 (m0 - gm) * (m0 - gm) + (m1 - gm) * (m1 - gm))
+               + (m2 - gm) * (m2 - gm)) + (m3 - gm) * (m3 - gm))
+               + (m4 - gm) * (m4 - gm)) + (m5 - gm) * (m5 - gm))
+               + (m6 - gm) * (m6 - gm)) + (m7 - gm) * (m7 - gm)) / 7.0 / 8.0)
+                 * 1000000.0) / 1000000.0 + 0.0 AS se_mean
+    FROM g
+    """.format(
+        reps=",\n               ".join(
+            f"CAST(sum(CASE WHEN ((hv >> {r}) & 1) = 1 THEN cents ELSE 0 END) AS BIGINT) AS s{r}, "
+            f"CAST(sum(CASE WHEN ((hv >> {r}) & 1) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n{r}"
+            for r in range(8)
+        ),
+        means=",\n               ".join(
+            f"s{r} / (100.0 * n{r}) AS m{r}" for r in range(8)
+        ),
+    ),
+    "deterministic half-sample bootstrap of mean order revenue: 8 "
+    "hash-bit replicates in one scan, replicate-mean spread -> SE of "
+    "the mean (6 dp), beside the full-sample mean",
+    tags=("sampling", "stats"),
+)
+def sample_halfsample_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling-variance machinery at corpus scale: replicates
+    are CONDITIONAL SUMS inside one map-side-combinable aggregate (no
+    Expand, no per-replicate scan), so 8 — or 512 — replicates cost one
+    pass. All randomness is the portable md5 bit so the draw is
+    reproducible cross-engine; the 8-term mean/variance combine runs
+    driver-side on the collected 1-row moments with the same
+    left-associated IEEE expression the oracle writes."""
+    import math
+
+    from ..operators.hashing import md5_long32
+
+    orders = table(spark, sf_dir, "orders")
+    h = orders.select(
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+        md5_long32(F.col("o_orderkey").cast("string")).alias("hv"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    ]
+    for r in range(8):
+        bit = (F.shiftright(F.col("hv"), r).bitwiseAND(F.lit(1)) == 1)
+        aggs.append(
+            F.sum(F.when(bit, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"s{r}")
+        )
+        aggs.append(
+            F.sum(F.when(bit, 1).otherwise(0)).cast("bigint").alias(f"n{r}")
+        )
+    row = h.agg(*aggs).collect()[0]  # bounded: one moments row
+    full_mean = row["s"] / (100.0 * row["n"])
+    ms = [row[f"s{r}"] / (100.0 * row[f"n{r}"]) for r in range(8)]
+    acc = ms[0]
+    for r in range(1, 8):
+        acc = acc + ms[r]
+    gm = acc / 8.0
+    var = (ms[0] - gm) * (ms[0] - gm)
+    for r in range(1, 8):
+        var = var + (ms[r] - gm) * (ms[r] - gm)
+    se = math.sqrt(var / 7.0 / 8.0)
+
+    def _r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6 + 0.0
+
+    return spark.createDataFrame(
+        [(row["n"], _r6(full_mean), _r6(gm), _r6(se))],
+        "n bigint, full_mean double, replicate_mean double, se_mean double",
+    )
