@@ -127,8 +127,10 @@ _SP_CHILD_ALLOWED: dict[str, str] = {
     "ts_cusum_changepoint": "HashAggregate",
     # the locality walk orders the distinct-cell table: <= 4096 rows,
     # bounded by the 64x64 grid literal in the query (cells are
-    # user_id%64 x event_id%64), not by data volume
-    "layout_hilbert_locality": "HashAggregate",
+    # user_id%64 x event_id%64), not by data volume; the exchange's
+    # immediate child is the hilbert-key unroll's per-bit Project chain
+    # sitting on the distinct-cell HashAggregate
+    "layout_hilbert_locality": "Project",
 }
 
 
