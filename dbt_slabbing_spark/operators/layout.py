@@ -505,8 +505,102 @@ def _snapshot_for_update(p) -> tuple[int, list[str]]:
     return _read_snapshot(p)
 
 
+_STATS = "_stats.json"
+
+
+def file_column_stats(path, files: list[str], col: str) -> dict:
+    """Per-file (min, max) of ``col`` for each named parquet file,
+    read from the files' own FOOTERS (pyarrow, driver-side metadata —
+    no Spark job) and cached in a ``_stats.json`` sidecar. Data files
+    are immutable under the copy-on-write manifest contract, so a
+    cached entry can never go stale; files pruned by vacuum just leave
+    dead entries behind. A file whose footer lacks usable stats for
+    the column (all-null chunk, missing column after schema evolution)
+    maps to ``None`` — callers must treat that as "may contain
+    anything". This is the Iceberg/Delta per-file column-stats
+    manifest, kept beside ours rather than inside the commit so the
+    OCC write paths stay untouched; at object-store scale the stats
+    ride the manifest commit instead (one fewer round trip), same
+    contract.
+
+    Returns ``{file_name: (min, max) | None}``."""
+    import json
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(str(path))
+    sidecar = p / _STATS
+    cache: dict = {}
+    if sidecar.exists():
+        try:
+            cache = json.loads(sidecar.read_text())
+        except (OSError, ValueError):
+            cache = {}
+    col_cache = cache.setdefault(col, {})
+    dirty = False
+    out: dict = {}
+    for name in files:
+        if name in col_cache:
+            out[name] = tuple(col_cache[name]) if col_cache[name] else None
+            continue
+        entry = None
+        try:
+            md = pq.ParquetFile(str(p / name)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col in idx:
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if ok and lo is not None:
+                    entry = (lo, hi)
+        except OSError:
+            entry = None
+        out[name] = entry
+        col_cache[name] = list(entry) if entry else None
+        dirty = True
+    if dirty:
+        try:  # best-effort cache: losing it only costs a re-read
+            tmp = p / (_STATS + ".tmp")
+            tmp.write_text(json.dumps(cache))
+            import os
+
+            os.replace(str(tmp), str(sidecar))
+        except OSError:
+            pass
+    return out
+
+
+def prune_file_list(path, files: list[str], col: str, lo, hi) -> list[str]:
+    """Files from ``files`` that MAY contain rows with ``col`` in
+    [lo, hi] (inclusive), by footer min/max overlap — the file-level
+    skipping a clustered layout (write_hilbert_clustered /
+    write_zordered / repartitionByRange writers) exists to enable.
+    Files without usable stats are kept (conservative). Distinct from
+    Spark's own row-group pruning: skipped files never enter the plan
+    at all — no tasks, no footer reads on executors, no listing
+    amplification."""
+    stats = file_column_stats(path, files, col)
+    keep = []
+    for name in files:
+        st = stats.get(name)
+        if st is None or not (st[1] < lo or st[0] > hi):
+            keep.append(name)
+    return keep
+
+
 def read_table(
-    spark, path, merge_schema: bool = False, version: int | None = None
+    spark,
+    path,
+    merge_schema: bool = False,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Read a parquet directory through its manifest when one exists
     (the committed snapshot — orphan files from interrupted maintenance
@@ -523,7 +617,15 @@ def read_table(
     files are unlinked only AFTER the commit, and :func:`vacuum_orphans`
     (which deletes files no retained snapshot references) is the
     retention boundary, exactly Delta's VACUUM contract: travel past
-    what vacuum kept raises on the missing files."""
+    what vacuum kept raises on the missing files.
+
+    ``prune=(col, lo, hi)`` additionally drops live files whose footer
+    min/max proves they hold no row with ``col`` in [lo, hi]
+    (:func:`prune_file_list`) — file-level skipping BEFORE the plan.
+    The caller still applies the row filter: pruning is a superset
+    guarantee (kept files may contain non-matching rows), so
+    ``read_table(..., prune=(c, lo, hi)).filter(...)`` is always
+    exactly equal to the unpruned filtered read."""
     import pathlib
 
     p = pathlib.Path(path)
@@ -539,9 +641,17 @@ def read_table(
             raise FileNotFoundError(
                 f"snapshot {version} references vacuumed files: {missing}"
             )
+        if prune is not None:
+            live = prune_file_list(p, live, *prune)
+        if not live:  # every file provably irrelevant: empty frame,
+            # schema from one live snapshot file so downstream plans bind
+            full = _files_at_version(p, version) if version is not None else ensure_manifest(p)
+            return reader.parquet(str(p / full[0])).limit(0)
         return reader.parquet(*[str(p / n) for n in live])
     if version is not None:
         raise ValueError("version= requires a manifest table")
+    if prune is not None:
+        raise ValueError("prune= requires a manifest table")
     return reader.parquet(str(p))
 
 

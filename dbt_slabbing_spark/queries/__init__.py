@@ -144,7 +144,11 @@ _PRIORITY = (
     "sim_ivfpq_residual_topk",
     "sim_lshpq_adc_topk",
     "sim_pq_adc_topk",
-    "sim_truncated_rerank_topk",
+    "layout_manifest_prune_read",  # round-10 gate, never
+    # driver-checked: takes sim_truncated_rerank_topk's slot (r4-green;
+    # the ANN serving family keeps three prefixed rows via sim_ivfpq/
+    # sim_lshpq/sim_pq and this round's full parity sweeps re-verify it
+    # at sf0.01 AND sf0.1 -> head of the round-11 queue)
     "agg_weighted_median",  # round-10 gate, never driver-checked:
     # takes sink_orc_roundtrip's slot (r4-green; the sink family keeps
     # pytest roundtrip coverage and this round's full parity sweeps

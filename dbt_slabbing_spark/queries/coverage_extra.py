@@ -702,3 +702,91 @@ def layout_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("jump").cast("bigint").alias("max_jump"),
         dround(F.sum("jump") / (F.count(F.lit(1)) - 1.0), 6).alias("avg_jump"),
     )
+
+
+#: explicit per-file value ranges for the prune gate: every slice is
+#: non-empty at every tested SF (checked 0.001/0.01/0.1), so the file
+#: count and the pruned-file count are literals the oracle can state.
+_PRUNE_SLICES = (
+    (0.0, 25.0), (25.0, 50.0), (50.0, 75.0), (75.0, 100.0),
+    (100.0, 150.0), (150.0, 200.0), (200.0, 300.0), (300.0, None),
+)
+_PRUNE_LO, _PRUNE_HI = 60.0, 110.0  # overlaps slices 2,3,4 -> 3 files
+
+
+@register(
+    "layout_manifest_prune_read",
+    # File-level skipping on a manifest table: 8 value-range-clustered
+    # files, a [60, 110] range read plans only the 3 whose footer
+    # min/max overlap (files 50-75, 75-100, 100-150). The file counts
+    # are literals BY CONSTRUCTION (explicit slice boundaries, every
+    # slice non-empty at every tested SF); the data columns are the
+    # plain SQL filter over events, so the oracle checks both the
+    # pruning arithmetic and that pruning lost no rows.
+    f"""
+    SELECT CAST(8 AS BIGINT) AS n_files_live,
+           CAST(3 AS BIGINT) AS n_files_scanned,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS sum_value
+    FROM events WHERE value BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+    """,
+    "manifest-table file skipping: value-clustered files, footer "
+    "min/max pruning keeps 3 of 8 files out of the plan entirely; "
+    "row results hash-checked against the unpruned filter semantics",
+    tags=("layout", "pruning"),
+)
+def layout_manifest_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::prune_file_list / file_column_stats
+    end-to-end under the oracle gate: a value-range-clustered manifest
+    table (what write_hilbert_clustered / repartitionByRange writers
+    produce) is read with prune=(col, lo, hi) — non-overlapping files
+    never enter the plan (no tasks, no executor footer reads), and the
+    row filter on top makes the result EXACTLY the unpruned filtered
+    read. At 100 TB this is the Iceberg/Delta min-max manifest scan;
+    the stats sidecar is footer-derived and immutable-file-safe."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import ensure_manifest, prune_file_list, read_table
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    work = tempfile.mkdtemp(prefix="manifest_prune_gate_")
+    try:
+        for i, (lo, hi) in enumerate(_PRUNE_SLICES):
+            cond = F.col("value") >= lo
+            if hi is not None:
+                cond = cond & (F.col("value") < hi)
+            staging = f"{work}.slice{i}"
+            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(staging)
+            import pathlib
+
+            parts = sorted(pathlib.Path(staging).glob("*.parquet"))
+            assert len(parts) == 1, f"slice {i} wrote {len(parts)} files"
+            shutil.move(str(parts[0]), f"{work}/slice-{i:02d}.parquet")
+            shutil.rmtree(staging, ignore_errors=True)
+        live = ensure_manifest(work)
+        scanned = prune_file_list(work, live, "value", _PRUNE_LO, _PRUNE_HI)
+        pruned = read_table(
+            spark, work, prune=("value", _PRUNE_LO, _PRUNE_HI)
+        ).filter(F.col("value").between(_PRUNE_LO, _PRUNE_HI))
+        row = pruned.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(live),
+                len(scanned),
+                row["n_rows"],
+                row["n_users"],
+                float(row["sum_value"]),
+            )
+        ],
+        "n_files_live bigint, n_files_scanned bigint, n_rows bigint, "
+        "n_users bigint, sum_value double",
+    )

@@ -1,0 +1,131 @@
+"""File-level skipping on manifest tables
+(`operators/layout.py::file_column_stats` / `prune_file_list` /
+`read_table(prune=)`). The registry gate (layout_manifest_prune_read)
+hash-checks the end-to-end read; these tests pin the stats mechanics —
+footer-derived min/max, sidecar caching, conservative handling of
+stat-less files, prune-to-empty schema preservation."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_slabbing_spark.operators import layout
+from dbt_slabbing_spark.operators.layout import (
+    ensure_manifest,
+    file_column_stats,
+    prune_file_list,
+    read_table,
+)
+
+
+@pytest.fixture()
+def ranged_table(spark, tmp_path):
+    """3 files with disjoint known v-ranges + 1 file whose v is all
+    NULL (footer has no usable min/max)."""
+    import shutil
+
+    work = tmp_path / "t"
+    work.mkdir()
+    slices = [(0, 10), (10, 20), (20, 30)]
+    for i, (lo, hi) in enumerate(slices):
+        df = spark.createDataFrame(
+            [(j, float(j)) for j in range(lo, hi)], "k int, v double"
+        ).coalesce(1)
+        staging = tmp_path / f"s{i}"
+        df.write.parquet(str(staging))
+        part = sorted(staging.glob("*.parquet"))[0]
+        shutil.move(str(part), str(work / f"f{i}.parquet"))
+    nulls = spark.createDataFrame(
+        [(99, None), (98, None)], "k int, v double"
+    ).coalesce(1)
+    staging = tmp_path / "sn"
+    nulls.write.parquet(str(staging))
+    shutil.move(str(sorted(staging.glob("*.parquet"))[0]), str(work / "fnull.parquet"))
+    ensure_manifest(work)
+    return work
+
+
+def test_footer_stats_match_data(ranged_table):
+    stats = file_column_stats(ranged_table, ["f0.parquet", "f2.parquet"], "v")
+    assert stats["f0.parquet"] == (0.0, 9.0)
+    assert stats["f2.parquet"] == (20.0, 29.0)
+
+
+def test_statless_file_is_conservatively_kept(ranged_table):
+    live = ensure_manifest(ranged_table)
+    kept = prune_file_list(ranged_table, live, "v", 12.0, 14.0)
+    # overlap keeps f1; the all-null file has no stats -> kept too
+    assert set(kept) == {"f1.parquet", "fnull.parquet"}
+
+
+def test_pruned_filtered_read_equals_unpruned(spark, ranged_table):
+    full = (
+        read_table(spark, ranged_table)
+        .filter(F.col("v").between(8.0, 22.0))
+        .collect()
+    )
+    pruned = (
+        read_table(spark, ranged_table, prune=("v", 8.0, 22.0))
+        .filter(F.col("v").between(8.0, 22.0))
+        .collect()
+    )
+    assert sorted(r["k"] for r in pruned) == sorted(r["k"] for r in full)
+
+
+def test_statless_file_survives_any_prune(spark, ranged_table):
+    # a range beyond every statted file still keeps the all-null file
+    # (file-level stats can't prove its rows are out of range) — the
+    # row filter on top then excludes them, per the superset contract
+    df = read_table(spark, ranged_table, prune=("v", 1000.0, 2000.0))
+    assert df.count() == 2  # fnull.parquet only
+    assert df.filter(F.col("v").between(1000.0, 2000.0)).count() == 0
+
+
+def test_prune_to_empty_keeps_schema(spark, tmp_path):
+    import shutil
+
+    work = tmp_path / "t2"
+    work.mkdir()
+    df = spark.createDataFrame([(1, 5.0)], "k int, v double").coalesce(1)
+    staging = tmp_path / "s"
+    df.write.parquet(str(staging))
+    shutil.move(str(sorted(staging.glob("*.parquet"))[0]), str(work / "f.parquet"))
+    ensure_manifest(work)
+    out = read_table(spark, work, prune=("v", 1000.0, 2000.0))
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_sidecar_cache_serves_second_call(ranged_table, monkeypatch):
+    live = ensure_manifest(ranged_table)
+    file_column_stats(ranged_table, live, "v")  # populate sidecar
+    sidecar = pathlib.Path(ranged_table) / layout._STATS
+    assert sidecar.exists()
+    cached = json.loads(sidecar.read_text())["v"]
+    assert cached["f1.parquet"] == [10.0, 19.0]
+
+    import pyarrow.parquet as pq
+
+    def boom(*a, **k):  # any footer re-read would blow up
+        raise AssertionError("footer re-read despite warm cache")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    stats = file_column_stats(ranged_table, live, "v")
+    assert stats["f0.parquet"] == (0.0, 9.0)
+    assert stats["fnull.parquet"] is None
+
+
+def test_missing_column_is_statless(ranged_table):
+    stats = file_column_stats(ranged_table, ["f0.parquet"], "no_such_col")
+    assert stats["f0.parquet"] is None
+
+
+def test_prune_requires_manifest(spark, tmp_path):
+    d = tmp_path / "plain"
+    spark.range(3).write.parquet(str(d))
+    with pytest.raises(ValueError, match="prune= requires"):
+        read_table(spark, str(d), prune=("id", 0, 1))
