@@ -641,12 +641,13 @@ def read_table(
             raise FileNotFoundError(
                 f"snapshot {version} references vacuumed files: {missing}"
             )
-        if prune is not None:
+        if prune is not None and live:
+            full = live
             live = prune_file_list(p, live, *prune)
-        if not live:  # every file provably irrelevant: empty frame,
-            # schema from one live snapshot file so downstream plans bind
-            full = _files_at_version(p, version) if version is not None else ensure_manifest(p)
-            return reader.parquet(str(p / full[0])).limit(0)
+            if not live:
+                # every file provably irrelevant: empty frame, schema
+                # from one snapshot file so downstream plans still bind
+                return reader.parquet(str(p / full[0])).limit(0)
         return reader.parquet(*[str(p / n) for n in live])
     if version is not None:
         raise ValueError("version= requires a manifest table")
