@@ -139,15 +139,23 @@ _PRIORITY = (
     "model_incremental_hourly_mart",
     "profile_orders_columns",
     "ref_mapping_truth_labels",
-    "sample_group_aware_split",
-    "setop_intersect_except_all",
+    "sql_pivot_syntax",  # round-10 gate, never driver-checked: takes
+    # sample_group_aware_split's slot (r4-green; sweep-covered this
+    # round at sf0.01 AND sf0.1 -> head of the round-11 queue)
+    "ml_confusion_matrix_metrics",  # round-10 gate, never
+    # driver-checked: takes setop_intersect_except_all's slot
+    # (r4-green; sweep-covered this round at sf0.01 AND sf0.1 -> head
+    # of the round-11 queue)
     "sim_ivfpq_residual_topk",
     "sim_lshpq_adc_topk",
-    "sim_pq_adc_topk",
+    "ml_auc_rank_sum",  # round-10 gate, never driver-checked: takes
+    # sim_pq_adc_topk's slot (r4-green; the PQ family keeps sim_ivfpq
+    # and sim_lshpq prefixed and this round's full parity sweeps
+    # re-verify it at sf0.01 AND sf0.1 -> head of the round-11 queue)
     "layout_manifest_prune_read",  # round-10 gate, never
     # driver-checked: takes sim_truncated_rerank_topk's slot (r4-green;
-    # the ANN serving family keeps three prefixed rows via sim_ivfpq/
-    # sim_lshpq/sim_pq and this round's full parity sweeps re-verify it
+    # the ANN serving family keeps prefixed rows via sim_ivfpq and
+    # sim_lshpq and this round's full parity sweeps re-verify it
     # at sf0.01 AND sf0.1 -> head of the round-11 queue)
     "agg_weighted_median",  # round-10 gate, never driver-checked:
     # takes sink_orc_roundtrip's slot (r4-green; the sink family keeps

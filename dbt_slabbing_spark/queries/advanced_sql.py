@@ -484,3 +484,43 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("_adv_li")
     table(spark, sf_dir, "supplier").createOrReplaceTempView("_adv_supp")
     return spark.sql(_REACH_SQL.format(supplier="_adv_supp", lineitem="_adv_li"))
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       coalesce(`F`, 0) AS status_f,
+       coalesce(`O`, 0) AS status_o,
+       coalesce(`P`, 0) AS status_p
+FROM (SELECT o_orderpriority, o_orderstatus FROM {orders})
+PIVOT (count(*) FOR o_orderstatus IN ('F', 'O', 'P'))
+"""
+
+
+@register(
+    "sql_pivot_syntax",
+    # SQL-surface twin of the DataFrame pivot gate (agg_pivot_status):
+    # the PIVOT clause itself, empty cells zero-filled. DuckDB's PIVOT
+    # output naming differs, so the oracle states the semantics with
+    # FILTER aggregates — same rows, same names.
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "SQL PIVOT clause (count FOR status IN (...)), zero-filled — the "
+    "SQL-text path beside the DataFrame .pivot() gate",
+    tags=("sql", "pivot"),
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_adv_orders_pivot")
+    out = spark.sql(_PIVOT_SQL.format(orders="_adv_orders_pivot"))
+    return out.select(
+        "o_orderpriority",
+        F.col("status_f").cast("bigint").alias("status_f"),
+        F.col("status_o").cast("bigint").alias("status_o"),
+        F.col("status_p").cast("bigint").alias("status_p"),
+    )

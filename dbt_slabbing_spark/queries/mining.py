@@ -1004,3 +1004,158 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n"], _r6(b0), _r6(b1), _r6(b2), _r6(r2))],
         "n bigint, b0 double, b1 double, b2 double, r2 double",
     )
+
+
+@register(
+    "ml_auc_rank_sum",
+    # Exact ROC-AUC via the Mann-Whitney rank-sum identity with tie
+    # correction:
+    #   AUC = (Σ_{distinct s} pos_s · (neg_below_s + neg_s/2)) / (P·N)
+    # i.e. each positive beats every negative with a lower score and
+    # half of the tied negatives. Scores are the deterministic
+    # hash-uniform (o_orderkey % 9973); labels o_orderstatus='F'. The
+    # per-score histogram is ONE keyed aggregate (≤ 9973 rows, bounded
+    # by the modulus literal), the cumulative negative count is a
+    # window over that bounded table, and the final division is exact
+    # integers → one double op. No global sort over data ever happens —
+    # the classic histogram-AUC for bounded/quantized scores (the way
+    # production eval pipelines compute AUC over billions of rows).
+    """
+    WITH h AS (
+        SELECT CAST(o_orderkey % 9973 AS BIGINT) AS s,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS neg
+        FROM orders GROUP BY s
+    ),
+    c AS (
+        SELECT s, pos, neg,
+               CAST(coalesce(sum(neg) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS neg_below
+        FROM h
+    ),
+    t AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+               CAST(sum(neg) AS BIGINT) AS n_tot,
+               CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS num2
+        FROM c
+    )
+    SELECT p_tot AS n_pos, n_tot AS n_neg,
+           round(CAST(num2 AS DOUBLE) / (2.0 * p_tot * n_tot) * 1000000.0)
+               / 1000000.0 + 0.0 AS auc
+    FROM t
+    """,
+    "exact ROC-AUC via the tie-corrected Mann-Whitney rank sum over a "
+    "bounded per-score histogram (no global sort over data): positive/"
+    "negative counts + AUC at 6 dp",
+    tags=("ml", "stats"),
+)
+def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-harness twin of ml_calibration_bins: at 100 TB the
+    only data-sized step is the per-score keyed aggregate (map-side
+    combinable); everything after runs on the ≤9973-row histogram —
+    including the one ordered window, whose single-partition exchange
+    is bounded by the modulus LITERAL (plan-invariant allowlist entry
+    documents this). Doubling the numerator (2·neg_below + neg) keeps
+    the half-credit-for-ties term integer."""
+    orders = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    h = orders.groupBy((F.col("o_orderkey") % 9973).cast("bigint").alias("s")).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("int"))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum((F.col("o_orderstatus") != "F").cast("int"))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = h.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("bigint")
+    )
+    t = c.agg(
+        F.sum("pos").cast("bigint").alias("p_tot"),
+        F.sum("neg").cast("bigint").alias("n_tot"),
+        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
+        .cast("bigint")
+        .alias("num2"),
+    )
+    return t.select(
+        F.col("p_tot").alias("n_pos"),
+        F.col("n_tot").alias("n_neg"),
+        dround(
+            F.col("num2").cast("double") / (2.0 * F.col("p_tot") * F.col("n_tot")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "ml_confusion_matrix_metrics",
+    # Binary-classifier evaluation harness: confusion matrix +
+    # precision/recall/F1/accuracy for the thresholded deterministic
+    # score (o_orderkey % 9973 >= 4987 ~ p >= 0.5) against the
+    # o_orderstatus='F' label. All four cells are exact integers from
+    # ONE conditional-sum aggregate; each metric is one double
+    # division of exact integers (F1 via the 2TP/(2TP+FP+FN) identity
+    # so no intermediate rounding compounds).
+    """
+    WITH m AS (
+        SELECT CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM (
+            SELECT CASE WHEN o_orderkey % 9973 >= 4987 THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+            FROM orders
+        )
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp) * 1000000.0) / 1000000.0 + 0.0 AS precision_,
+           round(CAST(tp AS DOUBLE) / (tp + fn) * 1000000.0) / 1000000.0 + 0.0 AS recall_,
+           round(2.0 * tp / (2.0 * tp + fp + fn) * 1000000.0) / 1000000.0 + 0.0 AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1000000.0)
+               / 1000000.0 + 0.0 AS accuracy
+    FROM m
+    """,
+    "binary confusion matrix + precision/recall/F1/accuracy from one "
+    "conditional-sum aggregate (exact integer cells, one double "
+    "division per metric)",
+    tags=("ml", "stats"),
+)
+def ml_confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the eval-harness family (calibration bins, rank-sum
+    AUC): the whole matrix is ONE map-side-combinable aggregate — the
+    shape that evaluates a classifier over any corpus size with a
+    single scan and a 1-row result."""
+    orders = table(spark, sf_dir, "orders")
+    pred = (F.col("o_orderkey") % 9973 >= 4987).cast("int")
+    label = (F.col("o_orderstatus") == "F").cast("int")
+    m = orders.select(pred.alias("pred"), label.alias("label")).agg(
+        F.sum(((F.col("pred") == 1) & (F.col("label") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("label") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("label") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(((F.col("pred") == 0) & (F.col("label") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        dround(tp.cast("double") / (tp + fp), 6).alias("precision_"),
+        dround(tp.cast("double") / (tp + fn), 6).alias("recall_"),
+        dround(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        dround((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )

@@ -131,6 +131,11 @@ _SP_CHILD_ALLOWED: dict[str, str] = {
     # immediate child is the hilbert-key unroll's per-bit Project chain
     # sitting on the distinct-cell HashAggregate
     "layout_hilbert_locality": "Project",
+    # AUC's cumulative-negatives window orders the per-score histogram:
+    # <= 9973 rows, bounded by the score modulus literal (o_orderkey %
+    # 9973), not by data volume — the data-sized work is the keyed
+    # groupBy BELOW the exchange
+    "ml_auc_rank_sum": "HashAggregate",
 }
 
 
