@@ -838,7 +838,32 @@ def vacuum_orphans(
         if f.name not in live and f.stat().st_mtime <= cutoff:
             f.unlink()
             removed.append(f.name)
+    if removed:
+        _drop_stats_entries(p, removed)
     return sorted(removed)
+
+
+def _drop_stats_entries(p, names: list[str]) -> None:
+    """Drop vacuumed files from the ``_stats.json`` sidecar (best
+    effort — a stale entry is harmless, it just describes a file no
+    read will ever list; see :func:`file_column_stats`)."""
+    import json
+    import os
+
+    sidecar = p / _STATS
+    if not sidecar.exists():
+        return
+    try:
+        cache = json.loads(sidecar.read_text())
+        gone = set(names)
+        for col_cache in cache.values():
+            for n in gone:
+                col_cache.pop(n, None)
+        tmp = p / (_STATS + ".tmp")
+        tmp.write_text(json.dumps(cache))
+        os.replace(str(tmp), str(sidecar))
+    except (OSError, ValueError, AttributeError):
+        pass
 
 
 def prune_history(path, retain_versions: int) -> list[int]:

@@ -129,3 +129,24 @@ def test_prune_requires_manifest(spark, tmp_path):
     spark.range(3).write.parquet(str(d))
     with pytest.raises(ValueError, match="prune= requires"):
         read_table(spark, str(d), prune=("id", 0, 1))
+
+
+def test_vacuum_drops_stats_entries(spark, ranged_table):
+    import os
+    import time
+
+    live = ensure_manifest(ranged_table)
+    file_column_stats(ranged_table, live, "v")  # warm sidecar
+    orphan = pathlib.Path(ranged_table) / "orphan.parquet"
+    # give the orphan footer stats too, then age it past the grace
+    import shutil
+
+    shutil.copy(str(pathlib.Path(ranged_table) / "f0.parquet"), str(orphan))
+    file_column_stats(ranged_table, ["orphan.parquet"], "v")
+    old = time.time() - 3600.0
+    os.utime(orphan, (old, old))
+    removed = layout.vacuum_orphans(ranged_table)
+    assert removed == ["orphan.parquet"]
+    cache = json.loads((pathlib.Path(ranged_table) / layout._STATS).read_text())
+    assert "orphan.parquet" not in cache["v"]
+    assert "f0.parquet" in cache["v"]  # live entries survive
