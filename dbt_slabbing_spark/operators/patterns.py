@@ -68,24 +68,36 @@ def pattern_match(
         raise ValueError(f"anchor {anchor} outside pattern window 0..{m}")
     if not set(pattern) <= _DIRS:
         raise ValueError(f"pattern {pattern!r} not over {_DIRS}")
-    dcol = "_dir_pm"
-    out = delta_directions(df, keys, order_col, value_col, dcol)
     w = Window.partitionBy(*keys).orderBy(order_col)
-    # window expressions must be PROJECTED before they can be filtered
-    # on; all lag/lead reads share the one sort in a single WindowExec
-    shifted: dict[str, Column] = {}
-    for j in range(len(pattern)):
-        off = j + 1 - anchor  # event position j+1 relative to the anchor
+
+    # Delta j compares the VALUES at event positions j and j+1 — shift
+    # the value column directly instead of materializing a direction
+    # column first (a direction column costs a second WindowExec pass
+    # over each partition; shifted values keep the whole match in ONE
+    # window node, the same plan the hand-rolled v-shape had). Window
+    # expressions must be PROJECTED before they can be filtered on.
+    def _at(off: int) -> Column:
         if off < 0:
-            dir_j = F.lag(dcol, -off).over(w)
-        elif off > 0:
-            dir_j = F.lead(dcol, off).over(w)
-        else:
-            dir_j = F.col(dcol)
-        shifted[f"_pm_{j}"] = dir_j
-    out = out.withColumns(shifted)
+            return F.lag(value_col, -off).over(w)
+        if off > 0:
+            return F.lead(value_col, off).over(w)
+        return F.col(value_col)
+
+    offsets = sorted({j - anchor for j in range(m + 1)})
+    shifted = {f"_pm_{off}": _at(off) for off in offsets if off != 0}
+    out = df.withColumns(shifted)
+
+    def _col(off: int) -> Column:
+        return F.col(value_col) if off == 0 else F.col(f"_pm_{off}")
+
     cond: Column | None = None
     for j, ch in enumerate(pattern):
-        c = F.col(f"_pm_{j}") == ch
+        a, b = _col(j - anchor), _col(j + 1 - anchor)  # positions j, j+1
+        if ch == "U":
+            c = b > a
+        elif ch == "D":
+            c = b < a
+        else:
+            c = b == a
         cond = c if cond is None else (cond & c)
-    return out.filter(cond).drop(dcol, *shifted)
+    return out.filter(cond).drop(*shifted)
