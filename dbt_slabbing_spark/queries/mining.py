@@ -1096,7 +1096,9 @@ def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_confusion_matrix_metrics",
     # Binary-classifier evaluation harness: confusion matrix +
     # precision/recall/F1/accuracy for the thresholded deterministic
-    # score (o_orderkey % 9973 >= 4987 ~ p >= 0.5) against the
+    # HASH score (md5-uniform, so every cell is populated at every SF —
+    # a raw o_orderkey % 9973 threshold left tp+fp = 0 at sf0.001 and
+    # the 0/0 division diverged cross-engine) against the
     # o_orderstatus='F' label. All four cells are exact integers from
     # ONE conditional-sum aggregate; each metric is one double
     # division of exact integers (F1 via the 2TP/(2TP+FP+FN) identity
@@ -1108,7 +1110,9 @@ def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
                CAST(sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
         FROM (
-            SELECT CASE WHEN o_orderkey % 9973 >= 4987 THEN 1 ELSE 0 END AS pred,
+            SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                                  AS BIGINT) % 9973 >= 4987
+                        THEN 1 ELSE 0 END AS pred,
                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
             FROM orders
         )
@@ -1132,7 +1136,9 @@ def ml_confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that evaluates a classifier over any corpus size with a
     single scan and a 1-row result."""
     orders = table(spark, sf_dir, "orders")
-    pred = (F.col("o_orderkey") % 9973 >= 4987).cast("int")
+    pred = (md5_long32(F.col("o_orderkey").cast("string")) % 9973 >= 4987).cast(
+        "int"
+    )
     label = (F.col("o_orderstatus") == "F").cast("int")
     m = orders.select(pred.alias("pred"), label.alias("label")).agg(
         F.sum(((F.col("pred") == 1) & (F.col("label") == 1)).cast("int"))
