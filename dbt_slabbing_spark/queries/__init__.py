@@ -93,123 +93,69 @@ _MODULES = (
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward "driver rows <= 1 round
-# old for the whole registry". Round-10 prefix = exactly the queue
+# old for the whole registry". Round-11 prefix = exactly the queue
 # printed by `python tools/rotation_audit.py` at round start (freshness
-# before rotation: r9:50, r8:50, r7:50, r6:50, r4:44, r3:6;
-# 0 never-checked): the 6-row r3-stale cohort first (q3/q5/q9/q21 +
-# fn_hash_suite/fn_math_suite, whose last green driver rows predate
-# three testdata regenerations -- VERDICT r9 'Next round #1'), then all
-# 44 r4-stale rows. This empties the r3 bucket for good. Gates ADDED in
-# round 10 swap in as they land (never-driver-checked outranks
-# stale-but-green), displacing rows from the r4 tail upward -- each
-# swap annotated INLINE below; the displaced r4 rows stay at the head
-# of the round-11 queue, so r4 remains the oldest cohort the audit
-# prints until round 11 drains it.
-# All 50 verified green by tools/parity_sweep.py on the current
-# 2026-08-14 10:21 testdata before rotation (see COVERAGE.md).
+# before rotation: r10:50, r9:50, r8:50, r7:50, r6:50, r4:17;
+# 0 never-checked): the 17 r4-stale rows FIRST (6 driver-rounds old,
+# displaced by the round-10 gates' first driver rows -- VERDICT r10
+# 'Next round #1'; all 17 were judge-verified green in the r10 parity
+# sample), then the r6 cohort in audit order. This empties the r4
+# bucket for good; after this round the oldest cohort is r6. Gates
+# ADDED in round 11 swap in as they land (never-driver-checked
+# outranks stale-but-green), displacing rows from the r6 TAIL upward
+# -- each swap annotated INLINE below; displaced r6 rows stay at the
+# head of the round-12 queue.
 _PRIORITY = (
-    "fn_hash_suite",
-    "fn_math_suite",
-    "q21_sole_late_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q9_product_type_profit",
-    "agg_bitmap_exact_distinct_rollup",
-    "agg_cube_priority_status",
-    "agg_filtered_counts",
-    "agg_grouping_sets",
-    "agg_histogram_buckets",
-    "agg_histogram_quantile_rollup",
-    "agg_hll_sketch_rollup",
-    "agg_last_state_per_user",
-    "agg_pivot_status",
-    "agg_rollup_flag_status",
-    "agg_salted_hot_keys",
-    "agg_stats_moments",
-    "dedup_cluster_representatives",
-    "dedup_containment_pairs",
-    "dedup_incremental_batch",
-    "fn_collation_suite",
-    "fn_sql_udf_surface",
-    "fn_try_error_safe_suite",
-    "graph_pagerank_supplier_part",
-    "graph_triangle_count",
-    "join_salted_replicated_dim",
-    "join_scd2_point_in_time",
-    "model_incremental_hourly_mart",
-    "profile_orders_columns",
-    "ref_mapping_truth_labels",
-    "sql_pivot_syntax",  # round-10 gate, never driver-checked: takes
-    # sample_group_aware_split's slot (r4-green; sweep-covered this
-    # round at sf0.01 AND sf0.1 -> head of the round-11 queue)
-    "ml_confusion_matrix_metrics",  # round-10 gate, never
-    # driver-checked: takes setop_intersect_except_all's slot
-    # (r4-green; sweep-covered this round at sf0.01 AND sf0.1 -> head
-    # of the round-11 queue)
-    "sim_ivfpq_residual_topk",
-    "sim_lshpq_adc_topk",
-    "ml_auc_rank_sum",  # round-10 gate, never driver-checked: takes
-    # sim_pq_adc_topk's slot (r4-green; the PQ family keeps sim_ivfpq
-    # and sim_lshpq prefixed and this round's full parity sweeps
-    # re-verify it at sf0.01 AND sf0.1 -> head of the round-11 queue)
-    "layout_manifest_prune_read",  # round-10 gate, never
-    # driver-checked: takes sim_truncated_rerank_topk's slot (r4-green;
-    # the ANN serving family keeps prefixed rows via sim_ivfpq and
-    # sim_lshpq and this round's full parity sweeps re-verify it
-    # at sf0.01 AND sf0.1 -> head of the round-11 queue)
-    "agg_weighted_median",  # round-10 gate, never driver-checked:
-    # takes sink_orc_roundtrip's slot (r4-green; the sink family keeps
-    # pytest roundtrip coverage and this round's full parity sweeps
-    # re-verify it at sf0.01 AND sf0.1 -> head of the round-11 queue)
-    "sample_halfsample_bootstrap_se",  # round-10 gate, never
-    # driver-checked: takes stream_static_enrich's slot (r4-green; the
-    # stream-enrich family keeps sweep coverage this round at sf0.01
-    # AND sf0.1 -> head of the round-11 queue)
-    "ts_ewma_crossover",  # round-10 gate, never driver-checked: takes
-    # stream_stream_left_outer_join's slot (r4-green; the stream-stream
-    # join family keeps a prefixed row via stream_static_enrich and
-    # this round's full parity sweeps re-verify it at sf0.01 AND sf0.1
-    # -> head of the round-11 queue)
-    "fn_bitwise_suite",  # round-10 gate, never driver-checked: takes
-    # text_bm25_topk's slot (r4-green; the BM25 ranking family keeps a
-    # prefixed row via search_rrf_hybrid_topk's BM25 channel in the r9
-    # gates and this round's full parity sweeps re-verify it at sf0.01
-    # AND sf0.1 -> head of the round-11 queue)
-    "ml_ols_normal_equations",  # round-10 gate, never driver-checked:
-    # takes text_duplicate_ngram_fraction's slot (r4-green; the n-gram
-    # dedup family keeps prefixed rows via dedup_containment_pairs and
-    # this round's full parity sweeps re-verify it at sf0.01 AND sf0.1
-    # -> head of the round-11 queue)
-    "layout_hilbert_locality",  # round-10 gate, never driver-checked:
-    # takes text_repetition_profile's slot (r4-green; the text quality
-    # family keeps coverage via this round's full parity sweeps at
-    # sf0.01 AND sf0.1 -> head of the round-11 queue)
-    "stream_pattern_alert",  # round-10 gate, never driver-checked:
-    # takes text_rolling_hash_fingerprint's slot (r4-green; the text
-    # fingerprint family keeps coverage via this round's full parity
-    # sweeps at sf0.01 AND sf0.1 -> head of the round-11 queue)
-    "ts_seasonal_decompose",  # round-10 gate, never driver-checked:
-    # takes text_unigram_surprisal's slot (r4-green; the surprisal
-    # family keeps coverage via this round's full parity sweeps at
-    # sf0.01 AND sf0.1 -> head of the round-11 queue)
-    "profile_winsorized_stats",  # round-10 gate, never driver-checked:
-    # takes ts_anomaly_hourly_zscore's slot (r4-green; sweep-covered ->
-    # head of the round-11 queue)
-    "profile_entropy_by_column",  # round-10 gate, never driver-checked:
-    # takes ts_rolling_7d_user_spend's slot (r4-green; sweep-covered ->
-    # head of the round-11 queue)
-    "ml_calibration_bins",  # round-10 gate, never driver-checked:
-    # takes ts_time_weighted_avg's slot (r4-green; sweep-covered ->
-    # head of the round-11 queue)
-    "ts_pattern_three_declines",  # round-10 gate, never driver-checked:
-    # takes ts_rollup_time_hierarchy's slot (r4-green; the ts rollup
-    # family keeps prefixed rows via ts_rolling_7d_user_spend and
-    # ts_time_weighted_avg, and this round's full parity sweeps re-
-    # verify it at sf0.01 AND sf0.1 -> head of the round-11 queue)
-    "agg_theta_sketch_setops",  # round-10 gate, never driver-checked:
-    # takes udf_udtf_dynamic_schema's slot (r4-green; re-verified by
-    # this round's full parity sweeps at sf0.01 AND sf0.1 -> head of
-    # the round-11 queue)
+    "sample_group_aware_split",
+    "setop_intersect_except_all",
+    "sim_pq_adc_topk",
+    "sim_truncated_rerank_topk",
+    "sink_orc_roundtrip",
+    "stream_static_enrich",
+    "stream_stream_left_outer_join",
+    "text_bm25_topk",
+    "text_duplicate_ngram_fraction",
+    "text_repetition_profile",
+    "text_rolling_hash_fingerprint",
+    "text_unigram_surprisal",
+    "ts_anomaly_hourly_zscore",
+    "ts_rolling_7d_user_spend",
+    "ts_rollup_time_hierarchy",
+    "ts_time_weighted_avg",
+    "udf_udtf_dynamic_schema",
+    "agg_approx_distinct",
+    "agg_collect_list_sorted",
+    "agg_count_distinct",
+    "agg_string_join",
+    "dedup_lsh_quality_metrics",
+    "distinct_flag_status",
+    "fn_map_from_json",
+    "fn_regexp_suite",
+    "join_anti_dormant_customers",
+    "join_full_outer_nation_presence",
+    "join_inner_segment_counts",
+    "join_left_order_counts",
+    "join_right_suppliers_per_nation",
+    "join_semi_active_customers",
+    "model_snapshot_customer_segments",
+    "pipeline_quality_funnel",
+    "q10_returned_revenue",
+    "q11_part_value_concentration",
+    "q12_shipmode_priority_classes",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_revenue_suppliers",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_ranges",
+    "q1_pricing_summary",
+    "q20_heavy_part_shippers",
+    "q22_dormant_rich_customers",
+    "q2_min_unit_cost_supplier",
+    "q4_late_shipment_orders",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
 )
 
 
