@@ -256,95 +256,70 @@ def _read_snapshot(p) -> tuple[int, list[str]]:
     return int(doc.get("version", 1)), sorted(doc["files"])
 
 
-#: A lock older than this is presumed abandoned by a crashed committer
-#: and may be TAKEN OVER by a waiting committer (see _manifest_lock).
-#: The lock is only ever held for a metadata rewrite (µs-ms), so 30 s
-#: is orders of magnitude past any legitimate hold time.
-_LOCK_STALE_SECONDS = 30.0
-
-
-def _lock_is_stale(lock: str, stale_after: float) -> bool:
-    """True when the lock file was abandoned: its owning pid is dead,
-    or it is older than ``stale_after`` seconds (covers locks from
-    other hosts / unparseable contents, where pid liveness can't be
-    checked). Missing file → not stale (owner released it; retry the
-    O_EXCL create)."""
-    import os
-    import time
-
-    try:
-        st = os.stat(lock)
-    except OSError:
-        return False
-    if time.time() - st.st_mtime >= stale_after:
-        return True
-    try:
-        with open(lock) as fh:
-            pid = int(fh.read().split()[0])
-    except (OSError, ValueError, IndexError):
-        return False  # empty (owner between open and write): use age
-    try:
-        os.kill(pid, 0)  # signal 0: existence probe, sends nothing
-    except ProcessLookupError:
-        return True  # owning pid is dead → abandoned
-    except OSError:
-        return False  # EPERM etc.: pid exists under another uid
-    return False
-
-
 def _manifest_lock(p, timeout: float = 10.0):
-    """O_CREAT|O_EXCL lock file guarding the read-check-swap in
-    :func:`_commit_manifest` so the version check and the publish are
-    one atomic step on a shared POSIX filesystem. Held only for the
-    metadata rewrite (µs-ms) — data staging happens outside it. On an
-    object store this maps to the conditional-put primitive
-    (S3 If-None-Match / GCS generation preconditions) that Delta/
-    Iceberg commit services use; the lock file is the local-FS stand-in.
+    """Advisory ``fcntl.flock`` on a persistent ``_manifest.json.lock``
+    file, guarding the read-check-swap in :func:`_commit_manifest` so
+    the version check and the publish are one atomic step on a shared
+    POSIX filesystem. Held only for the metadata rewrite (µs-ms) — data
+    staging happens outside it. On an object store this maps to the
+    conditional-put primitive (S3 If-None-Match / GCS generation
+    preconditions) that Delta/Iceberg commit services use; the kernel
+    lock is the local-FS stand-in.
 
-    The holder's ``pid`` and acquisition time are written INTO the lock
-    file so a committer that crashes between ``os.open`` and
-    :func:`_manifest_unlock` does not wedge the table forever: waiters
-    detect a stale lock (owning pid dead, or older than
-    ``_LOCK_STALE_SECONDS``) and take it over by unlinking and retrying
-    the O_EXCL create — the same dead-owner recovery a Delta/Iceberg
-    lock service (DynamoDB lease TTL) provides. Takeover is logged via
-    the returned fd's fresh contents; two simultaneous takeover
-    attempts race safely (one wins the O_EXCL, the other waits).
+    Why flock and not O_CREAT|O_EXCL + stale-pid takeover (the pre-r11
+    scheme): takeover had a TOCTOU race — two waiters could both judge
+    the lock stale, the first would unlink + recreate, and the second's
+    unlink then removed the first's FRESH lock, letting two committers
+    run the read-check-swap concurrently (both read version N, both
+    publish N+1 — the lost update the lock exists to prevent); and the
+    unconditional unlink in :func:`_manifest_unlock` meant a live owner
+    stalled past the stale threshold would later delete the usurper's
+    lock. ``flock`` removes the whole problem class: the kernel releases
+    the lock when the holder's last fd closes — including on SIGKILL /
+    crash — so there is no staleness judgement, no takeover, and no
+    unlink. The auto-release-on-crash plays the role a lease TTL plays
+    in a Delta/Iceberg lock service (e.g. DynamoDB).
+
+    The lock FILE persists across acquisitions by design: unlinking it
+    would let a later committer lock a brand-new inode while an earlier
+    opener still holds the unlinked one — two holders again. The
+    holder's pid and acquisition time are written into it purely as a
+    debugging breadcrumb; nothing reads them for correctness.
 
     Returns the fd; caller must :func:`_manifest_unlock`."""
+    import fcntl
     import os
     import time
 
     lock = str(p / (_MANIFEST + ".lock"))
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     deadline = time.monotonic() + timeout
     while True:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
-            return fd
-        except FileExistsError:
-            if _lock_is_stale(lock, _LOCK_STALE_SECONDS):
-                try:
-                    os.unlink(lock)  # takeover; loop retries O_EXCL
-                except OSError:
-                    pass
-                continue
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
             if time.monotonic() >= deadline:
+                os.close(fd)
                 raise TimeoutError(
                     f"manifest lock {lock} held past {timeout}s by a "
                     "live committer — back off and retry"
                 ) from None
             time.sleep(0.02)
+            continue
+        os.ftruncate(fd, 0)
+        os.write(fd, f"{os.getpid()} {time.time()}".encode())
+        return fd
 
 
 def _manifest_unlock(p, fd: int) -> None:
+    """Release the advisory lock and close the fd. The lock file itself
+    is NEVER unlinked (see :func:`_manifest_lock`) — a zero-byte
+    ``_manifest.json.lock`` alongside a table is normal and inert."""
+    import fcntl
     import os
 
+    fcntl.flock(fd, fcntl.LOCK_UN)
     os.close(fd)
-    try:
-        os.unlink(str(p / (_MANIFEST + ".lock")))
-    except OSError:
-        pass
 
 
 def _commit_manifest(p, files: list[str], expected_version: int | None = None) -> int:
@@ -560,7 +535,18 @@ def file_column_stats(path, files: list[str], col: str) -> dict:
                     hi = st.max if hi is None else max(hi, st.max)
                 if ok and lo is not None:
                     entry = (lo, hi)
-        except OSError:
+        except Exception:
+            # any footer failure — IO, a corrupt footer (pyarrow raises
+            # ArrowInvalid, a ValueError subclass), an unreadable stats
+            # encoding — maps to "no stats", never a crashed read
+            entry = None
+        if entry is not None and not all(
+            isinstance(v, (int, float, str, bool)) for v in entry
+        ):
+            # non-JSON-native footer stats (timestamp/date/decimal/
+            # binary min-max objects) can't round-trip the sidecar and
+            # can't compare against the caller's [lo, hi] anyway: keep
+            # the file conservatively ("may contain anything")
             entry = None
         out[name] = entry
         col_cache[name] = list(entry) if entry else None
@@ -572,8 +558,8 @@ def file_column_stats(path, files: list[str], col: str) -> dict:
             import os
 
             os.replace(str(tmp), str(sidecar))
-        except OSError:
-            pass
+        except (OSError, TypeError, ValueError):
+            pass  # TypeError: a non-JSON value slipped in; skip caching
     return out
 
 
@@ -645,9 +631,12 @@ def read_table(
             full = live
             live = prune_file_list(p, live, *prune)
             if not live:
-                # every file provably irrelevant: empty frame, schema
-                # from one snapshot file so downstream plans still bind
-                return reader.parquet(str(p / full[0])).limit(0)
+                # every file provably irrelevant: empty frame over ALL
+                # snapshot files + limit(0) — metadata-cheap (no tasks
+                # scan data) but, unlike schema-from-one-file, keeps the
+                # MERGED schema under merge_schema=True so columns added
+                # by later files still bind downstream (ADVICE r10)
+                return reader.parquet(*[str(p / n) for n in full]).limit(0)
         return reader.parquet(*[str(p / n) for n in live])
     if version is not None:
         raise ValueError("version= requires a manifest table")

@@ -64,6 +64,11 @@ def pattern_match(
     identical to the hand-rolled lag/lead encoding.
     """
     m = len(pattern)
+    if not pattern:
+        # m=0 would pass both checks below (anchor 0..0, empty subset)
+        # with no delta conditions, and df.filter(None) dies in an
+        # opaque py4j type error (ADVICE r10)
+        raise ValueError("pattern must be non-empty")
     if not (0 <= anchor <= m):
         raise ValueError(f"anchor {anchor} outside pattern window 0..{m}")
     if not set(pattern) <= _DIRS:

@@ -68,15 +68,15 @@ def test_commit_cas_rejects_stale_version(tmp_path):
     assert layout._read_snapshot(p) == (2, ["a.parquet", "b.parquet"])
 
 
-def test_commit_lock_times_out_on_stale_lock(tmp_path):
+def test_leftover_lock_file_does_not_block(tmp_path):
+    """The flock lock FILE persists across acquisitions by design; a
+    leftover zero-byte lock file (e.g. from a crashed committer) holds
+    no kernel lock, so the next committer proceeds immediately."""
     p = tmp_path / "t"
     p.mkdir()
     (p / (layout._MANIFEST + ".lock")).write_text("")
-    with pytest.raises(TimeoutError, match="manifest lock"):
-        layout._commit_manifest(p, ["a.parquet"], expected_version=0)
-    # the lock helper itself honors short timeouts
-    with pytest.raises(TimeoutError):
-        layout._manifest_lock(p, timeout=0.05)
+    assert layout._commit_manifest(p, ["a.parquet"], expected_version=0) == 1
+    assert (p / (layout._MANIFEST + ".lock")).exists()  # never unlinked
 
 
 def test_interleaved_merge_beats_delete_without_data_loss(
@@ -286,60 +286,77 @@ def test_prune_history_bounds_metadata_and_time_travel(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# Round-10 ADVICE hardening: stale-lock takeover, vacuum grace window,
-# empty-table compaction no-op.
+# Round-10/11 ADVICE hardening: lock crash-release (flock), vacuum grace
+# window, empty-table compaction no-op.
 # ---------------------------------------------------------------------------
 
 
-def test_stale_lock_takeover_dead_pid(tmp_path):
-    """A committer that crashed between os.open and _manifest_unlock
-    (its pid is gone) must not wedge the table: the next committer
-    detects the dead owner and takes the lock over immediately."""
+def test_crashed_holder_releases_lock_automatically(tmp_path):
+    """A committer SIGKILLed while holding the lock must not wedge the
+    table: flock is released by the kernel when the holder's fd closes
+    at process death — no staleness judgement, no takeover (the r10
+    ADVICE race: two takeover waiters could unlink each other's fresh
+    O_EXCL lock; flock has no unlink at all)."""
     import os
-
-    p = tmp_path / "t"
-    p.mkdir()
-    lock = p / (layout._MANIFEST + ".lock")
-    # pid far above any live process on this box but within pid range
-    dead_pid = 999_999_999
-    with pytest.raises(OSError):
-        os.kill(dead_pid, 0)  # precondition: genuinely not running
-    lock.write_text(f"{dead_pid} 123.0")
-    assert layout._commit_manifest(p, ["a.parquet"], expected_version=0) == 1
-    assert layout._read_snapshot(p) == (1, ["a.parquet"])
-
-
-def test_stale_lock_takeover_old_mtime(tmp_path, monkeypatch):
-    """A lock older than the stale threshold is taken over even when
-    the recorded pid is alive (covers cross-host locks where pid
-    liveness is meaningless) — the lock is only ever legitimately held
-    for a metadata rewrite, orders of magnitude under the threshold."""
-    import os
+    import signal
+    import subprocess
+    import sys
     import time
 
     p = tmp_path / "t"
     p.mkdir()
     lock = p / (layout._MANIFEST + ".lock")
-    lock.write_text(f"{os.getpid()} {time.time()}")  # live owner...
-    old = time.time() - 120.0
-    os.utime(lock, (old, old))  # ...but the hold is 2 minutes old
-    monkeypatch.setattr(layout, "_LOCK_STALE_SECONDS", 60.0)
-    assert layout._commit_manifest(p, ["a.parquet"], expected_version=0) == 1
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({str(lock)!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(60)\n",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "locked"
+        # precondition: the lock is genuinely held -> waiter times out
+        with pytest.raises(TimeoutError, match="live committer"):
+            layout._manifest_lock(p, timeout=0.2)
+        child.kill()  # SIGKILL: no cleanup code runs in the holder
+        child.wait()
+        t0 = time.monotonic()
+        assert layout._commit_manifest(p, ["a.parquet"], expected_version=0) == 1
+        assert time.monotonic() - t0 < 5.0  # immediate, not a timeout
+    finally:
+        if child.poll() is None:
+            child.send_signal(signal.SIGKILL)
+            child.wait()
 
 
-def test_live_recent_lock_still_blocks(tmp_path):
-    """A fresh lock owned by a live pid is NOT stolen — waiters time
-    out as before (takeover only fires for dead/ancient owners)."""
+def test_live_holder_blocks_and_is_never_stolen(tmp_path):
+    """While a live committer holds the flock, waiters time out — and
+    the holder's lock survives the waiter (nothing is ever unlinked, so
+    the r10 ADVICE scenario where a stalled-but-live owner later deletes
+    the usurper's lock cannot occur)."""
+    import fcntl
     import os
-    import time
 
     p = tmp_path / "t"
     p.mkdir()
     lock = p / (layout._MANIFEST + ".lock")
-    lock.write_text(f"{os.getpid()} {time.time()}")
-    with pytest.raises(TimeoutError, match="live committer"):
-        layout._manifest_lock(p, timeout=0.1)
-    assert lock.exists()  # untouched
+    fd = os.open(str(lock), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)  # a separate fd => a separate holder
+    try:
+        with pytest.raises(TimeoutError, match="live committer"):
+            layout._manifest_lock(p, timeout=0.1)
+        assert lock.exists()  # untouched
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # released -> the next committer acquires normally
+    assert layout._commit_manifest(p, ["a.parquet"], expected_version=0) == 1
 
 
 def test_vacuum_grace_window_protects_inflight_files(spark, tmp_path):

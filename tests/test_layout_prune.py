@@ -100,6 +100,66 @@ def test_prune_to_empty_keeps_schema(spark, tmp_path):
     assert set(out.columns) == {"k", "v"}
 
 
+def test_prune_to_empty_keeps_merged_schema(spark, tmp_path):
+    """ADVICE r10: the prune-to-empty branch used to bind its schema
+    from the FIRST live file only; under merge_schema=True on a
+    schema-evolved table that dropped columns added by later files."""
+    import shutil
+
+    work = tmp_path / "t3"
+    work.mkdir()
+    for i, (schema, row) in enumerate(
+        [("k int, v double", (1, 5.0)), ("k int, v double, extra string", (2, 6.0, "x"))]
+    ):
+        staging = tmp_path / f"s{i}"
+        spark.createDataFrame([row], schema).coalesce(1).write.parquet(str(staging))
+        shutil.move(
+            str(sorted(staging.glob("*.parquet"))[0]), str(work / f"f{i}.parquet")
+        )
+    ensure_manifest(work)
+    out = read_table(spark, work, merge_schema=True, prune=("v", 1000.0, 2000.0))
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v", "extra"}
+
+
+def test_non_json_native_stats_are_conservative(spark, tmp_path):
+    """ADVICE r10: timestamp footer min/max are datetime objects —
+    non-JSON-native. They must map to entry=None ("may contain
+    anything": the file is always kept) instead of crashing the
+    sidecar write with TypeError."""
+    import datetime
+    import shutil
+
+    work = tmp_path / "t4"
+    work.mkdir()
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "k int, ts timestamp"
+    ).coalesce(1)
+    staging = tmp_path / "sts"
+    df.write.parquet(str(staging))
+    shutil.move(str(sorted(staging.glob("*.parquet"))[0]), str(work / "f.parquet"))
+    ensure_manifest(work)
+    stats = file_column_stats(work, ["f.parquet"], "ts")
+    assert stats == {"f.parquet": None}
+    # conservative prune keeps the file; the sidecar stays valid JSON
+    assert prune_file_list(work, ["f.parquet"], "ts", 0, 0) == ["f.parquet"]
+    sidecar = work / layout._STATS
+    assert json.loads(sidecar.read_text())["ts"]["f.parquet"] is None
+
+
+def test_corrupt_footer_is_statless_not_fatal(ranged_table):
+    """ADVICE r10: a corrupt parquet footer raises ArrowInvalid (a
+    ValueError subclass the old `except OSError` missed) — it must map
+    to entry=None, not crash read_table(prune=)."""
+    bad = ranged_table / "fbad.parquet"
+    bad.write_bytes(b"PAR1 this is not a real parquet footer")
+    stats = file_column_stats(ranged_table, ["fbad.parquet"], "v")
+    assert stats == {"fbad.parquet": None}
+    assert prune_file_list(ranged_table, ["fbad.parquet"], "v", 0.0, 1.0) == [
+        "fbad.parquet"
+    ]
+
+
 def test_sidecar_cache_serves_second_call(ranged_table, monkeypatch):
     live = ensure_manifest(ranged_table)
     file_column_stats(ranged_table, live, "v")  # populate sidecar

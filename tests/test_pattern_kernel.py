@@ -66,3 +66,7 @@ def test_validation():
         pattern_match(None, ["k"], "t", "v", "DD", 3)
     with pytest.raises(ValueError, match="pattern"):
         pattern_match(None, ["k"], "t", "v", "DX", 1)
+    # empty pattern used to slip both checks and die later in an opaque
+    # py4j error at df.filter(None) (ADVICE r10)
+    with pytest.raises(ValueError, match="non-empty"):
+        pattern_match(None, ["k"], "t", "v", "", 0)
