@@ -3411,43 +3411,217 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("profile", "stats"),
 )
 def profile_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two passes over lineitem: one exact-percentile aggregate to a
-    3-row bounds table, broadcast back, one clamp-and-aggregate pass.
-    At 100 TB exact percentiles become approx_percentile or the GK
-    sketch (agg_approx_percentiles shows the swap); the clamp pass is
-    unchanged — bounds stay a broadcast dimension."""
+    """TWO-PHASE exact interpolated percentiles (the agg_weighted_median
+    bucket recipe, generalized to quantile_cont semantics), then the
+    unchanged broadcast-bounds clamp pass.
+
+    The r10 plan fed a (flag, price, count) frequency frame to Spark's
+    exact ``percentile`` aggregate — correct, but that aggregate's
+    partial state is the whole value→count map per partition, all of
+    which ships to ONE reducer per group for the final sort (4.35× the
+    DuckDB oracle at sf10, VERDICT r10 What's-wrong #1). Here nothing
+    group-wide is ever serialized or sorted in one task:
+
+    - phase 1: keyed histogram (flag × 1000-wide price bucket, a few
+      hundred rows) + cumulative weights locate, for each percentile
+      p, the bucket(s) holding the interpolation ranks floor(h) and
+      ceil(h) where h = p·(N−1) (0-based over the sorted multiset —
+      quantile_cont's definition in both engines);
+    - phase 2: only those buckets' distinct values (~1/100 of each
+      group) go through a (flag, bucket)-keyed ordered window, offset
+      by the bucket's carried prefix weight; a value row covers ranks
+      [cumn−n, cumn−1], so the two rank rows fall out of a broadcast
+      range join, and v_lo + (h−floor(h))·(v_hi−v_lo) reproduces the
+      interpolated percentile exactly (4 dp snap collapses last-ulp
+      formula-order differences, the established contract).
+
+    At 100 TB the same plan stands — every aggregate is map-side
+    combinable and the serial spans are one bucket's distinct values —
+    or the bounds swap to approx_percentile/GK as agg_approx_percentiles
+    shows; the clamp pass is unchanged either way."""
     li = table(spark, sf_dir, "lineitem")
-    # Exact percentile over the PRE-AGGREGATED (flag, price, count)
-    # frame via percentile's frequency argument — identical semantics
-    # (the aggregate builds this value->count map internally anyway),
-    # but the map-side-combinable groupBy shrinks the aggregate's
-    # input ~30x (sf3: 18M rows -> 600k distinct (flag, price) pairs)
-    # and distributes the counting across the cluster.
-    freq = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("_n")
+    freq = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "bkt", F.floor(F.col("l_extendedprice") / 1000).cast("long")
+        )
+        # freq feeds THREE branches (histogram locate, fine window,
+        # clamp) whose per-branch column pruning makes the exchanges
+        # canonically different — ReusedExchange never fires and each
+        # branch re-scans lineitem (12 scans, 9.3 s at sf10). Caching
+        # collapses that to ONE scan. Size is bounded by the DISTINCT
+        # (flag, price) domain (~600k pairs ≈ 10 MB at any SF — price
+        # is a bounded TPC-H domain), not by row count, so the cache
+        # holds at 100 TB.
+        .cache()
     )
-    bounds = freq.groupBy("l_returnflag").agg(
-        dround(
-            F.percentile("l_extendedprice", F.lit(0.05), F.col("_n")), 4
-        ).alias("p05"),
-        dround(
-            F.percentile("l_extendedprice", F.lit(0.95), F.col("_n")), 4
-        ).alias("p95"),
+    hist = freq.groupBy("l_returnflag", "bkt").agg(F.sum("_n").alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = li.join(F.broadcast(bounds), "l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bkt",
+        "w",
+        (F.sum("w").over(w_cum) - F.col("w")).alias("prevw"),
+    )
+    tot = hist.groupBy("l_returnflag").agg(F.sum("w").alias("n_total"))
+    # one row per (flag, percentile, interpolation rank): h = p*(N-1),
+    # ranks floor(h) and ceil(h) (deduped when h is integral)
+    spec = (
+        tot.select(
+            "l_returnflag",
+            "n_total",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("p05").alias("pct"), F.lit(0.05).alias("p")
+                    ),
+                    F.struct(
+                        F.lit("p95").alias("pct"), F.lit(0.95).alias("p")
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("s.pct").alias("pct"),
+            (F.col("s.p") * (F.col("n_total") - F.lit(1))).alias("h"),
+        )
+        .select(
+            "l_returnflag",
+            "pct",
+            "h",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor("h").cast("long"), F.ceil("h").cast("long")
+                    )
+                )
+            ).alias("pos"),
+        )
+    )
+    # bucket holding rank pos: prevw <= pos <= prevw + w - 1. Every
+    # frame below shares freq's lineage, so joins use disjoint RENAMED
+    # key names + F.expr conditions (dataset-qualified attrs would trip
+    # the ambiguous-self-join check). All locate-side frames are tiny.
+    located = (
+        spec.join(
+            cum.withColumnRenamed("l_returnflag", "_cflag").withColumnRenamed(
+                "bkt", "_cbkt"
+            ),
+            on=F.expr(
+                "l_returnflag = _cflag AND pos >= prevw "
+                "AND pos <= prevw + w - 1"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "pct",
+            "h",
+            "pos",
+            F.col("_cbkt").alias("lbkt"),
+            "prevw",
+        )
+    )
+    needed = located.select(
+        F.col("l_returnflag").alias("_nflag"),
+        F.col("lbkt").alias("_nbkt"),
+        "prevw",
+    ).distinct()
+    in_bkt = freq.join(
+        F.broadcast(needed),
+        on=F.expr("l_returnflag = _nflag AND bkt = _nbkt"),
+    ).drop("_nflag", "_nbkt")
+    w_fine = (
+        Window.partitionBy("l_returnflag", "bkt")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fine = in_bkt.withColumn(
+        "cumn", F.col("prevw") + F.sum("_n").over(w_fine)
+    )
+    ranks = located.select(
+        F.col("l_returnflag").alias("_rflag"),
+        F.col("lbkt").alias("_rbkt"),
+        "pct",
+        "h",
+        "pos",
+    )
+    at_rank = fine.join(
+        F.broadcast(ranks),
+        on=F.expr(
+            "l_returnflag = _rflag AND bkt = _rbkt "
+            "AND pos >= cumn - _n AND pos <= cumn - 1"
+        ),
+    ).select("l_returnflag", "pct", "h", "pos", "l_extendedprice")
+    pcts = (
+        at_rank.groupBy("l_returnflag", "pct", "h")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("pos") == F.floor("h").cast("long"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("v_lo"),
+            F.min(
+                F.when(
+                    F.col("pos") == F.ceil("h").cast("long"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("v_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "pct",
+            dround(
+                F.col("v_lo")
+                + (F.col("h") - F.floor("h"))
+                * (F.col("v_hi") - F.col("v_lo")),
+                4,
+            ).alias("val"),
+        )
+    )
+    bounds = pcts.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("pct") == "p05", F.col("val"))).alias("p05"),
+        F.max(F.when(F.col("pct") == "p95", F.col("val"))).alias("p95"),
+    )
+    # Clamp pass over the FREQ table, weighted by _n — not over raw
+    # lineitem: that second 60M-row scan was the dominant cost of the
+    # r10 plan (4.4 s of its 9.3 s at sf10). Every output is a function
+    # of (flag, price, count): counts sum _n, means are _n-weighted.
+    # lineitem is now scanned ONCE; freq's shuffle exchange appears in
+    # all three branches (histogram locate, fine window, clamp) and is
+    # computed once (ReusedExchange). The 4 dp snap absorbs the
+    # sum-order ulp difference between a weighted and a row-at-a-time
+    # mean, the same contract as every avg gate.
+    joined = freq.join(F.broadcast(bounds), "l_returnflag")
     clipped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
     )
     return joined.groupBy("l_returnflag", "p05", "p95").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum((F.col("l_extendedprice") < F.col("p05")).cast("int"))
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("p05"), F.col("_n"))
+            .otherwise(F.lit(0))
+        )
         .cast("bigint")
         .alias("n_clipped_low"),
-        F.sum((F.col("l_extendedprice") > F.col("p95")).cast("int"))
+        F.sum(
+            F.when(F.col("l_extendedprice") > F.col("p95"), F.col("_n"))
+            .otherwise(F.lit(0))
+        )
         .cast("bigint")
         .alias("n_clipped_high"),
-        dround(F.avg("l_extendedprice"), 4).alias("mean_raw"),
-        dround(F.avg(clipped), 4).alias("mean_winsorized"),
+        dround(
+            F.sum(F.col("l_extendedprice") * F.col("_n")) / F.sum("_n"), 4
+        ).alias("mean_raw"),
+        dround(F.sum(clipped * F.col("_n")) / F.sum("_n"), 4).alias(
+            "mean_winsorized"
+        ),
     ).select(
         "l_returnflag", "n", "p05", "p95", "n_clipped_low",
         "n_clipped_high", "mean_raw", "mean_winsorized",
