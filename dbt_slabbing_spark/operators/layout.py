@@ -322,7 +322,12 @@ def _manifest_unlock(p, fd: int) -> None:
     os.close(fd)
 
 
-def _commit_manifest(p, files: list[str], expected_version: int | None = None) -> int:
+def _commit_manifest(
+    p,
+    files: list[str],
+    expected_version: int | None = None,
+    stats: dict | None = None,
+) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
     every manifest-based mutation (POSIX rename atomicity). Returns the
@@ -345,6 +350,17 @@ def _commit_manifest(p, files: list[str], expected_version: int | None = None) -
     resolve old snapshots from it. Rewriting the history on every
     commit is O(versions · files) metadata — the same cost class as a
     Delta checkpoint, and metadata-only (no data file is ever copied).
+
+    ``stats`` carries write-time per-file column min/max
+    (``{file: {col: [lo, hi] | None}}``, from :func:`_stats_for_added`)
+    into the commit record's ``stats`` key. Entries for files still
+    live carry FORWARD from the previous snapshot automatically (data
+    files are immutable, so a carried entry can never go stale), and
+    entries for files leaving the live list drop out — the manifest's
+    stats never grow past O(live files). Readers
+    (:func:`file_column_stats`) consult these before ever touching a
+    data-file footer; the footer+sidecar path remains only as the
+    fallback for pre-r11 tables and commits that didn't pass stats.
     """
     import json
     import os
@@ -352,12 +368,13 @@ def _commit_manifest(p, files: list[str], expected_version: int | None = None) -
     mf = p / _MANIFEST
     fd = _manifest_lock(p)
     try:
-        version, history = 1, []
+        version, history, prev_stats = 1, [], {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
             version = cur + 1
             history = prev.get("history", [])
+            prev_stats = prev.get("stats", {})
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -384,9 +401,20 @@ def _commit_manifest(p, files: list[str], expected_version: int | None = None) -
                 "a concurrent commit landed first; retry against the new "
                 "snapshot (nothing was published)"
             )
+        live_set = set(files)
+        merged_stats = {n: s for n, s in prev_stats.items() if n in live_set}
+        if stats:
+            merged_stats.update({n: s for n, s in stats.items() if n in live_set})
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(
-            json.dumps({"files": sorted(files), "version": version, "history": history})
+            json.dumps(
+                {
+                    "files": sorted(files),
+                    "version": version,
+                    "history": history,
+                    "stats": merged_stats,
+                }
+            )
         )
         os.replace(str(tmp), str(mf))
         return version
@@ -459,7 +487,13 @@ def ensure_manifest(path) -> list[str]:
         return sorted(json.loads(mf.read_text())["files"])
     files = sorted(f.name for f in p.glob("*.parquet"))
     try:
-        _commit_manifest(p, files, expected_version=0)
+        # adoption = this table's first commit: collect stats for the
+        # adopted files too (one local footer read each, the same cost
+        # Iceberg's migrate pays), so even adopted tables prune from
+        # the manifest alone
+        _commit_manifest(
+            p, files, expected_version=0, stats=_stats_for_added(p, files)
+        )
     except ManifestConflictError:
         # a concurrent adopter created version 1 first — same directory
         # listing; read theirs
@@ -483,20 +517,69 @@ def _snapshot_for_update(p) -> tuple[int, list[str]]:
 _STATS = "_stats.json"
 
 
+def _footer_all_column_stats(file_path) -> dict:
+    """``{col: [min, max] | None}`` for every leaf column of one
+    parquet file whose footer min/max are JSON-native (int/float/str/
+    bool — timestamp/date/decimal/binary stats can't round-trip the
+    manifest and can't compare against a caller's [lo, hi] anyway).
+    Columns with unusable stats map to ``None`` ("may contain
+    anything"); any footer failure maps the whole file to ``{}``.
+    Called at WRITE time by every mutation, on files the writer just
+    produced — one local footer read per new file, so the stats ride
+    the manifest commit and readers never touch data-file footers
+    (the Iceberg/Delta write-side stats collection)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    try:
+        md = pq.ParquetFile(str(file_path)).metadata
+        for i in range(md.num_columns):
+            col = md.schema.column(i).name
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if (
+                ok
+                and lo is not None
+                and isinstance(lo, (int, float, str, bool))
+                and isinstance(hi, (int, float, str, bool))
+            ):
+                out[col] = [lo, hi]
+            else:
+                out[col] = None
+    except Exception:
+        return {}
+    return out
+
+
+def _stats_for_added(p, names: list[str]) -> dict:
+    """Write-time stats for files a mutation just moved into the table
+    dir: ``{file_name: {col: [min, max] | None}}``, ready for
+    :func:`_commit_manifest`'s ``stats=``."""
+    return {n: _footer_all_column_stats(p / n) for n in names}
+
+
 def file_column_stats(path, files: list[str], col: str) -> dict:
-    """Per-file (min, max) of ``col`` for each named parquet file,
-    read from the files' own FOOTERS (pyarrow, driver-side metadata —
-    no Spark job) and cached in a ``_stats.json`` sidecar. Data files
-    are immutable under the copy-on-write manifest contract, so a
-    cached entry can never go stale; files pruned by vacuum just leave
-    dead entries behind. A file whose footer lacks usable stats for
-    the column (all-null chunk, missing column after schema evolution)
-    maps to ``None`` — callers must treat that as "may contain
-    anything". This is the Iceberg/Delta per-file column-stats
-    manifest, kept beside ours rather than inside the commit so the
-    OCC write paths stay untouched; at object-store scale the stats
-    ride the manifest commit instead (one fewer round trip), same
-    contract.
+    """Per-file (min, max) of ``col`` for each named parquet file.
+
+    Resolution order (r11): (1) the manifest commit's ``stats`` record
+    — written by every mutation at write time (:func:`_commit_manifest`
+    ``stats=``), read in the ONE metadata round trip the snapshot read
+    already pays, no data-file I/O at all — this is the Iceberg/Delta
+    stats-manifest read path; (2) for files the manifest doesn't cover
+    (pre-r11 tables, externally dropped-in files), the file's own
+    FOOTER (pyarrow, driver-side), cached in a ``_stats.json`` sidecar.
+    Data files are immutable under the copy-on-write contract, so
+    neither source can go stale. A file whose stats are unusable for
+    the column (all-null chunk, missing column after schema evolution,
+    non-JSON-native type) maps to ``None`` — callers must treat that
+    as "may contain anything".
 
     Returns ``{file_name: (min, max) | None}``."""
     import json
@@ -505,6 +588,13 @@ def file_column_stats(path, files: list[str], col: str) -> dict:
     import pyarrow.parquet as pq
 
     p = pathlib.Path(str(path))
+    manifest_stats: dict = {}
+    mf = p / _MANIFEST
+    if mf.exists():
+        try:
+            manifest_stats = json.loads(mf.read_text()).get("stats", {})
+        except (OSError, ValueError):
+            manifest_stats = {}
     sidecar = p / _STATS
     cache: dict = {}
     if sidecar.exists():
@@ -516,6 +606,11 @@ def file_column_stats(path, files: list[str], col: str) -> dict:
     dirty = False
     out: dict = {}
     for name in files:
+        entry = manifest_stats.get(name)
+        if entry is not None and col in entry:
+            st = entry[col]
+            out[name] = tuple(st) if st else None
+            continue
         if name in col_cache:
             out[name] = tuple(col_cache[name]) if col_cache[name] else None
             continue
@@ -605,13 +700,18 @@ def read_table(
     retention boundary, exactly Delta's VACUUM contract: travel past
     what vacuum kept raises on the missing files.
 
-    ``prune=(col, lo, hi)`` additionally drops live files whose footer
-    min/max proves they hold no row with ``col`` in [lo, hi]
-    (:func:`prune_file_list`) — file-level skipping BEFORE the plan.
-    The caller still applies the row filter: pruning is a superset
-    guarantee (kept files may contain non-matching rows), so
-    ``read_table(..., prune=(c, lo, hi)).filter(...)`` is always
-    exactly equal to the unpruned filtered read."""
+    ``prune=(col, lo, hi)`` — or a LIST of such triples for
+    multi-column skipping — additionally drops live files whose
+    committed min/max (or footer, for pre-r11 tables) proves they hold
+    no row with ``col`` in [lo, hi] (:func:`prune_file_list`) —
+    file-level skipping BEFORE the plan. Multiple triples intersect
+    (a file survives only if EVERY range may match), which is what
+    makes the Hilbert/z-order writers pay off: their whole purpose is
+    tight per-file boxes on BOTH dimensions. The caller still applies
+    the row filter: pruning is a superset guarantee (kept files may
+    contain non-matching rows), so
+    ``read_table(..., prune=...).filter(...)`` is always exactly equal
+    to the unpruned filtered read."""
     import pathlib
 
     p = pathlib.Path(path)
@@ -628,8 +728,14 @@ def read_table(
                 f"snapshot {version} references vacuumed files: {missing}"
             )
         if prune is not None and live:
+            specs = (
+                [prune]
+                if prune and isinstance(prune[0], str)
+                else [tuple(s) for s in prune]
+            )
             full = live
-            live = prune_file_list(p, live, *prune)
+            for spec in specs:
+                live = prune_file_list(p, live, *spec)
             if not live:
                 # every file provably irrelevant: empty frame over ALL
                 # snapshot files + limit(0) — metadata-cheap (no tasks
@@ -682,9 +788,12 @@ def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
     # an append removes nothing, so a conflicting commit is resolved by
     # re-reading the new snapshot and re-attaching our uniquely-named
     # files to it — no data work repeats, only the metadata commit.
+    added_stats = _stats_for_added(p, added)
     for _ in range(10):
         try:
-            _commit_manifest(p, live + added, expected_version=vers)
+            _commit_manifest(
+                p, live + added, expected_version=vers, stats=added_stats
+            )
             break
         except ManifestConflictError:
             vers, live = _read_snapshot(p)
@@ -778,7 +887,9 @@ def compact_table(
         f.rename(p / name)
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
-    version = _commit_manifest(p, new_names, expected_version=vers)  # ATOMIC + OCC
+    version = _commit_manifest(  # ATOMIC + OCC
+        p, new_names, expected_version=vers, stats=_stats_for_added(p, new_names)
+    )
     return {
         "n_files_before": len(live),
         "n_files_after": len(new_names),
@@ -1013,7 +1124,10 @@ def delete_rows(
     # winning concurrent commit still references. Caller retries the
     # whole operation; the staged replacements are orphans for vacuum.
     _commit_manifest(
-        p, [n for n in live if n not in gone] + new_names, expected_version=vers
+        p,
+        [n for n in live if n not in gone] + new_names,
+        expected_version=vers,
+        stats=_stats_for_added(p, new_names),
     )
     if not retain:  # retain=True keeps displaced originals on disk so
         # prior snapshots stay time-travel-readable until vacuum (the
@@ -1128,7 +1242,10 @@ def merge_rows(
     gone = set(affected_names)
     # ATOMIC + OCC: conflict aborts BEFORE any unlink (see delete_rows)
     _commit_manifest(
-        p, [n for n in live if n not in gone] + new_names, expected_version=vers
+        p,
+        [n for n in live if n not in gone] + new_names,
+        expected_version=vers,
+        stats=_stats_for_added(p, new_names),
     )
     if not retain:
         for n in affected_names:

@@ -704,72 +704,112 @@ def layout_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: explicit per-file value ranges for the prune gate: every slice is
-#: non-empty at every tested SF (checked 0.001/0.01/0.1), so the file
+#: explicit per-file cluster cells for the prune gate: 4 value ranges
+#: x 2 event_type groups = 8 files, every cell non-empty at every
+#: tested SF (checked 0.001/0.01/0.1, min cell 5 rows), so the file
 #: count and the pruned-file count are literals the oracle can state.
-_PRUNE_SLICES = (
-    (0.0, 25.0), (25.0, 50.0), (50.0, 75.0), (75.0, 100.0),
-    (100.0, 150.0), (150.0, 200.0), (200.0, 300.0), (300.0, None),
-)
-_PRUNE_LO, _PRUNE_HI = 60.0, 110.0  # overlaps slices 2,3,4 -> 3 files
+_PRUNE_VRANGES = ((0.0, 50.0), (50.0, 100.0), (100.0, 200.0), (200.0, None))
+_PRUNE_TGROUPS = (("a", "o"), ("o", "z"))  # {click,error} | {purchase,signup,view}
+_PRUNE_LO, _PRUNE_HI = 60.0, 110.0  # overlaps v-ranges 2,3
+_PRUNE_TLO, _PRUNE_THI = "a", "o"  # overlaps t-group 1 only
 
 
 @register(
     "layout_manifest_prune_read",
-    # File-level skipping on a manifest table: 8 value-range-clustered
-    # files, a [60, 110] range read plans only the 3 whose footer
-    # min/max overlap (files 50-75, 75-100, 100-150). The file counts
-    # are literals BY CONSTRUCTION (explicit slice boundaries, every
-    # slice non-empty at every tested SF); the data columns are the
-    # plain SQL filter over events, so the oracle checks both the
-    # pruning arithmetic and that pruning lost no rows.
+    # Two-column file skipping on a manifest table whose per-file
+    # min/max ride the COMMIT RECORD (written by append_files at write
+    # time, r11): 8 files clustered on (value, event_type), a
+    # [60,110] x ['a','o'] box read plans only the 2 files whose
+    # committed boxes overlap BOTH ranges (value ranges 50-100 and
+    # 100-200, type group {click,error}). The file counts are literals
+    # BY CONSTRUCTION (explicit cell boundaries, every cell non-empty
+    # at every tested SF); the data columns are the plain SQL filter
+    # over events, so the oracle checks the pruning arithmetic, that
+    # the commit carried stats for every live file and both columns,
+    # and that pruning lost no rows.
     f"""
     SELECT CAST(8 AS BIGINT) AS n_files_live,
-           CAST(3 AS BIGINT) AS n_files_scanned,
+           CAST(2 AS BIGINT) AS n_files_scanned,
+           CAST(8 AS BIGINT) AS n_files_stats_carried,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            round((sum(value)) * 100.0) / 100.0 + 0.0 AS sum_value
-    FROM events WHERE value BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+    FROM events
+    WHERE value BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+      AND event_type BETWEEN '{_PRUNE_TLO}' AND '{_PRUNE_THI}'
     """,
-    "manifest-table file skipping: value-clustered files, footer "
-    "min/max pruning keeps 3 of 8 files out of the plan entirely; "
-    "row results hash-checked against the unpruned filter semantics",
+    "manifest-table two-column file skipping with commit-carried "
+    "stats: (value, event_type)-clustered files appended through "
+    "append_files, min/max boxes in the manifest commit prune 6 of 8 "
+    "files out of the plan entirely; row results hash-checked against "
+    "the unpruned filter semantics",
     tags=("layout", "pruning"),
 )
 def layout_manifest_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drives operators/layout.py::prune_file_list / file_column_stats
-    end-to-end under the oracle gate: a value-range-clustered manifest
-    table (what write_hilbert_clustered / repartitionByRange writers
-    produce) is read with prune=(col, lo, hi) — non-overlapping files
-    never enter the plan (no tasks, no executor footer reads), and the
+    """Drives the r11 write-time stats path end-to-end under the
+    oracle gate: 8 (value x event_type)-clustered files are appended
+    through ``append_files`` (each commit records the file's column
+    min/max; later commits carry earlier entries forward), then
+    ``read_table(prune=[(c1, ...), (c2, ...)])`` intersects BOTH
+    ranges against the COMMITTED boxes — non-overlapping files never
+    enter the plan (no tasks, no footer reads anywhere: the gate
+    asserts every live file's stats came from the manifest), and the
     row filter on top makes the result EXACTLY the unpruned filtered
-    read. At 100 TB this is the Iceberg/Delta min-max manifest scan;
-    the stats sidecar is footer-derived and immutable-file-safe."""
+    read. At 100 TB this is the Iceberg/Delta stats-manifest scan over
+    a Hilbert/z-order-clustered table — tight per-file boxes on BOTH
+    dims are precisely what those writers exist to produce."""
+    import json
+    import pathlib
     import shutil
     import tempfile
 
-    from ..operators.layout import ensure_manifest, prune_file_list, read_table
+    from ..operators.layout import (
+        _MANIFEST,
+        append_files,
+        prune_file_list,
+        read_table,
+    )
 
-    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
     work = tempfile.mkdtemp(prefix="manifest_prune_gate_")
+    shutil.rmtree(work)  # append_files creates the table dir itself
     try:
-        for i, (lo, hi) in enumerate(_PRUNE_SLICES):
-            cond = F.col("value") >= lo
-            if hi is not None:
-                cond = cond & (F.col("value") < hi)
-            staging = f"{work}.slice{i}"
-            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(staging)
-            import pathlib
-
-            parts = sorted(pathlib.Path(staging).glob("*.parquet"))
-            assert len(parts) == 1, f"slice {i} wrote {len(parts)} files"
-            shutil.move(str(parts[0]), f"{work}/slice-{i:02d}.parquet")
-            shutil.rmtree(staging, ignore_errors=True)
-        live = ensure_manifest(work)
-        scanned = prune_file_list(work, live, "value", _PRUNE_LO, _PRUNE_HI)
+        for vlo, vhi in _PRUNE_VRANGES:
+            for tlo, thi in _PRUNE_TGROUPS:
+                cond = (
+                    (F.col("value") >= vlo)
+                    & (F.col("event_type") >= tlo)
+                    & (F.col("event_type") < thi)
+                )
+                if vhi is not None:
+                    cond = cond & (F.col("value") < vhi)
+                append_files(spark, work, ev.filter(cond).coalesce(1))
+        doc = json.loads((pathlib.Path(work) / _MANIFEST).read_text())
+        live = sorted(doc["files"])
+        carried = sum(
+            1
+            for n in live
+            if doc.get("stats", {}).get(n, {}).get("value")
+            and doc["stats"][n].get("event_type")
+        )
+        scanned = prune_file_list(
+            work,
+            prune_file_list(work, live, "value", _PRUNE_LO, _PRUNE_HI),
+            "event_type",
+            _PRUNE_TLO,
+            _PRUNE_THI,
+        )
         pruned = read_table(
-            spark, work, prune=("value", _PRUNE_LO, _PRUNE_HI)
-        ).filter(F.col("value").between(_PRUNE_LO, _PRUNE_HI))
+            spark,
+            work,
+            prune=[
+                ("value", _PRUNE_LO, _PRUNE_HI),
+                ("event_type", _PRUNE_TLO, _PRUNE_THI),
+            ],
+        ).filter(
+            F.col("value").between(_PRUNE_LO, _PRUNE_HI)
+            & F.col("event_type").between(_PRUNE_TLO, _PRUNE_THI)
+        )
         row = pruned.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.count_distinct("user_id").cast("bigint").alias("n_users"),
@@ -782,11 +822,13 @@ def layout_manifest_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 len(live),
                 len(scanned),
+                carried,
                 row["n_rows"],
                 row["n_users"],
                 float(row["sum_value"]),
             )
         ],
-        "n_files_live bigint, n_files_scanned bigint, n_rows bigint, "
+        "n_files_live bigint, n_files_scanned bigint, "
+        "n_files_stats_carried bigint, n_rows bigint, "
         "n_users bigint, sum_value double",
     )

@@ -220,7 +220,7 @@ def test_delete_rows_crash_before_manifest_commit_is_invisible(spark, tmp_path, 
 
     real_commit = layout._commit_manifest
 
-    def boom(p, files, expected_version=None):
+    def boom(p, files, expected_version=None, stats=None):
         raise OSError("injected: crash at manifest commit")
 
     monkeypatch.setattr(layout, "_commit_manifest", boom)
@@ -368,7 +368,7 @@ def test_append_files_crash_before_commit_is_invisible(spark, tmp_path, monkeypa
 
     real_commit = layout._commit_manifest
 
-    def boom(p, files, expected_version=None):
+    def boom(p, files, expected_version=None, stats=None):
         raise RuntimeError("crash before manifest commit")
 
     monkeypatch.setattr(layout, "_commit_manifest", boom)

@@ -141,10 +141,13 @@ def test_non_json_native_stats_are_conservative(spark, tmp_path):
     ensure_manifest(work)
     stats = file_column_stats(work, ["f.parquet"], "ts")
     assert stats == {"f.parquet": None}
-    # conservative prune keeps the file; the sidecar stays valid JSON
+    # conservative prune keeps the file
     assert prune_file_list(work, ["f.parquet"], "ts", 0, 0) == ["f.parquet"]
-    sidecar = work / layout._STATS
-    assert json.loads(sidecar.read_text())["ts"]["f.parquet"] is None
+    # the adoption commit carried the (null) stat, so the read was
+    # answered from the manifest alone: no sidecar is ever created
+    mf = json.loads((work / layout._MANIFEST).read_text())
+    assert mf["stats"]["f.parquet"]["ts"] is None
+    assert not (work / layout._STATS).exists()
 
 
 def test_corrupt_footer_is_statless_not_fatal(ranged_table):
@@ -160,8 +163,104 @@ def test_corrupt_footer_is_statless_not_fatal(ranged_table):
     ]
 
 
+def test_append_commit_carries_stats_and_forwards(spark, tmp_path):
+    """r11: append_files computes per-file column min/max at write time
+    into the commit record; a second append CARRIES the first commit's
+    entries forward (immutable files -> never stale) and adds its own.
+    Reads then prune from the manifest alone — no sidecar, no footer
+    I/O."""
+    from dbt_slabbing_spark.operators.layout import append_files
+
+    target = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(i, float(i)) for i in range(10)], "k int, v double")
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 110)], "k int, v double"
+    )
+    append_files(spark, target, df1.coalesce(1))
+    append_files(spark, target, df2.coalesce(1))
+    doc = json.loads((pathlib.Path(target) / layout._MANIFEST).read_text())
+    assert set(doc["stats"]) == set(doc["files"])  # every live file covered
+    by_range = sorted(tuple(s["v"]) for s in doc["stats"].values())
+    assert by_range == [(0.0, 9.0), (100.0, 109.0)]
+    live = sorted(doc["files"])
+    assert prune_file_list(target, live, "v", 0.0, 50.0) == [
+        n for n in live if tuple(doc["stats"][n]["v"]) == (0.0, 9.0)
+    ]
+    assert not (pathlib.Path(target) / layout._STATS).exists()
+
+
+def test_compaction_recomputes_commit_stats(spark, tmp_path):
+    """Compaction's commit drops displaced files' stats entries (they
+    leave the live list) and records fresh ones for the rewritten
+    files."""
+    from dbt_slabbing_spark.operators.layout import append_files, compact_table
+
+    target = str(tmp_path / "t")
+    for lo in (0, 100):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 10)], "k int, v double"
+        )
+        append_files(spark, target, df.coalesce(1))
+    compact_table(spark, target)
+    doc = json.loads((pathlib.Path(target) / layout._MANIFEST).read_text())
+    assert set(doc["stats"]) == set(doc["files"])
+    allv = [tuple(s["v"]) for s in doc["stats"].values()]
+    assert min(lo for lo, _ in allv) == 0.0
+    assert max(hi for _, hi in allv) == 109.0
+
+
+def test_multi_column_prune_intersects(spark, tmp_path):
+    """read_table(prune=[(c1, ...), (c2, ...)]) keeps only files whose
+    committed boxes overlap EVERY range — the two-dim skipping the
+    Hilbert/z-order writers exist to enable."""
+    import shutil
+
+    from dbt_slabbing_spark.operators.layout import read_table
+
+    work = tmp_path / "t"
+    work.mkdir()
+    # 4 files = 2 v-ranges x 2 u-ranges (tight boxes on both dims)
+    cells = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    for i, (vi, ui) in enumerate(cells):
+        rows = [
+            (100 * ui + u, float(100 * vi + v))
+            for u in range(10)
+            for v in range(10)
+        ]
+        df = spark.createDataFrame(rows, "u int, v double").coalesce(1)
+        staging = tmp_path / f"s{i}"
+        df.write.parquet(str(staging))
+        shutil.move(
+            str(sorted(staging.glob("*.parquet"))[0]),
+            str(work / f"cell-{vi}{ui}.parquet"),
+        )
+    live = ensure_manifest(work)
+    # v in [0, 50] -> vi=0 files; u in [100, 150] -> ui=1 files
+    assert prune_file_list(work, live, "v", 0.0, 50.0) == [
+        "cell-00.parquet",
+        "cell-01.parquet",
+    ]
+    got = read_table(
+        spark, work, prune=[("v", 0.0, 50.0), ("u", 100, 150)]
+    )
+    files_scanned = {r[0].rsplit("/", 1)[-1] for r in
+                     got.select(F.input_file_name()).distinct().collect()}
+    assert files_scanned == {"cell-01.parquet"}
+    # superset guarantee: pruned+filtered == unpruned filtered
+    cond = (F.col("v") <= 50.0) & (F.col("u") >= 100) & (F.col("u") <= 150)
+    assert sorted(got.filter(cond).collect()) == sorted(
+        read_table(spark, work).filter(cond).collect()
+    )
+
+
 def test_sidecar_cache_serves_second_call(ranged_table, monkeypatch):
+    """Pre-r11 fallback: a manifest WITHOUT a stats record (older
+    tables) still prunes via footer reads cached in the sidecar."""
     live = ensure_manifest(ranged_table)
+    mf = pathlib.Path(ranged_table) / layout._MANIFEST
+    doc = json.loads(mf.read_text())
+    doc.pop("stats", None)  # simulate a pre-r11 manifest
+    mf.write_text(json.dumps(doc))
     file_column_stats(ranged_table, live, "v")  # populate sidecar
     sidecar = pathlib.Path(ranged_table) / layout._STATS
     assert sidecar.exists()
@@ -196,6 +295,13 @@ def test_vacuum_drops_stats_entries(spark, ranged_table):
     import time
 
     live = ensure_manifest(ranged_table)
+    # pre-r11 table: no commit-carried stats, so every file's stats
+    # land in the sidecar (r11 tables only sidecar-cache files the
+    # manifest doesn't cover)
+    mf = pathlib.Path(ranged_table) / layout._MANIFEST
+    doc = json.loads(mf.read_text())
+    doc.pop("stats", None)
+    mf.write_text(json.dumps(doc))
     file_column_stats(ranged_table, live, "v")  # warm sidecar
     orphan = pathlib.Path(ranged_table) / "orphan.parquet"
     # give the orphan footer stats too, then age it past the grace
