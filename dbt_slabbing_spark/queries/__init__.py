@@ -155,7 +155,11 @@ _PRIORITY = (
     "q2_min_unit_cost_supplier",
     "q4_late_shipment_orders",
     "q6_forecast_revenue",
-    "q7_nation_trade",
+    "layout_snapshot_diff_read",  # round-11 gate, never driver-checked:
+    # takes q7_nation_trade's slot (r6-green; the join family keeps
+    # prefixed rows via join_inner_segment_counts et al., and
+    # parity_sweep re-verifies q7 this round -> head of the round-12
+    # queue)
 )
 
 

@@ -832,3 +832,108 @@ def layout_manifest_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files_stats_carried bigint, n_rows bigint, "
         "n_users bigint, sum_value double",
     )
+
+
+@register(
+    "layout_snapshot_diff_read",
+    # Change-data-feed over a manifest table's version history: append
+    # A (value<100), append B (value>=100), compact, DELETE value>=200.
+    # read_changes between consecutive snapshots must produce exactly
+    # B's rows as inserts (file-level fast path: appends-only range),
+    # NOTHING across the compaction (files rewrote, rows didn't -- the
+    # row-level fallback proves it), and exactly the value>=200 rows
+    # as deletes. All six outputs are plain filters over events, so
+    # the oracle states them directly; the compaction row is the
+    # literal 0 BY CONSTRUCTION.
+    """
+    SELECT CAST(count(*) FILTER (WHERE value >= 100) AS BIGINT)
+               AS n_ins_append,
+           round((sum(value) FILTER (WHERE value >= 100)) * 100.0)
+               / 100.0 + 0.0 AS sum_ins_append,
+           CAST(0 AS BIGINT) AS n_del_append,
+           CAST(0 AS BIGINT) AS n_chg_compact,
+           CAST(count(*) FILTER (WHERE value >= 200) AS BIGINT)
+               AS n_del_delete,
+           round((sum(value) FILTER (WHERE value >= 200)) * 100.0)
+               / 100.0 + 0.0 AS sum_del_delete
+    FROM events
+    """,
+    "snapshot-diff / change-data-feed read: appended rows surface as "
+    "inserts via the file-level fast path, a compaction-only range "
+    "diffs to empty via the row-level exceptAll fallback, deleted "
+    "rows surface as deletes; counts and value sums hash-checked "
+    "against direct filters",
+    tags=("layout", "cdf"),
+)
+def layout_snapshot_diff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::read_changes end-to-end under the
+    oracle gate, across the three commit kinds an incremental consumer
+    meets: a pure append (fast path: only the NEW files are scanned --
+    no old-snapshot read at all), a compaction (rewrites every file,
+    changes no row: the row-level exceptAll fallback returns empty),
+    and a DELETE (rewritten survivors + dropped rows: deletes surface
+    row-level). At 100 TB the fast path is the one that matters -- a
+    streaming landing zone is appends-only, so each incremental read
+    costs exactly the new files."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        compact_table,
+        delete_rows,
+        manifest_versions,
+        read_changes,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="snapshot_diff_gate_")
+    shutil.rmtree(work)  # append_files creates the table dir itself
+    try:
+        append_files(spark, work, ev.filter(F.col("value") < 100).coalesce(2))
+        v_a = manifest_versions(work)[-1]
+        append_files(spark, work, ev.filter(F.col("value") >= 100).coalesce(2))
+        v_b = manifest_versions(work)[-1]
+        compact_table(spark, work)
+        v_c = manifest_versions(work)[-1]
+        delete_rows(spark, work, F.col("value") >= 200, retain=True)
+        v_d = manifest_versions(work)[-1]
+
+        chg_append = read_changes(spark, work, v_a, v_b)
+        chg_compact = read_changes(spark, work, v_b, v_c)
+        chg_delete = read_changes(spark, work, v_c, v_d)
+        ins = chg_append.filter(F.col("_change_type") == "insert")
+        row_a = ins.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+        ).collect()[0]
+        n_del_append = chg_append.filter(
+            F.col("_change_type") == "delete"
+        ).count()
+        n_chg_compact = chg_compact.count()
+        dels = chg_delete.filter(F.col("_change_type") == "delete")
+        row_d = dels.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+        ).collect()[0]
+        n_ins_delete = chg_delete.filter(
+            F.col("_change_type") == "insert"
+        ).count()
+        assert n_ins_delete == 0, "DELETE range must produce no inserts"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                row_a["n"],
+                float(row_a["s"]),
+                n_del_append,
+                n_chg_compact,
+                row_d["n"],
+                float(row_d["s"]),
+            )
+        ],
+        "n_ins_append bigint, sum_ins_append double, "
+        "n_del_append bigint, n_chg_compact bigint, "
+        "n_del_delete bigint, sum_del_delete double",
+    )

@@ -190,3 +190,81 @@ def test_merge_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
     assert {
         r["event_id"] for r in read_table(spark, target).collect()
     } == set(before) | {-1}
+
+
+# ---------------------------------------------------------------------------
+# Round-11: read_changes (snapshot diff / change-data-feed)
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k int, v double")
+
+
+def test_read_changes_append_only_fast_path(spark, tmp_path):
+    """Appends-only range: the diff is exactly the appended rows,
+    served from the NEW files alone (fast path), tagged 'insert'."""
+    from dbt_slabbing_spark.operators.layout import read_changes
+
+    t = str(tmp_path / "t")
+    append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0)]).coalesce(1))
+    v1 = manifest_versions(t)[-1]
+    append_files(spark, t, _mk(spark, [(3, 3.0), (4, 4.0)]).coalesce(1))
+    v2 = manifest_versions(t)[-1]
+    chg = read_changes(spark, t, v1, v2)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in chg.collect())
+    assert got == [(3, 3.0, "insert"), (4, 4.0, "insert")]
+    # fast path scans only the new files: the plan references no
+    # v1 file
+    v1_files = set(layout._files_at_version(pathlib.Path(t), v1))
+    scanned = {
+        r[0].rsplit("/", 1)[-1]
+        for r in chg.select(F.input_file_name()).distinct().collect()
+    }
+    assert scanned.isdisjoint(v1_files)
+
+
+def test_read_changes_compaction_only_is_empty(spark, tmp_path):
+    """Compaction rewrites every file but no row: the row-level
+    fallback must return an EMPTY diff."""
+    from dbt_slabbing_spark.operators.layout import compact_table, read_changes
+
+    t = str(tmp_path / "t")
+    append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0), (2, 2.0)]).coalesce(2))
+    v1 = manifest_versions(t)[-1]
+    compact_table(spark, t)
+    v2 = manifest_versions(t)[-1]
+    assert read_changes(spark, t, v1, v2).count() == 0
+
+
+def test_read_changes_delete_and_duplicates(spark, tmp_path):
+    """DELETE range surfaces removed rows as 'delete'; duplicate rows
+    diff with multiset semantics (exceptAll): deleting one table's
+    worth of duplicates reports them all."""
+    from dbt_slabbing_spark.operators.layout import read_changes
+
+    t = str(tmp_path / "t")
+    append_files(
+        spark, t, _mk(spark, [(1, 1.0), (2, 5.0), (2, 5.0), (3, 9.0)]).coalesce(1)
+    )
+    v1 = manifest_versions(t)[-1]
+    delete_rows(spark, t, F.col("v") > 4.0, retain=True)
+    v2 = manifest_versions(t)[-1]
+    chg = read_changes(spark, t, v1, v2)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in chg.collect())
+    assert got == [(2, 5.0, "delete"), (2, 5.0, "delete"), (3, 9.0, "delete")]
+
+
+def test_read_changes_noop_and_validation(spark, tmp_path):
+    from dbt_slabbing_spark.operators.layout import read_changes
+
+    t = str(tmp_path / "t")
+    append_files(spark, t, _mk(spark, [(1, 1.0)]).coalesce(1))
+    v = manifest_versions(t)[-1]
+    empty = read_changes(spark, t, v, v)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v", "_change_type"}
+    with pytest.raises(ValueError, match="v_to"):
+        read_changes(spark, t, v, v - 1)
+    with pytest.raises(ValueError, match="manifest"):
+        read_changes(spark, str(tmp_path / "nope"), 1, 2)
