@@ -154,7 +154,10 @@ _PRIORITY = (
     "q22_dormant_rich_customers",
     "q2_min_unit_cost_supplier",
     "q4_late_shipment_orders",
-    "q6_forecast_revenue",
+    "text_dedup_span_removal",  # round-11 gate, never driver-checked:
+    # takes q6_forecast_revenue's slot (r6-green; the TPC-H family
+    # keeps 20+ prefixed rows and parity_sweep re-verifies q6 this
+    # round -> head of the round-12 queue)
     "layout_snapshot_diff_read",  # round-11 gate, never driver-checked:
     # takes q7_nation_trade's slot (r6-green; the join family keeps
     # prefixed rows via join_inner_segment_counts et al., and

@@ -429,6 +429,129 @@ def text_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "text_dedup_span_removal",
+    # The Lee et al. 2022 pipeline OUTPUT to text_duplicate_ngram_
+    # fraction's signal: excise duplicated spans instead of measuring
+    # them. A word position is removed iff some 5-gram occurrence
+    # covering it is (a) globally duplicated (df >= 2 docs) and
+    # (b) not the corpus-wide FIRST occurrence of that 5-gram
+    # (lexicographic (doc_id, position) — keep-first policy). Rebuilt
+    # text = surviving words joined by ' ', md5-hash-checked so the
+    # exact reconstruction is what the oracle verifies.
+    f"""
+    WITH norm AS (
+        SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS sh
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+              FROM norm WHERE len(w) >= 5)
+    ),
+    dfreq AS (
+        SELECT sh, count(DISTINCT doc_id) AS df,
+               min({{'d': doc_id, 'i': i}}) AS fst
+        FROM occ GROUP BY sh
+    ),
+    dup AS (
+        SELECT o.doc_id, o.i FROM occ o JOIN dfreq f USING (sh)
+        WHERE f.df >= 2 AND NOT (o.doc_id = f.fst.d AND o.i = f.fst.i)
+    ),
+    removed AS (
+        SELECT DISTINCT doc_id, pos FROM
+            (SELECT doc_id, unnest(range(i, i + 5)) AS pos FROM dup)
+    ),
+    allw AS (
+        SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
+        FROM norm WHERE len(w) >= 1
+    ),
+    kept AS (
+        SELECT a.doc_id, a.pos, a.w[a.pos] AS word
+        FROM allw a LEFT JOIN removed r
+          ON a.doc_id = r.doc_id AND a.pos = r.pos
+        WHERE r.doc_id IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, md5(string_agg(word, ' ' ORDER BY pos)) AS m
+        FROM kept GROUP BY doc_id
+    ),
+    nrem AS (
+        SELECT doc_id, count(*) AS n FROM removed GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.w) AS BIGINT) AS n_words,
+           CAST(COALESCE(n.n, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.m, md5('')) AS rebuilt_md5
+    FROM norm c LEFT JOIN nrem n USING (doc_id) LEFT JOIN reb r USING (doc_id)
+    WHERE len(c.w) >= 1
+    """,
+    "duplicate-span REMOVAL (Lee et al. 2022 exact-substring dedup "
+    "output): word positions covered by a non-first occurrence of a "
+    "df>=2 5-gram are excised, keep-first by (doc_id, position); "
+    "rebuilt text md5-checked per doc",
+    tags=("text", "dedup", "transform"),
+)
+def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup TRANSFORM: same linear join shapes as
+    text_duplicate_ngram_fraction (per-occurrence x 1 against the
+    gram-df table — one row per distinct gram, so boilerplate in a
+    million docs costs a million linear rows, never df^2), plus a x5
+    position explode (linear in corpus tokens) and a per-doc rebuild
+    whose collect_list is bounded by DOCUMENT length, not corpus size.
+    The keep-first marker is min(struct(doc_id, i)) inside the df
+    aggregate — no window, no second shuffle. At 100 TB every stage is
+    a keyed hash aggregate or equi-join on gram/doc keys."""
+    docs = table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(T.word_shingles(F.col("text"), 5)).alias("i0", "sh"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "sh")
+    dfreq = occ.groupBy("sh").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.min(F.struct("doc_id", "i")).alias("fst"),
+    )
+    dup = occ.join(dfreq.filter(F.col("df") >= 2), "sh").filter(
+        ~(
+            (F.col("doc_id") == F.col("fst.doc_id"))
+            & (F.col("i") == F.col("fst.i"))
+        )
+    )
+    removed = dup.select(
+        "doc_id", F.explode(F.sequence("i", F.col("i") + 4)).alias("pos")
+    ).distinct()
+    allw = docs.select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    kept = allw.join(removed, ["doc_id", "pos"], "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+            )
+        ).alias("m")
+    )
+    nrem = removed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = allw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words")
+    )
+    return (
+        counts.join(nrem, "doc_id", "left")
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("m"), F.md5(F.lit(""))).alias("rebuilt_md5"),
+        )
+    )
+
+
+@register(
     "text_c4_doc_filters",
     f"""
     WITH feat AS (

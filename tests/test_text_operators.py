@@ -175,3 +175,71 @@ def test_rrf_fusion_score_consistent_with_ranks(spark):
     assert set(per_q) <= set(range(len(RRF_QUERY_TERMS)))
     assert all(n <= 10 for n in per_q.values())
     assert both >= 1
+
+
+def test_dedup_span_removal_hand_built_clones(spark, tmp_path, monkeypatch):
+    """text_dedup_span_removal on hand-built docs where every expected
+    rebuilt string is written out by hand:
+
+    - d1 and d2 share the 5-gram 'a b c d e'; d1's occurrence is the
+      corpus-wide first (min (doc_id, position)) and is KEPT; d2's is
+      excised, removing its covered word positions 2..6 -> 'x y'.
+    - d3 is too short for any 5-gram: untouched.
+    - d4 repeats a 5-gram WITHIN one doc only: df counts DISTINCT
+      docs, so an intra-doc repeat is not 'duplicated' and the doc is
+      untouched (the Lee et al. signal is cross-document).
+    """
+    import hashlib
+
+    from dbt_slabbing_spark.queries import registry
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x a b c d e y"),
+        (3, "p q r"),
+        (4, "m n o p q m n o p q"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in registry()["text_dedup_span_removal"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1]["n_words"] == 6 and got[1]["n_removed"] == 0
+    assert got[1]["rebuilt_md5"] == md5("a b c d e f")
+    assert got[2]["n_words"] == 7 and got[2]["n_removed"] == 5
+    assert got[2]["rebuilt_md5"] == md5("x y")
+    assert got[3]["n_words"] == 3 and got[3]["n_removed"] == 0
+    assert got[3]["rebuilt_md5"] == md5("p q r")
+    assert got[4]["n_removed"] == 0
+    assert got[4]["rebuilt_md5"] == md5("m n o p q m n o p q")
+
+
+def test_dedup_span_removal_full_doc_excised(spark, tmp_path):
+    """A doc that is ENTIRELY a non-first duplicated span rebuilds to
+    the empty string (md5('')), with every position removed."""
+    import hashlib
+
+    from dbt_slabbing_spark.queries import registry
+
+    rows = [
+        (1, "a b c d e tail tail2"),  # first occurrence, kept
+        (2, "a b c d e"),  # exactly the duplicated gram: fully excised
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in registry()["text_dedup_span_removal"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[2]["n_removed"] == 5
+    assert got[2]["rebuilt_md5"] == hashlib.md5(b"").hexdigest()
+    assert got[1]["n_removed"] == 0
