@@ -153,7 +153,10 @@ _PRIORITY = (
     "q20_heavy_part_shippers",
     "q22_dormant_rich_customers",
     "q2_min_unit_cost_supplier",
-    "q4_late_shipment_orders",
+    "sim_ann_recall_metrics",  # round-11 gate, never driver-checked:
+    # takes q4_late_shipment_orders's slot (r6-green; the TPC-H family
+    # keeps 20+ prefixed rows and parity_sweep re-verifies q4 this
+    # round -> head of the round-12 queue)
     "text_dedup_span_removal",  # round-11 gate, never driver-checked:
     # takes q6_forecast_revenue's slot (r6-green; the TPC-H family
     # keeps 20+ prefixed rows and parity_sweep re-verifies q6 this

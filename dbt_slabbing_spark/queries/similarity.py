@@ -820,6 +820,196 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_recall_metrics",
+    # The ANN serving stack measuring itself (the dedup_lsh_quality_
+    # metrics pattern): recall@3 of the residual IVF-PQ search
+    # (sim_ivfpq_residual_topk's exact pipeline: 8 fixed centroids,
+    # 4x16 residual codebooks, nprobe=1, residual ADC) against BOTH
+    # exact ground truths -- top-3 by true L2 (the metric PQ
+    # approximates) and top-3 by cosine (the serving metric). Every
+    # argmin tie-breaks toward the smaller id and every score is
+    # 6-dp-rounded before ranking, so the selected SETS are
+    # deterministic and the whole verdict row hash-checks.
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cell, dv AS centv FROM v WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, cell, resid FROM (
+            SELECT e.vec_id, c.cell,
+                   list_transform(range(1, 65), i -> e.dv[i] - c.centv[i]) AS resid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.dv, e.dv) + list_dot_product(c.centv, c.centv)
+                                - 2 * list_dot_product(e.dv, c.centv), c.cell
+                   ) AS rn
+            FROM v e, cents c
+        ) WHERE rn = 1
+    ),
+    rsub AS (
+        SELECT vec_id, cell, s, resid[s*16+1 : (s+1)*16] AS sv
+        FROM assigned, (SELECT unnest(range(4)) AS s)
+    ),
+    cb AS (
+        SELECT vec_id AS code, s, sv AS cv FROM rsub WHERE vec_id < 16
+    ),
+    enc AS (
+        SELECT vec_id, cell, s, code,
+               row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY list_dot_product(sv, sv) + list_dot_product(cv, cv)
+                            - 2 * list_dot_product(sv, cv), code
+               ) AS rn
+        FROM rsub JOIN cb USING (s)
+    ),
+    codes AS (
+        SELECT vec_id, cell, s, code FROM enc WHERE rn = 1
+    ),
+    dtable AS (
+        SELECT q.vec_id AS query_id, cb.s, cb.code,
+               list_dot_product(q.sv, q.sv) + list_dot_product(cb.cv, cb.cv)
+               - 2 * list_dot_product(q.sv, cb.cv) AS part
+        FROM rsub q JOIN cb ON q.s = cb.s
+        WHERE q.vec_id < 5
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, cell FROM assigned WHERE vec_id < 5
+    ),
+    adc AS (
+        SELECT qc.query_id, c.vec_id,
+               sum(CASE WHEN c.s = 0 THEN d.part END) AS p0,
+               sum(CASE WHEN c.s = 1 THEN d.part END) AS p1,
+               sum(CASE WHEN c.s = 2 THEN d.part END) AS p2,
+               sum(CASE WHEN c.s = 3 THEN d.part END) AS p3
+        FROM qcells qc
+        JOIN codes c ON c.cell = qc.cell AND c.vec_id <> qc.query_id
+        JOIN dtable d ON d.query_id = qc.query_id AND d.s = c.s AND d.code = c.code
+        GROUP BY qc.query_id, c.vec_id
+    ),
+    ann AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round((p0 + p1 + p2 + p3) * 1000000.0) / 1000000.0 + 0.0,
+                                               vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= 3
+    ),
+    exact_l2 AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round((list_dot_product(e.dv, e.dv) + list_dot_product(q.dv, q.dv)
+                                       - 2 * list_dot_product(e.dv, q.dv)) * 1000000.0) / 1000000.0 + 0.0,
+                                e.vec_id
+                   ) AS rn
+            FROM v e, v q
+            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        ) WHERE rn <= 3
+    ),
+    exact_cos AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round((list_dot_product(q.dv, e.dv) /
+                                       (sqrt(list_dot_product(q.dv, q.dv)) * sqrt(list_dot_product(e.dv, e.dv))))
+                                      * 1000000.0) / 1000000.0 + 0.0 DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM v e, v q
+            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        ) WHERE rn <= 3
+    )
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           CAST(3 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM ann) AS n_ann,
+           (SELECT CAST(count(*) AS BIGINT) FROM ann JOIN exact_l2 USING (query_id, vec_id)) AS n_hit_l2,
+           round(((SELECT count(*) FROM ann JOIN exact_l2 USING (query_id, vec_id)) / 15.0) * 10000.0) / 10000.0 + 0.0 AS recall_at3_l2,
+           (SELECT CAST(count(*) AS BIGINT) FROM ann JOIN exact_cos USING (query_id, vec_id)) AS n_hit_cos,
+           round(((SELECT count(*) FROM ann JOIN exact_cos USING (query_id, vec_id)) / 15.0) * 10000.0) / 10000.0 + 0.0 AS recall_at3_cos
+    """,
+    "ANN recall self-evaluation: recall@3 of the residual IVF-PQ "
+    "search vs the exact L2 top-3 (the metric PQ approximates) and "
+    "the exact cosine top-3 (the serving metric), over the 5-query "
+    "set -- the number that says whether nprobe/codebook settings are "
+    "usable",
+    tags=("similarity", "pq", "ivf", "ann", "metrics"),
+)
+def sim_ann_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-stack analogue of dedup_lsh_quality_metrics: one
+    lazy plan joins the ANN top-3 set against both exact top-3 sets on
+    the (query, neighbor) key and a single zero-key aggregate derives
+    hits and recalls (one single-partition exchange of pre-aggregated
+    partials, the corpus invariant's allowed class). Exact baselines
+    are Q x N with Q=5 broadcast -- the baseline contract, not the
+    scale path; the ANN side under test IS the scale path (bounded
+    cell probes, broadcast codebooks).
+
+    Expect LOW recall on the synthetic corpus (~0.07 at sf0.01): the
+    embeddings are random, so there is no cluster structure for the
+    8-cell seeded quantizer to exploit and nprobe=1 sees ~1/8 of the
+    corpus. That is the honest reading the gate exists to surface --
+    these settings would be unusable in serving; a real corpus needs
+    trained centroids (ivf_trained_* shows the swap) and nprobe > 1."""
+    from pyspark.sql import Window as W
+
+    from ..operators.pq import ivfpq_residual_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    ann = ivfpq_residual_topk(
+        emb, n_queries=5, k=3, round_fn=lambda c: dround(c, 6)
+    ).select("query_id", "vec_id", F.lit(1).alias("in_ann"))
+
+    v = emb.select("vec_id", F.col("embedding").alias("ev"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dround(
+                dot(F.col("ev"), F.col("ev"))
+                + dot(F.col("qv"), F.col("qv"))
+                - 2 * dot(F.col("ev"), F.col("qv")),
+                6,
+            ).alias("d2"),
+            dround(cosine(F.col("qv"), F.col("ev")), 6).alias("cos"),
+        )
+    )
+    w_l2 = W.partitionBy("query_id").orderBy("d2", "vec_id")
+    w_cos = W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    exact = scored.select(
+        "query_id",
+        "vec_id",
+        (F.row_number().over(w_l2) <= 3).cast("int").alias("in_l2"),
+        (F.row_number().over(w_cos) <= 3).cast("int").alias("in_cos"),
+    ).filter((F.col("in_l2") == 1) | (F.col("in_cos") == 1))
+    joined = ann.join(exact, ["query_id", "vec_id"], "left")
+    return joined.agg(
+        F.lit(5).cast("bigint").alias("n_queries"),
+        F.lit(3).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ann"),
+        F.sum(F.coalesce("in_l2", F.lit(0))).cast("bigint").alias("n_hit_l2"),
+        dround(
+            F.sum(F.coalesce("in_l2", F.lit(0))).cast("double") / F.lit(15.0), 4
+        ).alias("recall_at3_l2"),
+        F.sum(F.coalesce("in_cos", F.lit(0))).cast("bigint").alias("n_hit_cos"),
+        dround(
+            F.sum(F.coalesce("in_cos", F.lit(0))).cast("double") / F.lit(15.0), 4
+        ).alias("recall_at3_cos"),
+    )
+
+
+@register(
     "sim_bitext_margin_pairs",
     # Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
     # Parallel Corpus Mining with Multilingual Sentence Embeddings"; the
