@@ -3663,28 +3663,34 @@ def profile_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("profile", "stats"),
 )
 def profile_entropy_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-format unpivot (3× column pruning-friendly scans folded by
-    the union), one (column, value) count aggregate, one column-keyed
-    reduce — all map-side combinable; nothing single-partition. The
-    integer-argument identity keeps both engines' libm calls on the
-    same inputs (log2 of exact counts), the surprisal-family contract."""
+    """Per-column NATIVE-typed count aggregates (3 column-pruned scans,
+    each map-side combinable), stringified and labeled only on the TINY
+    post-agg frames — nothing single-partition. The r10 plan unioned
+    135M long-format rows (sf30) BEFORE aggregating, paying a per-row
+    col_name literal, an int→string cast on every order_year row, and
+    string hashing on the unioned key; grouping each branch on its
+    native column first halves the time at sf30 (1884 → 1008 ms
+    measured). The integer-argument identity keeps both engines' libm
+    calls on the same inputs (log2 of exact counts), the
+    surprisal-family contract."""
     orders = table(spark, sf_dir, "orders")
-    parts = [
-        orders.select(
-            F.lit("o_orderstatus").alias("col_name"),
-            F.col("o_orderstatus").alias("val"),
-        ),
-        orders.select(
-            F.lit("o_orderpriority").alias("col_name"),
-            F.col("o_orderpriority").alias("val"),
-        ),
-        orders.select(
-            F.lit("order_year").alias("col_name"),
-            F.year("o_orderdate").cast("string").alias("val"),
-        ),
-    ]
-    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
-    c = u.groupBy("col_name", "val").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    parts = []
+    for name, col in (
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("order_year", F.year("o_orderdate")),
+    ):
+        branch = orders.groupBy(col.alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        parts.append(
+            branch.select(
+                F.lit(name).alias("col_name"),
+                F.col("k").cast("string").alias("val"),
+                "n",
+            )
+        )
+    c = parts[0].unionAll(parts[1]).unionAll(parts[2])
     return c.groupBy("col_name").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
         F.sum("n").cast("bigint").alias("n_rows"),
