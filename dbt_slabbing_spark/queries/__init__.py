@@ -152,7 +152,11 @@ _PRIORITY = (
     "q1_pricing_summary",
     "q20_heavy_part_shippers",
     "q22_dormant_rich_customers",
-    "q2_min_unit_cost_supplier",
+    "layout_incremental_mart_from_changes",  # round-11 gate, never
+    # driver-checked: takes q2_min_unit_cost_supplier's slot (r6-green;
+    # the TPC-H family keeps 20+ prefixed rows and parity_sweep
+    # re-verified q2 in this round's 50/50 -> head of the round-12
+    # queue)
     "sim_ann_recall_metrics",  # round-11 gate, never driver-checked:
     # takes q4_late_shipment_orders's slot (r6-green; the TPC-H family
     # keeps 20+ prefixed rows and parity_sweep re-verifies q4 this

@@ -937,3 +937,122 @@ def layout_snapshot_diff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_del_append bigint, n_chg_compact bigint, "
         "n_del_delete bigint, sum_del_delete double",
     )
+
+
+@register(
+    "layout_incremental_mart_from_changes",
+    # The CDF CONSUMER pattern: a per-event_type (count, sum) mart is
+    # maintained INCREMENTALLY -- full aggregate at the first snapshot,
+    # then one delta aggregate over read_changes() across an append AND
+    # a delete (inserts add, deletes subtract) -- and must equal the
+    # full recompute of the final snapshot exactly. The oracle states
+    # the final mart directly from events (append A = value < 150,
+    # append B = value >= 150, delete value >= 250), and the all_match
+    # flag is the literal TRUE by construction: exact for the bigint
+    # counts, and for the double sums because both sides round to the
+    # SAME 2 dp grid before comparing.
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value,
+           TRUE AS matches_full_recompute
+    FROM events
+    WHERE value < 250
+    GROUP BY event_type
+    """,
+    "incremental materialized mart maintained from read_changes "
+    "deltas across an append and a delete; proven equal to the full "
+    "recompute of the final snapshot (counts exact, sums on the "
+    "common 2dp grid)",
+    tags=("layout", "cdf", "incremental"),
+)
+def layout_incremental_mart_from_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Why a downstream pipeline wants read_changes: the mart is
+    updated with ONE aggregate over the change feed (insert rows add,
+    delete rows subtract -- counts via +/-1, sums via +/-value)
+    instead of re-reading the table. At 100 TB the feed for an
+    appends-only landing zone is just the new files (read_changes'
+    fast path), so maintenance cost tracks the DELTA, not the table.
+    This gate spans a delete too, exercising the row-level fallback
+    feed, and proves the maintained mart equals the full recompute."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        delete_rows,
+        manifest_versions,
+        read_changes,
+        read_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    work = tempfile.mkdtemp(prefix="incr_mart_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.filter(F.col("value") < 150).coalesce(2))
+        v1 = manifest_versions(work)[-1]
+        append_files(spark, work, ev.filter(F.col("value") >= 150).coalesce(2))
+        delete_rows(spark, work, F.col("value") >= 250, retain=True)
+        v3 = manifest_versions(work)[-1]
+
+        base = (
+            read_table(spark, work, version=v1)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n0"),
+                F.sum("value").alias("s0"),
+            )
+        )
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = (
+            read_changes(spark, work, v1, v3)
+            .groupBy("event_type")
+            .agg(
+                F.sum(sign).cast("bigint").alias("dn"),
+                F.sum(sign * F.col("value")).alias("ds"),
+            )
+        )
+        maintained = (
+            base.join(delta, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (
+                    F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))
+                ).cast("bigint").alias("n"),
+                dround(
+                    F.coalesce("s0", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0)),
+                    2,
+                ).alias("total_value"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        full = (
+            read_table(spark, work, version=v3)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_f"),
+                dround(F.sum("value"), 2).alias("s_f"),
+            )
+        )
+        out = maintained.join(full, "event_type", "full_outer").select(
+            "event_type",
+            "n",
+            "total_value",
+            (
+                (F.col("n") == F.col("n_f"))
+                & (F.col("total_value") == F.col("s_f"))
+            ).alias("matches_full_recompute"),
+        )
+        rows = out.collect()  # bounded: one row per event_type (5)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n bigint, total_value double, "
+        "matches_full_recompute boolean",
+    )
