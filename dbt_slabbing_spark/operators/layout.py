@@ -896,7 +896,8 @@ def append_batch_idempotent(spark, path, df: DataFrame, batch_id: int) -> bool:
 
 
 def compact_table(
-    spark, path, target_file_bytes: int = 128 * 1024 * 1024
+    spark, path, target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE for manifest tables (Delta's ``OPTIMIZE`` /
     Iceberg's ``rewrite_data_files``): rewrite the LIVE file list into
@@ -908,6 +909,18 @@ def compact_table(
     snapshots keep time-traveling until :func:`vacuum_orphans` reclaims
     them (a compaction changes layout, not content, so history stays
     cheap to retain).
+
+    ``cluster_by=[col, ...]`` is ``OPTIMIZE ... ZORDER BY``: instead of
+    a round-robin ``repartition``, the rewrite range-partitions on the
+    columns and sorts within files, so each new file covers a TIGHT
+    box on the cluster columns — and because the commit records per-
+    file min/max (``stats=``), ``read_table(prune=)`` starts skipping
+    most files for selective reads the moment the compaction lands.
+    One column gives range clustering; multiple give hierarchical
+    range+sort (for genuinely independent dims, pre-compute a
+    :func:`with_hilbert_key`/:func:`zorder_key` column and cluster by
+    that). Same OCC/crash contract either way — clustering changes the
+    LAYOUT of the rewrite, never the commit mechanics.
 
     Cost: O(live bytes) data rewrite + O(1) metadata. Concurrency: a
     DELETE/MERGE/append landing between our snapshot read and the
@@ -933,13 +946,15 @@ def compact_table(
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".compact-{token}")
-    (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[str(p / n) for n in live])
-        .repartition(int(n_files))
-        .write.mode("overwrite")
-        .parquet(str(staging))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[str(p / n) for n in live]
     )
+    if cluster_by:
+        df = df.repartitionByRange(int(n_files), *cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
+    else:
+        df = df.repartition(int(n_files))
+    df.write.mode("overwrite").parquet(str(staging))
     new_names = []
     for i, f in enumerate(sorted(staging.glob("*.parquet"))):
         name = f"compact-{token}-{i:05d}.parquet"

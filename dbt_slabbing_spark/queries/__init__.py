@@ -151,7 +151,11 @@ _PRIORITY = (
     "q19_disjunctive_ranges",
     "q1_pricing_summary",
     "q20_heavy_part_shippers",
-    "q22_dormant_rich_customers",
+    "layout_optimize_cluster_prune",  # round-11 gate, never
+    # driver-checked: takes q22_dormant_rich_customers's slot
+    # (r6-green; the TPC-H family keeps 20+ prefixed rows and
+    # parity_sweep re-verified q22 in this round's 50/50 -> head of
+    # the round-12 queue)
     "layout_incremental_mart_from_changes",  # round-11 gate, never
     # driver-checked: takes q2_min_unit_cost_supplier's slot (r6-green;
     # the TPC-H family keeps 20+ prefixed rows and parity_sweep

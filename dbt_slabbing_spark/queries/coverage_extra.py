@@ -1056,3 +1056,97 @@ def layout_incremental_mart_from_changes(
         "event_type string, n bigint, total_value double, "
         "matches_full_recompute boolean",
     )
+
+
+@register(
+    "layout_optimize_cluster_prune",
+    # OPTIMIZE ... ZORDER BY, end to end: 8 round-robin (unclustered)
+    # files -- every one overlaps any value band, so pruning keeps all
+    # 8 (the literal baseline) -- then compact_table(cluster_by=
+    # ['value']) rewrites them range-clustered, and the SAME pruned
+    # read now plans strictly fewer files (clustered files are
+    # value-DISJOINT, so a narrow band can't touch them all). Counts
+    # of the clustered read's file list are data-placement-dependent,
+    # so the oracle states the INVARIANTS (8 before, 8 scanned before,
+    # improvement TRUE) plus the row results as a plain filter.
+    """
+    SELECT CAST(8 AS BIGINT) AS n_files_unclustered,
+           CAST(8 AS BIGINT) AS n_scanned_unclustered,
+           TRUE AS clustered_prune_improves,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS sum_value
+    FROM events WHERE value BETWEEN 60.0 AND 110.0
+    """,
+    "OPTIMIZE with clustering: a round-robin table prunes nothing "
+    "(all 8 files overlap the band); compact_table(cluster_by) "
+    "rewrites it range-clustered and the same two-sided prune plans "
+    "strictly fewer files, with row results hash-checked",
+    tags=("layout", "pruning", "compaction"),
+)
+def layout_optimize_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why OPTIMIZE takes a clustering spec: compaction is the one
+    moment the whole table is rewritten anyway, so it is free to also
+    SORT it -- range-partition + sortWithinPartitions gives each new
+    file a tight min/max box, the commit carries those boxes
+    (stats=), and every subsequent selective read prunes from the
+    manifest alone. This is Delta's OPTIMIZE ZORDER / Iceberg's
+    sort-order rewrite expressed as repartitionByRange, the plan a
+    1000-executor cluster wants (the sort is per-file, the partition
+    exchange is the only corpus-wide move)."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        compact_table,
+        ensure_manifest,
+        prune_file_list,
+        read_table,
+    )
+
+    lo, hi = 60.0, 110.0
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="optimize_cluster_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.repartition(8))
+        live = ensure_manifest(work)
+        scanned_before = prune_file_list(work, live, "value", lo, hi)
+        p = pathlib.Path(work)
+        total = sum((p / n).stat().st_size for n in live)
+        stats = compact_table(
+            spark, work, target_file_bytes=max(total // 8, 1),
+            cluster_by=["value"],
+        )
+        live2 = ensure_manifest(work)
+        scanned_after = prune_file_list(work, live2, "value", lo, hi)
+        improves = len(scanned_after) < len(scanned_before) and stats[
+            "n_files_after"
+        ] > 1
+        pruned = read_table(spark, work, prune=("value", lo, hi)).filter(
+            F.col("value").between(lo, hi)
+        )
+        row = pruned.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(live),
+                len(scanned_before),
+                improves,
+                row["n_rows"],
+                row["n_users"],
+                float(row["sum_value"]),
+            )
+        ],
+        "n_files_unclustered bigint, n_scanned_unclustered bigint, "
+        "clustered_prune_improves boolean, n_rows bigint, "
+        "n_users bigint, sum_value double",
+    )

@@ -316,3 +316,49 @@ def test_vacuum_drops_stats_entries(spark, ranged_table):
     cache = json.loads((pathlib.Path(ranged_table) / layout._STATS).read_text())
     assert "orphan.parquet" not in cache["v"]
     assert "f0.parquet" in cache["v"]  # live entries survive
+
+
+def test_compact_cluster_by_improves_pruning(spark, tmp_path):
+    """compact_table(cluster_by=) = OPTIMIZE ZORDER: after the
+    clustered rewrite the files are value-disjoint, a narrow band
+    prunes to a strict subset, commit-carried stats serve the prune,
+    and the table CONTENT is unchanged."""
+    from dbt_slabbing_spark.operators.layout import (
+        append_files,
+        compact_table,
+        read_table,
+    )
+
+    target = str(tmp_path / "t")
+    rows = [(i, float(i % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    append_files(spark, target, df.repartition(6))  # unclustered
+    live = ensure_manifest(target)
+    assert prune_file_list(target, live, "v", 40.0, 45.0) == live  # no skip
+    before = sorted(r["k"] for r in read_table(spark, target).collect())
+
+    p = pathlib.Path(target)
+    total = sum((p / n).stat().st_size for n in live)
+    stats = compact_table(
+        spark, target, target_file_bytes=max(total // 6, 1), cluster_by=["v"]
+    )
+    assert stats["n_files_after"] > 1
+    live2 = ensure_manifest(target)
+    scanned = prune_file_list(target, live2, "v", 40.0, 45.0)
+    assert 0 < len(scanned) < len(live2)  # strict improvement
+    # commit-carried stats cover the rewritten files (no sidecar)
+    doc = json.loads((p / layout._MANIFEST).read_text())
+    assert set(doc["stats"]) == set(doc["files"])
+    assert not (p / layout._STATS).exists()
+    # content unchanged by the clustered rewrite
+    after = sorted(r["k"] for r in read_table(spark, target).collect())
+    assert after == before
+    # pruned+filtered read == unpruned filtered read
+    got = sorted(
+        r["k"]
+        for r in read_table(spark, target, prune=("v", 40.0, 45.0))
+        .filter(F.col("v").between(40.0, 45.0))
+        .collect()
+    )
+    want = sorted(r["k"] for r in df.filter(F.col("v").between(40.0, 45.0)).collect())
+    assert got == want
