@@ -45,6 +45,34 @@ def _cell_assignment(vectors: DataFrame, centroids: list[tuple[int, list[float]]
     return F.element_at(F.array_sort(_cell_distances(vec_col, centroids)), 1)["cell"]
 
 
+def ivf_train_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> list[tuple[int, list[float]]]:
+    """Train the coarse quantizer once (seeded MLlib k-means) and
+    return its centroids as plain floats — so a caller comparing
+    several ``nprobe`` settings (sim_ann_recall_tradeoff) rides ONE
+    training pass instead of re-fitting per setting."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="_features", predictionCol="_cell",
+    )
+    model = km.fit(feats)
+    return [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -70,19 +98,10 @@ def ivf_topk(
     operators/kmeans.py::kmeans_fit.
     """
     if centroids is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        feats = vectors.select(
-            F.col(id_col),
-            F.col(vec_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+        centroids = ivf_train_centroids(
+            vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            seed=seed, max_iter=max_iter,
         )
-        km = KMeans(
-            k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="_cell"
-        )
-        model = km.fit(feats)
-        centroids = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
 
     assigned = vectors.withColumn("_cell", _cell_assignment(vectors, centroids, vec_col))
 

@@ -150,7 +150,10 @@ _PRIORITY = (
     "q18_large_volume_orders",
     "q19_disjunctive_ranges",
     "q1_pricing_summary",
-    "q20_heavy_part_shippers",
+    "sim_ann_recall_tradeoff",  # round-11 gate, never driver-checked:
+    # takes q20_heavy_part_shippers's slot (r6-green; the TPC-H family
+    # keeps 19+ prefixed rows and parity_sweep re-verified q20 in this
+    # round's 50/50 -> head of the round-12 queue)
     "layout_optimize_cluster_prune",  # round-11 gate, never
     # driver-checked: takes q22_dormant_rich_customers's slot
     # (r6-green; the TPC-H family keeps 20+ prefixed rows and
