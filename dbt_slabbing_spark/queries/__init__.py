@@ -148,7 +148,11 @@ _PRIORITY = (
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "q19_disjunctive_ranges",
+    "stream_cdf_incremental_mart",  # round-11 gate, never
+    # driver-checked: takes q19_disjunctive_ranges's slot (r6-green;
+    # the TPC-H family keeps 18+ prefixed rows and parity_sweep
+    # re-verified q19 in this round's 50/50 -> head of the round-12
+    # queue)
     "q1_pricing_summary",
     "sim_ann_recall_tradeoff",  # round-11 gate, never driver-checked:
     # takes q20_heavy_part_shippers's slot (r6-green; the TPC-H family

@@ -495,3 +495,30 @@ def stream_manifest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_pattern_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_pattern_v_shape(spark, sf_dir)
+
+
+@register(
+    "stream_cdf_incremental_mart",
+    # Exactly-once commits + exact change feeds compose: the consumer
+    # only ever sees each landed row once, so the incrementally
+    # maintained mart equals the batch rollup over raw events no
+    # matter how the stream was sliced into micro-batches.
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "streaming landing zone + CDF consumer: each micro-batch is an "
+    "idempotent manifest commit; a downstream mart is maintained from "
+    "read_changes(last_seen, current) after every commit (file-level "
+    "fast path: only the new files are ever scanned) and equals the "
+    "batch rollup",
+    tags=("streaming", "layout", "cdf", "incremental"),
+)
+def stream_cdf_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_cdf_mart_")
+    return jobs.streaming_cdf_incremental_mart(
+        spark, sf_dir, work, rows_per_batch=2000
+    )
