@@ -327,6 +327,7 @@ def _commit_manifest(
     files: list[str],
     expected_version: int | None = None,
     stats: dict | None = None,
+    dv: dict | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -361,6 +362,18 @@ def _commit_manifest(
     (:func:`file_column_stats`) consult these before ever touching a
     data-file footer; the footer+sidecar path remains only as the
     fallback for pre-r11 tables and commits that didn't pass stats.
+
+    ``dv`` is the deletion-vector mapping to publish
+    (``{data_file: [dv_file, ...]}``, Delta's DV sidecar contract):
+    positions listed in a file's DV parquets are dead at read time.
+    Like stats, entries carry forward for files still live and drop
+    for files leaving the live list (a rewrite MATERIALIZES its files'
+    deletes, so the replacement files start DV-free); unlike stats the
+    caller passes the COMPLETE new mapping when it changes one (a
+    second DELETE on a file must union, and only the caller knows the
+    union). Each history entry records the displaced snapshot's full
+    DV mapping — O(files-with-deletes) per entry, small by
+    construction — so time travel restores row-level content exactly.
     """
     import json
     import os
@@ -368,13 +381,14 @@ def _commit_manifest(
     mf = p / _MANIFEST
     fd = _manifest_lock(p)
     try:
-        version, history, prev_stats = 1, [], {}
+        version, history, prev_stats, prev_dv = 1, [], {}, {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
             version = cur + 1
             history = prev.get("history", [])
             prev_stats = prev.get("stats", {})
+            prev_dv = prev.get("dv", {})
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -386,13 +400,14 @@ def _commit_manifest(
             # live list (_files_at_version). Pre-r9 full-list entries
             # ("files") are still read (back-compat in the replay).
             old_set, new_set = set(prev["files"]), set(files)
-            history.append(
-                {
-                    "version": cur,
-                    "added": sorted(new_set - old_set),
-                    "removed": sorted(old_set - new_set),
-                }
-            )
+            entry = {
+                "version": cur,
+                "added": sorted(new_set - old_set),
+                "removed": sorted(old_set - new_set),
+            }
+            if prev_dv:  # record displaced snapshot's DV state (small)
+                entry["dv"] = prev_dv
+            history.append(entry)
         else:
             cur = 0
         if expected_version is not None and cur != expected_version:
@@ -405,17 +420,18 @@ def _commit_manifest(
         merged_stats = {n: s for n, s in prev_stats.items() if n in live_set}
         if stats:
             merged_stats.update({n: s for n, s in stats.items() if n in live_set})
+        base_dv = dv if dv is not None else prev_dv
+        merged_dv = {n: d for n, d in base_dv.items() if n in live_set and d}
+        doc = {
+            "files": sorted(files),
+            "version": version,
+            "history": history,
+            "stats": merged_stats,
+        }
+        if merged_dv:
+            doc["dv"] = merged_dv
         tmp = p / (_MANIFEST + ".tmp")
-        tmp.write_text(
-            json.dumps(
-                {
-                    "files": sorted(files),
-                    "version": version,
-                    "history": history,
-                    "stats": merged_stats,
-                }
-            )
-        )
+        tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
         return version
     finally:
@@ -472,6 +488,97 @@ def _files_at_version(p, version: int) -> list[str]:
         else:
             files = (files - set(h.get("added", ()))) | set(h.get("removed", ()))
     return sorted(files)
+
+
+def _dv_at_version(p, version: int | None = None) -> dict:
+    """Deletion-vector mapping (``{data_file: [dv_file, ...]}``) of a
+    snapshot: the live manifest's ``dv`` key for the current version,
+    else the full DV snapshot each history entry records for its
+    displaced version (see :func:`_commit_manifest`). Pre-DV manifests
+    and entries read as ``{}``."""
+    import json
+
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return {}
+    doc = json.loads(mf.read_text())
+    cur = int(doc.get("version", 1))
+    if version is None or version == cur:
+        return doc.get("dv", {})
+    for h in doc.get("history", []):
+        if int(h["version"]) == version:
+            return h.get("dv", {})
+    raise ValueError(
+        f"version {version} not in manifest (have {manifest_versions(p)})"
+    )
+
+
+def _scan_with_dv(
+    spark,
+    p,
+    live: list[str],
+    dv_map: dict,
+    merge_schema: bool = True,
+    keep_file_col: bool = False,
+    keep_pos_col: bool = False,
+) -> DataFrame:
+    """Scan ``live`` data files with their deletion vectors applied —
+    the ONE read path every manifest consumer (read_table, DELETE,
+    MERGE, OPTIMIZE) goes through, so a DV'd row is dead everywhere at
+    once.
+
+    Plan shape: the DV side is the union of the snapshot's DV parquets
+    (``(file, pos)`` rows — only DELETED positions, tiny relative to
+    the table), broadcast into a LEFT ANTI join against the scan keyed
+    on (file name, ``_metadata.row_index``) — Spark's native stable
+    per-file row position, the same identity Delta's DV reader filters
+    on inside the scan node. Zero overhead when the snapshot has no
+    DVs touching the scanned files: the plain parquet scan is returned
+    untouched. ``keep_file_col=True`` keeps a ``_file`` URI column
+    (equivalent to ``input_file_name()``, which cannot be used above a
+    join) for mutation attribution; ``keep_pos_col=True`` keeps
+    ``__dv_name``/``__dv_pos`` (file NAME + row position) so a DELETE
+    can mint new DV entries for the rows it matches."""
+    reader = (
+        spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    )
+    paths = [str(p / n) for n in live]
+    live_set = set(live)
+    dv_files = sorted(
+        {d for n, lst in dv_map.items() if n in live_set for d in lst}
+    )
+    if not dv_files and not keep_pos_col:
+        df = reader.parquet(*paths)
+        if keep_file_col:
+            df = df.withColumn("_file", F.input_file_name())
+        return df
+    data_cols = reader.parquet(*paths).columns
+    df = (
+        reader.parquet(*paths)
+        .withColumn("_file", F.col("_metadata.file_path"))
+        .withColumn(
+            "__dv_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        )
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+    )
+    if dv_files:
+        dead = (
+            spark.read.parquet(*[str(p / d) for d in dv_files])
+            .filter(F.col("file").isin(list(live_set)))
+            .select(
+                F.col("file").alias("__dv_name"), F.col("pos").alias("__dv_pos")
+            )
+            .distinct()
+        )
+        df = df.join(
+            F.broadcast(dead), on=["__dv_name", "__dv_pos"], how="left_anti"
+        )
+    keep = (
+        data_cols
+        + (["_file"] if keep_file_col else [])
+        + (["__dv_name", "__dv_pos"] if keep_pos_col else [])
+    )
+    return df.select(*keep)
 
 
 def ensure_manifest(path) -> list[str]:
@@ -743,7 +850,13 @@ def read_table(
                 # MERGED schema under merge_schema=True so columns added
                 # by later files still bind downstream (ADVICE r10)
                 return reader.parquet(*[str(p / n) for n in full]).limit(0)
-        return reader.parquet(*[str(p / n) for n in live])
+        # deletion vectors of THIS snapshot (if any) drop their dead
+        # positions inside the scan — prune-kept files with DVs still
+        # read correctly because pruning is a superset guarantee and
+        # DV'd rows are removed here, after file skipping
+        return _scan_with_dv(
+            spark, p, live, _dv_at_version(p, version), merge_schema=merge_schema
+        )
     if version is not None:
         raise ValueError("version= requires a manifest table")
     if prune is not None:
@@ -790,7 +903,12 @@ def read_changes(spark, path, v_from: int, v_to: int) -> DataFrame:
     f_from = set(_files_at_version(p, v_from))
     f_to = set(_files_at_version(p, v_to))
     reader = spark.read.option("mergeSchema", "true")
-    if f_from <= f_to:
+    # the fast path additionally requires the DELETION-VECTOR state to
+    # be unchanged across the range: a DV commit deletes rows while
+    # leaving the file list identical, which the file-level diff is
+    # blind to — those ranges take the row-level fallback (whose
+    # version reads apply each snapshot's DVs)
+    if f_from <= f_to and _dv_at_version(p, v_from) == _dv_at_version(p, v_to):
         added = sorted(f_to - f_from)
         missing = [n for n in added if not (p / n).exists()]
         if missing:
@@ -946,9 +1064,11 @@ def compact_table(
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".compact-{token}")
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[str(p / n) for n in live]
-    )
+    # DV-applied read: compaction MATERIALIZES deletion vectors — the
+    # rewritten files hold only live rows, and the commit's carry-
+    # forward drops the displaced files' DV entries (OPTIMIZE's
+    # merge-on-read → copy-on-write conversion)
+    df = _scan_with_dv(spark, p, live, _dv_at_version(p), merge_schema=True)
     if cluster_by:
         df = df.repartitionByRange(int(n_files), *cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
@@ -1003,9 +1123,13 @@ def vacuum_orphans(
 
     p = pathlib.Path(path)
     live = set(ensure_manifest(p))
+    # DV parquets referenced by a protected snapshot are as live as its
+    # data files — deleting one would resurrect dead rows
+    live |= {d for lst in _dv_at_version(p).values() for d in lst}
     if retain_versions:
         for v in manifest_versions(p)[:-1][-retain_versions:]:
             live |= set(_files_at_version(p, v))
+            live |= {d for lst in _dv_at_version(p, v).values() for d in lst}
     cutoff = time.time() - grace_seconds
     removed = []
     for f in p.glob("*.parquet"):
@@ -1090,12 +1214,30 @@ def _unlink_quiet(f) -> None:
 
 
 def delete_rows(
-    spark, path: str, predicate: str | Column, retain: bool = False
+    spark,
+    path: str,
+    predicate: str | Column,
+    retain: bool = False,
+    mode: str = "cow",
 ) -> dict:
     """Targeted row deletion from a parquet table: rewrite ONLY the
     files that contain matching rows — the GDPR / right-to-be-forgotten
     maintenance op, i.e. a table format's copy-on-write DELETE
     (Delta/Iceberg) expressed over plain parquet + a manifest.
+
+    ``mode="dv"`` switches to DELETION VECTORS (Delta's DV / Iceberg's
+    positional delete files): NO data file is rewritten at all —
+    matched (file, row-position) pairs land in one small DV parquet,
+    and the commit maps each affected data file to its DV sidecars.
+    Readers anti-join the (broadcast-sized) dead-position set inside
+    the scan (:func:`_scan_with_dv`). This is the merge-on-read half
+    of the DELETE cost model: a 100-row delete against a 100 TB table
+    costs O(matched rows) write instead of O(affected files) rewrite;
+    the read-side tax (one broadcast anti-join) accrues until a
+    rewrite — :func:`compact_table` or a later copy-on-write DELETE —
+    MATERIALIZES the deletes and clears the file's DV entries (the
+    OPTIMIZE contract). Stats/prune stay conservative-correct: a DV'd
+    file's committed min/max describe a superset of its live rows.
 
     SQL DELETE semantics: a row is deleted iff the predicate is TRUE;
     rows where it evaluates NULL survive (and are not counted).
@@ -1139,21 +1281,28 @@ def delete_rows(
 
     p = pathlib.Path(path)
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     vers, live = _snapshot_for_update(p)
+    dv_prev = _dv_at_version(p)
+    if mode == "dv":
+        return _delete_rows_dv(spark, p, cond, vers, live, dv_prev)
     live_paths = [str(p / n) for n in live]
     # rows_before: count-star compiles to a footer-metadata read (no
-    # data pages); match attribution runs over the FILTERED scan, so
-    # the predicate pushes into parquet and row-group stats skip clean
-    # files/groups.
+    # data pages) when the snapshot carries no deletion vectors; with
+    # DVs the count must run through the DV-applied scan.
     # mergeSchema: the predicate may reference a column added by a
     # later append_files generation; files predating it read NULL there
     # (predicate NULL → row survives, per the DELETE semantics below)
-    rows_before = spark.read.option("mergeSchema", "true").parquet(*live_paths).count()
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*live_paths)
-        .withColumn("_file", F.input_file_name())
+    df = _scan_with_dv(
+        spark, p, live, dv_prev, merge_schema=True, keep_file_col=True
     )
+    if any(dv_prev.get(n) for n in live):
+        rows_before = df.count()
+    else:
+        rows_before = (
+            spark.read.option("mergeSchema", "true").parquet(*live_paths).count()
+        )
     per_file = (
         df.filter(cond)
         .groupBy("_file")
@@ -1211,6 +1360,65 @@ def delete_rows(
     return stats
 
 
+def _delete_rows_dv(spark, p, cond, vers, live, dv_prev) -> dict:
+    """Merge-on-read DELETE (see :func:`delete_rows` ``mode="dv"``):
+    one DV parquet of matched (file, pos) pairs, one manifest commit
+    mapping affected files to it, ZERO data-file rewrites. Existing
+    DVs are applied to the matching scan first, so an already-dead row
+    is never re-counted and a second DELETE on the same file UNIONS
+    (the file's DV list grows; the read path unions the parquets).
+    Crash/OCC contract matches the copy-on-write path: the DV file is
+    staged into the table dir before the commit (invisible until the
+    manifest maps it; an aborted commit leaves it for vacuum)."""
+    import pathlib
+    import shutil
+    import uuid
+
+    df = _scan_with_dv(
+        spark, p, live, dv_prev, merge_schema=True, keep_pos_col=True
+    )
+    rows_before = df.count()
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".dv-{token}")
+    # the DV is O(matched rows): a handful of positions for a targeted
+    # delete — coalesce(1) is deliberate (one sidecar per DELETE, the
+    # Delta DV granularity); a predicate matching half the table is
+    # what mode="cow" is for
+    df.filter(cond).select(
+        F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
+    ).coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = sorted(staging.glob("*.parquet"))[0]
+    dv_name = f"dv-{token}-00000.parquet"
+    part.rename(p / dv_name)
+    shutil.rmtree(str(staging), ignore_errors=True)
+    per_file = (
+        spark.read.parquet(str(p / dv_name))
+        .groupBy("file")
+        .count()
+        .collect()  # bounded: one row per AFFECTED file
+    )
+    rows_deleted = int(sum(r["count"] for r in per_file))
+    affected = sorted(r["file"] for r in per_file)
+    stats = {
+        "rows_before": int(rows_before),
+        "rows_deleted": rows_deleted,
+        "rows_after": int(rows_before - rows_deleted),
+        "n_files_total": len(live),
+        "n_files_rewritten": 0,
+        "n_dv_files_added": 1 if affected else 0,
+    }
+    if not affected:  # nothing matched: no commit, drop the empty DV
+        _unlink_quiet(p / dv_name)
+        return stats
+    new_dv = {n: list(lst) for n, lst in dv_prev.items()}
+    for n in affected:
+        new_dv.setdefault(n, []).append(dv_name)
+    # ATOMIC + OCC: a conflicting commit raises before anything is
+    # published; the staged DV parquet is an orphan for vacuum
+    _commit_manifest(p, list(live), expected_version=vers, dv=new_dv)
+    return stats
+
+
 def merge_rows(
     spark,
     path: str,
@@ -1254,7 +1462,7 @@ def merge_rows(
     keys = [on] if isinstance(on, str) else list(on)
     p = pathlib.Path(path)
     vers, live = _snapshot_for_update(p)
-    live_paths = [str(p / n) for n in live]
+    dv_prev = _dv_at_version(p)
 
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
@@ -1262,10 +1470,10 @@ def merge_rows(
     src = source.cache()
     n_src = src.count()
 
-    tgt = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*live_paths)
-        .withColumn("_file", F.input_file_name())
+    # DV-applied target scan: a DV'd (dead) row must neither count as
+    # matched nor survive a rewrite
+    tgt = _scan_with_dv(
+        spark, p, live, dv_prev, merge_schema=True, keep_file_col=True
     )
     src_keys = F.broadcast(src.select(*keys))
     per_file = (
@@ -1278,7 +1486,10 @@ def merge_rows(
     affected_uris = [r["_file"] for r in per_file]
     affected_names = sorted({_uri_to_name(u) for u in affected_uris})
     matched_keys = src.join(tgt.select(*keys), on=keys, how="left_semi").count()
-    rows_before = spark.read.parquet(*live_paths).count()
+    if any(dv_prev.get(n) for n in live):
+        rows_before = tgt.count()
+    else:  # footer-metadata count (no data pages) when DV-free
+        rows_before = spark.read.parquet(*[str(p / n) for n in live]).count()
     stats = {
         "rows_before": int(rows_before),
         "rows_updated": int(rows_updated),

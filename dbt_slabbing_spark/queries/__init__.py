@@ -146,7 +146,11 @@ _PRIORITY = (
     "q14_promo_revenue_ratio",
     "q15_top_revenue_suppliers",
     "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
+    "layout_deletion_vector_read",  # round-11 gate, never
+    # driver-checked: takes q17_small_quantity_revenue's slot
+    # (r6-green; the TPC-H family keeps 18+ prefixed rows and
+    # parity_sweep re-verifies q17 this round -> head of the round-12
+    # queue)
     "q18_large_volume_orders",
     "stream_cdf_incremental_mart",  # round-11 gate, never
     # driver-checked: takes q19_disjunctive_ranges's slot (r6-green;

@@ -1150,3 +1150,98 @@ def layout_optimize_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame
         "clustered_prune_improves boolean, n_rows bigint, "
         "n_users bigint, sum_value double",
     )
+
+
+@register(
+    "layout_deletion_vector_read",
+    # Merge-on-read DELETE (Delta deletion vectors / Iceberg positional
+    # delete files): two DV deletes ('click', then 'error') rewrite ZERO
+    # data files -- matched (file, row-position) pairs land in one small
+    # DV parquet each and the manifest maps affected files to them; the
+    # read path anti-joins the broadcast dead-position set inside the
+    # scan. OPTIMIZE (compact_table) then MATERIALIZES the deletes and
+    # must reproduce the same aggregates. The oracle states the final
+    # live content directly; n_files_rewritten=0 and n_dv_parquets=2
+    # are literals BY CONSTRUCTION of the mode="dv" contract, and
+    # post_optimize_match is TRUE because both sides round to the same
+    # 2-dp grid before comparing.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_live,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE event_type IN ('click', 'error')) AS n_deleted,
+           CAST(0 AS BIGINT) AS n_files_rewritten,
+           CAST(2 AS BIGINT) AS n_dv_parquets,
+           TRUE AS post_optimize_match
+    FROM events
+    WHERE event_type NOT IN ('click', 'error')
+    """,
+    "deletion-vector (merge-on-read) DELETE: two row-level deletes "
+    "rewrite zero data files (positions land in DV parquet sidecars "
+    "mapped by the manifest commit; reads anti-join the broadcast "
+    "dead set inside the scan), and OPTIMIZE materializes them to "
+    "the same aggregates",
+    tags=("layout", "dv"),
+)
+def layout_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::delete_rows(mode="dv") end-to-end
+    under the oracle gate: the DELETE cost model a 100 TB table needs
+    (O(matched rows) DV write instead of O(affected files) rewrite --
+    at that scale a targeted delete touching every file would rewrite
+    the whole table under copy-on-write), the union of a second DELETE
+    on the same files, the DV-applied scan, and the OPTIMIZE pass that
+    converts merge-on-read back to copy-on-write. Cites the Delta
+    deletion-vector / Iceberg positional-delete-file design."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        compact_table,
+        delete_rows,
+        read_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="dv_gate_")
+    shutil.rmtree(work)  # append_files creates the table dir itself
+    try:
+        for i in range(4):
+            append_files(
+                spark, work, ev.filter(F.col("user_id") % 4 == i).coalesce(1)
+            )
+        st1 = delete_rows(spark, work, "event_type = 'click'", mode="dv")
+        st2 = delete_rows(spark, work, "event_type = 'error'", mode="dv")
+        n_dv = len(list(pathlib.Path(work).glob("dv-*.parquet")))
+
+        def _agg(df):
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct("user_id").cast("bigint").alias("n_users"),
+                dround(F.sum("value"), 2).alias("sum_value"),
+            ).collect()[0]
+            return (r["n_rows"], r["n_users"], float(r["sum_value"]))
+
+        before = _agg(read_table(spark, work))
+        compact_table(spark, work, target_file_bytes=1 << 30)
+        after = _agg(read_table(spark, work))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                after[0],
+                after[1],
+                after[2],
+                int(st1["rows_deleted"] + st2["rows_deleted"]),
+                int(st1["n_files_rewritten"] + st2["n_files_rewritten"]),
+                n_dv,
+                before == after,
+            )
+        ],
+        "n_rows_live bigint, n_users bigint, sum_value double, "
+        "n_deleted bigint, n_files_rewritten bigint, "
+        "n_dv_parquets bigint, post_optimize_match boolean",
+    )

@@ -51,6 +51,10 @@ _SINGLE_PARTITION_BUDGET = {
     # count / sample totals) — both bounded, classified below
     "window_ntile_quartiles": 2,
     "profile_ks_two_sample": 2,
+    # four 1-row per-nprobe recall aggregates (zero-key, classified
+    # bounded below); the monotonicity lag window runs over their 4-row
+    # union — the knob-sweep harness is per-point scalar verdicts
+    "sim_ann_recall_tradeoff": 4,
 }
 
 # Streaming jobs execute on build (memory-sink materialization) and are
