@@ -328,6 +328,8 @@ def _commit_manifest(
     expected_version: int | None = None,
     stats: dict | None = None,
     dv: dict | None = None,
+    bloom: dict | None = None,
+    bloom_cfg: dict | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -374,6 +376,16 @@ def _commit_manifest(
     union). Each history entry records the displaced snapshot's full
     DV mapping — O(files-with-deletes) per entry, small by
     construction — so time travel restores row-level content exactly.
+
+    ``bloom`` merges per-file bloom bitsets into the commit's
+    ``bloom`` key (``{col: {file: hex_bitset}}`` — see
+    :func:`create_bloom_index`) and ``bloom_cfg`` replaces the index
+    registry (``{col: {"m": bits, "k": hashes}}``); both carry forward
+    unchanged when not passed (data files are immutable, so a carried
+    bitset can never go stale; entries drop with their files). Blooms
+    are an INDEX, not content: history entries don't record them —
+    a time-travel read that can't prove a file irrelevant simply scans
+    it (conservative, still exact).
     """
     import json
     import os
@@ -382,6 +394,7 @@ def _commit_manifest(
     fd = _manifest_lock(p)
     try:
         version, history, prev_stats, prev_dv = 1, [], {}, {}
+        prev_bloom, prev_bloom_cfg = {}, {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
@@ -389,6 +402,8 @@ def _commit_manifest(
             history = prev.get("history", [])
             prev_stats = prev.get("stats", {})
             prev_dv = prev.get("dv", {})
+            prev_bloom = prev.get("bloom", {})
+            prev_bloom_cfg = prev.get("bloom_cfg", {})
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -430,6 +445,21 @@ def _commit_manifest(
         }
         if merged_dv:
             doc["dv"] = merged_dv
+        merged_bloom = {}
+        for col, entries in prev_bloom.items():
+            kept = {n: b for n, b in entries.items() if n in live_set}
+            if kept:
+                merged_bloom[col] = kept
+        if bloom:
+            for col, entries in bloom.items():
+                merged_bloom.setdefault(col, {}).update(
+                    {n: b for n, b in entries.items() if n in live_set}
+                )
+        if merged_bloom:
+            doc["bloom"] = merged_bloom
+        cfg = bloom_cfg if bloom_cfg is not None else prev_bloom_cfg
+        if cfg:
+            doc["bloom_cfg"] = cfg
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
@@ -783,12 +813,175 @@ def prune_file_list(path, files: list[str], col: str, lo, hi) -> list[str]:
     return keep
 
 
+def _bloom_positions(value_col: Column, m: int, k: int) -> list[Column]:
+    """The ``k`` bit positions a value sets/probes in an ``m``-bit
+    bloom filter: ``pmod(xxhash64(cast(value as string), seed), m)``
+    per seed. The STRING cast pins one hash input representation on
+    both the build side (a column) and the probe side (a literal) —
+    xxhash64 is JVM-side and deterministic, so the index is stable
+    across sessions and machines."""
+    s = value_col.cast("string")
+    return [
+        F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(m)).cast("int")
+        for seed in range(k)
+    ]
+
+
+def _pack_bits(positions, m: int) -> str:
+    """Pack bit positions into a hex string of ``m/8`` bytes."""
+    buf = bytearray(m // 8)
+    for pos in positions:
+        buf[pos // 8] |= 1 << (pos % 8)
+    return bytes(buf).hex()
+
+
+def _bloom_has(hexset: str, positions: list[int]) -> bool:
+    buf = bytes.fromhex(hexset)
+    return all(buf[pos // 8] & (1 << (pos % 8)) for pos in positions)
+
+
+def create_bloom_index(
+    spark, path, col: str, m_bits: int = 8192, k: int = 3
+) -> dict:
+    """Register + build a per-FILE bloom-filter index on ``col`` (the
+    Delta ``CREATE BLOOMFILTER INDEX`` shape): one ``m_bits`` bitset
+    per live data file rides the manifest, and a point lookup
+    (``read_table(point=(col, v))``) skips every file whose bloom
+    proves ``v`` absent — the skipping primitive for HIGH-CARDINALITY
+    lookup keys that the min/max stats CANNOT serve when the file
+    layout isn't clustered on them (every file's range covers the
+    probe, but almost no file actually holds the key). Parquet's own
+    row-group blooms (``parquet.bloom.filter.enabled#col``) do this
+    INSIDE a file after its footer is opened; the manifest-level index
+    skips whole files from metadata alone — at object-store scale,
+    before any GET is issued.
+
+    Build cost: ONE distributed pass over files missing an entry
+    (re-running is the idempotent REFRESH maintenance op: files
+    appended after index creation lack entries — reads keep them
+    conservatively — and refresh tops them up). The per-file bit
+    positions come back grouped (≤ m_bits rows per file); packing is
+    driver-side O(files · m/8) metadata, the same cost class as the
+    stats manifest. FP rate with defaults: ~(keys·k/m)³ per file —
+    sized for ~100-1000 distinct keys/file; pass a bigger ``m_bits``
+    for denser files.
+
+    NULLs never enter a bloom (SQL equality never matches NULL).
+    Returns ``{"n_files_indexed", "n_files_total", "version"}``."""
+    import pathlib
+
+    if m_bits % 8 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 8")
+    p = pathlib.Path(path)
+    vers, live = _snapshot_for_update(p)
+    import json
+
+    doc = json.loads((p / _MANIFEST).read_text())
+    have = set(doc.get("bloom", {}).get(col, {}))
+    cfg = dict(doc.get("bloom_cfg", {}))
+    if col in cfg and (cfg[col]["m"] != m_bits or cfg[col]["k"] != k):
+        raise ValueError(
+            f"bloom index on {col!r} already registered with "
+            f"{cfg[col]} — drop/recreate the table index to resize"
+        )
+    missing = [n for n in live if n not in have]
+    cfg[col] = {"m": m_bits, "k": k}
+    entries: dict[str, str] = {}
+    if missing:
+        scan = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[str(p / n) for n in missing])
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("file"),
+                F.col(col).alias("v"),
+            )
+            .filter(F.col("v").isNotNull())
+        )
+        m, kk = m_bits, k
+        rows = (
+            scan.select(
+                "file",
+                F.explode(F.array(*_bloom_positions(F.col("v"), m, kk))).alias(
+                    "pos"
+                ),
+            )
+            .distinct()  # ≤ m_bits rows per file by construction
+            .groupBy("file")
+            .agg(F.collect_set("pos").alias("positions"))
+            .collect()  # bounded: one row per missing file
+        )
+        entries = {r["file"]: _pack_bits(r["positions"], m) for r in rows}
+        # a file with ONLY NULLs in col produces no row: give it an
+        # empty bitset so lookups can skip it (NULL never equals)
+        for n in missing:
+            entries.setdefault(n, _pack_bits((), m))
+    for _ in range(10):
+        try:
+            version = _commit_manifest(
+                p,
+                live,
+                expected_version=vers,
+                bloom={col: entries},
+                bloom_cfg=cfg,
+            )
+            break
+        except ManifestConflictError:
+            # index build removes nothing: rebase onto the new snapshot
+            # (entries for files no longer live are dropped by the
+            # commit; concurrently added files stay conservative until
+            # the next refresh)
+            vers, live = _read_snapshot(p)
+    else:
+        raise ManifestConflictError(
+            "bloom index could not commit after 10 rebases"
+        )
+    return {
+        "n_files_indexed": len(missing),
+        "n_files_total": len(live),
+        "version": version,
+    }
+
+
+def prune_files_bloom(spark, path, files: list[str], col: str, value) -> list[str]:
+    """Subset of ``files`` that may contain ``col = value``, per the
+    manifest's bloom index (superset guarantee: files without an entry
+    — appended since the last refresh, or no index on ``col`` — are
+    KEPT). The probe's bit positions are computed by the SAME JVM
+    xxhash64 expressions the build used, via a one-row local job."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(path)
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return files
+    doc = json.loads(mf.read_text())
+    cfg = doc.get("bloom_cfg", {}).get(col)
+    entries = doc.get("bloom", {}).get(col, {})
+    if not cfg or not entries:
+        return files
+    probe = (
+        spark.range(1)
+        .select(*_bloom_positions(F.lit(value), cfg["m"], cfg["k"]))
+        .collect()[0]
+    )
+    positions = list(probe)
+    return [
+        n
+        for n in files
+        if n not in entries or _bloom_has(entries[n], positions)
+    ]
+
+
 def read_table(
     spark,
     path,
     merge_schema: bool = False,
     version: int | None = None,
     prune: tuple | None = None,
+    point: tuple | None = None,
 ) -> DataFrame:
     """Read a parquet directory through its manifest when one exists
     (the committed snapshot — orphan files from interrupted maintenance
@@ -818,7 +1011,14 @@ def read_table(
     the row filter: pruning is a superset guarantee (kept files may
     contain non-matching rows), so
     ``read_table(..., prune=...).filter(...)`` is always exactly equal
-    to the unpruned filtered read."""
+    to the unpruned filtered read.
+
+    ``point=(col, value)`` — or a LIST of such pairs — skips files
+    whose bloom-index bitset proves ``col = value`` matches no row
+    (:func:`prune_files_bloom`, built by :func:`create_bloom_index`).
+    Same superset guarantee as ``prune`` and composable with it: range
+    stats cut by the CLUSTERED dims, blooms cut by high-cardinality
+    lookup keys the layout isn't sorted on."""
     import pathlib
 
     p = pathlib.Path(path)
@@ -834,22 +1034,30 @@ def read_table(
             raise FileNotFoundError(
                 f"snapshot {version} references vacuumed files: {missing}"
             )
+        full = live
         if prune is not None and live:
             specs = (
                 [prune]
                 if prune and isinstance(prune[0], str)
                 else [tuple(s) for s in prune]
             )
-            full = live
             for spec in specs:
                 live = prune_file_list(p, live, *spec)
-            if not live:
-                # every file provably irrelevant: empty frame over ALL
-                # snapshot files + limit(0) — metadata-cheap (no tasks
-                # scan data) but, unlike schema-from-one-file, keeps the
-                # MERGED schema under merge_schema=True so columns added
-                # by later files still bind downstream (ADVICE r10)
-                return reader.parquet(*[str(p / n) for n in full]).limit(0)
+        if point is not None and live:
+            pspecs = (
+                [point]
+                if point and isinstance(point[0], str)
+                else [tuple(s) for s in point]
+            )
+            for col, value in pspecs:
+                live = prune_files_bloom(spark, p, live, col, value)
+        if not live and full:
+            # every file provably irrelevant: empty frame over ALL
+            # snapshot files + limit(0) — metadata-cheap (no tasks
+            # scan data) but, unlike schema-from-one-file, keeps the
+            # MERGED schema under merge_schema=True so columns added
+            # by later files still bind downstream (ADVICE r10)
+            return reader.parquet(*[str(p / n) for n in full]).limit(0)
         # deletion vectors of THIS snapshot (if any) drop their dead
         # positions inside the scan — prune-kept files with DVs still
         # read correctly because pruning is a superset guarantee and
@@ -861,6 +1069,8 @@ def read_table(
         raise ValueError("version= requires a manifest table")
     if prune is not None:
         raise ValueError("prune= requires a manifest table")
+    if point is not None:
+        raise ValueError("point= requires a manifest table")
     return reader.parquet(str(p))
 
 

@@ -145,7 +145,10 @@ _PRIORITY = (
     "q13_customer_order_distribution",
     "q14_promo_revenue_ratio",
     "q15_top_revenue_suppliers",
-    "q16_supplier_part_counts",
+    "layout_bloom_point_lookup",  # round-11 gate, never
+    # driver-checked: takes q16_supplier_part_counts's slot (r6-green;
+    # the TPC-H family keeps 17+ prefixed rows and parity_sweep
+    # re-verifies q16 this round -> head of the round-12 queue)
     "layout_deletion_vector_read",  # round-11 gate, never
     # driver-checked: takes q17_small_quantity_revenue's slot
     # (r6-green; the TPC-H family keeps 18+ prefixed rows and

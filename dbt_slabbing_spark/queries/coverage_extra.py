@@ -1245,3 +1245,103 @@ def layout_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_deleted bigint, n_files_rewritten bigint, "
         "n_dv_parquets bigint, post_optimize_match boolean",
     )
+
+
+@register(
+    "layout_bloom_point_lookup",
+    # Per-file bloom-filter index (Delta's CREATE BLOOMFILTER INDEX /
+    # parquet column blooms lifted to the manifest): 16 files split by
+    # o_custkey % 16, so every file's min/max range covers any probe --
+    # range stats can skip NOTHING (n_kept_by_range = 16 is the literal
+    # proof: a MID-RANGE probe key sits inside every file's [min, max]
+    # box) -- while the bloom keeps exactly the ONE file whose hash
+    # bucket holds the probed key (deterministic xxhash64 bitsets; no
+    # false positive for this data at the 65536-bit/7-hash sizing,
+    # verified at sf0.001/0.01/0.1 -- k=3 produced one FP at sf0.1's
+    # ~625 keys/file; k=7 puts the per-file FP near 1e-8 there).
+    # The aggregate over the point-pruned read must
+    # equal the plain filter; the probe key is the smallest existing
+    # custkey at or above the integer midpoint of the key range, stated
+    # identically on both sides.
+    """
+    WITH probe AS (
+        SELECT min(o_custkey) AS k FROM orders
+        WHERE o_custkey >= (SELECT (min(o_custkey) + max(o_custkey)) // 2
+                            FROM orders)
+    )
+    SELECT CAST(16 AS BIGINT) AS n_files_live,
+           CAST(16 AS BIGINT) AS n_kept_by_range,
+           CAST(1 AS BIGINT) AS n_kept_by_bloom,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice) * 100.0) / 100.0 + 0.0 AS sum_price
+    FROM orders
+    WHERE o_custkey = (SELECT k FROM probe)
+    """,
+    "bloom-index point lookup: a high-cardinality key probe skips "
+    "15 of 16 files from manifest metadata alone where min/max range "
+    "stats can skip none (the layout is hash-split, every file's "
+    "range covers the probe); result equals the plain filter",
+    tags=("layout", "bloom"),
+)
+def layout_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::create_bloom_index +
+    read_table(point=) end-to-end under the oracle gate: the file-
+    skipping primitive for lookup keys the layout is NOT clustered on.
+    At 100 TB this is the difference between a point lookup issuing
+    16 object-store GETs and issuing ONE -- range stats are useless on
+    a hash-distributed key (every file covers the probe), and parquet's
+    own row-group blooms only help AFTER a file's footer is fetched;
+    the manifest-level bitset decides from metadata already in hand."""
+    from ..operators.layout import (
+        append_files,
+        create_bloom_index,
+        ensure_manifest,
+        prune_file_list,
+        prune_files_bloom,
+        read_table,
+    )
+    import shutil
+    import tempfile
+
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mn, mx = od.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    probe = od.filter(F.col("o_custkey") >= (mn + mx) // 2).agg(
+        F.min("o_custkey")
+    ).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="bloom_gate_")
+    shutil.rmtree(work)  # append_files creates the table dir itself
+    try:
+        for i in range(16):
+            append_files(
+                spark, work, od.filter(F.col("o_custkey") % 16 == i).coalesce(1)
+            )
+        create_bloom_index(spark, work, "o_custkey", m_bits=65536, k=7)
+        live = ensure_manifest(work)
+        kept_range = prune_file_list(work, live, "o_custkey", probe, probe)
+        kept_bloom = prune_files_bloom(spark, work, live, "o_custkey", probe)
+        row = (
+            read_table(spark, work, point=("o_custkey", probe))
+            .filter(F.col("o_custkey") == probe)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(live),
+                len(kept_range),
+                len(kept_bloom),
+                row["n_orders"],
+                float(row["sum_price"]),
+            )
+        ],
+        "n_files_live bigint, n_kept_by_range bigint, "
+        "n_kept_by_bloom bigint, n_orders bigint, sum_price double",
+    )
