@@ -330,6 +330,7 @@ def _commit_manifest(
     dv: dict | None = None,
     bloom: dict | None = None,
     bloom_cfg: dict | None = None,
+    staged: dict | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -386,6 +387,13 @@ def _commit_manifest(
     are an INDEX, not content: history entries don't record them —
     a time-travel read that can't prove a file irrelevant simply scans
     it (conservative, still exact).
+
+    ``staged`` replaces the write-audit-publish registry
+    (``{audit_id: [file, ...]}`` — see :func:`stage_append`): files
+    parked in the table dir that NO read sees until their audit
+    passes and :func:`publish_staged` moves them into ``files``.
+    Carried forward verbatim when not passed (staged names are not in
+    the live list, so the live-set filters never touch them).
     """
     import json
     import os
@@ -394,7 +402,7 @@ def _commit_manifest(
     fd = _manifest_lock(p)
     try:
         version, history, prev_stats, prev_dv = 1, [], {}, {}
-        prev_bloom, prev_bloom_cfg = {}, {}
+        prev_bloom, prev_bloom_cfg, prev_staged = {}, {}, {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
@@ -404,6 +412,7 @@ def _commit_manifest(
             prev_dv = prev.get("dv", {})
             prev_bloom = prev.get("bloom", {})
             prev_bloom_cfg = prev.get("bloom_cfg", {})
+            prev_staged = prev.get("staged", {})
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -460,6 +469,10 @@ def _commit_manifest(
         cfg = bloom_cfg if bloom_cfg is not None else prev_bloom_cfg
         if cfg:
             doc["bloom_cfg"] = cfg
+        stg = staged if staged is not None else prev_staged
+        stg = {a: fs for a, fs in stg.items() if fs}
+        if stg:
+            doc["staged"] = stg
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
@@ -1074,7 +1087,9 @@ def read_table(
     return reader.parquet(str(p))
 
 
-def read_changes(spark, path, v_from: int, v_to: int) -> DataFrame:
+def read_changes(
+    spark, path, v_from: int, v_to: int, keys: list[str] | None = None
+) -> DataFrame:
     """Row-level change-data-feed between two snapshots of a manifest
     table: the rows ADDED and REMOVED going from ``v_from`` to
     ``v_to``, each tagged in a ``_change_type`` column (``'insert'`` /
@@ -1102,7 +1117,19 @@ def read_changes(spark, path, v_from: int, v_to: int) -> DataFrame:
     Both paths read with ``mergeSchema`` so schema-evolved ranges
     compare on the unified schema. Raises on vacuumed snapshots, like
     ``read_table(version=)``. Returns a DataFrame of the table schema
-    + ``_change_type``."""
+    + ``_change_type``.
+
+    ``keys=[col, ...]`` upgrades the vocabulary to Delta CDF's full
+    four: a record key present on BOTH sides of the diff is an UPDATE,
+    so its old row tags ``'update_preimage'`` and its new row
+    ``'update_postimage'`` instead of delete/insert (the pairing a
+    downstream MERGE-apply or audit consumer needs — "what did this
+    row look like before?"). Keys present on one side only stay
+    insert/delete. The pairing is two semi/anti equi-joins against the
+    (usually small, broadcastable) changed-key intersection — no new
+    scan. A key changed by multiple rows (non-unique ``keys``) tags
+    ALL its rows update; pass the table's record key for exact
+    semantics."""
     import pathlib
 
     p = pathlib.Path(path)
@@ -1135,7 +1162,21 @@ def read_changes(spark, path, v_from: int, v_to: int) -> DataFrame:
     df_to = read_table(spark, path, merge_schema=True, version=v_to)
     inserts = df_to.exceptAll(df_from).withColumn("_change_type", F.lit("insert"))
     deletes = df_from.exceptAll(df_to).withColumn("_change_type", F.lit("delete"))
-    return inserts.unionByName(deletes)
+    if not keys:
+        return inserts.unionByName(deletes)
+    upd = (
+        deletes.select(*keys)
+        .intersect(inserts.select(*keys))  # distinct changed keys on BOTH sides
+    )
+    pre = deletes.join(upd, on=keys, how="left_semi").withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    del_only = deletes.join(upd, on=keys, how="left_anti")
+    post = inserts.join(upd, on=keys, how="left_semi").withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    ins_only = inserts.join(upd, on=keys, how="left_anti")
+    return ins_only.unionByName(del_only).unionByName(pre).unionByName(post)
 
 
 def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
@@ -1221,6 +1262,147 @@ def append_batch_idempotent(spark, path, df: DataFrame, batch_id: int) -> bool:
         return False
     append_files(spark, path, df, token=token)
     return True
+
+
+def _staged_registry(p) -> dict:
+    """Current ``{audit_id: [file, ...]}`` write-audit-publish registry
+    (empty for tables that never staged)."""
+    import json
+
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return {}
+    return json.loads(mf.read_text()).get("staged", {})
+
+
+def stage_append(spark, path, df: DataFrame, audit_id: str | None = None) -> dict:
+    """Write-audit-publish, step 1 (Iceberg's WAP / Delta's blind-write
+    branch): land ``df``'s files in the table directory REGISTERED BUT
+    INVISIBLE — the commit records them under ``staged[audit_id]``
+    without touching the live list, so every reader (including
+    concurrent ones mid-audit) still sees the pre-stage table. An
+    audit job then reads exactly this batch (:func:`read_staged`),
+    runs its quality gates, and either :func:`publish_staged` (one
+    metadata commit makes the batch visible — no data is copied or
+    rewritten) or :func:`discard_staged` (unlink; the table never saw
+    it). This is how a 100 TB ingest pipeline gets QUALITY GATES
+    without a quarantine copy: the data lands once, in place, and
+    visibility is a metadata bit.
+
+    Registering (rather than just parking files unlisted) is what
+    makes staging crash-safe AND vacuum-safe: :func:`vacuum_orphans`
+    protects registered staged files indefinitely, while a crash
+    BEFORE this commit leaves plain orphans inside the grace window.
+    Returns ``{"audit_id", "n_files_staged", "version"}``."""
+    import pathlib
+    import shutil
+    import uuid
+
+    p = pathlib.Path(path)
+    audit_id = audit_id or uuid.uuid4().hex[:12]
+    vers, live = _snapshot_for_update(p)
+    reg = _staged_registry(p)
+    if audit_id in reg:
+        raise ValueError(f"audit_id {audit_id!r} already staged")
+    staging = pathlib.Path(str(p) + f".stage-{audit_id}")
+    df.write.mode("overwrite").parquet(str(staging))
+    added = []
+    for i, f in enumerate(sorted(staging.glob("*.parquet"))):
+        name = f"staged-{audit_id}-{i:05d}.parquet"
+        shutil.move(str(f), str(p / name))
+        added.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    for _ in range(10):  # blind-append rebase: staging removes nothing
+        try:
+            reg = dict(_staged_registry(p))
+            reg[audit_id] = added
+            version = _commit_manifest(
+                p, live, expected_version=vers, staged=reg
+            )
+            break
+        except ManifestConflictError:
+            vers, live = _read_snapshot(p)
+    else:
+        raise ManifestConflictError("stage could not commit after 10 rebases")
+    return {
+        "audit_id": audit_id,
+        "n_files_staged": len(added),
+        "version": version,
+    }
+
+
+def read_staged(spark, path, audit_id: str) -> DataFrame:
+    """The staged batch, exactly as it would publish — what the audit
+    job runs its quality gates against."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    reg = _staged_registry(p)
+    if audit_id not in reg:
+        raise ValueError(f"no staged batch {audit_id!r}")
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[str(p / n) for n in reg[audit_id]]
+    )
+
+
+def publish_staged(spark, path, audit_id: str) -> dict:
+    """Write-audit-publish, step 3: ONE metadata commit moves the
+    audited batch into the live list (with write-time column stats,
+    like any append). No data moves. OCC: a conflicting commit rebases
+    like an append — publishing removes nothing."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    vers, live = _snapshot_for_update(p)
+    reg = dict(_staged_registry(p))
+    if audit_id not in reg:
+        raise ValueError(f"no staged batch {audit_id!r}")
+    added = reg.pop(audit_id)
+    stats = _stats_for_added(p, added)
+    for _ in range(10):
+        try:
+            version = _commit_manifest(
+                p, live + added, expected_version=vers, stats=stats, staged=reg
+            )
+            break
+        except ManifestConflictError:
+            vers, live = _read_snapshot(p)
+            reg = dict(_staged_registry(p))
+            if audit_id not in reg:
+                raise ValueError(
+                    f"staged batch {audit_id!r} was published or discarded "
+                    "by a concurrent committer"
+                )
+            added = reg.pop(audit_id)
+    else:
+        raise ManifestConflictError("publish could not commit after 10 rebases")
+    return {"n_files_published": len(added), "version": version}
+
+
+def discard_staged(path, audit_id: str) -> dict:
+    """Write-audit-publish, failed-audit exit: deregister the batch
+    (one commit), then unlink its files — the table never saw them."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    vers, live = _read_snapshot(p)
+    reg = dict(_staged_registry(p))
+    if audit_id not in reg:
+        raise ValueError(f"no staged batch {audit_id!r}")
+    dropped = reg.pop(audit_id)
+    for _ in range(10):
+        try:
+            _commit_manifest(p, live, expected_version=vers, staged=reg)
+            break
+        except ManifestConflictError:
+            vers, live = _read_snapshot(p)
+            reg = dict(_staged_registry(p))
+            dropped = reg.pop(audit_id, dropped)
+    else:
+        raise ManifestConflictError("discard could not commit after 10 rebases")
+    for n in dropped:  # post-commit cleanup; failure → orphans for vacuum
+        _unlink_quiet(p / n)
+    return {"n_files_discarded": len(dropped)}
 
 
 def compact_table(
@@ -1336,6 +1518,9 @@ def vacuum_orphans(
     # DV parquets referenced by a protected snapshot are as live as its
     # data files — deleting one would resurrect dead rows
     live |= {d for lst in _dv_at_version(p).values() for d in lst}
+    # registered WAP batches are awaiting their audit: protected until
+    # published (joins the live list) or discarded (deregistered)
+    live |= {n for fs in _staged_registry(p).values() for n in fs}
     if retain_versions:
         for v in manifest_versions(p)[:-1][-retain_versions:]:
             live |= set(_files_at_version(p, v))

@@ -143,8 +143,14 @@ _PRIORITY = (
     "q11_part_value_concentration",
     "q12_shipmode_priority_classes",
     "q13_customer_order_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_revenue_suppliers",
+    "layout_cdf_update_images",  # round-11 gate, never driver-checked:
+    # takes q14_promo_revenue_ratio's slot (r6-green; the TPC-H family
+    # keeps 17+ prefixed rows and parity_sweep re-verifies q14 this
+    # round -> head of the round-12 queue)
+    "layout_wap_audit_publish",  # round-11 gate, never driver-checked:
+    # takes q15_top_revenue_suppliers's slot (r6-green; same family
+    # argument; parity_sweep re-verifies q15 this round -> head of the
+    # round-12 queue)
     "layout_bloom_point_lookup",  # round-11 gate, never
     # driver-checked: takes q16_supplier_part_counts's slot (r6-green;
     # the TPC-H family keeps 17+ prefixed rows and parity_sweep

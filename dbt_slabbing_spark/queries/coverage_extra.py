@@ -1345,3 +1345,206 @@ def layout_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files_live bigint, n_kept_by_range bigint, "
         "n_kept_by_bloom bigint, n_orders bigint, sum_price double",
     )
+
+
+@register(
+    "layout_cdf_update_images",
+    # Delta CDF's full four-type vocabulary: read_changes(keys=) pairs
+    # the row-level diff on the record key, so a MERGE's replaced rows
+    # surface as update_preimage (old values) + update_postimage (new
+    # values) while pure inserts stay 'insert'. The oracle states each
+    # cohort directly from customer: updates = the BUILDING segment
+    # (acctbal bumped +100 by the merge source), inserts = the 2
+    # literal fresh keys, deletes = 0 by construction.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_pre,
+           CAST(count(*) AS BIGINT) AS n_post,
+           CAST(2 AS BIGINT) AS n_ins,
+           CAST(0 AS BIGINT) AS n_del,
+           round(sum(c_acctbal) * 100.0) / 100.0 + 0.0 AS sum_pre,
+           round((sum(c_acctbal) + 100.0 * count(*)) * 100.0) / 100.0
+               + 0.0 AS sum_post
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "change-data-feed update pre/post images: a MERGE's replaced rows "
+    "pair on the record key into update_preimage (old values) and "
+    "update_postimage (new values); fresh keys stay inserts; sums of "
+    "the pre and post images hash-checked against the source segment",
+    tags=("layout", "cdf"),
+)
+def layout_cdf_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives read_changes(keys=) end-to-end under the oracle gate:
+    the UPDATE half of the CDF contract (a downstream audit/merge-apply
+    consumer needs "what did this row look like before", not a
+    delete+insert it must re-pair itself). Pairing is two semi/anti
+    equi-joins against the changed-key intersection — no extra scan."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        manifest_versions,
+        merge_rows,
+        read_changes,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    work = tempfile.mkdtemp(prefix="cdf_upd_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, cust.coalesce(4))
+        v0 = manifest_versions(work)[-1]
+        src = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+        )
+        fresh = spark.createDataFrame(
+            [(-1, "NEW", 10.0), (-2, "NEW", 20.0)],
+            "c_custkey bigint, c_mktsegment string, c_acctbal double",
+        )
+        merge_rows(
+            spark, work, src.unionByName(fresh), on="c_custkey", retain=True
+        )
+        v1 = manifest_versions(work)[-1]
+        ch = read_changes(spark, work, v0, v1, keys=["c_custkey"])
+        row = ch.agg(
+            F.count(F.when(F.col("_change_type") == "update_preimage", 1))
+            .cast("bigint")
+            .alias("n_pre"),
+            F.count(F.when(F.col("_change_type") == "update_postimage", 1))
+            .cast("bigint")
+            .alias("n_post"),
+            F.count(F.when(F.col("_change_type") == "insert", 1))
+            .cast("bigint")
+            .alias("n_ins"),
+            F.count(F.when(F.col("_change_type") == "delete", 1))
+            .cast("bigint")
+            .alias("n_del"),
+            dround(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "update_preimage",
+                        F.col("c_acctbal"),
+                    )
+                ),
+                2,
+            ).alias("sum_pre"),
+            dround(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "update_postimage",
+                        F.col("c_acctbal"),
+                    )
+                ),
+                2,
+            ).alias("sum_post"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                row["n_pre"],
+                row["n_post"],
+                row["n_ins"],
+                row["n_del"],
+                float(row["sum_pre"]),
+                float(row["sum_post"]),
+            )
+        ],
+        "n_pre bigint, n_post bigint, n_ins bigint, n_del bigint, "
+        "sum_pre double, sum_post double",
+    )
+
+
+@register(
+    "layout_wap_audit_publish",
+    # Write-audit-publish (Iceberg WAP): two batches land as REGISTERED
+    # BUT INVISIBLE staged files; their audits run against exactly the
+    # staged bytes; the passing batch publishes via ONE metadata commit
+    # (no data copied), the failing batch discards without the table
+    # ever seeing it. The oracle states the final content directly:
+    # base (value < 100) + published (100 <= value < 200); the
+    # discarded cohort (value >= 200) never lands. n_before/audit
+    # literals are BY CONSTRUCTION of the staging contract.
+    """
+    SELECT CAST(count(*) FILTER (WHERE value < 100) AS BIGINT)
+               AS n_before,
+           CAST(count(*) FILTER (WHERE value >= 100 AND value < 200)
+                AS BIGINT) AS n_staged_good,
+           TRUE AS staged_invisible,
+           CAST(count(*) FILTER (WHERE value >= 200) AS BIGINT)
+               AS n_discarded,
+           CAST(count(*) FILTER (WHERE value < 200) AS BIGINT) AS n_after,
+           round((sum(value) FILTER (WHERE value < 200)) * 100.0) / 100.0
+               + 0.0 AS sum_after
+    FROM events
+    """,
+    "write-audit-publish staging: batches land invisible, audits read "
+    "exactly the staged bytes, publish is one metadata commit and "
+    "discard leaves no trace; final content hash-checked against the "
+    "direct filter",
+    tags=("layout", "wap"),
+)
+def layout_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives stage_append/read_staged/publish_staged/discard_staged
+    end-to-end under the oracle gate — the quality-gated ingest shape a
+    100 TB pipeline needs: data lands ONCE in place, visibility is a
+    metadata bit flipped after the audit, and a failed audit never
+    contaminates readers (no quarantine copy, no rewrite)."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        discard_staged,
+        publish_staged,
+        read_staged,
+        read_table,
+        stage_append,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="wap_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.filter(F.col("value") < 100).coalesce(2))
+        stage_append(
+            spark,
+            work,
+            ev.filter((F.col("value") >= 100) & (F.col("value") < 200)).coalesce(1),
+            audit_id="good",
+        )
+        stage_append(
+            spark, work, ev.filter(F.col("value") >= 200).coalesce(1), audit_id="bad"
+        )
+        n_before = read_table(spark, work).count()
+        n_staged_good = read_staged(spark, work, "good").count()
+        staged_invisible = (
+            n_before
+            == ev.filter(F.col("value") < 100).count()
+        )
+        n_discarded = read_staged(spark, work, "bad").count()
+        publish_staged(spark, work, "good")  # audit passed
+        discard_staged(work, "bad")  # audit failed
+        row = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            dround(F.sum("value"), 2).alias("sum_after"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                n_staged_good,
+                staged_invisible,
+                n_discarded,
+                row["n_after"],
+                float(row["sum_after"]),
+            )
+        ],
+        "n_before bigint, n_staged_good bigint, staged_invisible boolean, "
+        "n_discarded bigint, n_after bigint, sum_after double",
+    )
