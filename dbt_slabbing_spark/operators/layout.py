@@ -331,6 +331,7 @@ def _commit_manifest(
     bloom: dict | None = None,
     bloom_cfg: dict | None = None,
     staged: dict | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -394,6 +395,10 @@ def _commit_manifest(
     passes and :func:`publish_staged` moves them into ``files``.
     Carried forward verbatim when not passed (staged names are not in
     the live list, so the live-set filters never touch them).
+
+    ``constraints`` replaces the CHECK-constraint registry
+    (``{name: sql_expr}`` — see :func:`add_constraint`); carried
+    forward verbatim when not passed.
     """
     import json
     import os
@@ -403,6 +408,7 @@ def _commit_manifest(
     try:
         version, history, prev_stats, prev_dv = 1, [], {}, {}
         prev_bloom, prev_bloom_cfg, prev_staged = {}, {}, {}
+        prev_constraints = {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
@@ -413,6 +419,7 @@ def _commit_manifest(
             prev_bloom = prev.get("bloom", {})
             prev_bloom_cfg = prev.get("bloom_cfg", {})
             prev_staged = prev.get("staged", {})
+            prev_constraints = prev.get("constraints", {})
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -473,6 +480,9 @@ def _commit_manifest(
         stg = {a: fs for a, fs in stg.items() if fs}
         if stg:
             doc["staged"] = stg
+        cns = constraints if constraints is not None else prev_constraints
+        if cns:
+            doc["constraints"] = cns
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
@@ -1199,6 +1209,7 @@ def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
 
     p = pathlib.Path(path)
     vers, live = _snapshot_for_update(p)
+    _enforce_constraints(p, df)  # CHECK constraints: reject before staging
     # token: caller-supplied idempotence key (e.g. a streaming batch id
     # — see append_batch_idempotent) instead of the random default; the
     # appended file names embed it, making "was this logical append
@@ -1264,6 +1275,165 @@ def append_batch_idempotent(spark, path, df: DataFrame, batch_id: int) -> bool:
     return True
 
 
+class ConstraintViolationError(ValueError):
+    """A write violated a table CHECK constraint: nothing was staged,
+    committed, or unlinked (the write is rejected whole, Delta's
+    ``CHECK`` semantics)."""
+
+
+def _constraints(p) -> dict:
+    """Current ``{name: sql_expr}`` CHECK-constraint registry."""
+    import json
+
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return {}
+    return json.loads(mf.read_text()).get("constraints", {})
+
+
+def _enforce_constraints(p, df: DataFrame) -> None:
+    """Reject ``df`` if any registered CHECK constraint has a FALSE row
+    (SQL CHECK semantics: NULL passes). One aggregate pass evaluates
+    ALL constraints together — the per-write enforcement cost is a
+    single map-side-combinable job over the incoming batch, not one
+    scan per constraint."""
+    cons = _constraints(p)
+    if not cons:
+        return
+    names = list(cons)
+    counts = df.agg(
+        *[
+            F.count(
+                F.when(~F.coalesce(F.expr(cons[n]), F.lit(True)), 1)
+            ).alias(n)
+            for n in names
+        ]
+    ).collect()[0]
+    bad = {n: int(counts[n]) for n in names if counts[n]}
+    if bad:
+        raise ConstraintViolationError(
+            f"write rejected: CHECK constraint violations {bad} "
+            f"(exprs: { {n: cons[n] for n in bad} })"
+        )
+
+
+def add_constraint(spark, path, name: str, expr: str) -> dict:
+    """Register a table CHECK constraint (Delta's ``ADD CONSTRAINT``):
+    every subsequent :func:`append_files` / :func:`stage_append` /
+    :func:`merge_rows` source batch must satisfy ``expr`` (FALSE rows
+    reject the whole write; NULL passes, per SQL CHECK). The EXISTING
+    table is validated first — registering a constraint the current
+    rows violate raises, like Delta. Enforcement is one combined
+    aggregate over each incoming batch; existing data is never
+    re-scanned after registration. Returns ``{"name", "version"}``."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    vers, live = _snapshot_for_update(p)
+    cons = dict(_constraints(p))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    if live:
+        current = _scan_with_dv(spark, p, live, _dv_at_version(p))
+        n_bad = current.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).count()
+        if n_bad:
+            raise ConstraintViolationError(
+                f"cannot add {name!r}: {n_bad} existing rows violate {expr!r}"
+            )
+    cons[name] = expr
+    for _ in range(10):
+        try:
+            version = _commit_manifest(
+                p, live, expected_version=vers, constraints=cons
+            )
+            break
+        except ManifestConflictError:
+            vers, live = _read_snapshot(p)
+            cons = dict(_constraints(p))
+            cons[name] = expr
+    else:
+        raise ManifestConflictError(
+            "constraint could not commit after 10 rebases"
+        )
+    return {"name": name, "version": version}
+
+
+def drop_constraint(path, name: str) -> dict:
+    """Deregister a CHECK constraint (one metadata commit)."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    vers, live = _read_snapshot(p)
+    cons = dict(_constraints(p))
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r}")
+    cons.pop(name)
+    version = _commit_manifest(p, live, expected_version=vers, constraints=cons)
+    return {"name": name, "version": version}
+
+
+def table_snapshots(spark, path) -> DataFrame:
+    """The table's version log as a queryable DataFrame (Iceberg's
+    ``db.table.snapshots`` metadata table): one row per snapshot with
+    its live-file count and the commit's add/remove deltas. Driver-side
+    O(versions · files) metadata read — no data file is touched."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    versions = manifest_versions(p)
+    cur = versions[-1]
+    rows = []
+    prev_files: set[str] = set()
+    for v in versions:
+        fs = set(_files_at_version(p, v))
+        rows.append(
+            (
+                v,
+                len(fs),
+                len(fs - prev_files),
+                len(prev_files - fs),
+                len(_dv_at_version(p, v)),
+                v == cur,
+            )
+        )
+        prev_files = fs
+    return spark.createDataFrame(
+        rows,
+        "version bigint, n_files bigint, n_added bigint, n_removed bigint, "
+        "n_files_with_dv bigint, is_current boolean",
+    )
+
+
+def table_files(spark, path) -> DataFrame:
+    """The current snapshot's file inventory as a queryable DataFrame
+    (Iceberg's ``db.table.files``): name, on-disk bytes, whether the
+    manifest carries column stats / deletion vectors for it. Metadata
+    only — no data file is opened."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(path)
+    live = ensure_manifest(p)
+    doc = json.loads((p / _MANIFEST).read_text())
+    stats = doc.get("stats", {})
+    dv = doc.get("dv", {})
+    rows = [
+        (
+            n,
+            (p / n).stat().st_size if (p / n).exists() else None,
+            bool(stats.get(n)),
+            len(dv.get(n, [])),
+        )
+        for n in live
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file string, size_bytes bigint, has_stats boolean, n_dv_files bigint",
+    )
+
+
 def _staged_registry(p) -> dict:
     """Current ``{audit_id: [file, ...]}`` write-audit-publish registry
     (empty for tables that never staged)."""
@@ -1304,6 +1474,7 @@ def stage_append(spark, path, df: DataFrame, audit_id: str | None = None) -> dic
     reg = _staged_registry(p)
     if audit_id in reg:
         raise ValueError(f"audit_id {audit_id!r} already staged")
+    _enforce_constraints(p, df)  # CHECK constraints gate staging too
     staging = pathlib.Path(str(p) + f".stage-{audit_id}")
     df.write.mode("overwrite").parquet(str(staging))
     added = []
@@ -1862,6 +2033,7 @@ def merge_rows(
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("merge source has duplicate record keys")
+    _enforce_constraints(p, source)  # CHECK constraints gate the source
     src = source.cache()
     n_src = src.count()
 

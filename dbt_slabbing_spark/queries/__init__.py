@@ -141,8 +141,14 @@ _PRIORITY = (
     "pipeline_quality_funnel",
     "q10_returned_revenue",
     "q11_part_value_concentration",
-    "q12_shipmode_priority_classes",
-    "q13_customer_order_distribution",
+    "layout_check_constraints",  # round-11 gate, never driver-checked:
+    # takes q12_shipmode_priority_classes's slot (r6-green; the TPC-H
+    # family keeps 17+ prefixed rows and parity_sweep re-verifies q12
+    # this round -> head of the round-12 queue)
+    "layout_metadata_tables",  # round-11 gate, never driver-checked:
+    # takes q13_customer_order_distribution's slot (r6-green; same
+    # family argument; parity_sweep re-verifies q13 this round -> head
+    # of the round-12 queue)
     "layout_cdf_update_images",  # round-11 gate, never driver-checked:
     # takes q14_promo_revenue_ratio's slot (r6-green; the TPC-H family
     # keeps 17+ prefixed rows and parity_sweep re-verifies q14 this

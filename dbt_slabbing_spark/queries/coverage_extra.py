@@ -1548,3 +1548,160 @@ def layout_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_before bigint, n_staged_good bigint, staged_invisible boolean, "
         "n_discarded bigint, n_after bigint, sum_after double",
     )
+
+
+@register(
+    "layout_check_constraints",
+    # Table CHECK constraints (Delta ADD CONSTRAINT): writes violating
+    # a registered expression are rejected WHOLE before anything is
+    # staged or committed -- the two booleans are literals BY
+    # CONSTRUCTION of that contract (the bad batch raised; the table
+    # count was unchanged after the rejection), and the final content
+    # is the base events + exactly the 2 valid literal rows.
+    """
+    SELECT TRUE AS constraint_blocks,
+           TRUE AS whole_batch_rejected,
+           CAST(count(*) + 2 AS BIGINT) AS n_rows_final,
+           round((sum(value) + 7.5) * 100.0) / 100.0 + 0.0 AS sum_value_final
+    FROM events
+    """,
+    "CHECK constraint enforcement: a batch with one violating row is "
+    "rejected whole across append/stage/merge; valid writes land; "
+    "final count and sum hash-checked",
+    tags=("layout", "constraints"),
+)
+def layout_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives add_constraint + per-write enforcement end-to-end under
+    the oracle gate: the schema-quality half of the ingest story
+    (WAP gates a batch on an ARBITRARY audit job; constraints are the
+    declarative always-on subset every write pays one combined
+    aggregate for). SQL CHECK semantics: FALSE rejects, NULL passes."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        ConstraintViolationError,
+        add_constraint,
+        append_files,
+        read_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="check_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.coalesce(2))
+        add_constraint(spark, work, "value_nonneg", "value >= 0")
+        n0 = read_table(spark, work).count()
+        bad = spark.createDataFrame(
+            [(1, "x", -5.0), (2, "x", 2.5)],
+            "user_id bigint, event_type string, value double",
+        )
+        blocked = False
+        try:
+            append_files(spark, work, bad.coalesce(1))
+        except ConstraintViolationError:
+            blocked = True
+        whole_batch_rejected = read_table(spark, work).count() == n0
+        good = spark.createDataFrame(
+            [(3, "y", 2.5), (4, "y", 5.0)],
+            "user_id bigint, event_type string, value double",
+        )
+        append_files(spark, work, good.coalesce(1))
+        row = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(blocked, whole_batch_rejected, row["n"], float(row["s"]))],
+        "constraint_blocks boolean, whole_batch_rejected boolean, "
+        "n_rows_final bigint, sum_value_final double",
+    )
+
+
+@register(
+    "layout_metadata_tables",
+    # Queryable metadata tables (Iceberg's db.table.snapshots /
+    # db.table.files): the commit ladder is append(2 files) ->
+    # append(1 file) -> DV delete (files unchanged, 1 file gains a DV)
+    # -> compact (all swap for 1, DV materialized). Every structural
+    # column is a literal BY CONSTRUCTION of that ladder (v1 is the
+    # empty adoption commit); the row count/sum tie the metadata to
+    # the data: current content = events with value < 150 (the DV
+    # delete removed value >= 150).
+    """
+    SELECT CAST(5 AS BIGINT) AS n_versions,
+           CAST(2 AS BIGINT) AS n_files_v2,
+           CAST(3 AS BIGINT) AS n_files_v3,
+           CAST(1 AS BIGINT) AS n_dv_files_v4,
+           CAST(1 AS BIGINT) AS n_files_current,
+           TRUE AS all_have_stats,
+           CAST(count(*) FILTER (WHERE value < 150) AS BIGINT)
+               AS n_rows_current,
+           round((sum(value) FILTER (WHERE value < 150)) * 100.0) / 100.0
+               + 0.0 AS sum_value_current
+    FROM events
+    """,
+    "metadata tables: table_snapshots exposes the version log "
+    "(adoption, appends, a DV delete, a compaction) and table_files "
+    "the current inventory, with the current content hash-checked "
+    "against the direct filter",
+    tags=("layout", "metadata"),
+)
+def layout_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives table_snapshots/table_files end-to-end under the oracle
+    gate: the operational observability surface (what changed when,
+    how many files, where the DV debt is) that a 100 TB table's
+    maintenance jobs — compaction triggers, vacuum policies, DV
+    materialization thresholds — read INSTEAD of listing the object
+    store. Driver-side metadata only; no data file is opened."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        compact_table,
+        delete_rows,
+        read_table,
+        table_files,
+        table_snapshots,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="meta_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.filter(F.col("value") < 100).repartition(2))
+        append_files(spark, work, ev.filter(F.col("value") >= 100).coalesce(1))
+        delete_rows(spark, work, "value >= 150", mode="dv")
+        compact_table(spark, work, target_file_bytes=1 << 30)
+        snaps = {
+            r["version"]: r for r in table_snapshots(spark, work).collect()
+        }
+        files = table_files(spark, work).collect()
+        row = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(snaps),
+                snaps[2]["n_files"],
+                snaps[3]["n_files"],
+                snaps[4]["n_files_with_dv"],
+                snaps[5]["n_files"],
+                all(r["has_stats"] and r["size_bytes"] > 0 for r in files),
+                row["n"],
+                float(row["s"]),
+            )
+        ],
+        "n_versions bigint, n_files_v2 bigint, n_files_v3 bigint, "
+        "n_dv_files_v4 bigint, n_files_current bigint, "
+        "all_have_stats boolean, n_rows_current bigint, "
+        "sum_value_current double",
+    )
