@@ -332,6 +332,7 @@ def _commit_manifest(
     bloom_cfg: dict | None = None,
     staged: dict | None = None,
     constraints: dict | None = None,
+    clustered: dict | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -399,6 +400,14 @@ def _commit_manifest(
     ``constraints`` replaces the CHECK-constraint registry
     (``{name: sql_expr}`` — see :func:`add_constraint`); carried
     forward verbatim when not passed.
+
+    ``clustered`` replaces the clustering state
+    (``{"by": [col, ...], "files": [...]}`` — which live files were
+    produced by a clustering rewrite, see :func:`compact_table` /
+    :func:`compact_incremental`); its file list carries forward
+    filtered to live (a displaced clustered file is no longer
+    clustered state), and the key drops when no clustered file
+    survives.
     """
     import json
     import os
@@ -408,7 +417,7 @@ def _commit_manifest(
     try:
         version, history, prev_stats, prev_dv = 1, [], {}, {}
         prev_bloom, prev_bloom_cfg, prev_staged = {}, {}, {}
-        prev_constraints = {}
+        prev_constraints, prev_clustered = {}, {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
@@ -420,6 +429,7 @@ def _commit_manifest(
             prev_bloom_cfg = prev.get("bloom_cfg", {})
             prev_staged = prev.get("staged", {})
             prev_constraints = prev.get("constraints", {})
+            prev_clustered = prev.get("clustered", {})
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -483,6 +493,11 @@ def _commit_manifest(
         cns = constraints if constraints is not None else prev_constraints
         if cns:
             doc["constraints"] = cns
+        clu = clustered if clustered is not None else prev_clustered
+        if clu:
+            kept = [n for n in clu.get("files", []) if n in live_set]
+            if kept:
+                doc["clustered"] = {"by": clu["by"], "files": kept}
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
@@ -1645,11 +1660,101 @@ def compact_table(
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
     version = _commit_manifest(  # ATOMIC + OCC
-        p, new_names, expected_version=vers, stats=_stats_for_added(p, new_names)
+        p,
+        new_names,
+        expected_version=vers,
+        stats=_stats_for_added(p, new_names),
+        # a clustered rewrite records its output as the table's
+        # clustering state (compact_incremental's baseline); an
+        # unclustered rewrite displaces every file, so carry-forward
+        # drops any previous clustering state automatically
+        clustered=(
+            {"by": list(cluster_by), "files": new_names} if cluster_by else None
+        ),
     )
     return {
         "n_files_before": len(live),
         "n_files_after": len(new_names),
+        "version": version,
+    }
+
+
+def compact_incremental(
+    spark,
+    path,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Incremental OPTIMIZE (Delta auto-compaction / liquid-clustering
+    maintenance): rewrite ONLY the files appended since the last
+    clustering pass into the table's recorded ``cluster_by`` layout,
+    leaving the already-clustered bulk byte-untouched. This is the
+    maintenance shape that survives 100 TB: a full
+    :func:`compact_table` is O(table) every run, while the steady-state
+    cost here is O(new data) — the clustered bulk is written once and
+    only ever re-read, and each pass adds one clustered "run"
+    (LSM-style; per-file min/max boxes stay tight per run, so
+    ``read_table(prune=)`` keeps skipping; an occasional full compact
+    merges runs when their count grows).
+
+    No-op below ``min_files`` unclustered files (don't churn commits
+    for one straggler). Deletion vectors on the rewritten files are
+    materialized, like any rewrite. Requires clustering state from a
+    prior ``compact_table(cluster_by=...)``. Returns
+    ``{"n_unclustered", "n_files_rewritten", "n_files_after",
+    "version"}``."""
+    import json
+    import pathlib
+    import shutil
+    import uuid
+
+    p = pathlib.Path(path)
+    vers, live = _snapshot_for_update(p)
+    doc = json.loads((p / _MANIFEST).read_text())
+    clu = doc.get("clustered")
+    if not clu:
+        raise ValueError(
+            "no clustering state: run compact_table(cluster_by=...) first"
+        )
+    by, clustered_files = list(clu["by"]), set(clu["files"])
+    unclustered = [n for n in live if n not in clustered_files]
+    if len(unclustered) < min_files:
+        return {
+            "n_unclustered": len(unclustered),
+            "n_files_rewritten": 0,
+            "n_files_after": len(live),
+            "version": vers,
+        }
+    total = sum((p / n).stat().st_size for n in unclustered)
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".inccompact-{token}")
+    df = _scan_with_dv(
+        spark, p, unclustered, _dv_at_version(p), merge_schema=True
+    )
+    df = df.repartitionByRange(int(n_files), *by).sortWithinPartitions(*by)
+    df.write.mode("overwrite").parquet(str(staging))
+    new_names = []
+    for i, f in enumerate(sorted(staging.glob("*.parquet"))):
+        name = f"inccompact-{token}-{i:05d}.parquet"
+        f.rename(p / name)
+        new_names.append(name)
+    shutil.rmtree(str(staging), ignore_errors=True)
+    gone = set(unclustered)
+    kept = [n for n in live if n not in gone]
+    version = _commit_manifest(  # ATOMIC + OCC
+        p,
+        kept + new_names,
+        expected_version=vers,
+        stats=_stats_for_added(p, new_names),
+        clustered={"by": by, "files": sorted(clustered_files | set(new_names))},
+    )
+    for n in unclustered:  # post-commit cleanup; failure → orphans only
+        _unlink_quiet(p / n)
+    return {
+        "n_unclustered": len(unclustered),
+        "n_files_rewritten": len(unclustered),
+        "n_files_after": len(kept) + len(new_names),
         "version": version,
     }
 

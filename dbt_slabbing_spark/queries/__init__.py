@@ -139,8 +139,14 @@ _PRIORITY = (
     "join_semi_active_customers",
     "model_snapshot_customer_segments",
     "pipeline_quality_funnel",
-    "q10_returned_revenue",
-    "q11_part_value_concentration",
+    "layout_incremental_optimize",  # round-11 gate, never
+    # driver-checked: takes q10_returned_revenue's slot (r6-green; the
+    # TPC-H family keeps 17+ prefixed rows and parity_sweep re-verifies
+    # q10 this round -> head of the round-12 queue)
+    "stream_wap_quality_gate",  # round-11 gate, never driver-checked:
+    # takes q11_part_value_concentration's slot (r6-green; same family
+    # argument; parity_sweep re-verifies q11 this round -> head of the
+    # round-12 queue)
     "layout_check_constraints",  # round-11 gate, never driver-checked:
     # takes q12_shipmode_priority_classes's slot (r6-green; the TPC-H
     # family keeps 17+ prefixed rows and parity_sweep re-verifies q12

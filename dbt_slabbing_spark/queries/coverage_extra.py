@@ -1705,3 +1705,93 @@ def layout_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all_have_stats boolean, n_rows_current bigint, "
         "sum_value_current double",
     )
+
+
+@register(
+    "layout_incremental_optimize",
+    # Incremental OPTIMIZE (Delta auto-compaction / liquid-clustering
+    # maintenance): after a clustered rewrite, three late appends are
+    # re-clustered by ONE compact_incremental pass that rewrites
+    # EXACTLY those three files -- the clustered bulk keeps its file
+    # names (bulk_untouched) and the clustering state covers the whole
+    # table again (state_covers_all). Literals BY CONSTRUCTION of the
+    # three coalesce(1) appends; content = events with value < 200
+    # (base value < 100 + the three appended slices).
+    """
+    SELECT CAST(3 AS BIGINT) AS n_rewritten,
+           TRUE AS bulk_untouched,
+           TRUE AS state_covers_all,
+           CAST(count(*) FILTER (WHERE value < 200) AS BIGINT) AS n_rows,
+           round((sum(value) FILTER (WHERE value < 200)) * 100.0) / 100.0
+               + 0.0 AS sum_value
+    FROM events
+    """,
+    "incremental OPTIMIZE: only files appended since the last "
+    "clustering pass are rewritten into the recorded cluster layout; "
+    "the clustered bulk is byte-untouched — maintenance cost is "
+    "O(new data), not O(table)",
+    tags=("layout", "optimize"),
+)
+def layout_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives compact_incremental end-to-end under the oracle gate:
+    the steady-state maintenance shape for a 100 TB clustered table —
+    a full OPTIMIZE is O(table) every run; this pass is O(new files),
+    adding one clustered LSM-style run whose per-file min/max boxes
+    keep read_table(prune=) skipping."""
+    import json
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        _MANIFEST,
+        append_files,
+        compact_incremental,
+        compact_table,
+        read_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="incopt_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.filter(F.col("value") < 100).repartition(4))
+        compact_table(
+            spark, work, target_file_bytes=256 * 1024, cluster_by=["value"]
+        )
+        bulk = set(
+            json.loads((pathlib.Path(work) / _MANIFEST).read_text())[
+                "clustered"
+            ]["files"]
+        )
+        for lo, hi in ((100, 120), (120, 150), (150, 200)):
+            append_files(
+                spark,
+                work,
+                ev.filter(
+                    (F.col("value") >= lo) & (F.col("value") < hi)
+                ).coalesce(1),
+            )
+        st = compact_incremental(spark, work, target_file_bytes=1 << 30)
+        doc = json.loads((pathlib.Path(work) / _MANIFEST).read_text())
+        bulk_untouched = bulk <= set(doc["files"])
+        state_covers_all = set(doc["clustered"]["files"]) == set(doc["files"])
+        row = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(st["n_files_rewritten"]),
+                bulk_untouched,
+                state_covers_all,
+                row["n"],
+                float(row["s"]),
+            )
+        ],
+        "n_rewritten bigint, bulk_untouched boolean, "
+        "state_covers_all boolean, n_rows bigint, sum_value double",
+    )

@@ -522,3 +522,30 @@ def stream_cdf_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_cdf_incremental_mart(
         spark, sf_dir, work, rows_per_batch=2000
     )
+
+
+@register(
+    "stream_wap_quality_gate",
+    # Every micro-batch passes stage -> audit -> publish; the audit
+    # rule (no negative values) is PER-ROW so the published content is
+    # slicing-independent; the injected poison batch fails its audit
+    # and is discarded, so the final table is exactly the raw events
+    # and wap_clean (empty staged registry at the end) is the literal
+    # TRUE.
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value,
+           TRUE AS wap_clean
+    FROM events GROUP BY event_type
+    """,
+    "quality-gated streaming ingest (write-audit-publish per "
+    "micro-batch): readers never see an unaudited batch, a failing "
+    "batch discards without a trace, replays resume idempotently "
+    "across the three WAP steps; rollup equals the batch aggregate",
+    tags=("streaming", "layout", "wap"),
+)
+def stream_wap_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_wap_")
+    return jobs.streaming_wap_landing(spark, sf_dir, work, rows_per_batch=2000)

@@ -1193,3 +1193,107 @@ def streaming_pattern_v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
         F.min("event_id").cast("bigint").alias("first_event_id"),
     )
+
+
+def streaming_wap_landing(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    rows_per_batch: int = 2000,
+) -> DataFrame:
+    """Quality-gated streaming ingest: every micro-batch lands through
+    WRITE-AUDIT-PUBLISH (`operators/layout.py::stage_append` →
+    `read_staged` audit → `publish_staged` / `discard_staged`) instead
+    of committing blind — the streaming twin of
+    `layout_wap_audit_publish`. Readers of the table NEVER see a batch
+    its audit hasn't passed; a failing batch is discarded without a
+    trace (demonstrated with one injected poison batch after the
+    replay — the per-row audit rule `value >= 0` holds for every real
+    event, so the published content is slicing-independent and the
+    oracle can state it over raw events).
+
+    Exactly-once under micro-batch replay: the audit_id embeds the
+    batch id; a replayed batch whose files already sit in the live
+    list (published) or in the staged registry (crashed mid-audit) is
+    detected by prefix test / registry lookup and resumes from where
+    it stopped — the same idempotence contract as
+    append_batch_idempotent, extended across the three WAP steps.
+
+    100 TB story: the audit reads exactly the staged bytes (O(batch)),
+    publish is O(1) metadata — the quality gate costs one extra pass
+    over NEW data only, never a quarantine copy or a table scan.
+    """
+    from ..catalog import _ensure_workers_can_import
+    from ..operators.layout import (
+        _staged_registry,
+        discard_staged,
+        ensure_manifest,
+        publish_staged,
+        read_staged,
+        read_table,
+        stage_append,
+    )
+    from ..sources.replay_stream import register_replay_source
+    import pathlib
+
+    _ensure_workers_can_import(spark)
+    register_replay_source(spark)
+    table_dir = f"{work_dir}/events_table"
+    # adopt the (empty) table before the first batch: land()'s
+    # published-prefix test reads the manifest, which needs the dir
+    pathlib.Path(table_dir).mkdir(parents=True, exist_ok=True)
+    ensure_manifest(table_dir)
+
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+    def _audit_and_resolve(aid: str) -> None:
+        bad = read_staged(spark, table_dir, aid).filter(F.col("value") < 0)
+        if bad.isEmpty():
+            publish_staged(spark, table_dir, aid)
+        else:
+            discard_staged(table_dir, aid)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        aid = f"b{batch_id}"
+        live = ensure_manifest(table_dir)
+        if any(n.startswith(f"staged-{aid}-") for n in live):
+            return  # replay of a published batch: no-op
+        if aid not in _staged_registry(pathlib.Path(table_dir)):
+            stage_append(spark, table_dir, batch_df, audit_id=aid)
+        _audit_and_resolve(aid)  # crash mid-audit resumes here on replay
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .foreachBatch(land)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the poison batch: audited, FAILS, discarded — no reader saw it
+    poison = spark.createDataFrame(
+        [(-1, 0, "poison", -1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    stage_append(spark, table_dir, poison.coalesce(1), audit_id="poison")
+    _audit_and_resolve("poison")
+    wap_clean = not _staged_registry(pathlib.Path(table_dir))
+    return (
+        read_table(spark, table_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn("wap_clean", F.lit(wap_clean))
+    )
