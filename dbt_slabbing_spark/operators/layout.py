@@ -328,7 +328,6 @@ def _commit_manifest(
     expected_version: int | None = None,
     stats: dict | None = None,
     dv: dict | None = None,
-    bloom: dict | None = None,
     bloom_cfg: dict | None = None,
     staged: dict | None = None,
     constraints: dict | None = None,
@@ -380,15 +379,17 @@ def _commit_manifest(
     DV mapping — O(files-with-deletes) per entry, small by
     construction — so time travel restores row-level content exactly.
 
-    ``bloom`` merges per-file bloom bitsets into the commit's
-    ``bloom`` key (``{col: {file: hex_bitset}}`` — see
-    :func:`create_bloom_index`) and ``bloom_cfg`` replaces the index
-    registry (``{col: {"m": bits, "k": hashes}}``); both carry forward
-    unchanged when not passed (data files are immutable, so a carried
-    bitset can never go stale; entries drop with their files). Blooms
-    are an INDEX, not content: history entries don't record them —
-    a time-travel read that can't prove a file irrelevant simply scans
-    it (conservative, still exact).
+    ``bloom_cfg`` replaces the bloom-index registry
+    (``{col: {"m": bits, "k": hashes}}`` — see
+    :func:`create_bloom_index`); carried forward when not passed. The
+    BITSETS themselves live in the ``_bloom.json`` SIDECAR, not the
+    manifest: at real sizing (~1 bit/key × keys/file × files) they are
+    megabytes, and an inline copy would make every manifest read —
+    every read_table, every commit — re-parse them (measured: an
+    11 MB manifest put +0.3 s on a point lookup). Blooms are an INDEX,
+    not content: a reader that can't find a file's entry simply scans
+    the file (conservative, still exact), so sidecar staleness is
+    harmless and history entries never record bitsets.
 
     ``staged`` replaces the write-audit-publish registry
     (``{audit_id: [file, ...]}`` — see :func:`stage_append`): files
@@ -416,7 +417,7 @@ def _commit_manifest(
     fd = _manifest_lock(p)
     try:
         version, history, prev_stats, prev_dv = 1, [], {}, {}
-        prev_bloom, prev_bloom_cfg, prev_staged = {}, {}, {}
+        prev_bloom_cfg, prev_staged = {}, {}
         prev_constraints, prev_clustered = {}, {}
         if mf.exists():
             prev = json.loads(mf.read_text())
@@ -425,7 +426,6 @@ def _commit_manifest(
             history = prev.get("history", [])
             prev_stats = prev.get("stats", {})
             prev_dv = prev.get("dv", {})
-            prev_bloom = prev.get("bloom", {})
             prev_bloom_cfg = prev.get("bloom_cfg", {})
             prev_staged = prev.get("staged", {})
             prev_constraints = prev.get("constraints", {})
@@ -471,18 +471,6 @@ def _commit_manifest(
         }
         if merged_dv:
             doc["dv"] = merged_dv
-        merged_bloom = {}
-        for col, entries in prev_bloom.items():
-            kept = {n: b for n, b in entries.items() if n in live_set}
-            if kept:
-                merged_bloom[col] = kept
-        if bloom:
-            for col, entries in bloom.items():
-                merged_bloom.setdefault(col, {}).update(
-                    {n: b for n, b in entries.items() if n in live_set}
-                )
-        if merged_bloom:
-            doc["bloom"] = merged_bloom
         cfg = bloom_cfg if bloom_cfg is not None else prev_bloom_cfg
         if cfg:
             doc["bloom_cfg"] = cfg
@@ -621,32 +609,77 @@ def _scan_with_dv(
             df = df.withColumn("_file", F.input_file_name())
         return df
     data_cols = reader.parquet(*paths).columns
-    df = (
-        reader.parquet(*paths)
-        .withColumn("_file", F.col("_metadata.file_path"))
-        .withColumn(
-            "__dv_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        )
-        .withColumn("__dv_pos", F.col("_metadata.row_index"))
-    )
-    if dv_files:
-        dead = (
-            spark.read.parquet(*[str(p / d) for d in dv_files])
-            .filter(F.col("file").isin(list(live_set)))
-            .select(
-                F.col("file").alias("__dv_name"), F.col("pos").alias("__dv_pos")
+
+    def _with_meta(names: list[str]) -> DataFrame:
+        return (
+            reader.parquet(*[str(p / n) for n in names])
+            .withColumn("_file", F.col("_metadata.file_path"))
+            .withColumn(
+                "__dv_name",
+                F.substring_index(F.col("_metadata.file_path"), "/", -1),
             )
-            .distinct()
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
         )
-        df = df.join(
-            F.broadcast(dead), on=["__dv_name", "__dv_pos"], how="left_anti"
-        )
+
     keep = (
         data_cols
         + (["_file"] if keep_file_col else [])
         + (["__dv_name", "__dv_pos"] if keep_pos_col else [])
     )
-    return df.select(*keep)
+    if not dv_files:
+        return _with_meta(live).select(*keep)
+    # the anti-join is paid ONLY by files that actually carry a DV —
+    # clean files scan plain, exactly Delta's per-file DV application;
+    # for a table where one file of hundreds holds deletes, the read
+    # tax is O(that file), not O(table). Each dirty file anti-joins on
+    # the LONG row position alone (its name is a plan-time constant),
+    # so no per-row path-string projection or string join key ever
+    # touches the scan; plan size is O(dirty files), bounded by the
+    # OPTIMIZE cadence that materializes DVs away.
+    dirty = [n for n in live if dv_map.get(n)]
+    clean = [n for n in live if not dv_map.get(n)]
+    dv_union = spark.read.parquet(*[str(p / d) for d in dv_files])
+    parts = []
+    for n in dirty:
+        dead_pos = (
+            dv_union.filter(F.col("file") == n)
+            .select(F.col("pos").alias("__dv_pos"))
+            .distinct()
+        )
+        # small DVs (the targeted-delete norm — big deletes take
+        # mode="cow") inline as a NOT-IN literal filter, which stays
+        # inside whole-stage codegen and costs ~nothing; only a DV
+        # past the cap pays the broadcast anti-join (measured 0.5 s
+        # per 2.5M-row file). The probe collect is a driver-side job
+        # over the tiny DV parquet, one per dirty file.
+        inline = dead_pos.limit(_DV_INLINE_CAP + 1).collect()
+        one = (
+            _with_meta([n])
+            if (keep_file_col or keep_pos_col)
+            else reader.parquet(str(p / n)).withColumn(
+                "__dv_pos", F.col("_metadata.row_index")
+            )
+        )
+        if len(inline) <= _DV_INLINE_CAP:
+            one = one.filter(
+                ~F.col("__dv_pos").isin([r["__dv_pos"] for r in inline])
+            )
+        else:
+            one = one.join(
+                F.broadcast(dead_pos), on=["__dv_pos"], how="left_anti"
+            )
+        parts.append(one.select(*keep))
+    if clean:
+        clean_df = (
+            _with_meta(clean)
+            if (keep_file_col or keep_pos_col)
+            else reader.parquet(*[str(p / n) for n in clean])
+        )
+        parts.append(clean_df.select(*keep))
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out
 
 
 def ensure_manifest(path) -> list[str]:
@@ -851,6 +884,28 @@ def prune_file_list(path, files: list[str], col: str, lo, hi) -> list[str]:
     return keep
 
 
+_BLOOM = "_bloom.json"
+
+#: Max dead positions per file inlined as a NOT-IN literal filter in
+#: the DV-applied scan; larger DVs take a broadcast anti-join.
+_DV_INLINE_CAP = 8192
+
+
+def _bloom_sidecar(p) -> dict:
+    """The ``_bloom.json`` sidecar (``{col: {file: hex_bitset}}``),
+    tolerating absence/corruption as empty — blooms are an index, a
+    lost sidecar only costs skipping, never correctness."""
+    import json
+
+    side = p / _BLOOM
+    if not side.exists():
+        return {}
+    try:
+        return json.loads(side.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
 def _bloom_positions(value_col: Column, m: int, k: int) -> list[Column]:
     """The ``k`` bit positions a value sets/probes in an ``m``-bit
     bloom filter: ``pmod(xxhash64(cast(value as string), seed), m)``
@@ -863,6 +918,107 @@ def _bloom_positions(value_col: Column, m: int, k: int) -> list[Column]:
         F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(m)).cast("int")
         for seed in range(k)
     ]
+
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Reference XXH64 over ``data`` — bit-identical to Spark's
+    ``xxhash64(string_col, seed)`` on the column's UTF-8 bytes
+    (pinned by ``tests/test_layout_bloom.py::test_python_probe_
+    matches_spark_xxhash64``). Lets a POINT LOOKUP compute its probe
+    bit positions driver-side in microseconds instead of paying a
+    one-row Spark job per lookup."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            k1 = int.from_bytes(data[i : i + 8], "little")
+            v1 = (_rotl((v1 + k1 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k2 = int.from_bytes(data[i + 8 : i + 16], "little")
+            v2 = (_rotl((v2 + k2 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k3 = int.from_bytes(data[i + 16 : i + 24], "little")
+            v3 = (_rotl((v3 + k3 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k4 = int.from_bytes(data[i + 24 : i + 32], "little")
+            v4 = (_rotl((v4 + k4 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h = ((_rotl(h ^ ((_rotl((k * _XXP2) & _M64, 31) * _XXP1) & _M64), 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h = ((_rotl(h ^ ((k * _XXP1) & _M64), 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * _XXP5) & _M64), 11)) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_int_field(i: int, seed: int) -> int:
+    """Spark XXH64's int-field step (XXH64.hashInt)."""
+    h = (seed + _XXP5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _XXP1) & _M64
+    h = (_rotl(h, 23) * _XXP2 + _XXP3) & _M64
+    return _xxh64_fmix(h)
+
+
+def _probe_positions_py(value, m: int, k: int) -> list[int]:
+    """The probe's bit positions computed DRIVER-SIDE: the same
+    pmod(xxhash64(cast(v as string), lit(seed)), m) the build computed
+    JVM-side. Spark's multi-argument ``xxhash64`` is a CHAIN, not a
+    seeded hash: each field is hashed with the running hash as its
+    seed, starting from Spark's default seed 42 — so the expression is
+    ``hashInt(seed_literal, seed=XXH64(utf8(v), 42))`` (the parity
+    test pins this against the JVM for strings spanning every tail
+    shape). Signed-64 interpretation matches Spark's LongType result
+    before pmod; Spark's string cast of int/string literals is
+    str()-equal (the index contract restricts keys to int/string)."""
+    base = _xxh64(str(value).encode("utf-8"), 42)
+    out = []
+    for seed in range(k):
+        h = _xxh64_int_field(seed, base)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        out.append(h % m)  # Python % is non-negative: pmod semantics
+    return out
 
 
 def _pack_bits(positions, m: int) -> str:
@@ -882,40 +1038,42 @@ def create_bloom_index(
     spark, path, col: str, m_bits: int = 8192, k: int = 3
 ) -> dict:
     """Register + build a per-FILE bloom-filter index on ``col`` (the
-    Delta ``CREATE BLOOMFILTER INDEX`` shape): one ``m_bits`` bitset
-    per live data file rides the manifest, and a point lookup
+    Delta ``CREATE BLOOMFILTER INDEX`` shape): the config rides the
+    manifest, one ``m_bits`` bitset per live data file lands in the
+    ``_bloom.json`` sidecar, and a point lookup
     (``read_table(point=(col, v))``) skips every file whose bloom
     proves ``v`` absent — the skipping primitive for HIGH-CARDINALITY
     lookup keys that the min/max stats CANNOT serve when the file
     layout isn't clustered on them (every file's range covers the
     probe, but almost no file actually holds the key). Parquet's own
     row-group blooms (``parquet.bloom.filter.enabled#col``) do this
-    INSIDE a file after its footer is opened; the manifest-level index
+    INSIDE a file after its footer is opened; the file-level index
     skips whole files from metadata alone — at object-store scale,
-    before any GET is issued.
+    before any GET is issued. Bitsets live in the sidecar, NOT the
+    manifest document (see :func:`_commit_manifest`): at honest sizing
+    they are megabytes, and inlining them taxes every manifest parse.
 
     Build cost: ONE distributed pass over files missing an entry
     (re-running is the idempotent REFRESH maintenance op: files
     appended after index creation lack entries — reads keep them
     conservatively — and refresh tops them up). The per-file bit
     positions come back grouped (≤ m_bits rows per file); packing is
-    driver-side O(files · m/8) metadata, the same cost class as the
-    stats manifest. FP rate with defaults: ~(keys·k/m)³ per file —
-    sized for ~100-1000 distinct keys/file; pass a bigger ``m_bits``
-    for denser files.
+    driver-side O(files · m/8) metadata. Size ``m_bits`` to ~10 bits
+    per expected distinct key per file (FP ≈ (fill)^k); the default
+    suits ~100-1000 keys/file.
 
     NULLs never enter a bloom (SQL equality never matches NULL).
     Returns ``{"n_files_indexed", "n_files_total", "version"}``."""
+    import json
     import pathlib
 
     if m_bits % 8 or m_bits <= 0:
         raise ValueError("m_bits must be a positive multiple of 8")
     p = pathlib.Path(path)
     vers, live = _snapshot_for_update(p)
-    import json
 
     doc = json.loads((p / _MANIFEST).read_text())
-    have = set(doc.get("bloom", {}).get(col, {}))
+    have = set(_bloom_sidecar(p).get(col, {}))
     cfg = dict(doc.get("bloom_cfg", {}))
     if col in cfg and (cfg[col]["m"] != m_bits or cfg[col]["k"] != k):
         raise ValueError(
@@ -938,6 +1096,10 @@ def create_bloom_index(
             .filter(F.col("v").isNotNull())
         )
         m, kk = m_bits, k
+        # pack the bitset JVM-side into 64-bit words (bit_or agg): the
+        # collect ships ≤ m/64 words per file instead of ≤ m positions
+        # — 64× less driver traffic, and the shuffle key space is
+        # (file, word) so the map-side combine does most of the OR-ing
         rows = (
             scan.select(
                 "file",
@@ -945,31 +1107,51 @@ def create_bloom_index(
                     "pos"
                 ),
             )
-            .distinct()  # ≤ m_bits rows per file by construction
-            .groupBy("file")
-            .agg(F.collect_set("pos").alias("positions"))
-            .collect()  # bounded: one row per missing file
+            .select(
+                "file",
+                (F.col("pos") / 64).cast("int").alias("w"),
+                F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("b"),
+            )
+            .groupBy("file", "w")
+            .agg(
+                F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word")
+            )
+            .collect()  # bounded: ≤ m_bits/64 rows per missing file
         )
-        entries = {r["file"]: _pack_bits(r["positions"], m) for r in rows}
-        # a file with ONLY NULLs in col produces no row: give it an
-        # empty bitset so lookups can skip it (NULL never equals)
-        for n in missing:
-            entries.setdefault(n, _pack_bits((), m))
+        bufs: dict[str, bytearray] = {n: bytearray(m // 8) for n in missing}
+        for r in rows:
+            word = r["word"] & _M64  # signed long → unsigned bits
+            bufs[r["file"]][r["w"] * 8 : r["w"] * 8 + 8] = word.to_bytes(
+                8, "little"
+            )
+        # a file with ONLY NULLs in col contributes no word: its empty
+        # bitset lets lookups skip it (NULL never equals)
+        entries = {n: bytes(buf).hex() for n, buf in bufs.items()}
+    # bitsets land in the sidecar (atomic tmp+replace, merged under the
+    # manifest lock so concurrent refreshes can't drop each other);
+    # stale entries for displaced files are harmless (lookups consult
+    # live ∩ entries) and vacuum prunes them
+    fd = _manifest_lock(p)
+    try:
+        side = _bloom_sidecar(p)
+        side.setdefault(col, {}).update(entries)
+        tmp = p / (_BLOOM + ".tmp")
+        tmp.write_text(json.dumps(side))
+        import os
+
+        os.replace(str(tmp), str(p / _BLOOM))
+    finally:
+        _manifest_unlock(p, fd)
     for _ in range(10):
         try:
             version = _commit_manifest(
-                p,
-                live,
-                expected_version=vers,
-                bloom={col: entries},
-                bloom_cfg=cfg,
+                p, live, expected_version=vers, bloom_cfg=cfg
             )
             break
         except ManifestConflictError:
             # index build removes nothing: rebase onto the new snapshot
-            # (entries for files no longer live are dropped by the
-            # commit; concurrently added files stay conservative until
-            # the next refresh)
+            # (concurrently added files stay conservative until the
+            # next refresh)
             vers, live = _read_snapshot(p)
     else:
         raise ManifestConflictError(
@@ -986,8 +1168,11 @@ def prune_files_bloom(spark, path, files: list[str], col: str, value) -> list[st
     """Subset of ``files`` that may contain ``col = value``, per the
     manifest's bloom index (superset guarantee: files without an entry
     — appended since the last refresh, or no index on ``col`` — are
-    KEPT). The probe's bit positions are computed by the SAME JVM
-    xxhash64 expressions the build used, via a one-row local job."""
+    KEPT). The probe's bit positions are computed DRIVER-SIDE in pure
+    Python (:func:`_probe_positions_py`, reference XXH64 — parity with
+    the build side's JVM ``xxhash64`` is test-pinned), so a point
+    lookup decides its file list in microseconds with no Spark job.
+    ``spark`` is unused (kept for API stability)."""
     import json
     import pathlib
 
@@ -997,15 +1182,10 @@ def prune_files_bloom(spark, path, files: list[str], col: str, value) -> list[st
         return files
     doc = json.loads(mf.read_text())
     cfg = doc.get("bloom_cfg", {}).get(col)
-    entries = doc.get("bloom", {}).get(col, {})
+    entries = _bloom_sidecar(p).get(col, {})
     if not cfg or not entries:
         return files
-    probe = (
-        spark.range(1)
-        .select(*_bloom_positions(F.lit(value), cfg["m"], cfg["k"]))
-        .collect()[0]
-    )
-    positions = list(probe)
+    positions = _probe_positions_py(value, cfg["m"], cfg["k"])
     return [
         n
         for n in files
@@ -1819,20 +1999,21 @@ def _drop_stats_entries(p, names: list[str]) -> None:
     import json
     import os
 
-    sidecar = p / _STATS
-    if not sidecar.exists():
-        return
-    try:
-        cache = json.loads(sidecar.read_text())
-        gone = set(names)
-        for col_cache in cache.values():
-            for n in gone:
-                col_cache.pop(n, None)
-        tmp = p / (_STATS + ".tmp")
-        tmp.write_text(json.dumps(cache))
-        os.replace(str(tmp), str(sidecar))
-    except (OSError, ValueError, AttributeError):
-        pass
+    gone = set(names)
+    for fname in (_STATS, _BLOOM):
+        sidecar = p / fname
+        if not sidecar.exists():
+            continue
+        try:
+            cache = json.loads(sidecar.read_text())
+            for col_cache in cache.values():
+                for n in gone:
+                    col_cache.pop(n, None)
+            tmp = p / (fname + ".tmp")
+            tmp.write_text(json.dumps(cache))
+            os.replace(str(tmp), str(sidecar))
+        except (OSError, ValueError, AttributeError):
+            pass
 
 
 def prune_history(path, retain_versions: int) -> list[int]:
@@ -2048,7 +2229,26 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev) -> dict:
     df = _scan_with_dv(
         spark, p, live, dv_prev, merge_schema=True, keep_pos_col=True
     )
-    rows_before = df.count()
+    # rows_before WITHOUT a table scan: footer-metadata count minus the
+    # snapshot's dead-position cardinality (DV parquets are tiny) — a
+    # DV delete's cost must stay O(matched rows), not O(table)
+    base_count = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[str(p / n) for n in live])
+        .count()
+    )
+    prev_dv_files = sorted(
+        {d for n, lst in dv_prev.items() if n in set(live) for d in lst}
+    )
+    dead_count = (
+        spark.read.parquet(*[str(p / d) for d in prev_dv_files])
+        .filter(F.col("file").isin(list(live)))
+        .distinct()
+        .count()
+        if prev_dv_files
+        else 0
+    )
+    rows_before = base_count - dead_count
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".dv-{token}")
     # the DV is O(matched rows): a handful of positions for a targeted

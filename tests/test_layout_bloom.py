@@ -123,17 +123,22 @@ def test_bloom_composes_with_dv(spark, user_table):
     assert out.count() == 0
 
 
-def test_bloom_entries_drop_with_files(spark, user_table):
-    """Entries for files displaced by a rewrite leave the manifest
-    (carry-forward filters to live), keeping metadata O(live files)."""
-    from dbt_slabbing_spark.operators.layout import compact_table
+def test_bloom_entries_survive_rewrite_conservatively(spark, user_table):
+    """A rewrite displaces indexed files: their sidecar entries go
+    stale (harmless — lookups consult live ∩ entries, so the new files
+    read conservatively), vacuum prunes the stale entries, and a
+    refresh re-indexes the new layout."""
+    from dbt_slabbing_spark.operators.layout import (
+        _bloom_sidecar,
+        compact_table,
+        vacuum_orphans,
+    )
 
     target, rows = user_table
     create_bloom_index(spark, target, "user_id")
+    old_indexed = set(_bloom_sidecar(pathlib.Path(target))["user_id"])
     compact_table(spark, target, target_file_bytes=1 << 30)
-    doc = json.loads((pathlib.Path(target) / _MANIFEST).read_text())
-    assert "bloom" not in doc or not doc["bloom"].get("user_id")
-    # conservative read still exact after the index emptied
+    # conservative read still exact while the new files lack entries
     probe = min(r["user_id"] for r in rows.values())
     got = (
         read_table(spark, target, point=("user_id", probe))
@@ -141,3 +146,35 @@ def test_bloom_entries_drop_with_files(spark, user_table):
         .count()
     )
     assert got == len([1 for r in rows.values() if r["user_id"] == probe])
+    # vacuum reclaims the displaced files AND their sidecar entries
+    vacuum_orphans(target, grace_seconds=0.0)
+    left = set(_bloom_sidecar(pathlib.Path(target)).get("user_id", {}))
+    assert not (left & old_indexed)
+    # refresh re-indexes the compacted layout; absent keys prune again
+    create_bloom_index(spark, target, "user_id")
+    absent = max(r["user_id"] for r in rows.values()) + 987654
+    assert prune_files_bloom(spark, target, _live(target), "user_id", absent) == []
+
+
+def test_python_probe_matches_spark_xxhash64(spark):
+    """The driver-side reference XXH64 must be bit-identical to
+    Spark's xxhash64 over the cast-to-string bytes, for every seed the
+    index uses — covering empty/short/4-byte/8-byte/32-byte-stripe
+    inputs and negative-hash pmod behavior."""
+    from dbt_slabbing_spark.operators.layout import (
+        _bloom_positions,
+        _probe_positions_py,
+    )
+
+    values = [
+        0, 1, -1, 7, 42, 999999999, -987654321,
+        2**31, 2**62, "a", "", "abc", "abcd", "abcdefgh",
+        "abcdefghi", "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+        "naïve-ütf8", "tab\tand\nnewline", 1234567890123456789,
+    ]
+    m, k = 65536, 7
+    rows = spark.createDataFrame(
+        [(str(v),) for v in values], "v string"
+    ).select(*_bloom_positions(F.col("v"), m, k)).collect()
+    for v, row in zip(values, rows):
+        assert _probe_positions_py(v, m, k) == list(row), f"mismatch for {v!r}"
