@@ -463,3 +463,44 @@ def frame_sample_plan(df: DataFrame, n_frames_col: str = "n_frames", stride: int
         "frame_indices",
         F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(stride)),
     )
+
+
+def resize_tile_plan(
+    df: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    target: int = 224,
+    tile: int = 224,
+) -> DataFrame:
+    """Shorter-side resize + tile-grid PLAN for an image batch: output
+    dimensions for a resize that maps the shorter side to ``target``
+    (integer floor arithmetic — cross-engine exact), the ``tile``-sized
+    grid covering the output (ceil division), and the decoded byte
+    budget (out_w x out_h x 3 RGB). This is the SCHEDULING half of an
+    image-preprocessing stage: a 100 TB pipeline sizes its Arrow
+    batches, memory budget and shuffle volume from THIS frame before
+    any pixel is decoded (the pixel work itself is `decode_image`,
+    dependency-gated in this container). Pure built-in integer
+    expressions — stays in whole-stage codegen, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.least(F.col(w_col), F.col(h_col))
+    out_w = F.floor((F.col(w_col) * F.lit(target)) / s).cast("int")
+    out_h = F.floor((F.col(h_col) * F.lit(target)) / s).cast("int")
+    return (
+        df.withColumn("out_w", out_w)
+        .withColumn("out_h", out_h)
+        .withColumn(
+            "tiles_x",
+            F.floor((F.col("out_w") + F.lit(tile - 1)) / F.lit(tile)).cast("int"),
+        )
+        .withColumn(
+            "tiles_y",
+            F.floor((F.col("out_h") + F.lit(tile - 1)) / F.lit(tile)).cast("int"),
+        )
+        .withColumn("n_tiles", (F.col("tiles_x") * F.col("tiles_y")).cast("int"))
+        .withColumn(
+            "out_bytes", (F.col("out_w").cast("bigint") * F.col("out_h") * 3)
+        )
+    )

@@ -138,7 +138,11 @@ _PRIORITY = (
     "join_right_suppliers_per_nation",
     "join_semi_active_customers",
     "model_snapshot_customer_segments",
-    "pipeline_quality_funnel",
+    "mm_resize_tile_plan",  # round-11 gate, never driver-checked:
+    # takes pipeline_quality_funnel's slot (r6-green; quality-funnel
+    # semantics stay prefixed via stream_quality_funnel's r10 row and
+    # parity_sweep re-verifies it this round -> head of the round-12
+    # queue)
     "layout_incremental_optimize",  # round-11 gate, never
     # driver-checked: takes q10_returned_revenue's slot (r6-green; the
     # TPC-H family keeps 17+ prefixed rows and parity_sweep re-verifies

@@ -137,3 +137,63 @@ def mm_size_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
         F.max(F.octet_length("payload")).alias("max_bytes"),
     )
+
+
+@register(
+    "mm_resize_tile_plan",
+    # Even doc_ids synthesize a REAL PNG (IHDR = (len%640+1, len%480+1)),
+    # the header decoder parses the dims back (mapInPandas, Arrow
+    # batches), and the resize/tile plan is pure integer arithmetic the
+    # oracle restates from the same length seeds: shorter side -> 224
+    # (floor), 224-tile grid (ceil), RGB byte budget. The pixel resize
+    # itself is decode_image, dependency-gated; the PLAN (schema, batch
+    # shape, byte budget) is what the scheduling layer consumes.
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(strlen(text) % 640 + 1 AS INT) AS width,
+               CAST(strlen(text) % 480 + 1 AS INT) AS height
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, width, height,
+           CAST((width * 224) // least(width, height) AS INT)  AS out_w,
+           CAST((height * 224) // least(width, height) AS INT) AS out_h,
+           CAST(((width * 224) // least(width, height) + 223) // 224
+                * (((height * 224) // least(width, height) + 223) // 224)
+                AS INT) AS n_tiles,
+           CAST((width * 224) // least(width, height) AS BIGINT)
+               * ((height * 224) // least(width, height)) * 3 AS out_bytes
+    FROM d
+    """,
+    "image resize/tile scheduling plan: real PNG headers parsed back "
+    "via mapInPandas, then shorter-side-224 output dims, tile grid and "
+    "decode byte budget as pure codegen integer arithmetic",
+    tags=("multimodal", "plan"),
+)
+def mm_resize_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import probe_media, resize_tile_plan, synth_png
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("_len"),
+        )
+    )
+
+    def synth_batches(batches):
+        for pdf in batches:
+            payloads = [
+                synth_png(int(n) % 640 + 1, int(n) % 480 + 1)
+                for n in pdf["_len"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth_batches, schema="doc_id bigint, payload binary")
+    dims = probe_media(media).select("doc_id", "width", "height")
+    return resize_tile_plan(dims).select(
+        "doc_id", "width", "height", "out_w", "out_h", "n_tiles", "out_bytes"
+    )
