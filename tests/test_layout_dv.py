@@ -229,3 +229,22 @@ def test_dv_read_with_prune_still_exact(spark, events_table):
         if lo <= r["user_id"] <= lo + 5 and r["event_type"] != "click"
     }
     assert got == want
+
+
+def test_dv_over_inline_cap_takes_anti_join(spark, events_table, monkeypatch):
+    """DVs past the inline cap switch from the NOT-IN literal filter
+    to the broadcast anti-join — same answer, different plan branch."""
+    from dbt_slabbing_spark.operators import layout
+
+    target, rows = events_table
+    monkeypatch.setattr(layout, "_DV_INLINE_CAP", 3)  # force the branch
+    dead = {k for k, r in rows.items() if r["event_type"] in ("click", "view")}
+    assert len(dead) > 3
+    st = delete_rows(
+        spark, target, "event_type IN ('click', 'view')", mode="dv"
+    )
+    assert st["rows_deleted"] == len(dead)
+    assert _ids(read_table(spark, target)) == set(rows) - dead
+    # the executed plan really contains the anti-join, not the INSET
+    plan = read_table(spark, target)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "INSET" not in plan
