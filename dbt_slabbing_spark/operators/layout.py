@@ -1247,7 +1247,13 @@ def read_table(
             if version is not None
             else ensure_manifest(p)
         )
-        missing = [n for n in live if not (p / n).exists()]
+        dv_map = _dv_at_version(p, version)
+        dv_needed = sorted(
+            {d for n, lst in dv_map.items() if n in set(live) for d in lst}
+        )
+        missing = [
+            n for n in list(live) + dv_needed if not (p / n).exists()
+        ]
         if missing:
             raise FileNotFoundError(
                 f"snapshot {version} references vacuumed files: {missing}"
@@ -1281,7 +1287,7 @@ def read_table(
         # read correctly because pruning is a superset guarantee and
         # DV'd rows are removed here, after file skipping
         return _scan_with_dv(
-            spark, p, live, _dv_at_version(p, version), merge_schema=merge_schema
+            spark, p, live, dv_map, merge_schema=merge_schema
         )
     if version is not None:
         raise ValueError("version= requires a manifest table")
@@ -1681,6 +1687,13 @@ def stage_append(spark, path, df: DataFrame, audit_id: str | None = None) -> dic
     for _ in range(10):  # blind-append rebase: staging removes nothing
         try:
             reg = dict(_staged_registry(p))
+            if audit_id in reg:
+                # a CONCURRENT stage claimed the id between our check
+                # and commit: overwriting would orphan the winner's
+                # files under a registry entry pointing at ours — fail
+                # like the up-front check (our files stay orphans for
+                # vacuum; the caller picks a fresh audit_id)
+                raise ValueError(f"audit_id {audit_id!r} already staged")
             reg[audit_id] = added
             version = _commit_manifest(
                 p, live, expected_version=vers, staged=reg
@@ -1724,6 +1737,16 @@ def publish_staged(spark, path, audit_id: str) -> dict:
     if audit_id not in reg:
         raise ValueError(f"no staged batch {audit_id!r}")
     added = reg.pop(audit_id)
+    # constraints may have been ADDED between stage and publish: the
+    # publish is when the batch enters the table, so it re-validates
+    # (one combined aggregate over the batch — O(batch), not O(table))
+    if _constraints(p):
+        _enforce_constraints(
+            p,
+            spark.read.option("mergeSchema", "true").parquet(
+                *[str(p / n) for n in added]
+            ),
+        )
     stats = _stats_for_added(p, added)
     for _ in range(10):
         try:

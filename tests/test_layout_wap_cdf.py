@@ -145,3 +145,44 @@ def test_wap_duplicate_audit_id_rejected(spark, base):
     stage_append(spark, target, batch.coalesce(1), audit_id="dup")
     with pytest.raises(ValueError, match="already staged"):
         stage_append(spark, target, batch.coalesce(1), audit_id="dup")
+
+
+def test_wap_publish_revalidates_late_constraints(spark, base):
+    """A constraint registered BETWEEN stage and publish still gates
+    the publish (the batch enters the table there)."""
+    from dbt_slabbing_spark.operators.layout import (
+        ConstraintViolationError,
+        add_constraint,
+    )
+
+    target, _rows = base
+    bad = spark.createDataFrame(
+        [(-40, 1, "x", -9.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    stage_append(spark, target, bad.coalesce(1), audit_id="late")
+    add_constraint(spark, target, "value_nonneg", "value >= 0")
+    with pytest.raises(ConstraintViolationError):
+        publish_staged(spark, target, "late")
+    # the batch stays staged (discardable), the table untouched
+    assert read_table(spark, target).filter(F.col("event_id") == -40).count() == 0
+    discard_staged(target, "late")
+
+
+def test_dv_time_travel_to_vacuumed_dv_raises_clearly(spark, base):
+    """Travel to a version whose DV parquets were vacuumed fails with
+    the same 'references vacuumed files' contract as data files."""
+    from dbt_slabbing_spark.operators.layout import (
+        compact_table,
+        delete_rows,
+        vacuum_orphans,
+    )
+
+    target, _rows = base
+    delete_rows(spark, target, "event_type = 'click'", mode="dv")
+    v_dv = manifest_versions(target)[-1]
+    compact_table(spark, target, target_file_bytes=1 << 30)
+    # retain nothing: the DV parquet and displaced files are reclaimed
+    vacuum_orphans(target, grace_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="references vacuumed"):
+        read_table(spark, target, version=v_dv).collect()
