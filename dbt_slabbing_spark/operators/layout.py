@@ -2159,6 +2159,17 @@ def delete_rows(
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     vers, live = _snapshot_for_update(p)
+    if not live:  # brand-new/empty table: DELETE is a zero-count no-op
+        out = {
+            "rows_before": 0,
+            "rows_deleted": 0,
+            "rows_after": 0,
+            "n_files_total": 0,
+            "n_files_rewritten": 0,
+        }
+        if mode == "dv":
+            out["n_dv_files_added"] = 0
+        return out
     dv_prev = _dv_at_version(p)
     if mode == "dv":
         return _delete_rows_dv(spark, p, cond, vers, live, dv_prev)
