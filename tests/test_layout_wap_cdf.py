@@ -186,3 +186,43 @@ def test_dv_time_travel_to_vacuumed_dv_raises_clearly(spark, base):
     vacuum_orphans(target, grace_seconds=0.0)
     with pytest.raises(FileNotFoundError, match="references vacuumed"):
         read_table(spark, target, version=v_dv).collect()
+
+
+def test_wap_replay_resumes_idempotently(spark, base):
+    """The streaming landing contract (streaming/jobs.py::
+    streaming_wap_landing): a replayed micro-batch resumes from
+    whichever WAP step the crash interrupted — staged-not-published
+    re-audits and publishes ONCE; already-published no-ops — so the
+    table never sees a batch twice."""
+    from dbt_slabbing_spark.operators.layout import (
+        _staged_registry,
+        ensure_manifest,
+    )
+    import pathlib
+
+    target, _rows = base
+    n0 = read_table(spark, target).count()
+    batch = spark.createDataFrame(
+        [(-50, 1, "b7", 1.0), (-51, 2, "b7", 2.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    aid = "b7"
+
+    def land(batch_df):  # the job's land() logic, crash-resumable
+        live = ensure_manifest(target)
+        if any(n.startswith(f"staged-{aid}-") for n in live):
+            return "already-published"
+        if aid not in _staged_registry(pathlib.Path(target)):
+            stage_append(spark, target, batch_df.coalesce(1), audit_id=aid)
+        publish_staged(spark, target, aid)  # audit passed
+        return "published"
+
+    # attempt 1 "crashes" after stage, before publish
+    stage_append(spark, target, batch.coalesce(1), audit_id=aid)
+    assert read_table(spark, target).count() == n0  # invisible
+    # replay: resumes at the audit/publish step, publishes once
+    assert land(batch) == "published"
+    assert read_table(spark, target).count() == n0 + 2
+    # replay again: prefix test short-circuits, nothing doubles
+    assert land(batch) == "already-published"
+    assert read_table(spark, target).count() == n0 + 2
