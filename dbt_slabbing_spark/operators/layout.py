@@ -614,10 +614,7 @@ def _scan_with_dv(
         return (
             reader.parquet(*[str(p / n) for n in names])
             .withColumn("_file", F.col("_metadata.file_path"))
-            .withColumn(
-                "__dv_name",
-                F.substring_index(F.col("_metadata.file_path"), "/", -1),
-            )
+            .withColumn("__dv_name", F.col("_metadata.file_name"))
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
         )
 
@@ -639,36 +636,55 @@ def _scan_with_dv(
     dirty = [n for n in live if dv_map.get(n)]
     clean = [n for n in live if not dv_map.get(n)]
     dv_union = spark.read.parquet(*[str(p / d) for d in dv_files])
+    # small DVs (the targeted-delete norm — big deletes take
+    # mode="cow") inline as per-file NOT-IN literal filters, which
+    # stay inside whole-stage codegen and cost ~nothing; ONE driver
+    # job fetches the whole dead set for every dirty file (per-file
+    # collects made plan construction O(dirty files) jobs — measured
+    # 16 dirty files ≈ +3 s per read at sf30). Only a snapshot whose
+    # TOTAL dead-position count exceeds the cap pays the broadcast
+    # anti-join (measured 0.5 s per 2.5M-row file).
+    inline_rows = (
+        dv_union.filter(F.col("file").isin(dirty))
+        .select("file", "pos")
+        .distinct()
+        .limit(_DV_INLINE_CAP + 1)
+        .collect()
+    )
+    inline_ok = len(inline_rows) <= _DV_INLINE_CAP
     parts = []
-    for n in dirty:
-        dead_pos = (
-            dv_union.filter(F.col("file") == n)
-            .select(F.col("pos").alias("__dv_pos"))
-            .distinct()
-        )
-        # small DVs (the targeted-delete norm — big deletes take
-        # mode="cow") inline as a NOT-IN literal filter, which stays
-        # inside whole-stage codegen and costs ~nothing; only a DV
-        # past the cap pays the broadcast anti-join (measured 0.5 s
-        # per 2.5M-row file). The probe collect is a driver-side job
-        # over the tiny DV parquet, one per dirty file.
-        inline = dead_pos.limit(_DV_INLINE_CAP + 1).collect()
-        one = (
-            _with_meta([n])
-            if (keep_file_col or keep_pos_col)
-            else reader.parquet(str(p / n)).withColumn(
-                "__dv_pos", F.col("_metadata.row_index")
+    if inline_ok:
+        # ONE multi-file scan over every dirty file (a per-file union
+        # leg costs a separate FileSourceScan — measured 2.4 s of pure
+        # leg overhead at 16 legs vs 0.5 s for one scan), filtered by
+        # an INSET (hash-set literal) on the combined file#position
+        # key: O(1) per row, inside whole-stage codegen, exact.
+        keyset = [f"{r['file']}#{r['pos']}" for r in inline_rows]
+        cond = ~F.concat_ws(
+            "#", F.col("__dv_name"), F.col("__dv_pos").cast("string")
+        ).isin(keyset)
+        parts.append(_with_meta(dirty).filter(cond).select(*keep))
+    else:
+        # rare path (total dead positions past the cap — bounded in
+        # practice by the OPTIMIZE cadence that materializes DVs):
+        # per-file broadcast anti-joins on the long position key
+        for n in dirty:
+            dead_pos = (
+                dv_union.filter(F.col("file") == n)
+                .select(F.col("pos").alias("__dv_pos"))
+                .distinct()
             )
-        )
-        if len(inline) <= _DV_INLINE_CAP:
-            one = one.filter(
-                ~F.col("__dv_pos").isin([r["__dv_pos"] for r in inline])
+            one = (
+                _with_meta([n])
+                if (keep_file_col or keep_pos_col)
+                else reader.parquet(str(p / n)).withColumn(
+                    "__dv_pos", F.col("_metadata.row_index")
+                )
             )
-        else:
             one = one.join(
                 F.broadcast(dead_pos), on=["__dv_pos"], how="left_anti"
             )
-        parts.append(one.select(*keep))
+            parts.append(one.select(*keep))
     if clean:
         clean_df = (
             _with_meta(clean)
