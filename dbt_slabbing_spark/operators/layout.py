@@ -332,6 +332,7 @@ def _commit_manifest(
     staged: dict | None = None,
     constraints: dict | None = None,
     clustered: dict | None = None,
+    column_map: dict | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -418,7 +419,7 @@ def _commit_manifest(
     try:
         version, history, prev_stats, prev_dv = 1, [], {}, {}
         prev_bloom_cfg, prev_staged = {}, {}
-        prev_constraints, prev_clustered = {}, {}
+        prev_constraints, prev_clustered, prev_column_map = {}, {}, {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
@@ -430,6 +431,7 @@ def _commit_manifest(
             prev_staged = prev.get("staged", {})
             prev_constraints = prev.get("constraints", {})
             prev_clustered = prev.get("clustered", {})
+            prev_column_map = prev.get("column_map", {})
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -486,6 +488,9 @@ def _commit_manifest(
             kept = [n for n in clu.get("files", []) if n in live_set]
             if kept:
                 doc["clustered"] = {"by": clu["by"], "files": kept}
+        cm = column_map if column_map is not None else prev_column_map
+        if cm:
+            doc["column_map"] = cm
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
@@ -603,11 +608,12 @@ def _scan_with_dv(
     dv_files = sorted(
         {d for n, lst in dv_map.items() if n in live_set for d in lst}
     )
+    cmap = _column_map(p)
     if not dv_files and not keep_pos_col:
         df = reader.parquet(*paths)
         if keep_file_col:
             df = df.withColumn("_file", F.input_file_name())
-        return df
+        return _to_logical(df, cmap)
     data_cols = reader.parquet(*paths).columns
 
     def _with_meta(names: list[str]) -> DataFrame:
@@ -624,7 +630,7 @@ def _scan_with_dv(
         + (["__dv_name", "__dv_pos"] if keep_pos_col else [])
     )
     if not dv_files:
-        return _with_meta(live).select(*keep)
+        return _to_logical(_with_meta(live).select(*keep), cmap)
     # the anti-join is paid ONLY by files that actually carry a DV —
     # clean files scan plain, exactly Delta's per-file DV application;
     # for a table where one file of hundreds holds deletes, the read
@@ -695,7 +701,7 @@ def _scan_with_dv(
     out = parts[0]
     for frame in parts[1:]:
         out = out.unionByName(frame)
-    return out
+    return _to_logical(out, cmap)
 
 
 def ensure_manifest(path) -> list[str]:
@@ -890,8 +896,14 @@ def prune_file_list(path, files: list[str], col: str, lo, hi) -> list[str]:
     Files without usable stats are kept (conservative). Distinct from
     Spark's own row-group pruning: skipped files never enter the plan
     at all — no tasks, no footer reads on executors, no listing
-    amplification."""
-    stats = file_column_stats(path, files, col)
+    amplification. ``col`` is a LOGICAL name: stats are keyed by the
+    frozen physical footer names, so a renamed column translates
+    through the manifest's column map first."""
+    import pathlib
+
+    stats = file_column_stats(
+        path, files, _phys_col(pathlib.Path(path), col)
+    )
     keep = []
     for name in files:
         st = stats.get(name)
@@ -1104,10 +1116,9 @@ def create_bloom_index(
             spark.read.option("mergeSchema", "true")
             .parquet(*[str(p / n) for n in missing])
             .select(
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("file"),
-                F.col(col).alias("v"),
+                F.col("_metadata.file_name").alias("file"),
+                # a renamed col translates to its frozen physical name
+                F.col(_phys_col(p, col)).alias("v"),
             )
             .filter(F.col("v").isNotNull())
         )
@@ -1297,7 +1308,10 @@ def read_table(
             # scan data) but, unlike schema-from-one-file, keeps the
             # MERGED schema under merge_schema=True so columns added
             # by later files still bind downstream (ADVICE r10)
-            return reader.parquet(*[str(p / n) for n in full]).limit(0)
+            return _to_logical(
+                reader.parquet(*[str(p / n) for n in full]).limit(0),
+                _column_map(p),
+            )
         # deletion vectors of THIS snapshot (if any) drop their dead
         # positions inside the scan — prune-kept files with DVs still
         # read correctly because pruning is a superset guarantee and
@@ -1381,10 +1395,12 @@ def read_changes(
             )
         if not added:  # no-op range: empty frame, table schema
             base = reader.parquet(*[str(p / n) for n in sorted(f_to)]).limit(0)
-            return base.withColumn("_change_type", F.lit("insert"))
-        return reader.parquet(*[str(p / n) for n in added]).withColumn(
-            "_change_type", F.lit("insert")
-        )
+            return _to_logical(base, _column_map(p)).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        return _to_logical(
+            reader.parquet(*[str(p / n) for n in added]), _column_map(p)
+        ).withColumn("_change_type", F.lit("insert"))
     df_from = read_table(spark, path, merge_schema=True, version=v_from)
     df_to = read_table(spark, path, merge_schema=True, version=v_to)
     inserts = df_to.exceptAll(df_from).withColumn("_change_type", F.lit("insert"))
@@ -1427,6 +1443,7 @@ def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
     p = pathlib.Path(path)
     vers, live = _snapshot_for_update(p)
     _enforce_constraints(p, df)  # CHECK constraints: reject before staging
+    df = _to_physical(p, df)  # renamed columns write their frozen name
     # token: caller-supplied idempotence key (e.g. a streaming batch id
     # — see append_batch_idempotent) instead of the random default; the
     # appended file names embed it, making "was this logical append
@@ -1490,6 +1507,117 @@ def append_batch_idempotent(spark, path, df: DataFrame, batch_id: int) -> bool:
         return False
     append_files(spark, path, df, token=token)
     return True
+
+
+def _column_map(p) -> dict:
+    """Current ``{logical: physical}`` column mapping (empty when no
+    column was ever renamed). See :func:`rename_column`."""
+    import json
+
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return {}
+    return json.loads(mf.read_text()).get("column_map", {})
+
+
+def _to_logical(df: DataFrame, cmap: dict) -> DataFrame:
+    """Physical frame → logical names (read boundary)."""
+    for logical, physical in cmap.items():
+        if physical in df.columns:
+            df = df.withColumnRenamed(physical, logical)
+    return df
+
+
+def _to_physical(p, df: DataFrame) -> DataFrame:
+    """Logical frame → the table's frozen physical names (write
+    boundary): every writer routes its outgoing rows through this, so
+    data files NEVER change schema across renames — which is the whole
+    point (a rename is one metadata commit, not a 100 TB rewrite)."""
+    for logical, physical in _column_map(p).items():
+        if logical in df.columns:
+            df = df.withColumnRenamed(logical, physical)
+    return df
+
+
+def _phys_col(p, col: str) -> str:
+    """Physical name behind a (possibly renamed) logical column — for
+    metadata consumers keyed by footer/physical names (stats, blooms)."""
+    return _column_map(p).get(col, col)
+
+
+def rename_column(path, old: str, new: str) -> dict:
+    """METADATA-ONLY column rename (Delta column mapping / Iceberg
+    field-ID rename): one manifest commit maps the logical name ``new``
+    onto the frozen physical column, and no data file is touched —
+    without this mapping a rename of a column in a 100 TB table is a
+    full rewrite. Readers see logical names (:func:`_to_logical` at the
+    scan boundary); writers hand in logical frames and
+    :func:`_to_physical` translates back, so the physical schema never
+    forks across rename generations (mixed-generation reads would
+    otherwise see BOTH names as distinct columns).
+
+    Interactions handled in the SAME commit: a bloom index on the
+    renamed column re-keys its config + sidecar; clustering state
+    re-keys its ``by`` list. CHECK constraints are rejected
+    conservatively (their SQL strings reference the old name — the
+    caller drops and re-adds them with the new name). Renaming onto an
+    existing logical name, or a column that doesn't exist, raises.
+    Returns ``{"old", "new", "physical", "version"}``."""
+    import json
+    import os
+    import pathlib
+
+    p = pathlib.Path(path)
+    vers, live = _read_snapshot(p)
+    doc = json.loads((p / _MANIFEST).read_text())
+    cmap = dict(doc.get("column_map", {}))
+    # logical schema = physical columns of live files under cmap; we
+    # can't cheaply enumerate physical columns without a footer read,
+    # so validate against METADATA references + collision rules and
+    # let the first read surface a bogus source column (rename is
+    # metadata-only by design)
+    if new == old:
+        raise ValueError("rename to the same name")
+    if new in cmap:
+        raise ValueError(f"logical column {new!r} already exists (mapped)")
+    for name, expr in _constraints(p).items():
+        if old in expr or new in expr:
+            raise ValueError(
+                f"constraint {name!r} references {old!r}/{new!r}: drop and "
+                "re-add it against the new name in a separate step"
+            )
+    physical = cmap.pop(old, old)  # renaming a renamed column chains
+    cmap[new] = physical
+    bloom_cfg = dict(doc.get("bloom_cfg", {}))
+    if old in bloom_cfg:  # re-key the index config with the rename
+        bloom_cfg[new] = bloom_cfg.pop(old)
+    clustered = doc.get("clustered")
+    if clustered and old in clustered.get("by", []):
+        clustered = {
+            "by": [new if c == old else c for c in clustered["by"]],
+            "files": clustered["files"],
+        }
+    version = _commit_manifest(
+        p,
+        live,
+        expected_version=vers,
+        bloom_cfg=bloom_cfg,
+        clustered=clustered,
+        column_map=cmap,
+    )
+    side = _bloom_sidecar(p)
+    if old in side:  # re-key the sidecar too (best effort, lock-held)
+        fd = _manifest_lock(p)
+        try:
+            side = _bloom_sidecar(p)
+            if old in side:
+                side[new] = side.pop(old)
+                tmp = p / (_BLOOM + ".tmp")
+                tmp.write_text(json.dumps(side))
+                os.replace(str(tmp), str(p / _BLOOM))
+        finally:
+            _manifest_unlock(p, fd)
+    return {"old": old, "new": new, "physical": physical, "version": version}
 
 
 class ConstraintViolationError(ValueError):
@@ -1693,7 +1821,7 @@ def stage_append(spark, path, df: DataFrame, audit_id: str | None = None) -> dic
         raise ValueError(f"audit_id {audit_id!r} already staged")
     _enforce_constraints(p, df)  # CHECK constraints gate staging too
     staging = pathlib.Path(str(p) + f".stage-{audit_id}")
-    df.write.mode("overwrite").parquet(str(staging))
+    _to_physical(p, df).write.mode("overwrite").parquet(str(staging))
     added = []
     for i, f in enumerate(sorted(staging.glob("*.parquet"))):
         name = f"staged-{audit_id}-{i:05d}.parquet"
@@ -1735,8 +1863,11 @@ def read_staged(spark, path, audit_id: str) -> DataFrame:
     reg = _staged_registry(p)
     if audit_id not in reg:
         raise ValueError(f"no staged batch {audit_id!r}")
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[str(p / n) for n in reg[audit_id]]
+    return _to_logical(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[str(p / n) for n in reg[audit_id]]
+        ),
+        _column_map(p),
     )
 
 
@@ -1759,8 +1890,11 @@ def publish_staged(spark, path, audit_id: str) -> dict:
     if _constraints(p):
         _enforce_constraints(
             p,
-            spark.read.option("mergeSchema", "true").parquet(
-                *[str(p / n) for n in added]
+            _to_logical(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[str(p / n) for n in added]
+                ),
+                _column_map(p),
             ),
         )
     stats = _stats_for_added(p, added)
@@ -1871,7 +2005,7 @@ def compact_table(
         df = df.sortWithinPartitions(*cluster_by)
     else:
         df = df.repartition(int(n_files))
-    df.write.mode("overwrite").parquet(str(staging))
+    _to_physical(p, df).write.mode("overwrite").parquet(str(staging))
     new_names = []
     for i, f in enumerate(sorted(staging.glob("*.parquet"))):
         name = f"compact-{token}-{i:05d}.parquet"
@@ -1952,7 +2086,7 @@ def compact_incremental(
         spark, p, unclustered, _dv_at_version(p), merge_schema=True
     )
     df = df.repartitionByRange(int(n_files), *by).sortWithinPartitions(*by)
-    df.write.mode("overwrite").parquet(str(staging))
+    _to_physical(p, df).write.mode("overwrite").parquet(str(staging))
     new_names = []
     for i, f in enumerate(sorted(staging.glob("*.parquet"))):
         name = f"inccompact-{token}-{i:05d}.parquet"
@@ -2233,7 +2367,7 @@ def delete_rows(
         .drop("_file")
         .repartition(max(1, len(affected_names)))
     )
-    survivors.write.mode("overwrite").parquet(str(staging))
+    _to_physical(p, survivors).write.mode("overwrite").parquet(str(staging))
     # move replacements into the table dir under unique names — not yet
     # visible to manifest readers (the manifest doesn't list them)
     new_names = []
@@ -2431,13 +2565,15 @@ def merge_rows(
             .drop("_file")
             .repartition(max(1, len(affected_names)))
         )
-        survivors.write.mode("overwrite").parquet(str(staging / "rewrite"))
+        _to_physical(p, survivors).write.mode("overwrite").parquet(
+            str(staging / "rewrite")
+        )
         for i, f in enumerate(sorted((staging / "rewrite").glob("*.parquet"))):
             name = f"part-merge-{token}-r{i:05d}.parquet"
             f.rename(p / name)
             new_names.append(name)
     # the whole source (updates + inserts) lands as fresh files
-    src.write.mode("overwrite").parquet(str(staging / "insert"))
+    _to_physical(p, src).write.mode("overwrite").parquet(str(staging / "insert"))
     for i, f in enumerate(sorted((staging / "insert").glob("*.parquet"))):
         name = f"part-merge-{token}-i{i:05d}.parquet"
         f.rename(p / name)

@@ -1795,3 +1795,77 @@ def layout_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rewritten bigint, bulk_untouched boolean, "
         "state_covers_all boolean, n_rows bigint, sum_value double",
     )
+
+
+@register(
+    "layout_rename_column_metadata_only",
+    # Metadata-only column rename (Delta column mapping / Iceberg
+    # field-ID rename): value -> amount is ONE manifest commit; zero
+    # data files are rewritten (files_untouched is the literal TRUE by
+    # the inode/mtime check); reads and writes translate at the
+    # scan/write boundary, so an append AND a logical-name DELETE
+    # compose after the rename. The oracle restates the surviving
+    # content directly (amount IS the old value column).
+    """
+    SELECT TRUE AS files_untouched,
+           CAST(count(*) FILTER (WHERE value < 150) AS BIGINT)
+               AS n_rows_after,
+           round((sum(value) FILTER (WHERE value < 150)) * 100.0) / 100.0
+               + 0.0 AS sum_amount,
+           CAST(count(*) FILTER (WHERE value >= 150) AS BIGINT)
+               AS n_deleted
+    FROM events
+    """,
+    "metadata-only column rename (column mapping): one commit, zero "
+    "rewrites; appends write the frozen physical schema and "
+    "logical-name predicates delete correctly after the rename",
+    tags=("layout", "schema-evolution"),
+)
+def layout_rename_column_metadata_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drives operators/layout.py::rename_column end-to-end under the
+    oracle gate: without column mapping, renaming a column of a 100 TB
+    table is a full rewrite; with it, the physical schema is frozen
+    and the rename is a metadata bit every boundary translates."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        delete_rows,
+        read_table,
+        rename_column,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="rename_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.filter(F.col("value") < 100).coalesce(2))
+        ident = {
+            f.name: (f.stat().st_ino, f.stat().st_mtime_ns)
+            for f in pathlib.Path(work).glob("*.parquet")
+        }
+        rename_column(work, "value", "amount")
+        untouched = ident == {
+            f.name: (f.stat().st_ino, f.stat().st_mtime_ns)
+            for f in pathlib.Path(work).glob("*.parquet")
+        }
+        late = ev.filter(F.col("value") >= 100).withColumnRenamed(
+            "value", "amount"
+        )
+        append_files(spark, work, late.coalesce(1))
+        st = delete_rows(spark, work, "amount >= 150", mode="dv")
+        row = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("amount"), 2).alias("s"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(untouched, row["n"], float(row["s"]), int(st["rows_deleted"]))],
+        "files_untouched boolean, n_rows_after bigint, "
+        "sum_amount double, n_deleted bigint",
+    )
