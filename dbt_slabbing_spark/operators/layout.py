@@ -333,6 +333,7 @@ def _commit_manifest(
     constraints: dict | None = None,
     clustered: dict | None = None,
     column_map: dict | None = None,
+    dropped_columns: list | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -420,6 +421,7 @@ def _commit_manifest(
         version, history, prev_stats, prev_dv = 1, [], {}, {}
         prev_bloom_cfg, prev_staged = {}, {}
         prev_constraints, prev_clustered, prev_column_map = {}, {}, {}
+        prev_dropped = []
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
@@ -432,6 +434,7 @@ def _commit_manifest(
             prev_constraints = prev.get("constraints", {})
             prev_clustered = prev.get("clustered", {})
             prev_column_map = prev.get("column_map", {})
+            prev_dropped = prev.get("dropped_columns", [])
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -491,6 +494,9 @@ def _commit_manifest(
         cm = column_map if column_map is not None else prev_column_map
         if cm:
             doc["column_map"] = cm
+        dc = dropped_columns if dropped_columns is not None else prev_dropped
+        if dc:
+            doc["dropped_columns"] = dc
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
@@ -609,11 +615,12 @@ def _scan_with_dv(
         {d for n, lst in dv_map.items() if n in live_set for d in lst}
     )
     cmap = _column_map(p)
+    dropped = _dropped_cols(p)
     if not dv_files and not keep_pos_col:
         df = reader.parquet(*paths)
         if keep_file_col:
             df = df.withColumn("_file", F.input_file_name())
-        return _to_logical(df, cmap)
+        return _to_logical(df, cmap, dropped)
     data_cols = reader.parquet(*paths).columns
 
     def _with_meta(names: list[str]) -> DataFrame:
@@ -630,7 +637,7 @@ def _scan_with_dv(
         + (["__dv_name", "__dv_pos"] if keep_pos_col else [])
     )
     if not dv_files:
-        return _to_logical(_with_meta(live).select(*keep), cmap)
+        return _to_logical(_with_meta(live).select(*keep), cmap, dropped)
     # the anti-join is paid ONLY by files that actually carry a DV —
     # clean files scan plain, exactly Delta's per-file DV application;
     # for a table where one file of hundreds holds deletes, the read
@@ -701,7 +708,7 @@ def _scan_with_dv(
     out = parts[0]
     for frame in parts[1:]:
         out = out.unionByName(frame)
-    return _to_logical(out, cmap)
+    return _to_logical(out, cmap, dropped)
 
 
 def ensure_manifest(path) -> list[str]:
@@ -1311,6 +1318,7 @@ def read_table(
             return _to_logical(
                 reader.parquet(*[str(p / n) for n in full]).limit(0),
                 _column_map(p),
+                _dropped_cols(p),
             )
         # deletion vectors of THIS snapshot (if any) drop their dead
         # positions inside the scan — prune-kept files with DVs still
@@ -1395,11 +1403,13 @@ def read_changes(
             )
         if not added:  # no-op range: empty frame, table schema
             base = reader.parquet(*[str(p / n) for n in sorted(f_to)]).limit(0)
-            return _to_logical(base, _column_map(p)).withColumn(
+            return _to_logical(base, _column_map(p), _dropped_cols(p)).withColumn(
                 "_change_type", F.lit("insert")
             )
         return _to_logical(
-            reader.parquet(*[str(p / n) for n in added]), _column_map(p)
+            reader.parquet(*[str(p / n) for n in added]),
+            _column_map(p),
+            _dropped_cols(p),
         ).withColumn("_change_type", F.lit("insert"))
     df_from = read_table(spark, path, merge_schema=True, version=v_from)
     df_to = read_table(spark, path, merge_schema=True, version=v_to)
@@ -1520,8 +1530,22 @@ def _column_map(p) -> dict:
     return json.loads(mf.read_text()).get("column_map", {})
 
 
-def _to_logical(df: DataFrame, cmap: dict) -> DataFrame:
-    """Physical frame → logical names (read boundary)."""
+def _dropped_cols(p) -> list[str]:
+    """Physical columns dropped metadata-only (see :func:`drop_column`)."""
+    import json
+
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return []
+    return json.loads(mf.read_text()).get("dropped_columns", [])
+
+
+def _to_logical(df: DataFrame, cmap: dict, dropped: list[str] = ()) -> DataFrame:
+    """Physical frame → logical schema (read boundary): renamed
+    columns take their logical names, dropped columns vanish."""
+    drop = [c for c in dropped if c in df.columns]
+    if drop:
+        df = df.drop(*drop)
     for logical, physical in cmap.items():
         if physical in df.columns:
             df = df.withColumnRenamed(physical, logical)
@@ -1618,6 +1642,54 @@ def rename_column(path, old: str, new: str) -> dict:
         finally:
             _manifest_unlock(p, fd)
     return {"old": old, "new": new, "physical": physical, "version": version}
+
+
+def drop_column(path, col: str) -> dict:
+    """METADATA-ONLY column drop (the other half of column mapping,
+    :func:`rename_column`): one manifest commit hides the physical
+    column from every read — no data file is rewritten (the bytes stay
+    until files are naturally rewritten by OPTIMIZE/DELETE; for a
+    privacy-grade purge use a copy-on-write rewrite instead, and the
+    docs say so because the distinction matters). Appends may simply
+    omit the column. Guards mirror rename: a column referenced by a
+    CHECK constraint, the clustering key, or a bloom index must shed
+    that metadata first; a renamed logical name resolves through the
+    map. Like :func:`rename_column`, existence of the source column is
+    NOT validated (that would cost a footer sweep over the live files —
+    against the metadata-only point); dropping a name no file carries
+    is a harmless no-op entry. Returns
+    ``{"col", "physical", "version"}``."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(path)
+    vers, live = _read_snapshot(p)
+    doc = json.loads((p / _MANIFEST).read_text())
+    cmap = dict(doc.get("column_map", {}))
+    for name, expr in _constraints(p).items():
+        if col in expr:
+            raise ValueError(
+                f"constraint {name!r} references {col!r}: drop the "
+                "constraint first"
+            )
+    if col in doc.get("bloom_cfg", {}):
+        raise ValueError(f"{col!r} carries a bloom index: drop/ignore it first")
+    clustered = doc.get("clustered")
+    if clustered and col in clustered.get("by", []):
+        raise ValueError(f"{col!r} is a clustering key: re-cluster first")
+    physical = cmap.pop(col, col)
+    dropped = list(doc.get("dropped_columns", []))
+    if physical in dropped:
+        raise ValueError(f"column {col!r} already dropped")
+    dropped.append(physical)
+    version = _commit_manifest(
+        p,
+        live,
+        expected_version=vers,
+        column_map=cmap,
+        dropped_columns=dropped,
+    )
+    return {"col": col, "physical": physical, "version": version}
 
 
 class ConstraintViolationError(ValueError):
@@ -1868,6 +1940,7 @@ def read_staged(spark, path, audit_id: str) -> DataFrame:
             *[str(p / n) for n in reg[audit_id]]
         ),
         _column_map(p),
+        _dropped_cols(p),
     )
 
 
@@ -1895,6 +1968,7 @@ def publish_staged(spark, path, audit_id: str) -> dict:
                     *[str(p / n) for n in added]
                 ),
                 _column_map(p),
+                _dropped_cols(p),
             ),
         )
     stats = _stats_for_added(p, added)

@@ -1808,17 +1808,20 @@ def layout_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content directly (amount IS the old value column).
     """
     SELECT TRUE AS files_untouched,
+           TRUE AS drop_untouched,
            CAST(count(*) FILTER (WHERE value < 150) AS BIGINT)
                AS n_rows_after,
            round((sum(value) FILTER (WHERE value < 150)) * 100.0) / 100.0
                + 0.0 AS sum_amount,
            CAST(count(*) FILTER (WHERE value >= 150) AS BIGINT)
-               AS n_deleted
+               AS n_deleted,
+           CAST(2 AS BIGINT) AS n_cols_after
     FROM events
     """,
-    "metadata-only column rename (column mapping): one commit, zero "
-    "rewrites; appends write the frozen physical schema and "
-    "logical-name predicates delete correctly after the rename",
+    "metadata-only column rename AND drop (column mapping): one commit "
+    "each, zero rewrites; appends write the frozen physical schema, "
+    "logical-name predicates delete correctly after the rename, and "
+    "the dropped column vanishes from every read",
     tags=("layout", "schema-evolution"),
 )
 def layout_rename_column_metadata_only(
@@ -1835,37 +1838,53 @@ def layout_rename_column_metadata_only(
     from ..operators.layout import (
         append_files,
         delete_rows,
+        drop_column,
         read_table,
         rename_column,
     )
+
+    def ident(work):
+        return {
+            f.name: (f.stat().st_ino, f.stat().st_mtime_ns)
+            for f in pathlib.Path(work).glob("*.parquet")
+        }
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
     work = tempfile.mkdtemp(prefix="rename_gate_")
     shutil.rmtree(work)
     try:
         append_files(spark, work, ev.filter(F.col("value") < 100).coalesce(2))
-        ident = {
-            f.name: (f.stat().st_ino, f.stat().st_mtime_ns)
-            for f in pathlib.Path(work).glob("*.parquet")
-        }
+        pre = ident(work)
         rename_column(work, "value", "amount")
-        untouched = ident == {
-            f.name: (f.stat().st_ino, f.stat().st_mtime_ns)
-            for f in pathlib.Path(work).glob("*.parquet")
-        }
+        untouched = ident(work) == pre
         late = ev.filter(F.col("value") >= 100).withColumnRenamed(
             "value", "amount"
         )
         append_files(spark, work, late.coalesce(1))
         st = delete_rows(spark, work, "amount >= 150", mode="dv")
-        row = read_table(spark, work).agg(
+        pre2 = ident(work)
+        drop_column(work, "event_type")
+        drop_untouched = ident(work) == pre2
+        final = read_table(spark, work)
+        row = final.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             dround(F.sum("amount"), 2).alias("s"),
         ).collect()[0]
+        n_cols = len(final.columns)  # user_id + amount
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
-        [(untouched, row["n"], float(row["s"]), int(st["rows_deleted"]))],
-        "files_untouched boolean, n_rows_after bigint, "
-        "sum_amount double, n_deleted bigint",
+        [
+            (
+                untouched,
+                drop_untouched,
+                row["n"],
+                float(row["s"]),
+                int(st["rows_deleted"]),
+                n_cols,
+            )
+        ],
+        "files_untouched boolean, drop_untouched boolean, "
+        "n_rows_after bigint, sum_amount double, n_deleted bigint, "
+        "n_cols_after bigint",
     )

@@ -146,3 +146,47 @@ def test_rename_only_commit_diffs_empty(spark, events_table):
     rename_column(target, "event_type", "kind")
     v1 = manifest_versions(target)[-1]
     assert read_changes(spark, target, v0, v1).count() == 0
+
+
+def test_drop_column_metadata_only(spark, events_table):
+    from dbt_slabbing_spark.operators.layout import drop_column
+
+    target, rows = events_table
+    before = _identity(target)
+    st = drop_column(target, "event_type")
+    assert st["physical"] == "event_type"
+    assert _identity(target) == before  # zero files touched
+    got = read_table(spark, target)
+    assert "event_type" not in got.columns
+    assert got.count() == len(rows)
+    with pytest.raises(ValueError, match="already dropped"):
+        drop_column(target, "event_type")
+    # appends may omit the dropped column; reads stay unified
+    extra = spark.createDataFrame(
+        [(-1, 9, 1.0)], "event_id bigint, user_id bigint, value double"
+    )
+    append_files(spark, target, extra.coalesce(1))
+    assert read_table(spark, target, merge_schema=True).count() == len(rows) + 1
+
+
+def test_drop_renamed_column_resolves_physical(spark, events_table):
+    from dbt_slabbing_spark.operators.layout import drop_column
+
+    target, _rows = events_table
+    rename_column(target, "event_type", "kind")
+    st = drop_column(target, "kind")
+    assert st["physical"] == "event_type"
+    got = read_table(spark, target)
+    assert "kind" not in got.columns and "event_type" not in got.columns
+
+
+def test_drop_column_guards(spark, events_table):
+    from dbt_slabbing_spark.operators.layout import drop_column
+
+    target, _rows = events_table
+    add_constraint(spark, target, "v_nonneg", "value >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        drop_column(target, "value")
+    create_bloom_index(spark, target, "user_id")
+    with pytest.raises(ValueError, match="bloom"):
+        drop_column(target, "user_id")
