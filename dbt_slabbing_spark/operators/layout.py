@@ -2668,3 +2668,17 @@ def merge_rows(
         for n in affected_names:
             _unlink_quiet(p / n)
     return stats
+
+
+def register_table(spark, name: str, path) -> DataFrame:
+    """Expose a manifest table to Spark SQL as a temp view over its
+    CURRENT snapshot — the front-end glue that lets plain
+    ``spark.sql("SELECT ... FROM name")`` ride everything the manifest
+    layer does (snapshot isolation, deletion vectors, column mapping,
+    dropped columns). The view pins the snapshot resolved NOW; after a
+    mutation, re-register to see the new version (exactly a table
+    format's catalog refresh — readers are snapshot-pinned by design).
+    Returns the underlying DataFrame."""
+    df = read_table(spark, path, merge_schema=True)
+    df.createOrReplaceTempView(name)
+    return df

@@ -1888,3 +1888,63 @@ def layout_rename_column_metadata_only(
         "n_rows_after bigint, sum_amount double, n_deleted bigint, "
         "n_cols_after bigint",
     )
+
+
+@register(
+    "layout_sql_over_manifest",
+    # Plain SQL over a manifest table: the temp view pins a snapshot
+    # that already reflects a DV delete AND a metadata-only rename, so
+    # GROUP-BY SQL over the logical schema returns exactly the oracle's
+    # restatement (kind IS event_type; value >= 150 rows are dead).
+    """
+    SELECT event_type AS kind,
+           CAST(count(*) AS BIGINT) AS n,
+           round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_amount
+    FROM events WHERE value < 150
+    GROUP BY event_type
+    """,
+    "Spark SQL over a manifest-table view: snapshot-pinned reads "
+    "compose deletion vectors and column mapping under plain SQL",
+    tags=("layout", "sql"),
+)
+def layout_sql_over_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives register_table end-to-end under the oracle gate: the SQL
+    front-end is how most consumers reach a lakehouse table, and it
+    must see the same snapshot semantics (DVs applied, logical names)
+    the DataFrame reader does."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.layout import (
+        append_files,
+        delete_rows,
+        register_table,
+        rename_column,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="sql_manifest_gate_")
+    shutil.rmtree(work)
+    view = f"mtab_{uuid.uuid4().hex[:8]}"
+    try:
+        append_files(spark, work, ev.coalesce(2))
+        delete_rows(spark, work, "value >= 150", mode="dv")
+        rename_column(work, "event_type", "kind")
+        rename_column(work, "value", "amount")
+        register_table(spark, view, work)
+        out = (
+            spark.sql(
+                f"""
+                SELECT kind, CAST(count(*) AS BIGINT) AS n,
+                       sum(amount) AS _raw
+                FROM {view} GROUP BY kind
+                """
+            )
+            .select("kind", "n", dround(F.col("_raw"), 2).alias("total_amount"))
+            .localCheckpoint()  # eager: outlives the tmpdir cleanup
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(work, ignore_errors=True)
+    return out
