@@ -1611,7 +1611,8 @@ def rename_column(path, old: str, new: str) -> dict:
                 "re-add it against the new name in a separate step"
             )
     physical = cmap.pop(old, old)  # renaming a renamed column chains
-    cmap[new] = physical
+    if new != physical:  # renaming BACK to the physical name needs no map
+        cmap[new] = physical
     bloom_cfg = dict(doc.get("bloom_cfg", {}))
     if old in bloom_cfg:  # re-key the index config with the rename
         bloom_cfg[new] = bloom_cfg.pop(old)

@@ -23,7 +23,8 @@ from dbt_slabbing_spark.operators.layout import (
 )
 
 # op encodings: ("append", [ids]) / ("del", mode, residue) — delete
-# rows with id % 3 == residue — / ("compact",)
+# rows with id % 3 == residue — / ("compact",) / ("rename",) — flips
+# the id column's logical name back and forth (column mapping)
 _ops = st.lists(
     st.one_of(
         st.tuples(
@@ -41,6 +42,7 @@ _ops = st.lists(
             st.integers(min_value=0, max_value=2),
         ),
         st.tuples(st.just("compact")),
+        st.tuples(st.just("rename")),
     ),
     min_size=2,
     max_size=6,
@@ -61,15 +63,18 @@ def test_mutation_sequence_matches_model(spark, workdir, ops):
     shutil.rmtree(target, ignore_errors=True)
     # ids get a per-append generation suffix so re-appended ids stay
     # distinguishable rows (multiset semantics via unique keys)
+    from dbt_slabbing_spark.operators.layout import rename_column
+
     model: dict[int, int] = {}  # key -> id
     gen = 0
     created = False
+    id_col = "id"  # current LOGICAL name of the id column
     for op in ops:
         if op[0] == "append":
             _, ids = op
             batch = [(gen * 1000 + i, i) for i in ids]
             gen += 1
-            df = spark.createDataFrame(batch, "key bigint, id bigint")
+            df = spark.createDataFrame(batch, f"key bigint, {id_col} bigint")
             append_files(spark, target, df.coalesce(1))
             model.update({k: i for k, i in batch})
             created = True
@@ -77,17 +82,23 @@ def test_mutation_sequence_matches_model(spark, workdir, ops):
             continue  # empty-table reads have no schema; ops wait
         elif op[0] == "del":
             _, mode, residue = op
-            st_ = delete_rows(spark, target, f"id % 3 = {residue}", mode=mode)
+            st_ = delete_rows(
+                spark, target, f"{id_col} % 3 = {residue}", mode=mode
+            )
             expected_dead = {k for k, i in model.items() if i % 3 == residue}
             assert st_["rows_deleted"] == len(expected_dead)
             assert st_["rows_before"] == len(model)
             for k in expected_dead:
                 model.pop(k)
             assert st_["rows_after"] == len(model)
+        elif op[0] == "rename":
+            new = "ident" if id_col == "id" else "id"
+            rename_column(target, id_col, new)
+            id_col = new
         else:
             compact_table(spark, target, target_file_bytes=1 << 30)
         got = {
-            (r["key"], r["id"])
+            (r["key"], r[id_col])
             for r in read_table(spark, target).collect()
         }
         assert got == set(model.items()), f"after {op}"
