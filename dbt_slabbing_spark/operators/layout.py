@@ -2683,3 +2683,62 @@ def register_table(spark, name: str, path) -> DataFrame:
     df = read_table(spark, path, merge_schema=True)
     df.createOrReplaceTempView(name)
     return df
+
+
+def maintain_table(
+    spark,
+    path,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_unclustered: int = 4,
+    max_dv_files: int = 4,
+    retain_versions: int = 0,
+    grace_seconds: float = 600.0,
+) -> dict:
+    """ONE metadata-driven maintenance pass (the policy loop a real
+    deployment crons): reads the manifest — never the object store —
+    and runs, in order, (1) INCREMENTAL CLUSTERING when clustering
+    state exists and ≥ ``min_unclustered`` files were appended since
+    the last pass (cost O(new data)); (2) FULL OPTIMIZE when the
+    deletion-vector debt reaches ``max_dv_files`` sidecars (merge-on-
+    read reads pay per dirty file until materialized) or when an
+    unclustered table fragments past ``min_unclustered`` files;
+    (3) VACUUM of unreferenced files past the retention/grace windows.
+    Each step is itself an OCC commit; a conflict aborts that step
+    only (maintenance always loses to live writers and retries next
+    pass). Returns ``{"actions": [...], "n_vacuumed": int}``."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(path)
+    ensure_manifest(p)
+    doc = json.loads((p / _MANIFEST).read_text())
+    live = doc["files"]
+    actions: list[str] = []
+    clu = doc.get("clustered")
+    if clu:
+        unclustered = [n for n in live if n not in set(clu["files"])]
+        if len(unclustered) >= min_unclustered:
+            st = compact_incremental(
+                spark, p, target_file_bytes=target_file_bytes,
+                min_files=min_unclustered,
+            )
+            if st["n_files_rewritten"]:
+                actions.append("compact_incremental")
+            doc = json.loads((p / _MANIFEST).read_text())
+            live = doc["files"]
+    dv_debt = len(
+        {d for lst in doc.get("dv", {}).values() for d in lst}
+    )
+    fragmented = not clu and len(live) >= min_unclustered
+    if dv_debt >= max_dv_files or fragmented:
+        compact_table(
+            spark,
+            p,
+            target_file_bytes=target_file_bytes,
+            cluster_by=clu["by"] if clu else None,
+        )
+        actions.append("optimize")
+    removed = vacuum_orphans(
+        p, retain_versions=retain_versions, grace_seconds=grace_seconds
+    )
+    return {"actions": actions, "n_vacuumed": len(removed)}

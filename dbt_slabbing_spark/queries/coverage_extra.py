@@ -1948,3 +1948,99 @@ def layout_sql_over_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(view)
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "layout_auto_maintenance",
+    # The metadata-driven maintenance loop end-to-end: three straggler
+    # appends trigger INCREMENTAL clustering (O(new data)); two DV
+    # deletes push the sidecar debt to the threshold and the next pass
+    # runs a full OPTIMIZE (materializing the DVs, preserving the
+    # clustered layout) plus vacuum. All four booleans are literals BY
+    # CONSTRUCTION of the policy thresholds; the surviving content is
+    # events with value < 160 (the two deletes removed >= 180 then
+    # >= 160).
+    """
+    SELECT TRUE AS incremental_ran,
+           TRUE AS optimize_ran,
+           TRUE AS vacuumed_some,
+           TRUE AS dv_cleared,
+           CAST(count(*) FILTER (WHERE value < 160) AS BIGINT) AS n_rows,
+           round((sum(value) FILTER (WHERE value < 160)) * 100.0) / 100.0
+               + 0.0 AS sum_value
+    FROM events
+    """,
+    "metadata-driven maintenance loop: incremental clustering for "
+    "appended stragglers, full OPTIMIZE at the deletion-vector debt "
+    "threshold, vacuum — decided from the manifest alone, content "
+    "hash-checked against the direct filter",
+    tags=("layout", "maintenance"),
+)
+def layout_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::maintain_table end-to-end under the
+    oracle gate: the cron-shaped policy pass a 100 TB deployment runs —
+    it reads table_snapshots/table_files-grade metadata (never a
+    LIST call) and pays O(new data) steady-state, O(dirty) for DV
+    materialization."""
+    import json
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        _MANIFEST,
+        append_files,
+        compact_table,
+        delete_rows,
+        maintain_table,
+        read_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="maint_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.filter(F.col("value") < 100).repartition(2))
+        compact_table(
+            spark, work, target_file_bytes=256 * 1024, cluster_by=["value"]
+        )
+        for lo, hi in ((100, 120), (120, 150), (150, 200)):
+            append_files(
+                spark,
+                work,
+                ev.filter(
+                    (F.col("value") >= lo) & (F.col("value") < hi)
+                ).coalesce(1),
+            )
+        st1 = maintain_table(
+            spark, work, target_file_bytes=1 << 30, min_unclustered=3,
+            grace_seconds=0.0,
+        )
+        delete_rows(spark, work, "value >= 180", mode="dv")
+        delete_rows(spark, work, "value >= 160", mode="dv")
+        st2 = maintain_table(
+            spark, work, target_file_bytes=1 << 30, min_unclustered=99,
+            max_dv_files=2, grace_seconds=0.0,
+        )
+        doc = json.loads((pathlib.Path(work) / _MANIFEST).read_text())
+        row = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                "compact_incremental" in st1["actions"],
+                "optimize" in st2["actions"],
+                st2["n_vacuumed"] > 0,
+                "dv" not in doc,
+                row["n"],
+                float(row["s"]),
+            )
+        ],
+        "incremental_ran boolean, optimize_ran boolean, "
+        "vacuumed_some boolean, dv_cleared boolean, "
+        "n_rows bigint, sum_value double",
+    )

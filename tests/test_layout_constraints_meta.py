@@ -116,3 +116,61 @@ def test_metadata_tables(spark, base):
     assert len(files) == snaps[5]["n_files"]
     assert all(r["size_bytes"] > 0 and r["has_stats"] for r in files)
     assert all(r["n_dv_files"] == 0 for r in files)
+
+
+def test_maintain_table_policy_loop(spark, base):
+    """maintain_table reads metadata and runs exactly the steps the
+    state calls for: incremental clustering for appended stragglers,
+    full OPTIMIZE at the DV-debt threshold, vacuum for the displaced
+    files — content invariant throughout."""
+    import json
+    import pathlib
+
+    from dbt_slabbing_spark.operators.layout import (
+        _MANIFEST,
+        compact_table,
+        maintain_table,
+    )
+
+    target, ev = base
+    want = {r["event_id"] for r in read_table(spark, target).collect()}
+    compact_table(spark, target, target_file_bytes=1 << 30, cluster_by=["value"])
+    # 2 stragglers: below min_unclustered -> no clustering action
+    for i in (1, 2):
+        append_files(
+            spark,
+            target,
+            spark.createDataFrame(
+                [(-i, i, "late", float(i))],
+                "event_id bigint, user_id bigint, event_type string, value double",
+            ).coalesce(1),
+        )
+    st = maintain_table(spark, target, min_unclustered=3, grace_seconds=0.0)
+    assert "compact_incremental" not in st["actions"]
+    # a third straggler crosses the threshold
+    append_files(
+        spark,
+        target,
+        spark.createDataFrame(
+            [(-3, 3, "late", 3.0)],
+            "event_id bigint, user_id bigint, event_type string, value double",
+        ).coalesce(1),
+    )
+    st = maintain_table(spark, target, min_unclustered=3, grace_seconds=0.0)
+    assert st["actions"] == ["compact_incremental"]
+    # DV debt: two deletes -> two sidecars -> OPTIMIZE at threshold 2,
+    # preserving the clustered layout; vacuum reclaims the displaced
+    delete_rows(spark, target, "event_type = 'click'", mode="dv")
+    delete_rows(spark, target, "event_type = 'view'", mode="dv")
+    st = maintain_table(
+        spark, target, max_dv_files=2, min_unclustered=99, grace_seconds=0.0
+    )
+    assert st["actions"] == ["optimize"] and st["n_vacuumed"] > 0
+    doc = json.loads((pathlib.Path(target) / _MANIFEST).read_text())
+    assert "dv" not in doc and "clustered" in doc
+    got = {r["event_id"] for r in read_table(spark, target).collect()}
+    dead = {
+        r["event_id"]
+        for r in ev.filter(F.col("event_type").isin("click", "view")).collect()
+    }
+    assert got == (want - dead) | {-1, -2, -3}
