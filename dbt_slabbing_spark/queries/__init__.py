@@ -93,123 +93,73 @@ _MODULES = (
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward "driver rows <= 1 round
-# old for the whole registry". Round-11 prefix = exactly the queue
-# printed by `python tools/rotation_audit.py` at round start (freshness
-# before rotation: r10:50, r9:50, r8:50, r7:50, r6:50, r4:17;
-# 0 never-checked): the 17 r4-stale rows FIRST (6 driver-rounds old,
-# displaced by the round-10 gates' first driver rows -- VERDICT r10
-# 'Next round #1'; all 17 were judge-verified green in the r10 parity
-# sample), then the r6 cohort in audit order. This empties the r4
-# bucket for good; after this round the oldest cohort is r6. Gates
-# ADDED in round 11 swap in as they land (never-driver-checked
-# outranks stale-but-green), displacing rows from the r6 TAIL upward
-# -- each swap annotated INLINE below; displaced r6 rows stay at the
-# head of the round-12 queue.
+# old for the whole registry". Round-12 prefix = exactly the queue
+# printed by `python tools/rotation_audit.py` at round start
+# (freshness before rotation: r11:50, r10:50, r9:50, r8:50, r7:50,
+# r6:33, never:3 -- VERDICT r11 'Next round #1'): the 3 gates that
+# have NEVER had a driver row FIRST (layout_auto_maintenance,
+# layout_rename_column_metadata_only, layout_sql_over_manifest --
+# registered after the round-11 driver run; judge parity passed all 3
+# but a judge row is not a driver row), then the 33 r6-stale rows
+# (5 driver-rounds old, mostly TPC-H q2-q22; all re-verified green by
+# the r11 judge parity sample or the round-11 full sf0.1 sweep), then
+# the r7 cohort head in audit order to fill 50. After this round the
+# never bucket is empty and max staleness is r7. Gates ADDED in round
+# 12 swap in as they land (never-driver-checked outranks
+# stale-but-green), displacing rows from the r7 TAIL upward -- each
+# swap annotated INLINE below; displaced r7 rows stay at the head of
+# the round-13 queue.
 _PRIORITY = (
-    "sample_group_aware_split",
-    "setop_intersect_except_all",
-    "sim_pq_adc_topk",
-    "sim_truncated_rerank_topk",
-    "sink_orc_roundtrip",
-    "stream_static_enrich",
-    "stream_stream_left_outer_join",
-    "text_bm25_topk",
-    "text_duplicate_ngram_fraction",
-    "text_repetition_profile",
-    "text_rolling_hash_fingerprint",
-    "text_unigram_surprisal",
-    "ts_anomaly_hourly_zscore",
-    "ts_rolling_7d_user_spend",
-    "ts_rollup_time_hierarchy",
-    "ts_time_weighted_avg",
-    "udf_udtf_dynamic_schema",
-    "agg_approx_distinct",
-    "agg_collect_list_sorted",
-    "agg_count_distinct",
-    "agg_string_join",
-    "dedup_lsh_quality_metrics",
-    "distinct_flag_status",
-    "fn_map_from_json",
-    "fn_regexp_suite",
-    "join_anti_dormant_customers",
-    "join_full_outer_nation_presence",
-    "join_inner_segment_counts",
-    "join_left_order_counts",
-    "join_right_suppliers_per_nation",
-    "join_semi_active_customers",
-    "model_snapshot_customer_segments",
-    "mm_resize_tile_plan",  # round-11 gate, never driver-checked:
-    # takes pipeline_quality_funnel's slot (r6-green; quality-funnel
-    # semantics stay prefixed via stream_quality_funnel's r10 row and
-    # parity_sweep re-verifies it this round -> head of the round-12
-    # queue)
-    "layout_incremental_optimize",  # round-11 gate, never
-    # driver-checked: takes q10_returned_revenue's slot (r6-green; the
-    # TPC-H family keeps 17+ prefixed rows and parity_sweep re-verifies
-    # q10 this round -> head of the round-12 queue)
-    "stream_wap_quality_gate",  # round-11 gate, never driver-checked:
-    # takes q11_part_value_concentration's slot (r6-green; same family
-    # argument; parity_sweep re-verifies q11 this round -> head of the
-    # round-12 queue)
-    "layout_check_constraints",  # round-11 gate, never driver-checked:
-    # takes q12_shipmode_priority_classes's slot (r6-green; the TPC-H
-    # family keeps 17+ prefixed rows and parity_sweep re-verifies q12
-    # this round -> head of the round-12 queue)
-    "layout_metadata_tables",  # round-11 gate, never driver-checked:
-    # takes q13_customer_order_distribution's slot (r6-green; same
-    # family argument; parity_sweep re-verifies q13 this round -> head
-    # of the round-12 queue)
-    "layout_cdf_update_images",  # round-11 gate, never driver-checked:
-    # takes q14_promo_revenue_ratio's slot (r6-green; the TPC-H family
-    # keeps 17+ prefixed rows and parity_sweep re-verifies q14 this
-    # round -> head of the round-12 queue)
-    "layout_wap_audit_publish",  # round-11 gate, never driver-checked:
-    # takes q15_top_revenue_suppliers's slot (r6-green; same family
-    # argument; parity_sweep re-verifies q15 this round -> head of the
-    # round-12 queue)
-    "layout_bloom_point_lookup",  # round-11 gate, never
-    # driver-checked: takes q16_supplier_part_counts's slot (r6-green;
-    # the TPC-H family keeps 17+ prefixed rows and parity_sweep
-    # re-verifies q16 this round -> head of the round-12 queue)
-    "layout_deletion_vector_read",  # round-11 gate, never
-    # driver-checked: takes q17_small_quantity_revenue's slot
-    # (r6-green; the TPC-H family keeps 18+ prefixed rows and
-    # parity_sweep re-verifies q17 this round -> head of the round-12
-    # queue)
-    "q18_large_volume_orders",
-    "stream_cdf_incremental_mart",  # round-11 gate, never
-    # driver-checked: takes q19_disjunctive_ranges's slot (r6-green;
-    # the TPC-H family keeps 18+ prefixed rows and parity_sweep
-    # re-verified q19 in this round's 50/50 -> head of the round-12
-    # queue)
-    "q1_pricing_summary",
-    "sim_ann_recall_tradeoff",  # round-11 gate, never driver-checked:
-    # takes q20_heavy_part_shippers's slot (r6-green; the TPC-H family
-    # keeps 19+ prefixed rows and parity_sweep re-verified q20 in this
-    # round's 50/50 -> head of the round-12 queue)
-    "layout_optimize_cluster_prune",  # round-11 gate, never
-    # driver-checked: takes q22_dormant_rich_customers's slot
-    # (r6-green; the TPC-H family keeps 20+ prefixed rows and
-    # parity_sweep re-verified q22 in this round's 50/50 -> head of
-    # the round-12 queue)
-    "layout_incremental_mart_from_changes",  # round-11 gate, never
-    # driver-checked: takes q2_min_unit_cost_supplier's slot (r6-green;
-    # the TPC-H family keeps 20+ prefixed rows and parity_sweep
-    # re-verified q2 in this round's 50/50 -> head of the round-12
-    # queue)
-    "sim_ann_recall_metrics",  # round-11 gate, never driver-checked:
-    # takes q4_late_shipment_orders's slot (r6-green; the TPC-H family
-    # keeps 20+ prefixed rows and parity_sweep re-verifies q4 this
-    # round -> head of the round-12 queue)
-    "text_dedup_span_removal",  # round-11 gate, never driver-checked:
-    # takes q6_forecast_revenue's slot (r6-green; the TPC-H family
-    # keeps 20+ prefixed rows and parity_sweep re-verifies q6 this
-    # round -> head of the round-12 queue)
-    "layout_snapshot_diff_read",  # round-11 gate, never driver-checked:
-    # takes q7_nation_trade's slot (r6-green; the join family keeps
-    # prefixed rows via join_inner_segment_counts et al., and
-    # parity_sweep re-verifies q7 this round -> head of the round-12
-    # queue)
+    "layout_auto_maintenance",
+    "layout_rename_column_metadata_only",
+    "layout_sql_over_manifest",
+    "pipeline_quality_funnel",
+    "q10_returned_revenue",
+    "q11_part_value_concentration",
+    "q12_shipmode_priority_classes",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_revenue_suppliers",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_ranges",
+    "q20_heavy_part_shippers",
+    "q22_dormant_rich_customers",
+    "q2_min_unit_cost_supplier",
+    "q4_late_shipment_orders",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "ref_ground_truth_labels",
+    "sample_mixture_rebalance",
+    "sample_token_budget_mixture",
+    "setop_unpivot_price_stats",
+    "sim_sq_int8_topk",
+    "sort_limit_top_orders",
+    "sql_api_priority_stats",
+    "stream_minhash_band_dedup",
+    "subquery_orders_above_cust_avg",
+    "text_c4_doc_filters",
+    "text_ccnet_surprisal_buckets",
+    "text_dsir_importance_weights",
+    "text_gopher_quality_filters",
+    "text_line_dedup",
+    "text_term_frequencies",
+    "window_topk_orders_per_customer",
+    "agg_approx_percentiles",
+    "agg_bitmap_audience_overlap",
+    "asof_purchase_attribution",
+    "dedup_connected_components",
+    "dedup_exact_sha256",
+    "dedup_mllib_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_simhash_pairs",
+    "fn_array_suite",
+    "fn_date_suite",
+    "fn_json_extract",
+    "fn_string_suite",
+    "fn_variant_json",
 )
 
 
