@@ -621,7 +621,8 @@ def _scan_with_dv(
         if keep_file_col:
             df = df.withColumn("_file", F.input_file_name())
         return _to_logical(df, cmap, dropped)
-    data_cols = reader.parquet(*paths).columns
+    data_schema = reader.parquet(*paths).schema
+    data_cols = data_schema.names
 
     def _with_meta(names: list[str]) -> DataFrame:
         return (
@@ -636,8 +637,23 @@ def _scan_with_dv(
         + (["_file"] if keep_file_col else [])
         + (["__dv_name", "__dv_pos"] if keep_pos_col else [])
     )
+
+    def _conform(df: DataFrame) -> DataFrame:
+        # a subset scan (dirty-only / clean-only / single file) sees
+        # only its own merged schema; on a schema-evolved table a
+        # column present only in the OTHER subset must materialize as
+        # a typed NULL here or select(*keep) raises AnalysisException
+        have = set(df.columns)
+        missing = [f for f in data_schema.fields if f.name not in have]
+        if missing:
+            df = df.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            )
+        return df.select(*keep)
+
     if not dv_files:
-        return _to_logical(_with_meta(live).select(*keep), cmap, dropped)
+        return _to_logical(_conform(_with_meta(live)), cmap, dropped)
     # the anti-join is paid ONLY by files that actually carry a DV —
     # clean files scan plain, exactly Delta's per-file DV application;
     # for a table where one file of hundreds holds deletes, the read
@@ -676,7 +692,7 @@ def _scan_with_dv(
         cond = ~F.concat_ws(
             "#", F.col("__dv_name"), F.col("__dv_pos").cast("string")
         ).isin(keyset)
-        parts.append(_with_meta(dirty).filter(cond).select(*keep))
+        parts.append(_conform(_with_meta(dirty).filter(cond)))
     else:
         # rare path (total dead positions past the cap — bounded in
         # practice by the OPTIMIZE cadence that materializes DVs):
@@ -697,14 +713,14 @@ def _scan_with_dv(
             one = one.join(
                 F.broadcast(dead_pos), on=["__dv_pos"], how="left_anti"
             )
-            parts.append(one.select(*keep))
+            parts.append(_conform(one))
     if clean:
         clean_df = (
             _with_meta(clean)
             if (keep_file_col or keep_pos_col)
             else reader.parquet(*[str(p / n) for n in clean])
         )
-        parts.append(clean_df.select(*keep))
+        parts.append(_conform(clean_df))
     out = parts[0]
     for frame in parts[1:]:
         out = out.unionByName(frame)
@@ -1454,6 +1470,7 @@ def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
     vers, live = _snapshot_for_update(p)
     _enforce_constraints(p, df)  # CHECK constraints: reject before staging
     df = _to_physical(p, df)  # renamed columns write their frozen name
+    _reject_dropped_collisions(p, df)  # dropped-name reuse = silent loss
     # token: caller-supplied idempotence key (e.g. a streaming batch id
     # — see append_batch_idempotent) instead of the random default; the
     # appended file names embed it, making "was this logical append
@@ -1540,6 +1557,62 @@ def _dropped_cols(p) -> list[str]:
     return json.loads(mf.read_text()).get("dropped_columns", [])
 
 
+def _live_physical_columns(p, live: list[str]) -> set:
+    """Union of PHYSICAL column names across the live files — from the
+    manifest's write-time stats when available (the same metadata round
+    trip every snapshot read pays; engine-written files always carry a
+    stats record keyed by every column), falling back to a driver-side
+    pyarrow footer read for files the stats record doesn't cover
+    (pre-stats tables, externally dropped-in files)."""
+    import json
+
+    stats: dict = {}
+    mf = p / _MANIFEST
+    if mf.exists():
+        try:
+            stats = json.loads(mf.read_text()).get("stats", {})
+        except (OSError, ValueError):
+            stats = {}
+    cols: set = set()
+    uncovered = []
+    for n in live:
+        rec = stats.get(n)
+        if rec:
+            cols.update(rec)
+        else:
+            uncovered.append(n)
+    if uncovered:
+        import pyarrow.parquet as pq
+
+        for n in uncovered:
+            try:
+                cols.update(pq.read_schema(str(p / n)).names)
+            except OSError:
+                continue
+    return cols
+
+
+def _reject_dropped_collisions(p, physical_df: DataFrame) -> None:
+    """Guard every write boundary (append/stage/merge source) against
+    the name-based column-mapping hazard: after ``drop_column('a')``,
+    an incoming batch carrying a NEW column whose physical name is the
+    dropped ``'a'`` would write real data that ``_to_logical`` then
+    hides from every read — silent loss. Formats with frozen field IDs
+    (Delta column mapping, Iceberg) are immune by construction; the
+    name-based map must reject instead."""
+    dropped = set(_dropped_cols(p))
+    if not dropped:
+        return
+    bad = sorted(c for c in physical_df.columns if c in dropped)
+    if bad:
+        raise ValueError(
+            f"write rejected: incoming columns {bad} collide with "
+            "metadata-dropped physical columns — their data would be "
+            "hidden from every read. Rename the incoming columns, or "
+            "purge the tombstones with a copy-on-write rewrite first."
+        )
+
+
 def _to_logical(df: DataFrame, cmap: dict, dropped: list[str] = ()) -> DataFrame:
     """Physical frame → logical schema (read boundary): renamed
     columns take their logical names, dropped columns vanish."""
@@ -1604,6 +1677,23 @@ def rename_column(path, old: str, new: str) -> dict:
         raise ValueError("rename to the same name")
     if new in cmap:
         raise ValueError(f"logical column {new!r} already exists (mapped)")
+    # collision with an UN-mapped live column: the logical schema today
+    # is (live physical columns − dropped − mapped physicals) ∪ mapped
+    # logicals; renaming onto any visible name other than `old` itself
+    # would surface duplicate column names at read. Live physical names
+    # come from the manifest's write-time stats (metadata-only for
+    # engine-written files; footer fallback otherwise).
+    visible = (
+        _live_physical_columns(p, live)
+        - set(doc.get("dropped_columns", []))
+        - set(cmap.values())
+    ) | set(cmap)
+    visible.discard(old)
+    if new in visible:
+        raise ValueError(
+            f"rename target {new!r} collides with an existing column of "
+            "the live schema"
+        )
     for name, expr in _constraints(p).items():
         if old in expr or new in expr:
             raise ValueError(
@@ -1761,6 +1851,7 @@ def add_constraint(spark, path, name: str, expr: str) -> dict:
                 f"cannot add {name!r}: {n_bad} existing rows violate {expr!r}"
             )
     cons[name] = expr
+    validated = set(live)
     for _ in range(10):
         try:
             version = _commit_manifest(
@@ -1770,6 +1861,32 @@ def add_constraint(spark, path, name: str, expr: str) -> dict:
         except ManifestConflictError:
             vers, live = _read_snapshot(p)
             cons = dict(_constraints(p))
+            # re-check the name-collision guard against the re-read
+            # registry (a concurrent add_constraint may have won)
+            if name in cons:
+                raise ValueError(
+                    f"constraint {name!r} already exists: {cons[name]}"
+                )
+            # re-validate rows that landed since the first validation:
+            # a concurrent append's rows were legally unchecked at
+            # their write time — committing the constraint over them
+            # unvalidated would break Delta's ADD CONSTRAINT invariant
+            # (table may never hold rows violating a live constraint).
+            # Only the NEW files are scanned (new live minus already-
+            # validated live), so the rebase cost is O(concurrent
+            # writes), not O(table).
+            fresh = [n for n in live if n not in validated]
+            if fresh:
+                added = _scan_with_dv(spark, p, fresh, _dv_at_version(p))
+                n_bad = added.filter(
+                    ~F.coalesce(F.expr(expr), F.lit(True))
+                ).count()
+                if n_bad:
+                    raise ConstraintViolationError(
+                        f"cannot add {name!r}: {n_bad} concurrently "
+                        f"appended rows violate {expr!r}"
+                    )
+                validated.update(fresh)
             cons[name] = expr
     else:
         raise ManifestConflictError(
@@ -1893,8 +2010,10 @@ def stage_append(spark, path, df: DataFrame, audit_id: str | None = None) -> dic
     if audit_id in reg:
         raise ValueError(f"audit_id {audit_id!r} already staged")
     _enforce_constraints(p, df)  # CHECK constraints gate staging too
+    df = _to_physical(p, df)
+    _reject_dropped_collisions(p, df)  # dropped-name reuse = silent loss
     staging = pathlib.Path(str(p) + f".stage-{audit_id}")
-    _to_physical(p, df).write.mode("overwrite").parquet(str(staging))
+    df.write.mode("overwrite").parquet(str(staging))
     added = []
     for i, f in enumerate(sorted(staging.glob("*.parquet"))):
         name = f"staged-{audit_id}-{i:05d}.parquet"
@@ -2011,7 +2130,17 @@ def discard_staged(path, audit_id: str) -> dict:
         except ManifestConflictError:
             vers, live = _read_snapshot(p)
             reg = dict(_staged_registry(p))
-            dropped = reg.pop(audit_id, dropped)
+            if audit_id not in reg:
+                # a concurrent publish_staged (or discard) won the
+                # race: the batch's files may now be LIVE — defaulting
+                # to the stale file list and unlinking would silently
+                # destroy published data. Mirror publish_staged's
+                # rebase guard and refuse.
+                raise ValueError(
+                    f"staged batch {audit_id!r} was published or "
+                    "discarded by a concurrent committer"
+                )
+            dropped = reg.pop(audit_id)
     else:
         raise ManifestConflictError("discard could not commit after 10 rebases")
     for n in dropped:  # post-commit cleanup; failure → orphans for vacuum
@@ -2598,6 +2727,7 @@ def merge_rows(
     if dup:
         raise ValueError("merge source has duplicate record keys")
     _enforce_constraints(p, source)  # CHECK constraints gate the source
+    _reject_dropped_collisions(p, _to_physical(p, source))
     src = source.cache()
     n_src = src.count()
 
@@ -2718,12 +2848,19 @@ def maintain_table(
     if clu:
         unclustered = [n for n in live if n not in set(clu["files"])]
         if len(unclustered) >= min_unclustered:
-            st = compact_incremental(
-                spark, p, target_file_bytes=target_file_bytes,
-                min_files=min_unclustered,
-            )
-            if st["n_files_rewritten"]:
-                actions.append("compact_incremental")
+            # each step is its own OCC commit and a conflict aborts
+            # THAT STEP ONLY (maintenance always loses to live writers
+            # and retries next pass) — without the catch a lost race
+            # here would abort the whole pass and vacuum never runs
+            try:
+                st = compact_incremental(
+                    spark, p, target_file_bytes=target_file_bytes,
+                    min_files=min_unclustered,
+                )
+                if st["n_files_rewritten"]:
+                    actions.append("compact_incremental")
+            except ManifestConflictError:
+                actions.append("compact_incremental:skipped-conflict")
             doc = json.loads((p / _MANIFEST).read_text())
             live = doc["files"]
     dv_debt = len(
@@ -2731,13 +2868,16 @@ def maintain_table(
     )
     fragmented = not clu and len(live) >= min_unclustered
     if dv_debt >= max_dv_files or fragmented:
-        compact_table(
-            spark,
-            p,
-            target_file_bytes=target_file_bytes,
-            cluster_by=clu["by"] if clu else None,
-        )
-        actions.append("optimize")
+        try:
+            compact_table(
+                spark,
+                p,
+                target_file_bytes=target_file_bytes,
+                cluster_by=clu["by"] if clu else None,
+            )
+            actions.append("optimize")
+        except ManifestConflictError:
+            actions.append("optimize:skipped-conflict")
     removed = vacuum_orphans(
         p, retain_versions=retain_versions, grace_seconds=grace_seconds
     )
