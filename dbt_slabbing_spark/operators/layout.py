@@ -2678,12 +2678,105 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev) -> dict:
     return stats
 
 
+def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
+    """Merge-on-read MERGE (see :func:`merge_rows` ``mode="dv"``):
+    matched target rows die by DELETION VECTOR (one small positions
+    parquet, like :func:`_delete_rows_dv`), and the whole source —
+    updated images plus inserts — appends as fresh files; ONE OCC
+    commit publishes both. ZERO data files are rewritten: an UPDATE of
+    24 rows in a 16-file table costs O(matched positions + source
+    rows) write instead of the affected-file rewrite the copy-on-write
+    path pays (measured 6.4 s COW vs 2.1 s DV for DELETE on the same
+    adversarial layout — the identical avoidance applies here). The
+    read-side tax accrues per dirty file until :func:`compact_table` /
+    :func:`compact_incremental` materializes the DVs, and
+    :func:`read_changes(keys=)` pairs pre/post images across the
+    DV+append shape via its row-level fallback (a DV commit changes
+    rows with the file list only growing, which the file-level fast
+    path is deliberately blind to).
+
+    Crash windows: DV parquet and insert files are staged into the
+    table dir BEFORE the commit — invisible orphans if anything dies
+    pre-commit (vacuum reclaims); a conflicting commit raises before
+    anything is published."""
+    import pathlib
+    import shutil
+    import uuid
+
+    tgt = _scan_with_dv(
+        spark, p, live, dv_prev, merge_schema=True, keep_pos_col=True
+    )
+    src_keys = F.broadcast(src.select(*keys))
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".dvmerge-{token}")
+    # matched target rows → ONE DV parquet of (file, pos): O(matched)
+    tgt.join(src_keys, on=keys, how="left_semi").select(
+        F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
+    ).coalesce(1).write.mode("overwrite").parquet(str(staging / "dv"))
+    part = sorted((staging / "dv").glob("*.parquet"))[0]
+    dv_name = f"dv-{token}-00000.parquet"
+    part.rename(p / dv_name)
+    per_file = (
+        spark.read.parquet(str(p / dv_name))
+        .groupBy("file")
+        .count()
+        .collect()  # bounded: one row per AFFECTED file
+    )
+    rows_updated = int(sum(r["count"] for r in per_file))
+    affected = sorted(r["file"] for r in per_file)
+    matched_keys = src.join(tgt.select(*keys), on=keys, how="left_semi").count()
+    if any(dv_prev.get(n) for n in live):
+        rows_before = tgt.count()
+    else:  # footer-metadata count (no data pages) when DV-free
+        rows_before = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[str(p / n) for n in live])
+            .count()
+        )
+    # the whole source (updated images + inserts) lands as fresh files
+    _to_physical(p, src).write.mode("overwrite").parquet(str(staging / "insert"))
+    new_names = []
+    for i, f in enumerate(sorted((staging / "insert").glob("*.parquet"))):
+        name = f"part-merge-{token}-i{i:05d}.parquet"
+        f.rename(p / name)
+        new_names.append(name)
+    shutil.rmtree(str(staging), ignore_errors=True)
+    src.unpersist()
+    stats = {
+        "rows_before": int(rows_before),
+        "rows_updated": rows_updated,
+        "rows_inserted": int(n_src - matched_keys),
+        "rows_after": int(rows_before - rows_updated + n_src),
+        "n_files_total": len(live),
+        "n_files_rewritten": 0,
+        "n_files_added": len(new_names),
+        "n_dv_files_added": 1 if affected else 0,
+    }
+    new_dv = {n: list(lst) for n, lst in dv_prev.items()}
+    if affected:
+        for n in affected:
+            new_dv.setdefault(n, []).append(dv_name)
+    else:  # insert-only merge: drop the empty DV
+        _unlink_quiet(p / dv_name)
+    # ATOMIC + OCC: conflict raises before anything is published; the
+    # staged DV + insert files are orphans for vacuum
+    _commit_manifest(
+        p,
+        list(live) + new_names,
+        expected_version=vers,
+        dv=new_dv,
+        stats=_stats_for_added(p, new_names),
+    )
+    return stats
+
+
 def merge_rows(
     spark,
     path: str,
     source: DataFrame,
     on: str | list[str],
     retain: bool = False,
+    mode: str = "cow",
 ) -> dict:
     """MERGE INTO / upsert as a copy-on-write manifest commit:
     ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *``
@@ -2709,6 +2802,12 @@ def merge_rows(
     orphans for :func:`vacuum_orphans`). ``retain=True`` keeps the
     displaced originals for time travel.
 
+    ``mode="dv"`` switches to merge-on-read (Delta DV MERGE): matched
+    target rows die by deletion vector, the source appends as fresh
+    files, and NO data file is rewritten — see :func:`_merge_rows_dv`
+    for the cost model. ``retain`` is moot there (nothing is
+    displaced).
+
     Returns ``{"rows_before", "rows_updated", "rows_inserted",
     "rows_after", "n_files_total", "n_files_rewritten",
     "n_files_added"}`` — ``rows_updated`` counts REPLACED target rows
@@ -2730,6 +2829,10 @@ def merge_rows(
     _reject_dropped_collisions(p, _to_physical(p, source))
     src = source.cache()
     n_src = src.count()
+    if mode == "dv":
+        return _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src)
+    if mode != "cow":
+        raise ValueError(f"unknown merge mode {mode!r} (cow|dv)")
 
     # DV-applied target scan: a DV'd (dead) row must neither count as
     # matched nor survive a rewrite

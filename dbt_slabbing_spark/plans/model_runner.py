@@ -113,6 +113,7 @@ def run_incremental(
     sources: dict[str, DataFrame],
     unique_key: str | None = None,
     order_col: str | None = None,
+    materialization: str = "swap",
 ) -> DataFrame:
     """dbt-style INCREMENTAL materialization — the 100 TB workhorse:
     recompute only new rows, never the history.
@@ -128,25 +129,62 @@ def run_incremental(
       inside the is_incremental block.
 
     Append-only when ``unique_key`` is None; otherwise upsert by key
-    (latest-change-wins via ``order_col`` CDC compaction first). The
-    rewrite goes to a staging dir then swaps in, so a failed run never
-    corrupts the target (poor man's transactionality; on a real
-    deployment use a transactional table format).
+    (latest-change-wins via ``order_col`` CDC compaction first).
+
+    ``materialization`` picks the upsert's storage contract:
+
+    - ``"swap"`` (default, the historical behavior): the merged result
+      rewrites the WHOLE target to a staging dir then swaps in — a
+      failed run never corrupts the target, but every incremental run
+      pays O(target) rewrite, which is exactly what an incremental
+      model exists to avoid.
+    - ``"manifest_dv"``: the target is a manifest table
+      (:mod:`..operators.layout`) and the upsert routes through
+      ``merge_rows(mode="dv")`` — matched rows die by deletion vector,
+      the delta appends as fresh files, ZERO target files are
+      rewritten, and the commit is atomic/OCC (real transactionality,
+      not the staging-swap approximation). The steady-state cost is
+      O(delta), the shape a 100 TB incremental mart needs; DV debt is
+      reclaimed by the table's normal OPTIMIZE/maintenance cadence.
+      Append-only models (``unique_key=None``) become manifest
+      appends.
     """
     import shutil
 
     from ..operators.merge import dedup_updates, upsert
 
     target = pathlib.Path(target_path)
+    if materialization not in ("swap", "manifest_dv"):
+        raise ModelError(f"unknown materialization {materialization!r}")
+    manifest_mode = materialization == "manifest_dv"
+    if manifest_mode:
+        from ..operators.layout import append_files, merge_rows, read_table
+
     exists = target.exists()
     for name, df in sources.items():
         df.createOrReplaceTempView(f"src_{name}")
     sql = _SOURCE_RE.sub(lambda m: f"src_{m.group(1)}", model_sql)
     sql = _IS_INCR_RE.sub((lambda m: m.group(1)) if exists else "", sql)
     if exists:
-        spark.read.parquet(str(target)).createOrReplaceTempView("_incr_this")
+        this_df = (
+            read_table(spark, str(target))
+            if manifest_mode
+            else spark.read.parquet(str(target))
+        )
+        this_df.createOrReplaceTempView("_incr_this")
     sql = _THIS_RE.sub("_incr_this", sql)
     delta = spark.sql(sql)
+
+    if manifest_mode:
+        if not exists:
+            append_files(spark, str(target), delta)
+        elif unique_key is not None:
+            if order_col is not None:
+                delta = dedup_updates(delta, unique_key, order_col)
+            merge_rows(spark, str(target), delta, on=unique_key, mode="dv")
+        else:
+            append_files(spark, str(target), delta)
+        return read_table(spark, str(target))
 
     if not exists:
         delta.write.mode("overwrite").parquet(str(target))

@@ -159,7 +159,11 @@ _PRIORITY = (
     "fn_date_suite",
     "fn_json_extract",
     "fn_string_suite",
-    "fn_variant_json",
+    "layout_dv_merge_upsert",  # round-12 gate, never driver-checked:
+    # takes fn_variant_json's slot (r7-green; the scalar-function
+    # family keeps fn_array/date/json/string_suite prefixed and the
+    # end-of-round full sweep re-verifies fn_variant_json -> head of
+    # the round-13 queue)
 )
 
 

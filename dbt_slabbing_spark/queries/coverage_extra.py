@@ -2044,3 +2044,128 @@ def layout_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vacuumed_some boolean, dv_cleared boolean, "
         "n_rows bigint, sum_value double",
     )
+
+
+@register(
+    "layout_dv_merge_upsert",
+    # Merge-on-read MERGE (Delta's DV-backed MERGE / Hudi's MOR
+    # upsert): matched rows die by deletion vector and the source
+    # (updated images + inserts) appends as fresh files -- ZERO data
+    # files rewritten (the literal n_files_rewritten=0 is the mode
+    # contract; under copy-on-write the same merge rewrites every
+    # affected file). The oracle states the merged content directly:
+    # matched keys (event_id % 7 = 0) take the source image
+    # (value + 1000), everything else survives verbatim, and the
+    # insert leg re-keys event_id % 7 = 3 rows past the key space.
+    # cow_match is TRUE because the gate runs the copy-on-write twin
+    # on an identical second table and diffs the results row-level;
+    # post_optimize_match is TRUE because OPTIMIZE materializes the
+    # DVs without changing content.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST(0 AS BIGINT) AS n_files_rewritten,
+           CAST(1 AS BIGINT) AS n_dv_parquets,
+           TRUE AS cow_match,
+           TRUE AS post_optimize_match
+    FROM (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 7 = 0 THEN value + 1000.0
+                    ELSE value END AS value
+        FROM events
+        UNION ALL
+        SELECT event_id + 1000000000, user_id, value - 50.0
+        FROM events WHERE event_id % 7 = 3
+    )
+    """,
+    "merge-on-read MERGE via deletion vectors: matched target rows "
+    "die by DV sidecar, updated images + inserts append as fresh "
+    "files, zero data files rewritten, one OCC commit; result is "
+    "row-identical to the copy-on-write twin and survives OPTIMIZE "
+    "materialization",
+    tags=("layout", "dv", "merge"),
+)
+def layout_dv_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::merge_rows(mode="dv") end-to-end
+    under the oracle gate: the MERGE cost model a 100 TB table needs
+    (an upsert touching a few rows per file must not pay the
+    affected-file rewrite -- O(matched positions + source rows) write
+    instead), checked row-identical against the copy-on-write twin
+    and across the OPTIMIZE pass that materializes the DVs."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        compact_table,
+        merge_rows,
+        read_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    updates = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+    )
+    inserts = (
+        ev.filter(F.col("event_id") % 7 == 3)
+        .withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000))
+        .withColumn("value", F.col("value") - F.lit(50.0))
+    )
+    src = updates.unionByName(inserts)
+
+    def _build(work):
+        for i in range(4):
+            append_files(
+                spark, work, ev.filter(F.col("user_id") % 4 == i).coalesce(1)
+            )
+
+    work_dv = tempfile.mkdtemp(prefix="dvmerge_gate_")
+    work_cow = tempfile.mkdtemp(prefix="cowmerge_gate_")
+    shutil.rmtree(work_dv)
+    shutil.rmtree(work_cow)
+    try:
+        _build(work_dv)
+        _build(work_cow)
+        st = merge_rows(spark, work_dv, src, on="event_id", mode="dv")
+        merge_rows(spark, work_cow, src, on="event_id", mode="cow")
+        got = read_table(spark, work_dv)
+        twin = read_table(spark, work_cow)
+        cow_match = (
+            got.exceptAll(twin).limit(1).count() == 0
+            and twin.exceptAll(got).limit(1).count() == 0
+        )
+        n_dv = len(list(pathlib.Path(work_dv).glob("dv-*.parquet")))
+
+        def _agg(df):
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count_distinct("user_id").cast("bigint").alias("u"),
+                dround(F.sum("value"), 2).alias("s"),
+            ).collect()[0]
+            return (r["n"], r["u"], float(r["s"]))
+
+        before = _agg(got)
+        compact_table(spark, work_dv, target_file_bytes=1 << 30)
+        after = _agg(read_table(spark, work_dv))
+    finally:
+        shutil.rmtree(work_dv, ignore_errors=True)
+        shutil.rmtree(work_cow, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                after[0],
+                after[1],
+                after[2],
+                int(st["n_files_rewritten"]),
+                n_dv,
+                cow_match,
+                before == after,
+            )
+        ],
+        "n_rows bigint, n_users bigint, sum_value double, "
+        "n_files_rewritten bigint, n_dv_parquets bigint, "
+        "cow_match boolean, post_optimize_match boolean",
+    )
