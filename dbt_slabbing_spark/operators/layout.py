@@ -2904,6 +2904,185 @@ def merge_rows(
     return stats
 
 
+def update_rows(
+    spark,
+    path: str,
+    predicate: str | Column,
+    set_exprs: dict[str, str],
+    retain: bool = False,
+    mode: str = "cow",
+) -> dict:
+    """SQL ``UPDATE <table> SET col = expr, ... WHERE predicate`` as a
+    manifest commit — the third DML mutation next to :func:`delete_rows`
+    and :func:`merge_rows`. SQL UPDATE semantics: every SET expression
+    evaluates against the PRE-update row (one projection computes all
+    assignments together, so ``SET a = b, b = a`` swaps), and a row is
+    updated iff the predicate is TRUE (NULL rows survive unchanged).
+    Updated images are validated against the table's CHECK constraints
+    before anything is staged.
+
+    ``mode="cow"``: rewrite ONLY the files containing matched rows —
+    their unmatched rows survive verbatim, matched rows take their new
+    images — and publish the swap as ONE OCC commit (Delta/Iceberg's
+    copy-on-write UPDATE). Cost O(affected files).
+
+    ``mode="dv"``: merge-on-read — matched positions die by deletion
+    vector and the updated images append as fresh files in the SAME
+    commit; ZERO data files rewritten, cost O(matched rows) (Delta's
+    DV-backed UPDATE). The usual DV read tax accrues until OPTIMIZE
+    materializes.
+
+    Crash/OCC contract matches :func:`delete_rows`: staged files are
+    invisible orphans until the commit; a conflict raises before
+    anything is published. Returns ``{"rows_before", "rows_updated",
+    "rows_after", "n_files_total", "n_files_rewritten",
+    "n_files_added"}`` (+ ``n_dv_files_added`` under ``dv``)."""
+    import pathlib
+    import shutil
+    import uuid
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    p = pathlib.Path(path)
+    vers, live = _snapshot_for_update(p)
+    dv_prev = _dv_at_version(p)
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"unknown update mode {mode!r} (cow|dv)")
+
+    def _apply_set(df: DataFrame, only_matched: bool) -> DataFrame:
+        """One projection, all assignments against the pre-update row."""
+        data_cols = [c for c in df.columns if not c.startswith(("_file", "__dv_"))]
+        unknown = [c for c in set_exprs if c not in data_cols]
+        if unknown:
+            raise ValueError(f"UPDATE SET references unknown columns {unknown}")
+        proj = []
+        for c in data_cols:
+            if c in set_exprs:
+                new = F.expr(set_exprs[c]).cast(df.schema[c].dataType)
+                proj.append(
+                    (new if only_matched else F.when(cond, new).otherwise(F.col(c)))
+                    .alias(c)
+                )
+            else:
+                proj.append(F.col(c))
+        return df.select(*proj)
+
+    token = uuid.uuid4().hex[:12]
+    if mode == "dv":
+        tgt = _scan_with_dv(
+            spark, p, live, dv_prev, merge_schema=True, keep_pos_col=True
+        )
+        matched = tgt.filter(cond)
+        images = _apply_set(matched, only_matched=True)
+        _enforce_constraints(p, images)
+        staging = pathlib.Path(str(p) + f".dvupdate-{token}")
+        matched.select(
+            F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
+        ).coalesce(1).write.mode("overwrite").parquet(str(staging / "dv"))
+        part = sorted((staging / "dv").glob("*.parquet"))[0]
+        dv_name = f"dv-{token}-00000.parquet"
+        part.rename(p / dv_name)
+        per_file = (
+            spark.read.parquet(str(p / dv_name))
+            .groupBy("file").count().collect()
+        )
+        rows_updated = int(sum(r["count"] for r in per_file))
+        affected = sorted(r["file"] for r in per_file)
+        rows_before = (
+            tgt.count()
+            if any(dv_prev.get(n) for n in live)
+            else spark.read.option("mergeSchema", "true")
+            .parquet(*[str(p / n) for n in live]).count()
+        )
+        new_names = []
+        if rows_updated:
+            _to_physical(p, images).write.mode("overwrite").parquet(
+                str(staging / "images")
+            )
+            for i, f in enumerate(sorted((staging / "images").glob("*.parquet"))):
+                name = f"part-update-{token}-u{i:05d}.parquet"
+                f.rename(p / name)
+                new_names.append(name)
+        shutil.rmtree(str(staging), ignore_errors=True)
+        stats = {
+            "rows_before": int(rows_before),
+            "rows_updated": rows_updated,
+            "rows_after": int(rows_before),
+            "n_files_total": len(live),
+            "n_files_rewritten": 0,
+            "n_files_added": len(new_names),
+            "n_dv_files_added": 1 if affected else 0,
+        }
+        if not affected:
+            _unlink_quiet(p / dv_name)
+            return stats
+        new_dv = {n: list(lst) for n, lst in dv_prev.items()}
+        for n in affected:
+            new_dv.setdefault(n, []).append(dv_name)
+        _commit_manifest(
+            p,
+            list(live) + new_names,
+            expected_version=vers,
+            dv=new_dv,
+            stats=_stats_for_added(p, new_names),
+        )
+        return stats
+
+    # copy-on-write: rewrite only affected files
+    tgt = _scan_with_dv(
+        spark, p, live, dv_prev, merge_schema=True, keep_file_col=True
+    )
+    _enforce_constraints(p, _apply_set(tgt.filter(cond), only_matched=True))
+    per_file = (
+        tgt.filter(cond)
+        .groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .collect()  # bounded: one row per AFFECTED file
+    )
+    rows_updated = int(sum(r["_hits"] for r in per_file))
+    affected_uris = [r["_file"] for r in per_file]
+    affected_names = sorted({_uri_to_name(u) for u in affected_uris})
+    rows_before = (
+        tgt.count()
+        if any(dv_prev.get(n) for n in live)
+        else spark.read.option("mergeSchema", "true")
+        .parquet(*[str(p / n) for n in live]).count()
+    )
+    stats = {
+        "rows_before": int(rows_before),
+        "rows_updated": rows_updated,
+        "rows_after": int(rows_before),
+        "n_files_total": len(live),
+        "n_files_rewritten": len(affected_names),
+        "n_files_added": 0,
+    }
+    if not affected_names:
+        return stats
+    staging = pathlib.Path(str(p) + f".update-{token}")
+    rewritten = _apply_set(
+        tgt.filter(F.col("_file").isin(affected_uris)).drop("_file"),
+        only_matched=False,
+    ).repartition(max(1, len(affected_names)))
+    _to_physical(p, rewritten).write.mode("overwrite").parquet(str(staging))
+    new_names = []
+    for i, f in enumerate(sorted(staging.glob("*.parquet"))):
+        name = f"part-update-{token}-{i:05d}.parquet"
+        f.rename(p / name)
+        new_names.append(name)
+    shutil.rmtree(str(staging), ignore_errors=True)
+    stats["n_files_added"] = len(new_names)
+    gone = set(affected_names)
+    _commit_manifest(  # ATOMIC + OCC: conflict aborts BEFORE any unlink
+        p,
+        [n for n in live if n not in gone] + new_names,
+        expected_version=vers,
+        stats=_stats_for_added(p, new_names),
+    )
+    if not retain:
+        for n in affected_names:
+            _unlink_quiet(p / n)
+    return stats
+
+
 def register_table(spark, name: str, path) -> DataFrame:
     """Expose a manifest table to Spark SQL as a temp view over its
     CURRENT snapshot — the front-end glue that lets plain

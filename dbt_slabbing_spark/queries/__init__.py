@@ -158,7 +158,11 @@ _PRIORITY = (
     "fn_array_suite",
     "fn_date_suite",
     "fn_json_extract",
-    "fn_string_suite",
+    "layout_sql_dml_roundtrip",  # round-12 gate, never driver-checked:
+    # takes fn_string_suite's slot (r7-green; the scalar-function
+    # family keeps fn_array/date/json_suite prefixed and the
+    # end-of-round full sweep re-verifies fn_string_suite -> head of
+    # the round-13 queue)
     "layout_dv_merge_upsert",  # round-12 gate, never driver-checked:
     # takes fn_variant_json's slot (r7-green; the scalar-function
     # family keeps fn_array/date/json/string_suite prefixed and the

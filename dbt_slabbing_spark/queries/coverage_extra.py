@@ -2169,3 +2169,149 @@ def layout_dv_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files_rewritten bigint, n_dv_parquets bigint, "
         "cow_match boolean, post_optimize_match boolean",
     )
+
+
+@register(
+    "layout_sql_dml_roundtrip",
+    # SQL DML front-end over a manifest table (plans/sql_dml.py): a
+    # four-statement sequence -- INSERT INTO ... SELECT, UPDATE ... SET
+    # ... WHERE, DELETE FROM ... WHERE, MERGE INTO ... USING -- runs
+    # under merge-on-read (deletion vectors) and must land the exact
+    # content the oracle restates declaratively: click rows spawn
+    # re-keyed 'bulk' copies at half value, error rows gain +1000,
+    # cheap view rows die, and purchase rows MERGE into 'merged' at
+    # double value. twin_match is TRUE because the gate replays the
+    # same sequence through the DataFrame API under copy-on-write and
+    # diffs the results row-level (two independent execution paths,
+    # two storage modes, one answer).
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           TRUE AS twin_match
+    FROM (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'merged'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_type = 'error' THEN value + 1000.0
+                    WHEN event_type = 'purchase' THEN value * 2.0
+                    ELSE value END AS value
+        FROM (
+            SELECT event_type, value FROM events
+            UNION ALL
+            SELECT 'bulk', value / 2.0 FROM events
+            WHERE event_type = 'click'
+        )
+        WHERE NOT (event_type = 'view' AND value < 100.0)
+    )
+    GROUP BY event_type
+    """,
+    "SQL DML over a governed manifest table: INSERT INTO/UPDATE/"
+    "DELETE FROM/MERGE INTO dispatch to atomic OCC manifest commits "
+    "(deletion-vector mode), row-identical to the DataFrame-API "
+    "copy-on-write twin",
+    tags=("layout", "sql", "dml"),
+)
+def layout_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives plans/sql_dml.py::ManifestSession end-to-end under the
+    oracle gate: the 'dbt SQL -> Spark SQL' story over governed tables
+    -- every statement a dbt model would issue against a warehouse
+    (INSERT/UPDATE/DELETE/MERGE) routes through the manifest layer's
+    atomic commits and inherits snapshot isolation, DVs, constraints
+    and CDF. The DV-mode session is cross-checked row-level against a
+    copy-on-write DataFrame-API replay of the same sequence."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.layout import (
+        append_files,
+        delete_rows,
+        merge_rows,
+        read_table,
+        update_rows,
+    )
+    from ..plans.sql_dml import ManifestSession
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    work_sql = tempfile.mkdtemp(prefix="dml_gate_sql_")
+    work_api = tempfile.mkdtemp(prefix="dml_gate_api_")
+    shutil.rmtree(work_sql)
+    shutil.rmtree(work_api)
+    name = f"dmltab_{uuid.uuid4().hex[:8]}"
+    try:
+        for w in (work_sql, work_api):
+            append_files(spark, w, ev.coalesce(2))
+        ses = ManifestSession(spark, mode="dv").register(name, work_sql)
+        ses.sql(
+            f"""INSERT INTO {name}
+                SELECT event_id + 10000000, user_id, 'bulk', value / 2.0
+                FROM {name} WHERE event_type = 'click'"""
+        )
+        ses.sql(
+            f"UPDATE {name} SET value = value + 1000.0 "
+            "WHERE event_type = 'error'"
+        )
+        ses.sql(
+            f"DELETE FROM {name} WHERE event_type = 'view' AND value < 100.0"
+        )
+        ses.sql(
+            f"""MERGE INTO {name} USING (
+                    SELECT event_id, user_id,
+                           'merged' AS event_type, value * 2.0 AS value
+                    FROM {name} WHERE event_type = 'purchase'
+                ) src ON {name}.event_id = src.event_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *"""
+        )
+        # DataFrame-API twin, copy-on-write mode
+        append_files(
+            spark,
+            work_api,
+            ev.filter(F.col("event_type") == "click").select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id",
+                F.lit("bulk").alias("event_type"),
+                (F.col("value") / 2.0).alias("value"),
+            ),
+        )
+        update_rows(
+            spark, work_api, "event_type = 'error'",
+            {"value": "value + 1000.0"}, mode="cow",
+        )
+        delete_rows(
+            spark, work_api, "event_type = 'view' AND value < 100.0",
+            mode="cow",
+        )
+        src = (
+            read_table(spark, work_api)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "event_id", "user_id",
+                F.lit("merged").alias("event_type"),
+                (F.col("value") * 2.0).alias("value"),
+            )
+        )
+        merge_rows(spark, work_api, src, on="event_id", mode="cow")
+
+        got = read_table(spark, work_sql)
+        twin = read_table(spark, work_api)
+        twin_match = (
+            got.exceptAll(twin).limit(1).count() == 0
+            and twin.exceptAll(got).limit(1).count() == 0
+        )
+        out = (
+            got.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dround(F.sum("value"), 2).alias("sum_value"),
+            )
+            .withColumn("twin_match", F.lit(twin_match))
+            .localCheckpoint()  # eager: outlives the tmpdir cleanup
+        )
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(work_sql, ignore_errors=True)
+        shutil.rmtree(work_api, ignore_errors=True)
+    return out

@@ -1,0 +1,179 @@
+"""SQL DML front-end (`plans/sql_dml.py::ManifestSession`) and the
+`update_rows` operator: dispatch correctness, CHECK-constraint and CDF
+interaction, per-statement snapshot refresh, grammar rejection."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_slabbing_spark.catalog import table
+from dbt_slabbing_spark.operators.layout import (
+    ConstraintViolationError,
+    add_constraint,
+    append_files,
+    manifest_versions,
+    read_changes,
+    read_table,
+    update_rows,
+)
+from dbt_slabbing_spark.plans.sql_dml import ManifestSession, SqlDmlError
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def session(spark, tmp_path):
+    target = str(tmp_path / "events")
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    append_files(spark, target, ev.coalesce(2))
+    ses = ManifestSession(spark, mode="dv").register("tab", target)
+    return ses, target, ev
+
+
+def test_update_rows_cow_dv_parity(spark, tmp_path):
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "value")
+    outs = {}
+    idents = {}
+    for mode in ("cow", "dv"):
+        t = str(tmp_path / mode)
+        append_files(spark, t, ev.coalesce(2))
+        idents[mode] = {
+            f.name: f.stat().st_mtime_ns
+            for f in pathlib.Path(t).glob("append-*.parquet")
+        }
+        st = update_rows(
+            spark, t, "event_id % 3 = 0", {"value": "value * 10"}, mode=mode
+        )
+        assert st["rows_updated"] == ev.filter(F.col("event_id") % 3 == 0).count()
+        assert st["rows_after"] == st["rows_before"]
+        outs[mode] = sorted(map(tuple, read_table(spark, t).collect()))
+    assert outs["cow"] == outs["dv"]
+    # dv mode's original data files are byte-untouched
+    t_dv = pathlib.Path(str(tmp_path / "dv"))
+    assert {
+        f.name: f.stat().st_mtime_ns
+        for f in t_dv.glob("append-*.parquet")
+    } == idents["dv"]
+    assert list(t_dv.glob("dv-*.parquet"))
+
+
+def test_update_rows_set_sees_preimage(spark, tmp_path):
+    """SQL UPDATE: all SET expressions evaluate against the pre-update
+    row — SET a = b, b = a swaps."""
+    t = str(tmp_path / "swap")
+    append_files(
+        spark, t, spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    )
+    update_rows(spark, t, "true", {"a": "b", "b": "a"}, mode="cow")
+    assert read_table(spark, t).collect()[0].asDict() == {"a": 2.0, "b": 1.0}
+
+
+def test_update_rows_respects_constraints(spark, tmp_path):
+    t = str(tmp_path / "cons")
+    append_files(
+        spark, t, spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    )
+    add_constraint(spark, t, "v_pos", "v > 0")
+    for mode in ("cow", "dv"):
+        with pytest.raises(ConstraintViolationError):
+            update_rows(spark, t, "k = 1", {"v": "-1.0"}, mode=mode)
+    # nothing committed
+    assert read_table(spark, t).filter(F.col("v") < 0).count() == 0
+
+
+def test_sql_insert_respects_constraints(spark, session):
+    ses, target, ev = session
+    add_constraint(spark, target, "value_pos", "value >= 0")
+    with pytest.raises(ConstraintViolationError):
+        ses.sql("INSERT INTO tab VALUES (99999999, 1, 'bad', -5.0)")
+    assert (
+        read_table(spark, target).filter(F.col("event_id") == 99999999).count()
+        == 0
+    )
+    ses.sql("INSERT INTO tab VALUES (99999998, 1, 'good', 5.0)")
+    assert ses.sql("SELECT * FROM tab WHERE event_id = 99999998").count() == 1
+
+
+def test_sql_update_emits_cdf_images(spark, session):
+    ses, target, ev = session
+    v0 = manifest_versions(target)[-1]
+    st = ses.sql("UPDATE tab SET value = value + 1000 WHERE event_type = 'error'")
+    v1 = manifest_versions(target)[-1]
+    n_err = ev.filter(F.col("event_type") == "error").count()
+    assert st["rows_updated"] == n_err
+    ch = read_changes(spark, target, v0, v1, keys=["event_id"])
+    by = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by.get("update_preimage", 0) == n_err
+    assert by.get("update_postimage", 0) == n_err
+
+
+def test_sql_select_sees_each_mutation(spark, session):
+    ses, target, ev = session
+    n0 = ses.sql("SELECT * FROM tab").count()
+    ses.sql("DELETE FROM tab WHERE event_type = 'click'")
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert ses.sql("SELECT * FROM tab").count() == n0 - n_click
+    ses.sql("INSERT INTO tab (event_id, user_id, event_type, value) "
+            "VALUES (77777777, 7, 'click', 1.5)")
+    assert (
+        ses.sql("SELECT count(*) AS n FROM tab WHERE event_type = 'click'")
+        .collect()[0]["n"]
+        == 1
+    )
+
+
+def test_sql_merge_via_subquery(spark, session):
+    ses, target, ev = session
+    st = ses.sql(
+        """MERGE INTO tab USING (
+               SELECT event_id, user_id, 'promoted' AS event_type, value
+               FROM tab WHERE event_type = 'signup'
+           ) s ON tab.event_id = s.event_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    n_signup = ev.filter(F.col("event_type") == "signup").count()
+    assert st["rows_updated"] == n_signup
+    assert st["rows_inserted"] == 0
+    got = read_table(spark, target)
+    assert got.filter(F.col("event_type") == "signup").count() == 0
+    assert got.filter(F.col("event_type") == "promoted").count() == n_signup
+
+
+def test_sql_grammar_rejections(spark, session):
+    ses, target, ev = session
+    with pytest.raises(SqlDmlError, match="unknown manifest table"):
+        ses.sql("DELETE FROM nope WHERE 1=1")
+    with pytest.raises(SqlDmlError, match="identical column names"):
+        ses.sql(
+            "MERGE INTO tab USING tab s ON tab.event_id = s.user_id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(SqlDmlError, match="unsupported MERGE form"):
+        ses.sql(
+            "MERGE INTO tab USING tab s ON tab.event_id = s.event_id "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(SqlDmlError, match="bad SET assignment"):
+        ses.sql("UPDATE tab SET 5 = value")
+
+
+def test_sql_dml_cow_mode_matches_dv(spark, tmp_path):
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "value")
+    outs = {}
+    for mode in ("cow", "dv"):
+        t = str(tmp_path / f"m_{mode}")
+        append_files(spark, t, ev.coalesce(2))
+        ses = ManifestSession(spark, mode=mode).register(f"t_{mode}", t)
+        ses.sql(f"UPDATE t_{mode} SET value = value * 2 WHERE event_id % 2 = 0")
+        ses.sql(f"DELETE FROM t_{mode} WHERE value > 500")
+        outs[mode] = sorted(map(tuple, read_table(spark, t).collect()))
+    assert outs["cow"] == outs["dv"]
