@@ -86,6 +86,13 @@ HEADLINE = [
     # the timed runs measure the driver-side manifest prune + the
     # 2-of-8-file scan-filter-agg alone.
     ("manifest_prune", None, False),
+    # round-12 extra (VERDICT r11 "Next round #7"): the DV-APPLIED read
+    # path measured round-over-round — r11's 4.25 s → 1.02 s read-tax
+    # re-plan lived only in BASELINE.md prose. Warm-ups pay the
+    # one-time table build + DV delete (_dv_read_bench short-circuits
+    # on the existing manifest); the timed runs measure the
+    # dirty+clean-file scan with the INSET dead-position filter alone.
+    ("dv_read", None, False),
 ]
 
 #: custom callables for HEADLINE rows with no registry twin
@@ -189,8 +196,51 @@ def _manifest_prune_bench(spark, sf_dir):
     )
 
 
+def _dv_read_bench(spark, sf_dir):
+    """DV-applied read over a persistent half-dirty manifest table
+    (built ONCE per sf dir: 8 user_id-residue files from events, then
+    one mode="dv" DELETE whose predicate lands positions in half of
+    them — the adversarial merge-on-read layout from the r11 read-tax
+    re-plan). The returned plan is the product read path:
+    `_scan_with_dv`'s one multi-file scan over dirty files with the
+    INSET dead-position filter + plain scan of clean files → filter →
+    aggregate."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from dbt_slabbing_spark.catalog import table
+    from dbt_slabbing_spark.operators.layout import (
+        append_files,
+        delete_rows,
+        read_table,
+    )
+    from dbt_slabbing_spark.rounding import dround
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    work = f"/tmp/dbt_slabbing_bench_dvread_{tag}"
+    if not pathlib.Path(work, "_manifest.json").exists():
+        ev = table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "value"
+        )
+        for i in range(8):
+            append_files(
+                spark, work, ev.filter(F.col("user_id") % 8 == i).coalesce(1)
+            )
+        # dirty half the files: even residues hold even user_ids only
+        delete_rows(
+            spark, work, "user_id % 2 = 0 AND value >= 400", mode="dv"
+        )
+    return read_table(spark, work).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        dround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 _CUSTOM_FNS["events_hourly"] = _events_hourly_batch
 _CUSTOM_FNS["manifest_prune"] = _manifest_prune_bench
+_CUSTOM_FNS["dv_read"] = _dv_read_bench
 
 
 def _time_headline(spark, reg) -> dict[str, float]:
@@ -262,6 +312,11 @@ def main() -> None:
         # a 2-file scan + one tiny agg is pure stage-barrier tax
         # territory for AQE.
         "manifest_prune": "off",
+        # round-12 extra: off wins 2 of 3 fresh interleaved sf0.1
+        # rounds (198/174, 190/136, 152/162 ms on/off) — the DV read
+        # is scan + one agg, same barrier-tax territory as
+        # manifest_prune; majority keeps the default off.
+        "dv_read": "off",
     }
     reg = registry()
     times_aqe_on = _time_headline(spark, reg)  # AQE on: the session default
