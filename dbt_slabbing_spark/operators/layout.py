@@ -2904,6 +2904,72 @@ def merge_rows(
     return stats
 
 
+def clone_table(path, target) -> dict:
+    """ZERO-COPY table clone (Delta's ``CREATE TABLE ... SHALLOW
+    CLONE``): the target gets its own manifest — and with it its own
+    independent version history, constraints, column mapping and
+    maintenance lifecycle — while the DATA BYTES are shared with the
+    source. On POSIX the sharing mechanism is a hard link per live
+    file (data files are immutable under the table contract, so a
+    shared inode can never observe a mutation — every write path
+    creates NEW files); an object-store deployment would record
+    absolute source paths instead, same semantics. Cost: O(live files)
+    metadata, ZERO data bytes copied — cloning a 100 TB table is a
+    directory of links plus one manifest write.
+
+    Divergence is free and safe in both directions: a mutation on
+    either side commits new uniquely-named files into its own dir and
+    its own manifest; a DELETE/OPTIMIZE's post-commit unlink only
+    drops ONE link (the other table's inode reference keeps the
+    bytes); vacuum on one side cannot see — let alone reclaim — the
+    other side's files. Deletion vectors, column mapping, dropped
+    columns, constraints and write-time stats are carried into the
+    clone's first commit; staged WAP batches and source HISTORY are
+    NOT (the clone starts at version 1, like Delta's clone).
+
+    Raises if ``target`` already has a manifest. Returns
+    ``{"n_files_linked", "version", "n_bytes_copied"}`` (the last is
+    always 0 — it is in the contract's name)."""
+    import json
+    import os
+    import pathlib
+
+    src = pathlib.Path(path)
+    dst = pathlib.Path(target)
+    if not (src / _MANIFEST).exists():
+        raise ValueError("clone source must be a manifest table")
+    if (dst / _MANIFEST).exists():
+        raise ValueError(f"clone target {target!r} is already a table")
+    dst.mkdir(parents=True, exist_ok=True)
+    doc = json.loads((src / _MANIFEST).read_text())
+    live = list(doc["files"])
+    dv_map = doc.get("dv", {})
+    dv_files = sorted({d for n in live for d in dv_map.get(n, [])})
+    for n in live + dv_files:
+        if not (dst / n).exists():
+            os.link(str(src / n), str(dst / n))
+    version = _commit_manifest(
+        dst,
+        live,
+        expected_version=0,
+        stats={n: s for n, s in doc.get("stats", {}).items() if n in set(live)},
+        dv={n: list(dv_map[n]) for n in live if dv_map.get(n)},
+        bloom_cfg=doc.get("bloom_cfg", {}),
+        constraints=doc.get("constraints", {}),
+        clustered=doc.get("clustered"),
+        column_map=doc.get("column_map", {}),
+        dropped_columns=doc.get("dropped_columns", []),
+    )
+    # bloom bitset sidecar rides along (metadata, not data)
+    if (src / _BLOOM).exists():
+        (dst / _BLOOM).write_text((src / _BLOOM).read_text())
+    return {
+        "n_files_linked": len(live) + len(dv_files),
+        "version": version,
+        "n_bytes_copied": 0,
+    }
+
+
 def update_rows(
     spark,
     path: str,

@@ -21,6 +21,15 @@ and routes:
   WHEN NOT MATCHED THEN INSERT *``                  → ``merge_rows``
   (the record-key upsert form — Delta's most common MERGE; richer
   WHEN clauses take the DataFrame API),
+- DDL: ``CREATE TABLE t AS SELECT ...``             → a new manifest
+  table under the session's ``base_dir`` (one atomic first commit),
+  ``ALTER TABLE t RENAME COLUMN a TO b``            → ``rename_column``
+  (metadata-only),
+  ``ALTER TABLE t DROP COLUMN a``                   → ``drop_column``,
+  ``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)``   → ``add_constraint``,
+  ``ALTER TABLE t DROP CONSTRAINT n``               → ``drop_constraint``,
+  ``DROP TABLE t``                                  → deregister (the
+  data stays; pass PURGE to also delete the directory),
 - anything else (``SELECT``/``WITH``/``VALUES``)    → ``spark.sql``
   over freshly re-pinned snapshot views.
 
@@ -40,11 +49,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.layout import (
+    add_constraint,
     append_files,
     delete_rows,
+    drop_column,
+    drop_constraint,
     merge_rows,
     read_table,
     register_table,
+    rename_column,
     update_rows,
 )
 
@@ -67,6 +80,38 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+"
     r"(?P<sets>.*?)(?:\s+WHERE\s+(?P<pred>.*))?$",
     re.I | re.S,
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+"
+    r"(?P<select>(?:SELECT|WITH|VALUES)\b.*)$",
+    re.I | re.S,
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"RENAME\s+COLUMN\s+(?P<old>[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+"
+    r"(?P<new>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.I,
+)
+_ALTER_DROPCOL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"DROP\s+COLUMN\s+(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.I,
+)
+_ALTER_ADDCON_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"ADD\s+CONSTRAINT\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"CHECK\s*\((?P<expr>.*)\)\s*$",
+    re.I | re.S,
+)
+_ALTER_DROPCON_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"DROP\s+CONSTRAINT\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.I,
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+(?P<purge>PURGE))?\s*$",
+    re.I,
 )
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
@@ -136,11 +181,14 @@ class ManifestSession:
     SELECT after a DML sees the mutation (per-statement snapshot
     isolation — each statement reads one consistent version)."""
 
-    def __init__(self, spark: SparkSession, mode: str = "cow"):
+    def __init__(
+        self, spark: SparkSession, mode: str = "cow", base_dir: str | None = None
+    ):
         if mode not in ("cow", "dv"):
             raise SqlDmlError(f"unknown DML mode {mode!r} (cow|dv)")
         self.spark = spark
         self.mode = mode
+        self.base_dir = base_dir  # CREATE TABLE lands under here
         self.tables: dict[str, str] = {}
 
     def register(self, name: str, path: str) -> "ManifestSession":
@@ -170,7 +218,78 @@ class ManifestSession:
             return self._update(stmt)
         if head == "MERGE":
             return self._merge(stmt)
+        if head == "CREATE":
+            return self._create(stmt)
+        if head == "ALTER":
+            return self._alter(stmt)
+        if head == "DROP":
+            return self._drop_table(stmt)
         return self.spark.sql(stmt)
+
+    def _create(self, stmt: str) -> dict:
+        m = _CTAS_RE.match(stmt)
+        if not m:
+            raise SqlDmlError(
+                f"unsupported CREATE form (need CREATE TABLE t AS SELECT "
+                f"...): {stmt!r}"
+            )
+        name = m.group("table")
+        if name in self.tables:
+            raise SqlDmlError(f"table {name!r} already exists")
+        if not self.base_dir:
+            raise SqlDmlError(
+                "CREATE TABLE needs a session base_dir "
+                "(ManifestSession(..., base_dir=...))"
+            )
+        import pathlib
+
+        path = str(pathlib.Path(self.base_dir) / name)
+        if (pathlib.Path(path) / "_manifest.json").exists():
+            raise SqlDmlError(f"location {path!r} already holds a table")
+        st = append_files(self.spark, path, self.spark.sql(m.group("select")))
+        self.register(name, path)
+        return st
+
+    def _alter(self, stmt: str) -> dict:
+        m = _ALTER_RENAME_RE.match(stmt)
+        if m:
+            st = rename_column(
+                self._path(m.group("table")), m.group("old"), m.group("new")
+            )
+            self._refresh()
+            return st
+        m = _ALTER_DROPCOL_RE.match(stmt)
+        if m:
+            st = drop_column(self._path(m.group("table")), m.group("col"))
+            self._refresh()
+            return st
+        m = _ALTER_ADDCON_RE.match(stmt)
+        if m:
+            return add_constraint(
+                self.spark,
+                self._path(m.group("table")),
+                m.group("name"),
+                m.group("expr").strip(),
+            )
+        m = _ALTER_DROPCON_RE.match(stmt)
+        if m:
+            return drop_constraint(self._path(m.group("table")), m.group("name"))
+        raise SqlDmlError(f"unsupported ALTER form: {stmt!r}")
+
+    def _drop_table(self, stmt: str) -> dict:
+        m = _DROP_TABLE_RE.match(stmt)
+        if not m:
+            raise SqlDmlError(f"unsupported DROP form: {stmt!r}")
+        name = m.group("table")
+        path = self._path(name)
+        self.tables.pop(name)
+        self.spark.catalog.dropTempView(name)
+        purged = bool(m.group("purge"))
+        if purged:  # PURGE: delete the data too (otherwise just unmap)
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        return {"table": name, "purged": purged}
 
     def _insert(self, stmt: str) -> dict:
         m = _INSERT_RE.match(stmt)

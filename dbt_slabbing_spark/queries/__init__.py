@@ -155,9 +155,19 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_semantic_clusters",
     "dedup_simhash_pairs",
-    "fn_array_suite",
-    "fn_date_suite",
-    "fn_json_extract",
+    "text_pii_redaction",  # round-12 gate, never driver-checked:
+    # takes fn_array_suite's slot (r7-green; the scalar-function
+    # family keeps fn_regexp_suite + fn_map_from_json prefixed and
+    # the end-of-round full sweep re-verifies fn_array_suite -> head
+    # of the round-13 queue)
+    "layout_table_clone",  # round-12 gate, never driver-checked:
+    # takes fn_date_suite's slot (r7-green; same family argument;
+    # full sweep re-verifies fn_date_suite -> head of the round-13
+    # queue)
+    "layout_sql_ddl_roundtrip",  # round-12 gate, never driver-checked:
+    # takes fn_json_extract's slot (r7-green; same family argument;
+    # full sweep re-verifies fn_json_extract -> head of the round-13
+    # queue)
     "layout_sql_dml_roundtrip",  # round-12 gate, never driver-checked:
     # takes fn_string_suite's slot (r7-green; the scalar-function
     # family keeps fn_array/date/json_suite prefixed and the

@@ -2315,3 +2315,195 @@ def layout_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work_sql, ignore_errors=True)
         shutil.rmtree(work_api, ignore_errors=True)
     return out
+
+
+@register(
+    "layout_table_clone",
+    # Zero-copy SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE):
+    # the clone gets an independent manifest over HARD-LINKED data
+    # files (bytes shared, zero copied -- n_bytes_copied=0 and
+    # shared_inodes=TRUE are the mechanism's literals), then diverges:
+    # a DV delete of click rows plus an append of +1000-revalued error
+    # rows mutate ONLY the clone. The oracle restates both sides'
+    # content from events directly; src_intact is TRUE because the
+    # source's files are immutable and its manifest never moved.
+    """
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_src,
+           round((SELECT sum(value) FROM events) * 100.0) / 100.0
+               + 0.0 AS sum_src,
+           CAST((SELECT count(*) FROM events WHERE event_type <> 'click')
+               + (SELECT count(*) FROM events WHERE event_type = 'error')
+               AS BIGINT) AS n_clone,
+           round(((SELECT sum(value) FROM events WHERE event_type <> 'click')
+               + (SELECT sum(value + 1000.0) FROM events
+                  WHERE event_type = 'error')) * 100.0) / 100.0
+               + 0.0 AS sum_clone,
+           CAST(0 AS BIGINT) AS n_bytes_copied,
+           TRUE AS shared_inodes,
+           TRUE AS src_intact
+    """,
+    "zero-copy shallow clone: independent manifest over hard-linked "
+    "immutable data files; clone-side DV delete + append diverge "
+    "without touching a source byte",
+    tags=("layout", "clone"),
+)
+def layout_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::clone_table end-to-end under the
+    oracle gate: the fork-a-dataset primitive (experiment branches,
+    dev copies of a 100 TB prod table) at O(files) metadata cost —
+    zero data bytes copied, divergence isolated by the per-table
+    manifest + immutable-file contract."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        clone_table,
+        delete_rows,
+        read_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="clone_gate_src_")
+    dst = tempfile.mkdtemp(prefix="clone_gate_dst_")
+    shutil.rmtree(src)
+    shutil.rmtree(dst)
+    try:
+        for i in range(4):
+            append_files(
+                spark, src, ev.filter(F.col("user_id") % 4 == i).coalesce(1)
+            )
+        before = {
+            f.name: (f.stat().st_ino, f.stat().st_mtime_ns)
+            for f in pathlib.Path(src).glob("*.parquet")
+        }
+        st = clone_table(src, dst)
+        shared = all(
+            (pathlib.Path(dst) / n).stat().st_ino == ino
+            for n, (ino, _) in before.items()
+        )
+        delete_rows(spark, dst, "event_type = 'click'", mode="dv")
+        append_files(
+            spark,
+            dst,
+            read_table(spark, dst)
+            .filter(F.col("event_type") == "error")
+            .withColumn("value", F.col("value") + 1000.0),
+        )
+
+        def _agg(df):
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dround(F.sum("value"), 2).alias("s"),
+            ).collect()[0]
+            return int(r["n"]), float(r["s"])
+
+        n_src, s_src = _agg(read_table(spark, src))
+        n_clone, s_clone = _agg(read_table(spark, dst))
+        intact = {
+            f.name: (f.stat().st_ino, f.stat().st_mtime_ns)
+            for f in pathlib.Path(src).glob("*.parquet")
+        } == before
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_src, s_src, n_clone, s_clone,
+                int(st["n_bytes_copied"]), shared, intact,
+            )
+        ],
+        "n_src bigint, sum_src double, n_clone bigint, sum_clone double, "
+        "n_bytes_copied bigint, shared_inodes boolean, src_intact boolean",
+    )
+
+
+@register(
+    "layout_sql_ddl_roundtrip",
+    # SQL DDL over manifest tables (plans/sql_dml.py): CREATE TABLE AS
+    # SELECT lands a governed table (atomic first commit), ALTER TABLE
+    # ADD CONSTRAINT gates subsequent DML (the violating INSERT is
+    # rejected whole -- violator_rejected=TRUE is the CHECK contract),
+    # RENAME COLUMN is one metadata commit (no rewrite), DROP COLUMN
+    # hides metadata-only, and DML keeps working against the evolved
+    # logical schema. The oracle restates the final content: the CTAS
+    # filter, the one post-rename manual INSERT, grouped by the
+    # renamed column.
+    """
+    SELECT category, n, sum_amount, TRUE AS violator_rejected
+    FROM (
+        SELECT event_type AS category,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_amount
+        FROM events WHERE value < 300.0
+        GROUP BY event_type
+        UNION ALL
+        SELECT 'manual', CAST(1 AS BIGINT), 42.0 + 0.0
+    )
+    """,
+    "SQL DDL over governed tables: CTAS, ADD CONSTRAINT (rejects the "
+    "violating INSERT), metadata-only RENAME/DROP COLUMN, and DML "
+    "against the evolved schema",
+    tags=("layout", "sql", "ddl"),
+)
+def layout_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives plans/sql_dml.py DDL dispatch end-to-end under the
+    oracle gate: the remaining warehouse surface after DML — CREATE
+    TABLE AS SELECT (atomic manifest birth), ALTER TABLE constraint
+    and column-mapping commits (metadata-only at any scale), DROP
+    TABLE — so a dbt project's DDL statements run against manifest
+    tables unchanged."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.layout import ConstraintViolationError, append_files
+    from ..plans.sql_dml import ManifestSession
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="ddl_gate_")
+    tag = uuid.uuid4().hex[:8]
+    raw, mart = f"raw_{tag}", f"mart_{tag}"
+    try:
+        append_files(spark, f"{base}/{raw}", ev.coalesce(2))
+        ses = ManifestSession(spark, mode="dv", base_dir=base)
+        ses.register(raw, f"{base}/{raw}")
+        ses.sql(
+            f"""CREATE TABLE {mart} AS
+                SELECT user_id, event_type AS kind, value AS amount
+                FROM {raw} WHERE value < 300.0"""
+        )
+        ses.sql(
+            f"ALTER TABLE {mart} ADD CONSTRAINT amount_pos CHECK (amount >= 0)"
+        )
+        try:
+            ses.sql(f"INSERT INTO {mart} VALUES (1, 'bad', -5.0)")
+            rejected = False
+        except ConstraintViolationError:
+            rejected = True
+        ses.sql(f"ALTER TABLE {mart} RENAME COLUMN kind TO category")
+        ses.sql(f"ALTER TABLE {mart} DROP COLUMN user_id")
+        ses.sql(
+            f"INSERT INTO {mart} (category, amount) VALUES ('manual', 42.0)"
+        )
+        out = (
+            ses.sql(
+                f"""SELECT category, CAST(count(*) AS BIGINT) AS n,
+                           sum(amount) AS _raw
+                    FROM {mart} GROUP BY category"""
+            )
+            .select(
+                "category",
+                "n",
+                dround(F.col("_raw"), 2).alias("sum_amount"),
+                F.lit(rejected).alias("violator_rejected"),
+            )
+            .localCheckpoint()  # eager: outlives the tmpdir cleanup
+        )
+        ses.sql(f"DROP TABLE {mart}")
+        ses.sql(f"DROP TABLE {raw}")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

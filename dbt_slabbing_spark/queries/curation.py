@@ -475,3 +475,112 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("score"), 7).alias("mmr_score"),
     )
     return out
+
+
+# Pattern-class PII redaction (the Dolma/CCNet anonymization pass):
+# RE2-safe patterns (no lookaround, no backrefs) so Spark's Java regex
+# and DuckDB's RE2 match IDENTICAL spans — verified by the md5 of the
+# redacted text in the oracle gate.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d{3}[-.]\d{3}[-.]\d{4}"
+
+# Deterministic PII injection for the gate: the synthetic documents
+# corpus carries no real PII, so both engines append the SAME spans
+# (keyed by doc_id % 4) before detecting/redacting — the op is
+# exercised on real text + known-position PII.
+_SQL_PII_SYNTH = """
+        SELECT doc_id,
+               text || CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com today'
+                   WHEN 1 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.7 unreachable'
+                   WHEN 2 THEN ' call 555-867-5309 or +123-456-7890'
+                   ELSE ''
+               END AS t
+        FROM documents
+"""
+
+
+@register(
+    "text_pii_redaction",
+    f"""
+    WITH synth AS ({_SQL_PII_SYNTH}),
+    red AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(
+                   t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{_PII_IP}', '[IP]', 'g'),
+                      '{_PII_PHONE}', '[PHONE]', 'g') AS redacted
+        FROM synth
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(
+               regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_IP}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(
+               regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                              '{_PII_IP}', '[IP]', 'g'),
+               '{_PII_PHONE}')) AS INT) AS n_phones,
+           md5(redacted) AS redacted_md5
+    FROM red
+    WHERE doc_id % 4 < 3
+    """,
+    "free-text PII detection + redaction (emails, IPv4, phone "
+    "numbers) with per-class counts and the redacted text's md5 — "
+    "RE2-safe patterns, pure codegen regexp_replace chain, no UDF",
+    tags=("curation", "pii", "text"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-class PII anonymization over free text (the standard
+    pre-training privacy pass next to pii_mask_identifiers' structured
+    scrub): detect per class BEFORE redacting that class (counts use
+    the text state the class's replace sees, so overlapping classes —
+    an IP inside an already-redacted email domain — never double
+    count), then redact email → IP → phone in one codegen
+    regexp_replace chain. 100 TB shape: map-only, no shuffle, no UDF —
+    the whole op is one projection inside WholeStageCodegen."""
+    docs = table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com today"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" server 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 unreachable"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit(" call 555-867-5309 or +123-456-7890"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    after_email = F.regexp_replace("t", _PII_EMAIL, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, _PII_IP, "[IP]")
+    return (
+        synth.select(
+            "doc_id",
+            F.regexp_count("t", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+            F.regexp_count(after_email, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+            F.regexp_count(after_ip, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+            F.md5(
+                F.regexp_replace(after_ip, _PII_PHONE, "[PHONE]")
+            ).alias("redacted_md5"),
+        )
+        .filter(F.col("doc_id") % 4 < 3)
+    )
