@@ -31,7 +31,9 @@ and routes:
   ``DROP TABLE t``                                  → deregister (the
   data stays; pass PURGE to also delete the directory),
 - anything else (``SELECT``/``WITH``/``VALUES``)    → ``spark.sql``
-  over freshly re-pinned snapshot views.
+  over freshly re-pinned snapshot views. ``FROM t VERSION AS OF n``
+  time-travels: the reference is rewritten to a view pinned at that
+  snapshot (``read_table(version=n)``), Delta's time-travel syntax.
 
 Every mutation is the manifest layer's own atomic OCC commit, so the
 SQL surface inherits snapshot isolation, deletion vectors, column
@@ -111,6 +113,11 @@ _ALTER_DROPCON_RE = re.compile(
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+(?P<purge>PURGE))?\s*$",
+    re.I,
+)
+_VERSION_AS_OF_RE = re.compile(
+    r"\b(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<version>\d+)",
     re.I,
 )
 _MERGE_RE = re.compile(
@@ -224,7 +231,25 @@ class ManifestSession:
             return self._alter(stmt)
         if head == "DROP":
             return self._drop_table(stmt)
-        return self.spark.sql(stmt)
+        return self.spark.sql(self._rewrite_time_travel(stmt))
+
+    def _rewrite_time_travel(self, stmt: str) -> str:
+        """``FROM t VERSION AS OF n`` → a view pinned at snapshot n
+        (Delta's time-travel syntax). Each (table, version) pair gets
+        one deterministic view name; unknown tables pass through so
+        Spark reports them itself."""
+
+        def _sub(m: re.Match) -> str:
+            name, version = m.group("table"), int(m.group("version"))
+            if name not in self.tables:
+                return m.group(0)
+            view = f"_tt_{name}_v{version}"
+            read_table(
+                self.spark, self.tables[name], version=version
+            ).createOrReplaceTempView(view)
+            return view
+
+        return _VERSION_AS_OF_RE.sub(_sub, stmt)
 
     def _create(self, stmt: str) -> dict:
         m = _CTAS_RE.match(stmt)

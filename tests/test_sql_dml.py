@@ -177,3 +177,26 @@ def test_sql_dml_cow_mode_matches_dv(spark, tmp_path):
         ses.sql(f"DELETE FROM t_{mode} WHERE value > 500")
         outs[mode] = sorted(map(tuple, read_table(spark, t).collect()))
     assert outs["cow"] == outs["dv"]
+
+
+def test_sql_time_travel_version_as_of(spark, session):
+    ses, target, ev = session
+    from dbt_slabbing_spark.operators.layout import manifest_versions
+
+    v0 = manifest_versions(target)[-1]
+    n0 = ses.sql("SELECT * FROM tab").count()
+    ses.sql("DELETE FROM tab WHERE event_type = 'view'")
+    n_view = ev.filter(F.col("event_type") == "view").count()
+    assert ses.sql("SELECT * FROM tab").count() == n0 - n_view
+    # the pinned snapshot still sees the pre-delete table
+    assert (
+        ses.sql(f"SELECT * FROM tab VERSION AS OF {v0}").count() == n0
+    )
+    got = ses.sql(
+        f"SELECT count(*) AS n FROM tab VERSION AS OF {v0} "
+        "WHERE event_type = 'view'"
+    ).collect()[0]["n"]
+    assert got == n_view
+    # unknown table names pass through to Spark's own resolution
+    spark.range(3).createOrReplaceTempView("not_managed")
+    assert ses.sql("SELECT * FROM not_managed").count() == 3
