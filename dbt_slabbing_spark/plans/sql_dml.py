@@ -30,6 +30,12 @@ and routes:
   ``ALTER TABLE t DROP CONSTRAINT n``               → ``drop_constraint``,
   ``DROP TABLE t``                                  → deregister (the
   data stays; pass PURGE to also delete the directory),
+- maintenance (Delta's SQL verbs):
+  ``OPTIMIZE t [ZORDER BY (a, b)]``                 → ``compact_table``
+  (clustered when ZORDER BY is given),
+  ``VACUUM t [RETAIN n VERSIONS]``                  → ``vacuum_orphans``,
+  ``DESCRIBE HISTORY t``                            → ``table_snapshots``
+  (the version log as a DataFrame),
 - anything else (``SELECT``/``WITH``/``VALUES``)    → ``spark.sql``
   over freshly re-pinned snapshot views. ``FROM t VERSION AS OF n``
   time-travels: the reference is rewritten to a view pinned at that
@@ -53,6 +59,7 @@ from pyspark.sql import functions as F
 from ..operators.layout import (
     add_constraint,
     append_files,
+    compact_table,
     delete_rows,
     drop_column,
     drop_constraint,
@@ -60,7 +67,9 @@ from ..operators.layout import (
     read_table,
     register_table,
     rename_column,
+    table_snapshots,
     update_rows,
+    vacuum_orphans,
 )
 
 
@@ -113,6 +122,20 @@ _ALTER_DROPCON_RE = re.compile(
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+(?P<purge>PURGE))?\s*$",
+    re.I,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*$",
+    re.I,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*$",
+    re.I,
+)
+_DESCRIBE_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s*$",
     re.I,
 )
 _VERSION_AS_OF_RE = re.compile(
@@ -231,7 +254,39 @@ class ManifestSession:
             return self._alter(stmt)
         if head == "DROP":
             return self._drop_table(stmt)
+        if head == "OPTIMIZE":
+            return self._optimize(stmt)
+        if head == "VACUUM":
+            return self._vacuum(stmt)
+        m = _DESCRIBE_HISTORY_RE.match(stmt)
+        if m:
+            return table_snapshots(self.spark, self._path(m.group("table")))
         return self.spark.sql(self._rewrite_time_travel(stmt))
+
+    def _optimize(self, stmt: str) -> dict:
+        m = _OPTIMIZE_RE.match(stmt)
+        if not m:
+            raise SqlDmlError(f"unsupported OPTIMIZE form: {stmt!r}")
+        cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        st = compact_table(
+            self.spark, self._path(m.group("table")), cluster_by=cols
+        )
+        self._refresh()
+        return st
+
+    def _vacuum(self, stmt: str) -> dict:
+        m = _VACUUM_RE.match(stmt)
+        if not m:
+            raise SqlDmlError(f"unsupported VACUUM form: {stmt!r}")
+        removed = vacuum_orphans(
+            self._path(m.group("table")),
+            retain_versions=int(m.group("n") or 0),
+        )
+        return {"n_vacuumed": len(removed)}
 
     def _rewrite_time_travel(self, stmt: str) -> str:
         """``FROM t VERSION AS OF n`` → a view pinned at snapshot n

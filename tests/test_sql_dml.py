@@ -200,3 +200,19 @@ def test_sql_time_travel_version_as_of(spark, session):
     # unknown table names pass through to Spark's own resolution
     spark.range(3).createOrReplaceTempView("not_managed")
     assert ses.sql("SELECT * FROM not_managed").count() == 3
+
+
+def test_sql_maintenance_verbs(spark, session):
+    ses, target, ev = session
+    ses.sql("DELETE FROM tab WHERE event_type = 'click'")  # dv mode: debt
+    hist = ses.sql("DESCRIBE HISTORY tab")
+    assert hist.count() >= 2  # create + delete at least
+    st = ses.sql("OPTIMIZE tab ZORDER BY (value)")
+    assert st["n_files_after"] >= 1
+    # optimize materialized the DVs; vacuum (default grace) reclaims
+    # nothing yet because displaced files are fresh — RETAIN syntax
+    # parses and the call is safe beside the snapshot we just made
+    out = ses.sql("VACUUM tab RETAIN 2 VERSIONS")
+    assert out["n_vacuumed"] == 0
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert ses.sql("SELECT * FROM tab").count() == ev.count() - n_click
