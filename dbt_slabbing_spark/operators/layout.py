@@ -2328,21 +2328,26 @@ def vacuum_orphans(
     versions rather than hours); the default 0 keeps only the current
     snapshot readable.
 
-    ``grace_seconds`` is the IN-FLIGHT WRITER shield: every mutation
-    (append_files / delete_rows / merge_rows / compact_table /
-    streaming_manifest_append) moves its new files into the table
-    directory BEFORE its manifest commit, so an unreferenced-but-fresh
-    file may be a commit in progress, not garbage — unlinking it would
-    let the writer publish a manifest referencing deleted files
-    (silent data loss the OCC version check cannot see, because the
-    loss happens to the WINNING commit). Files whose mtime is within
-    the grace window are therefore skipped, exactly like Delta VACUUM's
-    retention-hours floor. The default (10 min) is orders of magnitude
-    past any single commit's stage-to-publish gap; pass ``0.0`` only
-    when no writer can possibly be mid-commit (single-writer tests,
-    decommissioned tables). Concurrent-safe under that contract — but
-    NOT "safe at any time" with ``grace_seconds=0``. Returns removed
-    names."""
+    ``grace_seconds`` is the IN-FLIGHT WRITER **and READER** shield:
+    every mutation (append_files / delete_rows / merge_rows /
+    compact_table / streaming_manifest_append) moves its new files
+    into the table directory BEFORE its manifest commit, so an
+    unreferenced-but-fresh file may be a commit in progress, not
+    garbage — unlinking it would let the writer publish a manifest
+    referencing deleted files (silent data loss the OCC version check
+    cannot see, because the loss happens to the WINNING commit). And a
+    concurrent READER'S plan may still be scanning files a commit just
+    displaced: the grace window is what keeps that scan alive (the r12
+    multi-writer fuzz caught a 10 s grace killing a contended reader
+    mid-scan with FILE_NOT_EXIST). Files whose mtime is within the
+    grace window are therefore skipped, exactly like Delta VACUUM's
+    retention-hours floor — and like Delta, size it ABOVE the longest
+    concurrent query/commit you run, not near it. The default (10 min)
+    covers any single commit's stage-to-publish gap and local query
+    latencies; pass ``0.0`` only when no writer or reader can possibly
+    be in flight (single-writer tests, decommissioned tables).
+    Concurrent-safe under that contract — but NOT "safe at any time"
+    with ``grace_seconds=0``. Returns removed names."""
     import pathlib
     import time
 
@@ -2446,7 +2451,7 @@ def delete_rows(
     spark,
     path: str,
     predicate: str | Column,
-    retain: bool = False,
+    retain: bool = True,
     mode: str = "cow",
 ) -> dict:
     """Targeted row deletion from a parquet table: rewrite ONLY the
@@ -2592,9 +2597,16 @@ def delete_rows(
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
     )
-    if not retain:  # retain=True keeps displaced originals on disk so
-        # prior snapshots stay time-travel-readable until vacuum (the
-        # Delta contract); default unlinks eagerly (space-frugal)
+    if not retain:  # the DEFAULT (retain=True) keeps displaced
+        # originals on disk — a CONCURRENT READER may be mid-scan of
+        # the old snapshot (the r12 multi-writer fuzz caught eager
+        # unlinks killing such readers with FILE_NOT_EXIST), and prior
+        # snapshots stay time-travel-readable until vacuum reclaims
+        # past the retention/grace windows (the Delta contract:
+        # mutations never delete data files; VACUUM is the one
+        # reclaimer). retain=False is the eager single-writer
+        # space-reclaim mode — safe only when no reader can hold an
+        # older snapshot.
         for n in affected_names:  # post-commit cleanup; failure → orphans only
             _unlink_quiet(p / n)
     return stats
@@ -2775,7 +2787,7 @@ def merge_rows(
     path: str,
     source: DataFrame,
     on: str | list[str],
-    retain: bool = False,
+    retain: bool = True,
     mode: str = "cow",
 ) -> dict:
     """MERGE INTO / upsert as a copy-on-write manifest commit:
@@ -2798,9 +2810,11 @@ def merge_rows(
     rewrite.
 
     Crash windows are identical to :func:`delete_rows` (staged files
-    invisible until the commit; post-commit unlink failures leave
-    orphans for :func:`vacuum_orphans`). ``retain=True`` keeps the
-    displaced originals for time travel.
+    invisible until the commit). ``retain=True`` (the default) keeps
+    the displaced originals on disk — concurrent readers of the old
+    snapshot stay safe and prior versions stay time-travelable until
+    :func:`vacuum_orphans` reclaims them; ``retain=False`` unlinks
+    eagerly (single-writer space reclaim only).
 
     ``mode="dv"`` switches to merge-on-read (Delta DV MERGE): matched
     target rows die by deletion vector, the source appends as fresh
@@ -2975,7 +2989,7 @@ def update_rows(
     path: str,
     predicate: str | Column,
     set_exprs: dict[str, str],
-    retain: bool = False,
+    retain: bool = True,
     mode: str = "cow",
 ) -> dict:
     """SQL ``UPDATE <table> SET col = expr, ... WHERE predicate`` as a
@@ -3000,7 +3014,9 @@ def update_rows(
 
     Crash/OCC contract matches :func:`delete_rows`: staged files are
     invisible orphans until the commit; a conflict raises before
-    anything is published. Returns ``{"rows_before", "rows_updated",
+    anything is published; ``retain=True`` (the default) leaves
+    displaced originals for vacuum so concurrent readers and time
+    travel stay safe. Returns ``{"rows_before", "rows_updated",
     "rows_after", "n_files_total", "n_files_rewritten",
     "n_files_added"}`` (+ ``n_dv_files_added`` under ``dv``)."""
     import pathlib

@@ -154,7 +154,7 @@ def test_delete_rows_rewrites_only_affected_files(spark, tmp_path):
         }
 
     pre, pre_id = digests(), identity()
-    stats = delete_rows(spark, target, "user_id >= 3 AND user_id <= 4")
+    stats = delete_rows(spark, target, "user_id >= 3 AND user_id <= 4", retain=False)
     assert stats["rows_before"] == len(before)
     assert stats["rows_deleted"] == len(victims)
     assert stats["rows_after"] == len(before) - len(victims)
@@ -192,7 +192,9 @@ def test_delete_rows_keeps_predicate_null_rows(spark, tmp_path):
     )
     df.repartition(2).write.parquet(target)
 
-    stats = delete_rows(spark, target, "k >= 30")  # NULL for ids 2 and 4
+    stats = delete_rows(spark, target, "k >= 30", retain=False)  # NULL ids 2,4;
+    # eager mode: this test reads the PLAIN directory below, bypassing
+    # the manifest, so displaced files must really be unlinked
     assert stats["rows_deleted"] == 2  # ids 3 and 5 only
     survivors = {r["id"]: r["k"] for r in spark.read.parquet(target).collect()}
     assert survivors == {1: 10, 2: None, 4: None}

@@ -61,7 +61,7 @@ def test_merge_rows_updates_inserts_and_skips_clean_files(spark, tmp_path):
 
     ensure_manifest(target)
     pre_id = identity()
-    stats = merge_rows(spark, target, src, on="event_id")
+    stats = merge_rows(spark, target, src, on="event_id", retain=False)
     assert stats["rows_before"] == len(before)
     assert stats["rows_updated"] == len(upd_keys)
     assert stats["rows_inserted"] == 2
@@ -185,7 +185,7 @@ def test_merge_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
         r["event_id"] for r in read_table(spark, target).collect()
     } == set(before)
     vacuum_orphans(target, grace_seconds=0.0)
-    stats = merge_rows(spark, target, src, on="event_id")
+    stats = merge_rows(spark, target, src, on="event_id", retain=False)
     assert stats["rows_inserted"] == 1
     assert {
         r["event_id"] for r in read_table(spark, target).collect()

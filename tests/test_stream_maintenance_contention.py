@@ -88,7 +88,8 @@ def test_stream_ingest_with_concurrent_maintenance(spark, tmp_path):
                     min_unclustered=4,
                     max_dv_files=2,
                     retain_versions=0,
-                    grace_seconds=10.0,  # in-flight writer shield
+                    grace_seconds=600.0,  # in-flight writer/reader shield: must
+                    # exceed the longest concurrent query window
                 )
                 passes.append(st)
             except FileNotFoundError:
