@@ -216,3 +216,28 @@ def test_sql_maintenance_verbs(spark, session):
     assert out["n_vacuumed"] == 0
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert ses.sql("SELECT * FROM tab").count() == ev.count() - n_click
+
+
+def test_update_rows_composes_with_column_mapping(spark, tmp_path):
+    """UPDATE after a metadata-only rename: SET references the LOGICAL
+    name, rewritten/appended files keep the frozen PHYSICAL name."""
+    import pyarrow.parquet as pq
+
+    from dbt_slabbing_spark.operators.layout import rename_column
+
+    t = str(tmp_path / "updren")
+    append_files(
+        spark, t, spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    )
+    rename_column(t, "v", "amount")
+    update_rows(spark, t, "k = 1", {"amount": "amount + 5"}, mode="cow")
+    update_rows(spark, t, "k = 2", {"amount": "amount + 5"}, mode="dv")
+    assert sorted(map(tuple, read_table(spark, t).collect())) == [
+        (1, 15.0), (2, 25.0),
+    ]
+    phys = {
+        c
+        for f in pathlib.Path(t).glob("part-update-*.parquet")
+        for c in pq.read_schema(str(f)).names
+    }
+    assert phys == {"k", "v"}  # physical schema never forks
