@@ -2918,6 +2918,56 @@ def merge_rows(
     return stats
 
 
+def restore_table(path, version: int) -> dict:
+    """Delta's ``RESTORE TABLE ... TO VERSION AS OF n``: make snapshot
+    ``version``'s content the CURRENT table state via one NEW metadata
+    commit — no data file is copied or rewritten, and history is
+    PRESERVED (the restore is itself a version; you can restore the
+    restore away). Requires the restored snapshot's files to still
+    exist (vacuum past the retention boundary makes old versions
+    unrestorable, same as Delta). The restored version's deletion
+    vectors come back with it; constraints/column-mapping/bloom state
+    are kept from the CURRENT version (RESTORE moves data, not table
+    configuration — Delta's contract). OCC like every commit: a
+    concurrent writer's commit between read and publish raises.
+    Returns ``{"restored_version", "version", "n_files"}``."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    vers, _live = _read_snapshot(p)
+    files = _files_at_version(p, int(version))
+    dv = _dv_at_version(p, int(version))
+    missing = [
+        n
+        for n in set(files) | {d for lst in dv.values() for d in lst}
+        if not (p / n).exists()
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: files already "
+            f"vacuumed: {sorted(missing)[:5]}"
+        )
+    # files returning to the live list lost their stats entries at the
+    # commit that removed them (stats never outgrow O(live files));
+    # re-collect from footers so the restored table keeps pruning
+    import json as _json
+
+    cur_stats = _json.loads((p / _MANIFEST).read_text()).get("stats", {})
+    statless = [n for n in files if n not in cur_stats]
+    new_version = _commit_manifest(
+        p,
+        list(files),
+        expected_version=vers,
+        dv={n: list(lst) for n, lst in dv.items() if n in set(files)},
+        stats=_stats_for_added(p, statless) if statless else None,
+    )
+    return {
+        "restored_version": int(version),
+        "version": new_version,
+        "n_files": len(files),
+    }
+
+
 def clone_table(path, target) -> dict:
     """ZERO-COPY table clone (Delta's ``CREATE TABLE ... SHALLOW
     CLONE``): the target gets its own manifest — and with it its own

@@ -36,6 +36,10 @@ and routes:
   ``VACUUM t [RETAIN n VERSIONS]``                  → ``vacuum_orphans``,
   ``DESCRIBE HISTORY t``                            → ``table_snapshots``
   (the version log as a DataFrame),
+  ``RESTORE TABLE t TO VERSION AS OF n``            → ``restore_table``
+  (snapshot n becomes current via one new metadata commit),
+  ``CREATE TABLE x SHALLOW CLONE t``                → ``clone_table``
+  (zero-copy fork under the session base_dir),
 - anything else (``SELECT``/``WITH``/``VALUES``)    → ``spark.sql``
   over freshly re-pinned snapshot views. ``FROM t VERSION AS OF n``
   time-travels: the reference is rewritten to a view pinned at that
@@ -59,6 +63,7 @@ from pyspark.sql import functions as F
 from ..operators.layout import (
     add_constraint,
     append_files,
+    clone_table,
     compact_table,
     delete_rows,
     drop_column,
@@ -67,6 +72,7 @@ from ..operators.layout import (
     read_table,
     register_table,
     rename_column,
+    restore_table,
     table_snapshots,
     update_rows,
     vacuum_orphans,
@@ -136,6 +142,16 @@ _VACUUM_RE = re.compile(
 )
 _DESCRIBE_HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.I,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+"
+    r"VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*$",
+    re.I,
+)
+_SHALLOW_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<target>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"SHALLOW\s+CLONE\s+(?P<source>[A-Za-z_][A-Za-z0-9_]*)\s*$",
     re.I,
 )
 _VERSION_AS_OF_RE = re.compile(
@@ -258,6 +274,15 @@ class ManifestSession:
             return self._optimize(stmt)
         if head == "VACUUM":
             return self._vacuum(stmt)
+        if head == "RESTORE":
+            m = _RESTORE_RE.match(stmt)
+            if not m:
+                raise SqlDmlError(f"unsupported RESTORE form: {stmt!r}")
+            st = restore_table(
+                self._path(m.group("table")), int(m.group("version"))
+            )
+            self._refresh()
+            return st
         m = _DESCRIBE_HISTORY_RE.match(stmt)
         if m:
             return table_snapshots(self.spark, self._path(m.group("table")))
@@ -307,6 +332,22 @@ class ManifestSession:
         return _VERSION_AS_OF_RE.sub(_sub, stmt)
 
     def _create(self, stmt: str) -> dict:
+        mc = _SHALLOW_CLONE_RE.match(stmt)
+        if mc:
+            name = mc.group("target")
+            if name in self.tables:
+                raise SqlDmlError(f"table {name!r} already exists")
+            if not self.base_dir:
+                raise SqlDmlError(
+                    "SHALLOW CLONE needs a session base_dir "
+                    "(ManifestSession(..., base_dir=...))"
+                )
+            import pathlib
+
+            path = str(pathlib.Path(self.base_dir) / name)
+            st = clone_table(self._path(mc.group("source")), path)
+            self.register(name, path)
+            return st
         m = _CTAS_RE.match(stmt)
         if not m:
             raise SqlDmlError(

@@ -154,7 +154,11 @@ _PRIORITY = (
     "dedup_mllib_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_semantic_clusters",
-    "dedup_simhash_pairs",
+    "layout_restore_version",  # round-12 gate, never driver-checked:
+    # takes dedup_simhash_pairs's slot (r7-green; the dedup family
+    # keeps dedup_exact/connected_components/ngram/semantic/mllib
+    # prefixed and the end-of-round full sweep re-verifies
+    # dedup_simhash_pairs -> head of the round-13 queue)
     "text_pii_redaction",  # round-12 gate, never driver-checked:
     # takes fn_array_suite's slot (r7-green; the scalar-function
     # family keeps fn_regexp_suite + fn_map_from_json prefixed and

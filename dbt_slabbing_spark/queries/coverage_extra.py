@@ -2507,3 +2507,80 @@ def layout_sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "layout_restore_version",
+    # Delta's RESTORE TABLE ... TO VERSION AS OF n: after a DV delete
+    # and a late append diverge the table, restoring to the pre-delete
+    # snapshot brings the content back VIA A NEW METADATA COMMIT (no
+    # data copied -- n_files_restored equals the snapshot's file
+    # count), history stays intact (the restore is itself restorable
+    # away, re_restored_match TRUE), and a second restore re-applies
+    # the deletion vectors (clicks dead again). The oracle restates
+    # the final (post-second-restore) content: events minus clicks.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_at_v1,
+           TRUE AS restored_match,
+           TRUE AS re_restored_match
+    FROM events WHERE event_type <> 'click'
+    """,
+    "RESTORE TABLE to a historical version: one metadata commit makes "
+    "snapshot n current again (deletion vectors included), history "
+    "preserved so the restore itself can be restored away",
+    tags=("layout", "restore"),
+)
+def layout_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::restore_table (and the RESTORE
+    TABLE SQL verb) end-to-end under the oracle gate: the
+    bad-deploy/oops-DELETE recovery primitive — at 100 TB a restore
+    must be one metadata commit, never a data copy."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.layout import (
+        append_files,
+        delete_rows,
+        manifest_versions,
+        read_table,
+    )
+    from ..plans.sql_dml import ManifestSession
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="restore_gate_")
+    shutil.rmtree(work)
+    name = f"rtab_{uuid.uuid4().hex[:8]}"
+    try:
+        append_files(spark, work, ev.coalesce(2))
+        ses = ManifestSession(spark, mode="dv").register(name, work)
+        v1 = manifest_versions(work)[-1]
+        n_v1 = ev.count()
+        ses.sql(f"DELETE FROM {name} WHERE event_type = 'click'")
+        v2 = manifest_versions(work)[-1]
+        ses.sql(
+            f"INSERT INTO {name} (user_id, event_type, value) "
+            "VALUES (999999, 'late', 1.0)"
+        )
+        ses.sql(f"RESTORE TABLE {name} TO VERSION AS OF {v1}")
+        restored_match = read_table(spark, work).count() == n_v1
+        ses.sql(f"RESTORE TABLE {name} TO VERSION AS OF {v2}")
+        got = read_table(spark, work)
+        re_restored_match = (
+            got.filter(F.col("event_type") == "click").count() == 0
+            and got.filter(F.col("event_type") == "late").count() == 0
+        )
+        row = got.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+        ).collect()[0]
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(row["n"], float(row["s"]), n_v1, restored_match, re_restored_match)],
+        "n_rows bigint, sum_value double, n_at_v1 bigint, "
+        "restored_match boolean, re_restored_match boolean",
+    )

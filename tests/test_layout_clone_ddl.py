@@ -119,3 +119,64 @@ def test_sql_ddl_guards(spark, src_table, tmp_path):
         ManifestSession(spark, base_dir=str(tmp_path)).register(
             "raw", src
         ).sql("CREATE TABLE raw AS SELECT 1 AS x")
+
+
+def test_restore_table_roundtrip(spark, src_table, tmp_path):
+    """RESTORE: snapshot n becomes current via one NEW metadata commit;
+    history preserved (the restore is restorable away); DVs of the
+    restored snapshot come back; vacuumed snapshots refuse."""
+    from dbt_slabbing_spark.operators.layout import (
+        manifest_versions,
+        restore_table,
+        vacuum_orphans,
+    )
+
+    src, ev = src_table
+    v1 = manifest_versions(src)[-1]
+    n1 = read_table(spark, src).count()
+    delete_rows(spark, src, "event_type = 'click'", mode="dv")
+    v2 = manifest_versions(src)[-1]
+    n2 = read_table(spark, src).count()
+    append_files(
+        spark, src,
+        spark.createDataFrame(
+            [(10_000_001, 1, "late", 1.0)],
+            "event_id long, user_id long, event_type string, value double",
+        ),
+    )
+    st = restore_table(src, v1)
+    assert st["restored_version"] == v1
+    assert read_table(spark, src).count() == n1  # clicks resurrected
+    # history intact: restore the DV snapshot back
+    restore_table(src, v2)
+    assert read_table(spark, src).count() == n2
+    assert (
+        read_table(spark, src).filter(F.col("event_type") == "click").count()
+        == 0
+    )
+    # a vacuumed boundary refuses cleanly
+    compact_table(spark, src, target_file_bytes=1 << 30)
+    vacuum_orphans(src, retain_versions=0, grace_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="already vacuumed"):
+        restore_table(src, v1)
+
+
+def test_sql_restore_and_shallow_clone_verbs(spark, src_table, tmp_path):
+    from dbt_slabbing_spark.operators.layout import manifest_versions
+
+    src, ev = src_table
+    ses = ManifestSession(spark, base_dir=str(tmp_path)).register("raw", src)
+    v1 = manifest_versions(src)[-1]
+    n1 = ses.sql("SELECT * FROM raw").count()
+    ses.sql("DELETE FROM raw WHERE event_type = 'signup'")
+    st = ses.sql(f"RESTORE TABLE raw TO VERSION AS OF {v1}")
+    assert st["restored_version"] == v1
+    assert ses.sql("SELECT * FROM raw").count() == n1
+    st2 = ses.sql("CREATE TABLE branch SHALLOW CLONE raw")
+    assert st2["n_bytes_copied"] == 0
+    ses.sql("DELETE FROM branch WHERE event_type = 'signup'")
+    assert ses.sql("SELECT * FROM raw").count() == n1  # source untouched
+    assert (
+        ses.sql("SELECT * FROM branch").count()
+        == n1 - ev.filter(F.col("event_type") == "signup").count()
+    )
