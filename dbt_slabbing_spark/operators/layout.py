@@ -2918,6 +2918,55 @@ def merge_rows(
     return stats
 
 
+def overwrite_table(spark, path, df: DataFrame) -> dict:
+    """``INSERT OVERWRITE`` / dbt's full-refresh ``table``
+    materialization as ONE manifest commit: the incoming frame's files
+    replace the entire live list atomically — readers see the old
+    table until the commit instant, the new table after, never a mix.
+    Displaced files are retained for vacuum (same retention contract
+    as every mutation: concurrent readers of the old snapshot stay
+    safe and the pre-overwrite version stays time-travelable — an
+    accidental full refresh is one :func:`restore_table` away from
+    undone). CHECK constraints gate the incoming frame; column mapping
+    applies at the write boundary; clustering state clears (the new
+    content has no proven layout). Creates the table if absent.
+    Returns ``{"n_files_before", "n_files_after", "rows_after",
+    "version"}``."""
+    import pathlib
+    import shutil
+    import uuid
+
+    p = pathlib.Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    vers, live = _snapshot_for_update(p)
+    _enforce_constraints(p, df)
+    df = _to_physical(p, df)
+    _reject_dropped_collisions(p, df)
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".overwrite-{token}")
+    df.write.mode("overwrite").parquet(str(staging))
+    new_names = []
+    for i, f in enumerate(sorted(staging.glob("*.parquet"))):
+        name = f"overwrite-{token}-{i:05d}.parquet"
+        shutil.move(str(f), str(p / name))
+        new_names.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    version = _commit_manifest(  # ATOMIC + OCC; old files stay for vacuum
+        p,
+        new_names,
+        expected_version=vers,
+        stats=_stats_for_added(p, new_names),
+        clustered=None,
+    )
+    rows_after = spark.read.parquet(*[str(p / n) for n in new_names]).count()
+    return {
+        "n_files_before": len(live),
+        "n_files_after": len(new_names),
+        "rows_after": int(rows_after),
+        "version": version,
+    }
+
+
 def restore_table(path, version: int) -> dict:
     """Delta's ``RESTORE TABLE ... TO VERSION AS OF n``: make snapshot
     ``version``'s content the CURRENT table state via one NEW metadata

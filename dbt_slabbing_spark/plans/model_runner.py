@@ -74,6 +74,7 @@ def run_models(
     sources: dict[str, DataFrame],
     materialize: str = "view",
     view_prefix: str = "model_",
+    base_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Execute the model DAG; returns {model_name: DataFrame}.
 
@@ -82,9 +83,20 @@ def run_models(
     ``materialize='cache'`` additionally caches hot intermediate models
     (the Spark analogue of a dbt table materialization for iterative
     use of the same upstream).
+    ``materialize='manifest'`` is dbt's persisted ``table``
+    materialization over GOVERNED tables: each model full-refreshes
+    into a manifest table under ``base_dir/<name>`` via
+    ``overwrite_table`` — one atomic commit per model, the previous
+    build stays time-travelable/restorable, and downstream models read
+    the committed snapshot (physical barrier between models, the
+    trade dbt's table materialization makes deliberately).
     """
-    if materialize not in ("view", "cache"):
+    if materialize not in ("view", "cache", "manifest"):
         raise ModelError(f"unknown materialization {materialize!r}")
+    if materialize == "manifest":
+        if not base_dir:
+            raise ModelError("materialize='manifest' needs base_dir")
+        from ..operators.layout import overwrite_table, read_table
     for name, df in sources.items():
         df.createOrReplaceTempView(f"src_{name}")
 
@@ -95,6 +107,10 @@ def run_models(
         df = spark.sql(sql)
         if materialize == "cache":
             df = df.cache()
+        elif materialize == "manifest":
+            target = str(pathlib.Path(base_dir) / name)
+            overwrite_table(spark, target, df)
+            df = read_table(spark, target)
         df.createOrReplaceTempView(f"{view_prefix}{name}")
         out[name] = df
     return out

@@ -13,7 +13,10 @@ assignments, VALUES and subqueries is handed to Spark SQL verbatim),
 and routes:
 
 - ``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` → ``append_files``
-  (one atomic manifest commit; CHECK constraints gate the batch),
+  (one atomic manifest commit; CHECK constraints gate the batch);
+  ``INSERT OVERWRITE t ...`` → ``overwrite_table`` (atomic full
+  refresh — dbt's ``table`` materialization; the pre-overwrite
+  snapshot stays time-travelable/restorable),
 - ``DELETE FROM t [WHERE pred]``                    → ``delete_rows``,
 - ``UPDATE t SET c = expr, ... [WHERE pred]``       → ``update_rows``,
 - ``MERGE INTO t USING src ON k [AND k2 ...]
@@ -69,6 +72,7 @@ from ..operators.layout import (
     drop_column,
     drop_constraint,
     merge_rows,
+    overwrite_table,
     read_table,
     register_table,
     rename_column,
@@ -84,7 +88,8 @@ class SqlDmlError(ValueError):
 
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"^\s*INSERT\s+(?P<overwrite>OVERWRITE|INTO)\s+"
+    r"(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<rest>(?:VALUES|SELECT|WITH)\b.*)$",
     re.I | re.S,
 )
@@ -445,7 +450,10 @@ class ManifestSession:
                 for c in cols
             ]
         )
-        st = append_files(self.spark, path, df)
+        if m.group("overwrite").upper() == "OVERWRITE":
+            st = overwrite_table(self.spark, path, df)
+        else:
+            st = append_files(self.spark, path, df)
         self._refresh()
         return st
 

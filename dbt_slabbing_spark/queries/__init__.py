@@ -153,7 +153,11 @@ _PRIORITY = (
     "dedup_exact_sha256",
     "dedup_mllib_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
+    "layout_insert_overwrite",  # round-12 gate, never driver-checked:
+    # takes dedup_semantic_clusters's slot (r7-green; the dedup family
+    # keeps exact/connected/ngram/mllib prefixed and the end-of-round
+    # full sweep re-verifies dedup_semantic_clusters -> head of the
+    # round-13 queue)
     "layout_restore_version",  # round-12 gate, never driver-checked:
     # takes dedup_simhash_pairs's slot (r7-green; the dedup family
     # keeps dedup_exact/connected_components/ngram/semantic/mllib

@@ -2584,3 +2584,68 @@ def layout_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, sum_value double, n_at_v1 bigint, "
         "restored_match boolean, re_restored_match boolean",
     )
+
+
+@register(
+    "layout_insert_overwrite",
+    # INSERT OVERWRITE / dbt full-refresh table materialization: the
+    # incoming SELECT's result atomically REPLACES the live file list
+    # in one manifest commit -- readers see old or new, never a mix --
+    # and the displaced snapshot stays time-travelable (the oops-full-
+    # refresh is one RESTORE away, time_travel_ok TRUE by reading
+    # version 1 back). The oracle restates the overwritten content:
+    # non-click events at double value.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value * 2.0) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_before,
+           TRUE AS time_travel_ok
+    FROM events WHERE event_type <> 'click'
+    """,
+    "INSERT OVERWRITE as one atomic manifest commit: full refresh "
+    "replaces the live list, pre-overwrite snapshot stays readable "
+    "via time travel",
+    tags=("layout", "sql", "overwrite"),
+)
+def layout_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::overwrite_table (and the INSERT
+    OVERWRITE SQL verb) end-to-end under the oracle gate: dbt's
+    ``table`` materialization over governed tables — at 100 TB the
+    refresh must swap atomically (no reader ever sees a half-built
+    table) and the previous build must stay restorable."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.layout import append_files, manifest_versions, read_table
+    from ..plans.sql_dml import ManifestSession
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="overwrite_gate_")
+    shutil.rmtree(work)
+    name = f"otab_{uuid.uuid4().hex[:8]}"
+    try:
+        append_files(spark, work, ev.coalesce(2))
+        v1 = manifest_versions(work)[-1]
+        n_before = ev.count()
+        ses = ManifestSession(spark).register(name, work)
+        ses.sql(
+            f"""INSERT OVERWRITE {name}
+                SELECT user_id, event_type, value * 2.0
+                FROM {name} WHERE event_type <> 'click'"""
+        )
+        row = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+        ).collect()[0]
+        time_travel_ok = (
+            read_table(spark, work, version=v1).count() == n_before
+        )
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(row["n"], float(row["s"]), n_before, time_travel_ok)],
+        "n_rows bigint, sum_value double, n_before bigint, "
+        "time_travel_ok boolean",
+    )

@@ -241,3 +241,62 @@ def test_update_rows_composes_with_column_mapping(spark, tmp_path):
         for c in pq.read_schema(str(f)).names
     }
     assert phys == {"k", "v"}  # physical schema never forks
+
+
+def test_sql_insert_overwrite_full_refresh(spark, session):
+    ses, target, ev = session
+    n0 = ses.sql("SELECT * FROM tab").count()
+    v0 = manifest_versions(target)[-1]
+    st = ses.sql(
+        "INSERT OVERWRITE tab "
+        "SELECT event_id, user_id, event_type, value FROM tab "
+        "WHERE event_type = 'purchase'"
+    )
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert st["rows_after"] == n_purchase
+    assert ses.sql("SELECT * FROM tab").count() == n_purchase
+    # the pre-overwrite snapshot survives: restorable in one commit
+    ses.sql(f"RESTORE TABLE tab TO VERSION AS OF {v0}")
+    assert ses.sql("SELECT * FROM tab").count() == n0
+    # constraints gate the overwrite too
+    from dbt_slabbing_spark.operators.layout import add_constraint
+
+    add_constraint(spark, target, "v_pos", "value >= 0")
+    with pytest.raises(ConstraintViolationError):
+        ses.sql("INSERT OVERWRITE tab VALUES (1, 1, 'bad', -1.0)")
+    assert ses.sql("SELECT * FROM tab").count() == n0  # rejected whole
+
+
+def test_run_models_manifest_materialization(spark, tmp_path):
+    from dbt_slabbing_spark.operators.layout import manifest_versions, read_table
+    from dbt_slabbing_spark.plans.model_runner import run_models
+
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    models = {
+        "stg": "SELECT event_type, value FROM {{ source('events') }} "
+               "WHERE value < 200",
+        "mart": "SELECT event_type, count(*) AS n FROM {{ ref('stg') }} "
+                "GROUP BY event_type",
+    }
+    out1 = run_models(
+        spark, models, {"events": ev},
+        materialize="manifest", base_dir=str(tmp_path),
+    )
+    assert (tmp_path / "stg" / "_manifest.json").exists()
+    assert (tmp_path / "mart" / "_manifest.json").exists()
+    n_types = out1["mart"].count()
+    # re-run = full refresh: new version per model, same content
+    out2 = run_models(
+        spark, models, {"events": ev},
+        materialize="manifest", base_dir=str(tmp_path),
+    )
+    assert out2["mart"].count() == n_types
+    assert len(manifest_versions(str(tmp_path / "mart"))) >= 2
+    got = {r["event_type"]: r["n"] for r in read_table(
+        spark, str(tmp_path / "mart")).collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.col("value") < 200)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
