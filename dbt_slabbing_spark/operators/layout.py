@@ -218,6 +218,9 @@ def write_hilbert_clustered(
 
 
 _MANIFEST = "_manifest.json"
+# scan-attribution metadata columns _scan_with_dv can attach; matched
+# by EXACT name everywhere (a user column named '_filename' is data)
+_META_COLS = ("_file", "__dv_name", "__dv_pos")
 
 
 def _uri_to_name(uri: str) -> str:
@@ -2967,7 +2970,7 @@ def overwrite_table(spark, path, df: DataFrame) -> dict:
     }
 
 
-def restore_table(path, version: int) -> dict:
+def restore_table(path, version: int, spark=None) -> dict:
     """Delta's ``RESTORE TABLE ... TO VERSION AS OF n``: make snapshot
     ``version``'s content the CURRENT table state via one NEW metadata
     commit — no data file is copied or rewritten, and history is
@@ -2977,7 +2980,17 @@ def restore_table(path, version: int) -> dict:
     unrestorable, same as Delta). The restored version's deletion
     vectors come back with it; constraints/column-mapping/bloom state
     are kept from the CURRENT version (RESTORE moves data, not table
-    configuration — Delta's contract). OCC like every commit: a
+    configuration — Delta's contract). Because constraints stay
+    CURRENT while data moves BACK, a restore to a version predating an
+    ``ADD CONSTRAINT`` could smuggle violating rows past the invariant
+    every write path enforces — so when the table has CHECK
+    constraints, the restored snapshot is RE-VALIDATED (one combined
+    aggregate over the restored file set with its DVs applied, the
+    same one-pass check :func:`add_constraint` runs on rebase) and the
+    restore is rejected BEFORE anything is committed if any current
+    constraint would be violated. ``spark`` is needed only for that
+    scan (falls back to the active session); a constraint-free table
+    restores without touching data. OCC like every commit: a
     concurrent writer's commit between read and publish raises.
     Returns ``{"restored_version", "version", "n_files"}``."""
     import pathlib
@@ -2996,6 +3009,24 @@ def restore_table(path, version: int) -> dict:
             f"cannot restore to version {version}: files already "
             f"vacuumed: {sorted(missing)[:5]}"
         )
+    if _constraints(p) and files:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "restore_table needs a SparkSession to re-validate the "
+                "restored snapshot against the table's CHECK constraints"
+            )
+        try:
+            _enforce_constraints(p, _scan_with_dv(spark, p, files, dv))
+        except ConstraintViolationError as e:
+            raise ConstraintViolationError(
+                f"restore to version {version} rejected: the restored "
+                f"snapshot violates CURRENT CHECK constraints — drop the "
+                f"constraint first if the rollback is intentional ({e})"
+            ) from None
     # files returning to the live list lost their stats entries at the
     # commit that removed them (stats never outgrow O(live files));
     # re-collect from footers so the restored table keeps pruning
@@ -3131,7 +3162,10 @@ def update_rows(
 
     def _apply_set(df: DataFrame, only_matched: bool) -> DataFrame:
         """One projection, all assignments against the pre-update row."""
-        data_cols = [c for c in df.columns if not c.startswith(("_file", "__dv_"))]
+        # exact meta names, NOT a prefix match: a user column that
+        # merely STARTS with '_file' (e.g. '_filename') is data and
+        # must survive the rewrite
+        data_cols = [c for c in df.columns if c not in _META_COLS]
         unknown = [c for c in set_exprs if c not in data_cols]
         if unknown:
             raise ValueError(f"UPDATE SET references unknown columns {unknown}")

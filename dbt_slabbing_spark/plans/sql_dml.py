@@ -98,9 +98,8 @@ _DELETE_RE = re.compile(
     r"(?:WHERE\s+(?P<pred>.*))?$",
     re.I | re.S,
 )
-_UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+"
-    r"(?P<sets>.*?)(?:\s+WHERE\s+(?P<pred>.*))?$",
+_UPDATE_HEAD_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(?P<rest>.*)$",
     re.I | re.S,
 )
 _CTAS_RE = re.compile(
@@ -206,6 +205,40 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def _split_at_keyword(text: str, keyword: str) -> tuple[str, str | None]:
+    """Split ``text`` at the FIRST top-level occurrence of ``keyword``
+    (word-bounded, outside parens and quotes) → ``(before, after)``;
+    ``(text, None)`` when absent. This is how the UPDATE dispatcher
+    finds its WHERE boundary: a greedy regex would split inside a
+    scalar subquery (``SET v = (SELECT max(x) FROM s WHERE k=1)``) or
+    a string literal containing the word WHERE — both stay intact here
+    because subqueries sit at paren depth ≥ 1 and literals are
+    quote-guarded."""
+    kw = keyword.upper()
+    n, i, depth, quote = len(text), 0, 0, None
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + len(kw)].upper() == kw:
+            before_ok = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            j = i + len(kw)
+            after_ok = j >= n or not (text[j].isalnum() or text[j] == "_")
+            if before_ok and after_ok:
+                return text[:i].rstrip(), text[j:].strip()
+        i += 1
+    return text, None
+
+
 def _merge_keys(on_clause: str, table: str, aliases: tuple) -> list[str]:
     """Equi-key list from ``ON a.k = b.k AND ...`` (or bare ``k = k``).
     Both sides must name the SAME column after stripping qualifiers —
@@ -284,7 +317,9 @@ class ManifestSession:
             if not m:
                 raise SqlDmlError(f"unsupported RESTORE form: {stmt!r}")
             st = restore_table(
-                self._path(m.group("table")), int(m.group("version"))
+                self._path(m.group("table")),
+                int(m.group("version")),
+                spark=self.spark,
             )
             self._refresh()
             return st
@@ -322,7 +357,15 @@ class ManifestSession:
         """``FROM t VERSION AS OF n`` → a view pinned at snapshot n
         (Delta's time-travel syntax). Each (table, version) pair gets
         one deterministic view name; unknown tables pass through so
-        Spark reports them itself."""
+        Spark reports them itself.
+
+        Documented caveat: the rewrite is textual and does NOT skip
+        string literals — a literal containing exactly
+        ``<registered-table> VERSION AS OF <n>`` would be rewritten
+        inside the string. Registered table names are user-chosen, so
+        avoid embedding them in that phrase inside literals of a
+        time-travel query (or SELECT via the DataFrame API:
+        ``read_table(version=)``)."""
 
         def _sub(m: re.Match) -> str:
             name, version = m.group("table"), int(m.group("version"))
@@ -437,11 +480,33 @@ class ManifestSession:
         # SQL INSERT's implicit cast to the target column types (a bare
         # `40.0` literal parses as DECIMAL(3,1), which parquet schema
         # merge rejects against DOUBLE); columns the target doesn't
-        # have yet pass through untouched (add-column evolution)
-        target_types = {
-            f.name: f.dataType
-            for f in read_table(self.spark, path).schema.fields
-        }
+        # have yet pass through untouched (add-column evolution).
+        # ANSI semantics: an un-castable value ERRORS — without the
+        # guard, 'abc' into a bigint would become NULL silently, then
+        # sail past CHECK constraints (NULL-is-pass)
+        target_schema = read_table(self.spark, path).schema
+        target_types = {f.name: f.dataType for f in target_schema.fields}
+        casted = [c for c in cols if c in target_types]
+        if casted:
+            bad_counts = df.agg(
+                *[
+                    F.count(
+                        F.when(
+                            F.col(c).isNotNull()
+                            & F.col(c).try_cast(target_types[c]).isNull(),
+                            1,
+                        )
+                    ).alias(c)
+                    for c in casted
+                ]
+            ).collect()[0]
+            bad = {c: int(bad_counts[c]) for c in casted if bad_counts[c]}
+            if bad:
+                raise SqlDmlError(
+                    f"INSERT rejected: values not castable to the target "
+                    f"column types (ANSI cast error, rows per column: "
+                    f"{bad})"
+                )
         df = df.select(
             *[
                 F.col(c).cast(target_types[c]).alias(c)
@@ -451,6 +516,22 @@ class ManifestSession:
             ]
         )
         if m.group("overwrite").upper() == "OVERWRITE":
+            # SQL semantics for an explicit column list on OVERWRITE:
+            # unspecified target columns NULL-fill — the new snapshot
+            # keeps the FULL table schema (without this, files holding
+            # only the listed columns would silently narrow it)
+            fill = [f for f in target_schema.fields if f.name not in set(cols)]
+            if fill:
+                df = df.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in fill
+                    ],
+                ).select(
+                    *[f.name for f in target_schema.fields],
+                    *[c for c in cols if c not in target_types],
+                )
             st = overwrite_table(self.spark, path, df)
         else:
             st = append_files(self.spark, path, df)
@@ -471,11 +552,15 @@ class ManifestSession:
         return st
 
     def _update(self, stmt: str) -> dict:
-        m = _UPDATE_RE.match(stmt)
+        m = _UPDATE_HEAD_RE.match(stmt)
         if not m:
             raise SqlDmlError(f"unsupported UPDATE form: {stmt!r}")
+        # WHERE boundary via the paren/quote-aware scanner: a WHERE
+        # inside a scalar-subquery SET expression or a string literal
+        # must NOT split the statement
+        sets_part, pred = _split_at_keyword(m.group("rest"), "WHERE")
         sets = {}
-        for assign in _split_top_level(m.group("sets")):
+        for assign in _split_top_level(sets_part):
             am = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", assign, re.S)
             if not am:
                 raise SqlDmlError(f"bad SET assignment: {assign!r}")
@@ -483,7 +568,7 @@ class ManifestSession:
         st = update_rows(
             self.spark,
             self._path(m.group("table")),
-            m.group("pred") or "true",
+            pred or "true",
             sets,
             mode=self.mode,
         )
