@@ -2785,6 +2785,230 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     return stats
 
 
+def _merge_rows_clauses(
+    spark, p, source, keys, vers, live, dv_prev, mode, retain,
+    upd, upd_cond, del_cond, ins, nmbs_del,
+) -> dict:
+    """Generic MERGE clause engine (see :func:`merge_rows` for the
+    clause semantics and cost model). One declarative plan classifies
+    every DV-applied target row:
+
+    ``target LEFT JOIN broadcast(source) ON keys`` →
+    ``__action ∈ {D, U, X, K}`` (matched-delete, matched-update,
+    not-matched-by-source-delete, keep), clauses evaluated in the
+    documented order with NULL conditions false. Changed rows (D/U/X)
+    drive the write: cow rewrites ONLY files holding at least one
+    changed row (their K rows survive verbatim) and appends updated
+    images + qualifying inserts as fresh files; dv kills changed
+    positions with ONE deletion-vector parquet and appends the same
+    fresh files — zero data files rewritten. ONE OCC commit publishes
+    either shape; crash windows and retention match
+    :func:`delete_rows`."""
+    import functools
+    import operator
+    import pathlib
+    import shutil
+    import uuid
+
+    def _cond(c, default):
+        if c is None:
+            return F.lit(default)
+        if isinstance(c, bool):
+            return F.lit(c)
+        return F.coalesce(F.expr(c), F.lit(False))  # NULL cond = false
+
+    tgt = _scan_with_dv(
+        spark, p, live, dv_prev, merge_schema=True,
+        keep_file_col=(mode == "cow"), keep_pos_col=(mode == "dv"),
+    )
+    data_cols = [c for c in tgt.columns if c not in _META_COLS]
+    if isinstance(upd, dict):
+        unknown = [c for c in upd if c not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"MERGE UPDATE SET references unknown columns {unknown}"
+            )
+    src = source.cache()
+    t = tgt.alias("t")
+    s = src.withColumn("__s_hit", F.lit(1)).alias("s")
+    jcond = functools.reduce(
+        operator.and_,
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+    )
+    matched = F.col("s.__s_hit").isNotNull()
+    c_del = _cond(del_cond, False)
+    c_upd = _cond(upd_cond, True) if upd is not None else F.lit(False)
+    c_nmbs = _cond(nmbs_del, False)
+    cls = t.join(F.broadcast(s), on=jcond, how="left").withColumn(
+        "__action",
+        F.when(matched & c_del, F.lit("D"))
+        .when(matched & c_upd, F.lit("U"))
+        .when(~matched & c_nmbs, F.lit("X"))
+        .otherwise(F.lit("K")),
+    ).cache()
+
+    counts = {
+        r["__action"]: int(r["count"])
+        for r in cls.groupBy("__action").count().collect()  # bounded: ≤4 rows
+    }
+    rows_updated = counts.get("U", 0)
+    rows_deleted = counts.get("D", 0) + counts.get("X", 0)
+    rows_before = sum(counts.values())
+
+    # updated images from the SAME classified join — '*' takes the
+    # source row (schema evolution allowed), a dict applies pre-image
+    # assignments over the target schema
+    u_rows = cls.filter(F.col("__action") == "U")
+    if upd == "*":
+        images = u_rows.select(
+            *[F.col(f"s.{c}").alias(c) for c in src.columns]
+        )
+    elif isinstance(upd, dict):
+        images = u_rows.select(
+            *[
+                F.expr(upd[c]).cast(tgt.schema[c].dataType).alias(c)
+                if c in upd
+                else F.col(f"t.{c}").alias(c)
+                for c in data_cols
+            ]
+        )
+    else:
+        images = None
+    inserts = None
+    if ins is not False:
+        # no broadcast hint: the PROBE side (src) is the small one —
+        # AQE picks the strategy for the target key set
+        inserts = src.alias("s").join(
+            tgt.select(*keys), on=keys, how="left_anti"
+        )
+        if isinstance(ins, str):
+            inserts = inserts.filter(F.coalesce(F.expr(ins), F.lit(False)))
+    for batch in (images, inserts):
+        if batch is not None:
+            _enforce_constraints(p, batch)
+            _reject_dropped_collisions(p, _to_physical(p, batch))
+
+    token = uuid.uuid4().hex[:12]
+    staging = pathlib.Path(str(p) + f".merge-{token}")
+    new_names: list[str] = []
+
+    def _stage(df, tag):
+        if df is None:
+            return 0
+        _to_physical(p, df).write.mode("overwrite").parquet(
+            str(staging / tag)
+        )
+        n0 = len(new_names)
+        for i, f in enumerate(sorted((staging / tag).glob("*.parquet"))):
+            name = f"part-merge-{token}-{tag}{i:05d}.parquet"
+            f.rename(p / name)
+            new_names.append(name)
+        return len(new_names) - n0
+
+    if mode == "dv":
+        # changed positions → ONE DV parquet; zero files rewritten
+        dead = cls.filter(F.col("__action") != "K").select(
+            F.col("t.__dv_name").alias("file"), F.col("t.__dv_pos").alias("pos")
+        )
+        dead.coalesce(1).write.mode("overwrite").parquet(str(staging / "dv"))
+        part = sorted((staging / "dv").glob("*.parquet"))[0]
+        dv_name = f"dv-{token}-00000.parquet"
+        part.rename(p / dv_name)
+        affected = sorted(
+            r["file"]
+            for r in spark.read.parquet(str(p / dv_name))
+            .select("file").distinct().collect()  # bounded: affected files
+        )
+        _stage(images, "u")
+        _stage(inserts, "i")
+        shutil.rmtree(str(staging), ignore_errors=True)
+        rows_inserted = (
+            spark.read.parquet(
+                *[str(p / n) for n in new_names if f"-{token}-i" in n]
+            ).count()
+            if any(f"-{token}-i" in n for n in new_names)
+            else 0
+        )
+        new_dv = {n: list(lst) for n, lst in dv_prev.items()}
+        if affected:
+            for n in affected:
+                new_dv.setdefault(n, []).append(dv_name)
+        else:
+            _unlink_quiet(p / dv_name)
+        cls.unpersist()
+        src.unpersist()
+        _commit_manifest(
+            p,
+            list(live) + new_names,
+            expected_version=vers,
+            dv=new_dv,
+            stats=_stats_for_added(p, new_names),
+        )
+        return {
+            "rows_before": rows_before,
+            "rows_updated": rows_updated,
+            "rows_deleted": rows_deleted,
+            "rows_inserted": int(rows_inserted),
+            "rows_after": rows_before - rows_deleted + int(rows_inserted),
+            "n_files_total": len(live),
+            "n_files_rewritten": 0,
+            "n_files_added": len(new_names),
+            "n_dv_files_added": 1 if affected else 0,
+        }
+
+    # cow: rewrite ONLY files holding changed rows; K rows survive
+    per_file = (
+        cls.filter(F.col("__action") != "K")
+        .groupBy("t._file")
+        .count()
+        .collect()  # bounded: one row per AFFECTED file
+    )
+    affected_uris = [r[0] for r in per_file]
+    affected_names = sorted({_uri_to_name(u) for u in affected_uris})
+    if affected_names:
+        survivors = (
+            cls.filter(
+                F.col("t._file").isin(affected_uris)
+                & (F.col("__action") == "K")
+            )
+            .select(*[F.col(f"t.{c}").alias(c) for c in data_cols])
+            .repartition(max(1, len(affected_names)))
+        )
+        _stage(survivors, "r")
+    _stage(images, "u")
+    _stage(inserts, "i")
+    shutil.rmtree(str(staging), ignore_errors=True)
+    rows_inserted = (
+        spark.read.parquet(
+            *[str(p / n) for n in new_names if f"-{token}-i" in n]
+        ).count()
+        if any(f"-{token}-i" in n for n in new_names)
+        else 0
+    )
+    cls.unpersist()
+    src.unpersist()
+    gone = set(affected_names)
+    _commit_manifest(  # ATOMIC + OCC: conflict aborts BEFORE any unlink
+        p,
+        [n for n in live if n not in gone] + new_names,
+        expected_version=vers,
+        stats=_stats_for_added(p, new_names),
+    )
+    if not retain:
+        for n in affected_names:
+            _unlink_quiet(p / n)
+    return {
+        "rows_before": rows_before,
+        "rows_updated": rows_updated,
+        "rows_deleted": rows_deleted,
+        "rows_inserted": int(rows_inserted),
+        "rows_after": rows_before - rows_deleted + int(rows_inserted),
+        "n_files_total": len(live),
+        "n_files_rewritten": len(affected_names),
+        "n_files_added": len(new_names),
+    }
+
+
 def merge_rows(
     spark,
     path: str,
@@ -2792,6 +3016,11 @@ def merge_rows(
     on: str | list[str],
     retain: bool = True,
     mode: str = "cow",
+    when_matched_update: str | dict | None = "*",
+    when_matched_update_condition: str | None = None,
+    when_matched_delete: str | bool | None = None,
+    when_not_matched_insert: str | bool = True,
+    when_not_matched_by_source_delete: str | bool | None = None,
 ) -> dict:
     """MERGE INTO / upsert as a copy-on-write manifest commit:
     ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *``
@@ -2825,10 +3054,50 @@ def merge_rows(
     for the cost model. ``retain`` is moot there (nothing is
     displaced).
 
-    Returns ``{"rows_before", "rows_updated", "rows_inserted",
-    "rows_after", "n_files_total", "n_files_rewritten",
-    "n_files_added"}`` — ``rows_updated`` counts REPLACED target rows
-    (≥ matched source keys when the target held duplicates).
+    **Clause surface** (Delta's full MERGE grammar; defaults reproduce
+    the plain upsert):
+
+    - ``when_matched_delete`` — ``True`` or a condition string: matched
+      target rows satisfying it are DELETED. Evaluated FIRST among the
+      matched clauses (the common SQL ordering ``WHEN MATCHED AND cond
+      THEN DELETE`` before the update clause; the SQL dispatcher
+      composes conditions to reproduce statement order either way).
+    - ``when_matched_update`` — ``"*"`` (replace the matched target row
+      with its source row, the default), a ``{col: expr}`` assignment
+      dict (SQL UPDATE pre-image semantics: every expression evaluates
+      against the PRE-merge row pair; reference target columns as
+      ``t.col`` and source columns as ``s.col`` — unqualified names
+      resolve only when unambiguous), or ``None`` (no update clause —
+      matched rows survive unless deleted).
+      ``when_matched_update_condition`` gates it.
+    - ``when_not_matched_insert`` — ``True`` (insert all unmatched
+      source rows, the default), a condition string over ``s.`` columns,
+      or ``False`` (no insert clause).
+    - ``when_not_matched_by_source_delete`` — ``True`` or a condition
+      string over ``t.`` columns: target rows with NO source match
+      satisfying it are DELETED (Delta's ``WHEN NOT MATCHED BY SOURCE
+      THEN DELETE``).
+
+    A matched row no clause claims survives unchanged — with clauses,
+    files holding ONLY such rows are neither rewritten (cow) nor
+    DV-touched (dv). NULL conditions are false (SQL WHEN semantics).
+    All conditions and assignment expressions evaluate in Spark SQL on
+    the ``t``/``s``-aliased join, so the clause engine stays one
+    declarative plan: target LEFT JOIN broadcast(source) classifies
+    every target row into delete/update/keep, unmatched source rows
+    arrive by anti join, and the write shape is the same
+    affected-files-only rewrite (cow) or DV-plus-append (dv) the plain
+    upsert pays. At 100 TB the added cost over the upsert path is one
+    broadcast of the full source instead of its key column — merge
+    sources are batch-sized by contract (the CDC/upsert pattern); a
+    table-sized source should be a join-and-overwrite, not a MERGE.
+
+    Returns ``{"rows_before", "rows_updated", "rows_deleted",
+    "rows_inserted", "rows_after", "n_files_total",
+    "n_files_rewritten", "n_files_added"}`` — ``rows_updated`` counts
+    REPLACED target rows (≥ matched source keys when the target held
+    duplicates); ``rows_deleted`` counts matched-delete plus
+    not-matched-by-source-delete rows.
     """
     import pathlib
     import shutil
@@ -2842,14 +3111,36 @@ def merge_rows(
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("merge source has duplicate record keys")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"unknown merge mode {mode!r} (cow|dv)")
+    if not (
+        when_matched_update == "*"
+        or when_matched_update is None
+        or isinstance(when_matched_update, dict)
+    ):
+        raise ValueError(
+            "when_matched_update must be '*', an assignment dict, or None"
+        )
+    rich = not (
+        when_matched_update == "*"
+        and when_matched_update_condition is None
+        and when_matched_delete is None
+        and when_not_matched_insert is True
+        and when_not_matched_by_source_delete is None
+    )
+    if rich:
+        return _merge_rows_clauses(
+            spark, p, source, keys, vers, live, dv_prev, mode, retain,
+            when_matched_update, when_matched_update_condition,
+            when_matched_delete, when_not_matched_insert,
+            when_not_matched_by_source_delete,
+        )
     _enforce_constraints(p, source)  # CHECK constraints gate the source
     _reject_dropped_collisions(p, _to_physical(p, source))
     src = source.cache()
     n_src = src.count()
     if mode == "dv":
         return _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src)
-    if mode != "cow":
-        raise ValueError(f"unknown merge mode {mode!r} (cow|dv)")
 
     # DV-applied target scan: a DV'd (dead) row must neither count as
     # matched nor survive a rewrite

@@ -163,14 +163,19 @@ _VERSION_AS_OF_RE = re.compile(
     r"(?P<version>\d+)",
     re.I,
 )
-_MERGE_RE = re.compile(
+_MERGE_HEAD_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_][A-Za-z0-9_]*))?\s+"
     r"USING\s+(?P<src>\([^;]*?\)|[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+(?:AS\s+)?(?P<salias>[A-Za-z_][A-Za-z0-9_]*))?\s+"
-    r"ON\s+(?P<on>.*?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    r"ON\s+(?P<rest>.*)$",
+    re.I | re.S,
+)
+# one WHEN clause, already sliced at top-level WHEN boundaries:
+# [NOT] MATCHED [BY TARGET|BY SOURCE] [AND cond] THEN <action>
+_WHEN_HEAD_RE = re.compile(
+    r"^(?P<not>NOT\s+)?MATCHED(?:\s+BY\s+(?P<by>TARGET|SOURCE))?"
+    r"(?:\s+AND\s+(?P<cond>.*))?$",
     re.I | re.S,
 )
 
@@ -576,23 +581,157 @@ class ManifestSession:
         return st
 
     def _merge(self, stmt: str) -> dict:
-        m = _MERGE_RE.match(stmt)
+        """Delta's MERGE clause grammar, sliced at top-level WHEN
+        boundaries: ``WHEN MATCHED [AND c] THEN DELETE | UPDATE SET * |
+        UPDATE SET col = expr, ...``, ``WHEN NOT MATCHED [BY TARGET]
+        [AND c] THEN INSERT *``, ``WHEN NOT MATCHED BY SOURCE [AND c]
+        THEN DELETE``. Statement order of the two matched clauses is
+        reproduced by condition composition (the engine evaluates
+        delete first; an update-first statement gets ``del AND NOT
+        upd_cond``). Table/source aliases in conditions and
+        assignments are rewritten to the engine's ``t``/``s``."""
+        m = _MERGE_HEAD_RE.match(stmt)
         if not m:
             raise SqlDmlError(
-                "unsupported MERGE form (need: MERGE INTO t USING src ON "
-                "keys WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED "
-                f"THEN INSERT *): {stmt!r}"
+                "unsupported MERGE form (need: MERGE INTO t [AS a] USING "
+                f"src [AS b] ON keys WHEN ...): {stmt!r}"
             )
         path = self._path(m.group("table"))
+        on_part, after = _split_at_keyword(m.group("rest"), "WHEN")
+        if after is None:
+            raise SqlDmlError(f"MERGE without WHEN clauses: {stmt!r}")
         keys = _merge_keys(
-            m.group("on"), m.group("table"), (m.group("talias"), m.group("salias"))
+            on_part, m.group("table"), (m.group("talias"), m.group("salias"))
         )
+        # alias rewrite: user-chosen qualifiers → the engine's t./s.
+        subs = {}
+        for alias in (m.group("talias"), m.group("table")):
+            if alias:
+                subs[alias.lower()] = "t"
         src_sql = m.group("src")
+        for alias in (m.group("salias"),) + (
+            () if src_sql.startswith("(") else (src_sql,)
+        ):
+            if alias:
+                subs[alias.lower()] = "s"
+
+        def _requalify(expr: str) -> str:
+            return re.sub(
+                r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\.",
+                lambda am: subs.get(am.group(1).lower(), am.group(1)) + ".",
+                expr,
+            )
+
+        clauses = []  # (kind, cond, action_text) in statement order
+        rest = after
+        while rest is not None:
+            clause, rest = _split_at_keyword(rest, "WHEN")
+            head, action = _split_at_keyword(clause, "THEN")
+            if action is None:
+                raise SqlDmlError(f"MERGE clause without THEN: {clause!r}")
+            hm = _WHEN_HEAD_RE.match(head.strip())
+            if not hm:
+                raise SqlDmlError(f"unsupported MERGE clause head: {head!r}")
+            negated, by = bool(hm.group("not")), (hm.group("by") or "").upper()
+            if not negated and by:
+                raise SqlDmlError(f"MATCHED BY {by} is not a clause: {head!r}")
+            kind = (
+                "matched"
+                if not negated
+                else ("nmbs" if by == "SOURCE" else "nmbt")
+            )
+            cond = hm.group("cond")
+            clauses.append(
+                (kind, _requalify(cond.strip()) if cond else None, action.strip())
+            )
+
+        upd: str | dict | None = None
+        upd_cond = del_cond = nmbs_del = None
+        ins: str | bool = False
+        matched_seen: list[str] = []  # "update"/"delete" in statement order
+        for kind, cond, action in clauses:
+            au = action.upper()
+            if kind == "matched":
+                if au == "DELETE":
+                    if del_cond is not None or "delete" in matched_seen:
+                        raise SqlDmlError("duplicate WHEN MATCHED DELETE clause")
+                    del_cond = cond or "true"
+                    matched_seen.append("delete")
+                elif au.startswith("UPDATE"):
+                    if upd is not None or "update" in matched_seen:
+                        raise SqlDmlError("duplicate WHEN MATCHED UPDATE clause")
+                    sm = re.match(r"^UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+                    if not sm:
+                        raise SqlDmlError(f"bad MATCHED action: {action!r}")
+                    sets = sm.group(1).strip()
+                    if sets == "*":
+                        upd = "*"
+                    else:
+                        upd = {}
+                        for assign in _split_top_level(sets):
+                            am = re.match(
+                                r"^(?:[A-Za-z_][A-Za-z0-9_]*\.)?"
+                                r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$",
+                                assign,
+                                re.S,
+                            )
+                            if not am:
+                                raise SqlDmlError(
+                                    f"bad MERGE SET assignment: {assign!r}"
+                                )
+                            upd[am.group(1)] = _requalify(am.group(2).strip())
+                    upd_cond = cond
+                    matched_seen.append("update")
+                else:
+                    raise SqlDmlError(
+                        f"unsupported WHEN MATCHED action {action!r} "
+                        "(DELETE or UPDATE SET)"
+                    )
+            elif kind == "nmbt":
+                if ins is not False:
+                    raise SqlDmlError("duplicate WHEN NOT MATCHED clause")
+                if au != "INSERT *":
+                    raise SqlDmlError(
+                        f"unsupported WHEN NOT MATCHED action {action!r} "
+                        "(only INSERT * — use the DataFrame API for "
+                        "column-list inserts)"
+                    )
+                ins = cond or True
+            else:  # nmbs
+                if nmbs_del is not None:
+                    raise SqlDmlError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE clause"
+                    )
+                if au != "DELETE":
+                    raise SqlDmlError(
+                        f"unsupported WHEN NOT MATCHED BY SOURCE action "
+                        f"{action!r} (only DELETE)"
+                    )
+                nmbs_del = cond or "true"
+        if matched_seen == ["update", "delete"]:
+            # engine evaluates delete first; reproduce statement order
+            if upd_cond is None:
+                raise SqlDmlError(
+                    "a non-final WHEN MATCHED clause needs an AND condition"
+                )
+            del_cond = f"({del_cond}) AND NOT ({upd_cond})"
+
         src: DataFrame = self.spark.sql(
             f"SELECT * FROM {src_sql} AS _merge_src"
             if src_sql.startswith("(")
             else f"SELECT * FROM {src_sql}"
         )
-        st = merge_rows(self.spark, path, src, on=keys, mode=self.mode)
+        st = merge_rows(
+            self.spark,
+            path,
+            src,
+            on=keys,
+            mode=self.mode,
+            when_matched_update=upd,
+            when_matched_update_condition=upd_cond,
+            when_matched_delete=del_cond,
+            when_not_matched_insert=ins,
+            when_not_matched_by_source_delete=nmbs_del,
+        )
         self._refresh()
         return st

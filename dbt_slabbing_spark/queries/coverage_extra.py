@@ -2649,3 +2649,187 @@ def layout_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, sum_value double, n_before bigint, "
         "time_travel_ok boolean",
     )
+
+
+@register(
+    "layout_merge_full_clauses",
+    # Delta's FULL MERGE clause surface in one statement: a matched
+    # delete (source value < 0), a conditional matched update with
+    # expressions over BOTH sides (value = t.value + s.value), a
+    # conditional insert (source value > 0), and a NOT MATCHED BY
+    # SOURCE delete (t.event_id % 97 = 0). The oracle restates the
+    # merged content closed-form: target LEFT JOIN source classifies
+    # every row exactly like the clause engine. The booleans are the
+    # cross-path contract: cow_match row-diffs merge-on-read (DV)
+    # against copy-on-write, sql_match row-diffs the SQL dispatcher's
+    # MERGE statement against the DataFrame path, zero rewrites is the
+    # DV mode contract, and post_optimize_match survives the OPTIMIZE
+    # that materializes the DVs.
+    """
+    WITH src AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN 0.0 - value
+                    ELSE value + 500.0 END AS value
+        FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT event_id + 1000000000 AS event_id, user_id,
+               'bulk' AS event_type, value - 50.0 AS value
+        FROM events WHERE event_id % 5 = 2
+    ),
+    kept AS (
+        SELECT t.event_id, t.user_id,
+               CASE WHEN s.event_id IS NOT NULL THEN 'merged'
+                    ELSE t.event_type END AS event_type,
+               CASE WHEN s.event_id IS NOT NULL THEN t.value + s.value
+                    ELSE t.value END AS value
+        FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+        WHERE NOT (s.event_id IS NOT NULL AND s.value < 0)
+          AND NOT (s.event_id IS NULL AND t.event_id % 97 = 0)
+    ),
+    final AS (
+        SELECT * FROM kept
+        UNION ALL
+        SELECT event_id, user_id, event_type, value FROM src
+        WHERE event_id >= 1000000000 AND value > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(CASE WHEN event_type = 'merged' THEN 1 END)
+                AS BIGINT) AS n_merged,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST(0 AS BIGINT) AS n_files_rewritten_dv,
+           TRUE AS cow_match,
+           TRUE AS sql_match,
+           TRUE AS post_optimize_match
+    FROM final
+    """,
+    "full MERGE clause surface (matched delete / conditional update "
+    "with both-side expressions / conditional insert / not-matched-by-"
+    "source delete) in cow, dv and SQL-dispatcher paths, row-diffed "
+    "against each other and across OPTIMIZE",
+    tags=("layout", "merge", "dv", "sql"),
+)
+def layout_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::merge_rows clause engine end-to-end:
+    one classified target-LEFT-JOIN-broadcast(source) plan feeds all
+    four Delta MERGE clause kinds, in both write shapes (cow rewrites
+    only files holding a changed row; dv kills changed positions with
+    one deletion-vector parquet, zero rewrites) plus the SQL MERGE
+    dispatcher (plans/sql_dml.py), all three row-diffed."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        compact_table,
+        merge_rows,
+        read_table,
+    )
+    from ..plans.sql_dml import ManifestSession
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 10 == 0, -F.col("value")).otherwise(
+                F.col("value") + F.lit(500.0)
+            ),
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 5 == 2)
+            .withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000))
+            .withColumn("event_type", F.lit("bulk"))
+            .withColumn("value", F.col("value") - F.lit(50.0))
+        )
+    )
+    clauses = dict(
+        when_matched_delete="s.value < 0",
+        when_matched_update={
+            "value": "t.value + s.value",
+            "event_type": "'merged'",
+        },
+        when_not_matched_insert="s.value > 0",
+        when_not_matched_by_source_delete="t.event_id % 97 = 0",
+    )
+
+    def _build(work):
+        for i in range(4):
+            append_files(
+                spark, work, ev.filter(F.col("user_id") % 4 == i).coalesce(1)
+            )
+
+    works = {
+        m: tempfile.mkdtemp(prefix=f"mergecl_{m}_") for m in ("dv", "cow", "sql")
+    }
+    for w in works.values():
+        shutil.rmtree(w)
+    try:
+        for w in works.values():
+            _build(w)
+        st_dv = merge_rows(
+            spark, works["dv"], src, on="event_id", mode="dv", **clauses
+        )
+        merge_rows(spark, works["cow"], src, on="event_id", mode="cow", **clauses)
+        ses = ManifestSession(spark, mode="dv").register("mrg_tab", works["sql"])
+        src.createOrReplaceTempView("mrg_chg")
+        ses.sql(
+            "MERGE INTO mrg_tab USING mrg_chg "
+            "ON mrg_tab.event_id = mrg_chg.event_id "
+            "WHEN MATCHED AND mrg_chg.value < 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET "
+            "value = mrg_tab.value + mrg_chg.value, event_type = 'merged' "
+            "WHEN NOT MATCHED AND mrg_chg.value > 0 THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE AND mrg_tab.event_id % 97 = 0 "
+            "THEN DELETE"
+        )
+        got = read_table(spark, works["dv"])
+        twin = read_table(spark, works["cow"])
+        sql_out = read_table(spark, works["sql"])
+
+        def _diff_empty(a, b):
+            return (
+                a.exceptAll(b).limit(1).count() == 0
+                and b.exceptAll(a).limit(1).count() == 0
+            )
+
+        cow_match = _diff_empty(got, twin)
+        sql_match = _diff_empty(sql_out, twin)
+
+        def _agg(df):
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count_distinct("user_id").cast("bigint").alias("u"),
+                F.count(
+                    F.when(F.col("event_type") == "merged", 1)
+                ).cast("bigint").alias("m"),
+                dround(F.sum("value"), 2).alias("s"),
+            ).collect()[0]
+            return (r["n"], r["u"], r["m"], float(r["s"]))
+
+        before = _agg(got)
+        compact_table(spark, works["dv"], target_file_bytes=1 << 30)
+        after = _agg(read_table(spark, works["dv"]))
+    finally:
+        for w in works.values():
+            shutil.rmtree(w, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                after[0],
+                after[1],
+                after[2],
+                after[3],
+                int(st_dv["n_files_rewritten"]),
+                cow_match,
+                sql_match,
+                before == after,
+            )
+        ],
+        "n_rows bigint, n_users bigint, n_merged bigint, "
+        "sum_value double, n_files_rewritten_dv bigint, "
+        "cow_match boolean, sql_match boolean, post_optimize_match boolean",
+    )

@@ -157,10 +157,12 @@ def test_sql_grammar_rejections(spark, session):
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )
-    with pytest.raises(SqlDmlError, match="unsupported MERGE form"):
+    # delete-only MERGE is now a supported clause (r13); a clause
+    # without THEN is still a named rejection
+    with pytest.raises(SqlDmlError, match="without THEN"):
         ses.sql(
             "MERGE INTO tab USING tab s ON tab.event_id = s.event_id "
-            "WHEN MATCHED THEN DELETE"
+            "WHEN MATCHED DELETE"
         )
     with pytest.raises(SqlDmlError, match="bad SET assignment"):
         ses.sql("UPDATE tab SET 5 = value")
