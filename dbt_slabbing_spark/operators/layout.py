@@ -454,6 +454,8 @@ def _commit_manifest(
                 "added": sorted(new_set - old_set),
                 "removed": sorted(old_set - new_set),
             }
+            if prev.get("ts") is not None:  # displaced commit's wall time
+                entry["ts"] = prev["ts"]
             if prev_dv:  # record displaced snapshot's DV state (small)
                 entry["dv"] = prev_dv
             history.append(entry)
@@ -471,11 +473,19 @@ def _commit_manifest(
             merged_stats.update({n: s for n, s in stats.items() if n in live_set})
         base_dv = dv if dv is not None else prev_dv
         merged_dv = {n: d for n, d in base_dv.items() if n in live_set and d}
+        import time as _time
+
         doc = {
             "files": sorted(files),
             "version": version,
             "history": history,
             "stats": merged_stats,
+            # commit wall time: the anchor for time-based retention
+            # (VACUUM ... RETAIN n HOURS) and DESCRIBE HISTORY's ts
+            # column. Informational for OCC (the version number is the
+            # ordering authority); pre-r13 manifests lack it and their
+            # snapshots count as older than any horizon.
+            "ts": _time.time(),
         }
         if merged_dv:
             doc["dv"] = merged_dv
@@ -1451,13 +1461,78 @@ def read_changes(
     return ins_only.unionByName(del_only).unionByName(pre).unionByName(post)
 
 
-def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
+def _clustered_state(p) -> dict | None:
+    """Current clustering state ``{"by": [col, ...], "files": [...]}``
+    or None (see :func:`compact_table` ``cluster_by``)."""
+    import json
+
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return None
+    return json.loads(mf.read_text()).get("clustered")
+
+
+def follow_changes(
+    spark, path, last_version: int | None = None, keys: list[str] | None = None
+) -> tuple:
+    """ONE micro-batch pull of the table's change stream — the shape
+    of Delta's streaming source on a table with deletion vectors: a
+    VERSION-LOG TAILER. Each call pins ``(last_version, current)`` at
+    read time and returns ``(changes, current_version)`` where
+    ``changes`` is :func:`read_changes` over exactly that range
+    (``None`` when no new commit landed). Because the range is pinned
+    BEFORE the scan plans, a batch is internally consistent with the
+    two snapshots it spans no matter how many commits — DV deletes
+    included — land while it is being read: later commits only move
+    versions the NEXT pull will pin. A DV commit (file list unchanged,
+    rows deleted) takes read_changes' row-level fallback, so dead rows
+    surface as ``'delete'`` change rows exactly once and NEVER as live
+    rows; a consumer folding the stream (+inserts, −deletes)
+    reconstructs every snapshot it pulls through.
+
+    ``last_version=None`` starts at the CURRENT version (emit nothing,
+    begin tailing — Delta's ``startingVersion=latest``); pass a
+    historical version to backfill, subject to the vacuum retention
+    horizon (a pruned range raises, like Delta's streaming source on
+    vacuumed history). Drive it from foreachBatch, a scheduler, or a
+    loop; state is the ONE integer the caller checkpoints."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    cur = manifest_versions(p)[-1]
+    if last_version is None or last_version == cur:
+        return None, cur
+    return read_changes(spark, p, int(last_version), cur, keys=keys), cur
+
+
+def append_files(
+    spark,
+    path,
+    df: DataFrame,
+    token: str | None = None,
+    cluster_by: list[str] | None = None,
+) -> dict:
     """INSERT/append as a manifest commit — and with it, add-column
     schema evolution over plain parquet (the Delta/Iceberg semantics):
     the appended frame may carry columns the existing files lack (or
     lack columns they have); each file keeps its own schema and
     :func:`read_table` with ``merge_schema=True`` reconciles them,
     missing columns reading as NULL.
+
+    ``cluster_by=[col, ...]`` clusters the incoming batch at write
+    time (range-repartition + in-file sort on the columns, the same
+    layout :func:`compact_table` ``cluster_by`` produces) and records
+    the appended files in the table's clustering state — the LIQUID
+    CLUSTERING ingest path that replaces hive partition columns on
+    manifest tables: each file covers a tight box on the cluster
+    columns, write-time per-file min/max stats land in the same
+    commit, and ``read_table(prune=(col, lo, hi))`` skips files
+    exactly as hive partition pruning would skip directories — without
+    the small-file explosion per-key directories force at high
+    cardinality, and re-clusterable later without rewriting paths (the
+    Delta liquid-clustering argument; see SCALE.md §Layout). Appending
+    with different cluster columns than the table's existing state
+    raises (change clustering via ``compact_table(cluster_by=)``).
 
     Mechanics: write ``df`` to a staging dir, hard-move the part files
     into the table dir under unique names, then atomically publish
@@ -1471,6 +1546,16 @@ def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
 
     p = pathlib.Path(path)
     vers, live = _snapshot_for_update(p)
+    if cluster_by:
+        prev_clu = _clustered_state(p)
+        if prev_clu and prev_clu["by"] != list(cluster_by):
+            raise ValueError(
+                f"append cluster_by {list(cluster_by)} != table clustering "
+                f"{prev_clu['by']}; re-cluster via compact_table(cluster_by=)"
+            )
+        df = df.repartitionByRange(
+            max(1, df.rdd.getNumPartitions()), *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     _enforce_constraints(p, df)  # CHECK constraints: reject before staging
     df = _to_physical(p, df)  # renamed columns write their frozen name
     _reject_dropped_collisions(p, df)  # dropped-name reuse = silent loss
@@ -1494,8 +1579,25 @@ def append_files(spark, path, df: DataFrame, token: str | None = None) -> dict:
     added_stats = _stats_for_added(p, added)
     for _ in range(10):
         try:
+            kw = {}
+            if cluster_by:
+                prev_clu = _clustered_state(p)
+                if prev_clu and prev_clu["by"] != list(cluster_by):
+                    raise ValueError(
+                        f"append cluster_by {list(cluster_by)} != table "
+                        f"clustering {prev_clu['by']} (changed concurrently)"
+                    )
+                base = [
+                    n
+                    for n in (prev_clu["files"] if prev_clu else [])
+                    if n in set(live)
+                ]
+                kw["clustered"] = {
+                    "by": list(cluster_by),
+                    "files": base + added,
+                }
             _commit_manifest(
-                p, live + added, expected_version=vers, stats=added_stats
+                p, live + added, expected_version=vers, stats=added_stats, **kw
             )
             break
         except ManifestConflictError:
@@ -1915,32 +2017,44 @@ def drop_constraint(path, name: str) -> dict:
 def table_snapshots(spark, path) -> DataFrame:
     """The table's version log as a queryable DataFrame (Iceberg's
     ``db.table.snapshots`` metadata table): one row per snapshot with
-    its live-file count and the commit's add/remove deltas. Driver-side
-    O(versions · files) metadata read — no data file is touched."""
+    its live-file count, the commit's add/remove deltas, the commit
+    wall time (``ts``, NULL for pre-r13 commits), and ``restorable`` —
+    whether every file the snapshot references still exists, i.e.
+    whether it is inside the vacuum retention horizon (the DESCRIBE
+    HISTORY view of "how far back can I restore"). Driver-side
+    O(versions · files) metadata read — no data file is OPENED (the
+    restorable column is existence checks only, the same stat calls a
+    RESTORE dry-run would make)."""
     import pathlib
 
     p = pathlib.Path(path)
     versions = manifest_versions(p)
     cur = versions[-1]
+    ts_map = _version_timestamps(p)
     rows = []
     prev_files: set[str] = set()
     for v in versions:
         fs = set(_files_at_version(p, v))
+        dv = _dv_at_version(p, v)
+        refs = fs | {d for lst in dv.values() for d in lst}
         rows.append(
             (
                 v,
                 len(fs),
                 len(fs - prev_files),
                 len(prev_files - fs),
-                len(_dv_at_version(p, v)),
+                len(dv),
                 v == cur,
+                float(ts_map[v]) if ts_map.get(v) is not None else None,
+                all((p / n).exists() for n in refs),
             )
         )
         prev_files = fs
     return spark.createDataFrame(
         rows,
         "version bigint, n_files bigint, n_added bigint, n_removed bigint, "
-        "n_files_with_dv bigint, is_current boolean",
+        "n_files_with_dv bigint, is_current boolean, ts double, "
+        "restorable boolean",
     )
 
 
@@ -2319,8 +2433,26 @@ def compact_incremental(
     }
 
 
+def _version_timestamps(p) -> dict:
+    """``{version: commit_wall_time | None}`` from the manifest's
+    history entries plus the current commit's ``ts``. ``None`` for
+    pre-r13 commits that predate timestamping — time-based retention
+    treats those as older than any horizon (prunable), the
+    conservative-for-space reading; pin them with
+    ``retain_versions`` if they must stay restorable."""
+    import json
+
+    doc = json.loads((p / _MANIFEST).read_text())
+    out = {int(h["version"]): h.get("ts") for h in doc.get("history", [])}
+    out[int(doc.get("version", 1))] = doc.get("ts")
+    return out
+
+
 def vacuum_orphans(
-    path, retain_versions: int = 0, grace_seconds: float = 600.0
+    path,
+    retain_versions: int = 0,
+    grace_seconds: float = 600.0,
+    retain_hours: float | None = None,
 ) -> list[str]:
     """Delete data files not referenced by any retained snapshot — the
     cleanup pass for files orphaned by a crash between a manifest
@@ -2329,7 +2461,14 @@ def vacuum_orphans(
     additionally protects files referenced by the N most recent
     historical snapshots (Delta's VACUUM retention, expressed in
     versions rather than hours); the default 0 keeps only the current
-    snapshot readable.
+    snapshot readable. ``retain_hours=H`` is the TIME-BASED form
+    (Delta's ``RETAIN n HOURS`` proper): every snapshot whose commit
+    wall time (see :func:`_commit_manifest` ``ts``) falls within the
+    last H hours keeps its files — restore/time-travel inside the
+    window stays possible, outside it raises cleanly. The two retention
+    axes compose (a file survives if EITHER protects it); pre-r13
+    snapshots without a recorded ``ts`` count as older than any
+    horizon.
 
     ``grace_seconds`` is the IN-FLIGHT WRITER **and READER** shield:
     every mutation (append_files / delete_rows / merge_rows /
@@ -2366,6 +2505,16 @@ def vacuum_orphans(
         for v in manifest_versions(p)[:-1][-retain_versions:]:
             live |= set(_files_at_version(p, v))
             live |= {d for lst in _dv_at_version(p, v).values() for d in lst}
+    if retain_hours is not None:
+        horizon = time.time() - float(retain_hours) * 3600.0
+        ts_map = _version_timestamps(p)
+        for v in manifest_versions(p)[:-1]:
+            ts = ts_map.get(v)
+            if ts is not None and ts >= horizon:
+                live |= set(_files_at_version(p, v))
+                live |= {
+                    d for lst in _dv_at_version(p, v).values() for d in lst
+                }
     cutoff = time.time() - grace_seconds
     removed = []
     for f in p.glob("*.parquet"):

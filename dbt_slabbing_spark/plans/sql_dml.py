@@ -103,8 +103,9 @@ _UPDATE_HEAD_RE = re.compile(
     re.I | re.S,
 )
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+"
-    r"(?P<select>(?:SELECT|WITH|VALUES)\b.*)$",
+    r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+(?:PARTITIONED|CLUSTER)\s+BY\s*\((?P<pcols>[^)]*)\))?"
+    r"\s+AS\s+(?P<select>(?:SELECT|WITH|VALUES)\b.*)$",
     re.I | re.S,
 )
 _ALTER_RENAME_RE = re.compile(
@@ -141,7 +142,8 @@ _OPTIMIZE_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
-    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*$",
+    r"(?:\s+RETAIN\s+(?:(?P<n>\d+)\s+VERSIONS|"
+    r"(?P<hours>\d+(?:\.\d+)?)\s+HOURS))?\s*$",
     re.I,
 )
 _DESCRIBE_HISTORY_RE = re.compile(
@@ -235,9 +237,20 @@ def _split_at_keyword(text: str, keyword: str) -> tuple[str, str | None]:
         elif ch == ")":
             depth -= 1
         elif depth == 0 and text[i : i + len(kw)].upper() == kw:
-            before_ok = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            # word-boundary guard only for word-like keywords (a ';'
+            # token needs no boundary)
+            wordish = kw[0].isalnum() or kw[0] == "_"
+            before_ok = (
+                not wordish
+                or i == 0
+                or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            )
             j = i + len(kw)
-            after_ok = j >= n or not (text[j].isalnum() or text[j] == "_")
+            after_ok = (
+                not wordish
+                or j >= n
+                or not (text[j].isalnum() or text[j] == "_")
+            )
             if before_ok and after_ok:
                 return text[:i].rstrip(), text[j:].strip()
         i += 1
@@ -298,6 +311,22 @@ class ManifestSession:
         """DML → mutation stats dict; everything else → DataFrame."""
         stmt = statement.strip().rstrip(";")
         head = stmt.split(None, 1)[0].upper() if stmt else ""
+        # hardening guards (the dispatcher rejects what it can't parse
+        # rather than mis-dispatch): one statement at a time, and
+        # verbs with manifest-table semantics we don't implement must
+        # not fall through to spark.sql over the pinned views
+        _, after_semi = _split_at_keyword(stmt, ";")
+        if after_semi:
+            raise SqlDmlError(
+                "one statement at a time (top-level ';' found) — "
+                "issue each statement through its own sql() call"
+            )
+        if head in ("TRUNCATE", "REPLACE", "UPSERT", "COPY"):
+            raise SqlDmlError(
+                f"unsupported statement {head} — use DELETE FROM t (full "
+                "delete), INSERT OVERWRITE (replace), or MERGE INTO "
+                "(upsert) / the DataFrame API"
+            )
         self._refresh()
         if head == "INSERT":
             return self._insert(stmt)
@@ -351,10 +380,16 @@ class ManifestSession:
     def _vacuum(self, stmt: str) -> dict:
         m = _VACUUM_RE.match(stmt)
         if not m:
-            raise SqlDmlError(f"unsupported VACUUM form: {stmt!r}")
+            raise SqlDmlError(
+                f"unsupported VACUUM form (VACUUM t [RETAIN n VERSIONS | "
+                f"RETAIN h HOURS]): {stmt!r}"
+            )
         removed = vacuum_orphans(
             self._path(m.group("table")),
             retain_versions=int(m.group("n") or 0),
+            retain_hours=(
+                float(m.group("hours")) if m.group("hours") else None
+            ),
         )
         return {"n_vacuumed": len(removed)}
 
@@ -420,7 +455,21 @@ class ManifestSession:
         path = str(pathlib.Path(self.base_dir) / name)
         if (pathlib.Path(path) / "_manifest.json").exists():
             raise SqlDmlError(f"location {path!r} already holds a table")
-        st = append_files(self.spark, path, self.spark.sql(m.group("select")))
+        # PARTITIONED BY maps to liquid clustering: manifest tables
+        # have no hive partition directories — the columns become the
+        # table's cluster-by state (range-partitioned, in-file-sorted
+        # writes + per-file min/max stats), which prunes day-style
+        # workloads exactly as well (gate:
+        # layout_partition_style_pruning; stance: SCALE.md §Layout)
+        pcols = (
+            [c.strip() for c in m.group("pcols").split(",") if c.strip()]
+            if m.group("pcols")
+            else None
+        )
+        st = append_files(
+            self.spark, path, self.spark.sql(m.group("select")),
+            cluster_by=pcols,
+        )
         self.register(name, path)
         return st
 

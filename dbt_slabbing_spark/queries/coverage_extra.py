@@ -2833,3 +2833,375 @@ def layout_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value double, n_files_rewritten_dv bigint, "
         "cow_match boolean, sql_match boolean, post_optimize_match boolean",
     )
+
+
+@register(
+    "layout_retention_horizon",
+    # Time-based vacuum retention (Delta's VACUUM ... RETAIN n HOURS)
+    # as the restore boundary: snapshots whose commit wall time falls
+    # inside the window keep their files (restore works, DESCRIBE
+    # HISTORY says restorable), outside it their displaced files are
+    # reclaimed and restore refuses CLEANLY (a named
+    # files-already-vacuumed error, never a partial table). The gate
+    # simulates 48h of age deterministically (backdates the recorded
+    # commit timestamps and file mtimes), runs a 72h-window VACUUM
+    # (protects everything, 0 reclaimed), then a 24h-window VACUUM
+    # (reclaims the displaced files), and checks the horizon from all
+    # three sides: DESCRIBE HISTORY restorable flips for the old
+    # snapshot only, RESTORE past the boundary raises the named error,
+    # and the CURRENT content is byte-identical through both passes.
+    # The oracle restates the current content closed-form.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST(0 AS BIGINT) AS n_vacuumed_wide,
+           TRUE AS vacuumed_some_narrow,
+           TRUE AS old_restorable_before,
+           FALSE AS old_restorable_after,
+           TRUE AS current_restorable_after,
+           TRUE AS restore_refused_cleanly,
+           TRUE AS current_intact
+    FROM events WHERE value > 50.0
+    """,
+    "VACUUM RETAIN n HOURS: commit-timestamp retention window "
+    "protects in-window snapshots' files, reclaims out-of-window "
+    "displaced files, DESCRIBE HISTORY's restorable column tracks the "
+    "horizon, and restore past it refuses with a named error",
+    tags=("layout", "vacuum", "retention", "sql"),
+)
+def layout_retention_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::vacuum_orphans(retain_hours=) + the
+    SQL ``VACUUM t RETAIN h HOURS`` verb + table_snapshots' ts/
+    restorable columns. Elapsed time is SIMULATED by backdating the
+    manifest's recorded commit timestamps and the parquet mtimes 48h
+    (deterministic — the gate cannot wait wall-clock hours); the
+    retention logic under test reads exactly those two signals."""
+    import json
+    import os
+    import pathlib
+    import shutil
+    import tempfile
+    import time
+
+    from ..operators.layout import (
+        append_files,
+        delete_rows,
+        manifest_versions,
+        read_table,
+        restore_table,
+        table_snapshots,
+    )
+    from ..plans.sql_dml import ManifestSession
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="retention_gate_")
+    shutil.rmtree(work)
+    p = pathlib.Path(work)
+    try:
+        for i in range(2):
+            append_files(
+                spark, work, ev.filter(F.col("user_id") % 2 == i).coalesce(2)
+            )
+        full_version = manifest_versions(work)[-1]
+        delete_rows(spark, work, "value <= 50.0", mode="cow")  # displaces files
+        # simulate 48h of age: backdate recorded commit ts + file mtimes
+        mf = p / "_manifest.json"
+        doc = json.loads(mf.read_text())
+        old = time.time() - 48 * 3600
+        for h in doc.get("history", []):
+            h["ts"] = old
+        doc["ts"] = old
+        mf.write_text(json.dumps(doc))
+        for f in p.glob("*.parquet"):
+            os.utime(f, (old, old))
+
+        ses = ManifestSession(spark, mode="cow").register("ret_tab", work)
+
+        def _agg():
+            r = read_table(spark, work).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dround(F.sum("value"), 2).alias("s"),
+            ).collect()[0]
+            return (r["n"], float(r["s"]))
+
+        before = _agg()
+        # 72h window: every snapshot inside -> nothing reclaimed
+        n_wide = ses.sql("VACUUM ret_tab RETAIN 72 HOURS")["n_vacuumed"]
+        snaps = {
+            r["version"]: r
+            for r in table_snapshots(spark, work).collect()
+        }
+        old_restorable_before = bool(snaps[full_version]["restorable"])
+        # 24h window: the displaced pre-delete files age out
+        n_narrow = ses.sql("VACUUM ret_tab RETAIN 24 HOURS")["n_vacuumed"]
+        snaps2 = {
+            r["version"]: r
+            for r in table_snapshots(spark, work).collect()
+        }
+        old_restorable_after = bool(snaps2[full_version]["restorable"])
+        cur_restorable_after = bool(
+            snaps2[manifest_versions(work)[-1]]["restorable"]
+        )
+        refused = False
+        try:
+            restore_table(work, full_version, spark=spark)
+        except FileNotFoundError as e:
+            refused = "vacuumed" in str(e)
+        after = _agg()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                after[0],
+                after[1],
+                int(n_wide),
+                n_narrow > 0,
+                old_restorable_before,
+                old_restorable_after,
+                cur_restorable_after,
+                refused,
+                before == after,
+            )
+        ],
+        "n_rows bigint, sum_value double, n_vacuumed_wide bigint, "
+        "vacuumed_some_narrow boolean, old_restorable_before boolean, "
+        "old_restorable_after boolean, current_restorable_after boolean, "
+        "restore_refused_cleanly boolean, current_intact boolean",
+    )
+
+
+@register(
+    "layout_partition_style_pruning",
+    # The no-partition-columns stance, measured: manifest tables have
+    # NO hive partition directories — PARTITIONED BY maps to liquid
+    # clustering (range-partitioned, in-file-sorted writes + per-file
+    # min/max in the commit). This gate runs the canonical hive
+    # workload and checks pruning parity file-by-file: per-day ingest
+    # lands exactly one tight file per day (8 days -> 8 files), a
+    # day-range query [2,4] scans exactly the 3 files a hive layout
+    # would list as 3 directories (hive_parity_scan), a day-targeted
+    # DELETE rewrites exactly the 1 file holding that day, and the SQL
+    # `CREATE TABLE ... PARTITIONED BY (d) AS ...` front-end records
+    # clustering state whose pruned scan reads a strict subset of
+    # files. The oracle restates the day-range aggregate and final
+    # content closed-form over the same synthetic day column.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_range_rows,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS range_sum,
+           CAST((SELECT count(*) FROM events WHERE event_id % 8 <> 6)
+                AS BIGINT) AS n_after_delete,
+           CAST(8 AS BIGINT) AS n_files_total,
+           CAST(3 AS BIGINT) AS n_files_scanned,
+           TRUE AS hive_parity_scan,
+           TRUE AS delete_touched_one_file,
+           TRUE AS ctas_clustered,
+           TRUE AS ctas_prunes
+    FROM events WHERE event_id % 8 BETWEEN 2 AND 4
+    """,
+    "partition-style workload on a clustered manifest table: per-day "
+    "ingest (one tight file per day via append cluster_by), day-range "
+    "scan prunes to exactly the in-range files (hive directory-listing "
+    "parity), day-targeted DELETE rewrites one file, SQL PARTITIONED "
+    "BY maps to clustering state",
+    tags=("layout", "clustering", "prune", "sql"),
+)
+def layout_partition_style_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives append_files(cluster_by=) + prune_file_list/read_table
+    (prune=) + the CTAS PARTITIONED BY mapping: the liquid-clustering
+    answer to hive partition columns, proven at file granularity."""
+    import json
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        delete_rows,
+        ensure_manifest,
+        prune_file_list,
+        read_table,
+    )
+    from ..plans.sql_dml import ManifestSession
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", (F.col("event_id") % 8).alias("d")
+    )
+    work = tempfile.mkdtemp(prefix="partstyle_gate_")
+    ctas_dir = tempfile.mkdtemp(prefix="partstyle_ctas_")
+    shutil.rmtree(work)
+    p = pathlib.Path(work)
+    try:
+        for day in range(8):  # per-day ingest, clustered on d
+            append_files(
+                spark, work, ev.filter(F.col("d") == day), cluster_by=["d"]
+            )
+        live = ensure_manifest(p)
+        n_total = len(live)
+        scanned = prune_file_list(p, live, "d", 2, 4)
+        rq = (
+            read_table(spark, work, prune=("d", 2, 4))
+            .filter(F.col("d").between(2, 4))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dround(F.sum("value"), 2).alias("s"),
+            )
+            .collect()[0]
+        )
+        st = delete_rows(spark, work, "d = 6", mode="cow")
+        n_after = read_table(spark, work).count()
+
+        # SQL front-end: PARTITIONED BY -> clustering state
+        ses = ManifestSession(spark, mode="cow", base_dir=ctas_dir)
+        ev.filter(F.col("d") < 4).createOrReplaceTempView("pt_src")
+        ses.sql("CREATE TABLE pt PARTITIONED BY (d) AS SELECT * FROM pt_src")
+        ctas_path = pathlib.Path(ctas_dir) / "pt"
+        clu = json.loads((ctas_path / "_manifest.json").read_text()).get(
+            "clustered"
+        )
+        ctas_live = ensure_manifest(ctas_path)
+        ctas_scanned = prune_file_list(ctas_path, ctas_live, "d", 1, 1)
+        ctas_prunes = 0 < len(ctas_scanned) < len(ctas_live) or len(
+            ctas_live
+        ) == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ctas_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                rq["n"],
+                float(rq["s"]),
+                int(n_after),
+                n_total,
+                len(scanned),
+                len(scanned) == 3,
+                st["n_files_rewritten"] == 1,
+                bool(clu) and clu["by"] == ["d"],
+                bool(ctas_prunes),
+            )
+        ],
+        "n_range_rows bigint, range_sum double, n_after_delete bigint, "
+        "n_files_total bigint, n_files_scanned bigint, "
+        "hive_parity_scan boolean, delete_touched_one_file boolean, "
+        "ctas_clustered boolean, ctas_prunes boolean",
+    )
+
+
+@register(
+    "stream_table_change_feed",
+    # Streaming OUT of a governed table while DV deletes land --
+    # Delta's "streaming from a table with deletion vectors" shape.
+    # follow_changes is a version-log tailer: each pull pins
+    # (last_version, current) BEFORE scanning, so a batch is
+    # internally consistent with its snapshot pair regardless of
+    # commits landing mid-read; DV'd rows surface exactly once as
+    # 'delete' change rows and never as live rows. The gate ingests
+    # events, then interleaves DV deletes (value <= 100, then
+    # event_type = 'click') with an append of re-keyed 'late' rows,
+    # pulling the feed after each commit and folding it (+insert,
+    # -delete); reconstructed_every_pull is TRUE because the fold
+    # equals the pinned snapshot at every pulled version, and
+    # no_dead_rows is TRUE because no deleted row survives in the
+    # final fold. The oracle restates the final content closed-form.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST(count(CASE WHEN event_id >= 2000000000 THEN 1 END)
+                AS BIGINT) AS n_late,
+           TRUE AS reconstructed_every_pull,
+           TRUE AS no_dead_rows,
+           TRUE AS idle_pull_empty
+    FROM (
+        SELECT event_id, value FROM events
+        WHERE value > 100.0 AND event_type <> 'click'
+        UNION ALL
+        SELECT event_id + 2000000000 AS event_id, value FROM events
+        WHERE event_id % 11 = 0
+    )
+    """,
+    "change-feed streaming reader over a governed table under "
+    "concurrent DV deletes: version-pinned micro-batch pulls, fold "
+    "reconstructs every snapshot, dead rows never surface as live",
+    tags=("layout", "streaming", "dv", "cdf"),
+)
+def stream_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::follow_changes interleaved with
+    delete_rows(mode='dv') and append_files -- the micro-batch
+    consumer contract a foreachBatch job would run, checked by exact
+    multiset reconstruction at every pull."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from ..operators.layout import (
+        append_files,
+        delete_rows,
+        follow_changes,
+        read_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="changefeed_gate_")
+    shutil.rmtree(work)
+
+    def _ms(df):
+        return Counter(
+            (r["event_id"], r["event_type"], float(r["value"]))
+            for r in df.collect()
+        )
+
+    try:
+        append_files(spark, work, ev.coalesce(4))
+        _, ver = follow_changes(spark, work, None)
+        state = _ms(read_table(spark, work))
+        ok = True
+        steps = (
+            lambda: delete_rows(spark, work, "value <= 100.0", mode="dv"),
+            lambda: append_files(
+                spark,
+                work,
+                ev.filter(F.col("event_id") % 11 == 0).select(
+                    (F.col("event_id") + 2_000_000_000).alias("event_id"),
+                    F.lit("late").alias("event_type"),
+                    "value",
+                ),
+            ),
+            lambda: delete_rows(spark, work, "event_type = 'click'", mode="dv"),
+        )
+        for step in steps:
+            step()
+            changes, ver = follow_changes(spark, work, ver)
+            for r in changes.collect():
+                d = (r["event_id"], r["event_type"], float(r["value"]))
+                if r["_change_type"] == "insert":
+                    state[d] += 1
+                else:
+                    state[d] -= 1
+            state = +state
+            ok = ok and state == _ms(read_table(spark, work))
+        # dead = rows a DV delete actually killed: pre-append rows with
+        # value <= 100, and 'click' rows anywhere (the late append
+        # landed AFTER the value delete, so its low-value rows live)
+        no_dead = not any(
+            (v <= 100.0 and k < 2_000_000_000) or t == "click"
+            for k, t, v in state
+        )
+        idle, _ = follow_changes(spark, work, ver)
+        r = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+            F.count(F.when(F.col("event_id") >= 2_000_000_000, 1))
+            .cast("bigint")
+            .alias("late"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n"], float(r["s"]), r["late"], ok, no_dead, idle is None)],
+        "n_rows bigint, sum_value double, n_late bigint, "
+        "reconstructed_every_pull boolean, no_dead_rows boolean, "
+        "idle_pull_empty boolean",
+    )

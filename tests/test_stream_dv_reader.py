@@ -1,0 +1,141 @@
+"""Streaming reader over a governed table while DV deletes land
+(`follow_changes` — the Delta "streaming from a table with deletion
+vectors" shape): every pulled batch is internally consistent with the
+snapshot pair it pins, a consumer folding the stream reconstructs
+every snapshot exactly, and no dead (DV'd) row ever surfaces as live.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_slabbing_spark.operators.layout import (
+    append_files,
+    delete_rows,
+    follow_changes,
+    manifest_versions,
+    read_table,
+    vacuum_orphans,
+)
+
+
+def _fold(state: Counter, changes) -> Counter:
+    """Apply a change batch to a multiset state (+insert, -delete)."""
+    for r in changes.collect():
+        d = (r["k"], r["v"])
+        if r["_change_type"] == "insert":
+            state[d] += 1
+        else:
+            state[d] -= 1
+    return +state  # drop zeros
+
+
+def _snapshot(spark, target) -> Counter:
+    return Counter(
+        (r["k"], r["v"]) for r in read_table(spark, target).collect()
+    )
+
+
+@pytest.fixture()
+def target(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    append_files(spark, t, df.coalesce(4))
+    return t
+
+
+def test_interleaved_pulls_reconstruct_every_snapshot(spark, target):
+    """Deterministic interleave: DV delete / append / pull, repeatedly.
+    The folded stream equals the snapshot at every pulled version."""
+    _, ver = follow_changes(spark, target, None)
+    state = _snapshot(spark, target)
+    for step in range(4):
+        delete_rows(spark, target, f"k % 7 = {step}", mode="dv")
+        if step % 2:
+            append_files(
+                spark,
+                target,
+                spark.range(5).select(
+                    (F.col("id") + 1000 + 100 * step).alias("k"),
+                    F.lit(-1.0).alias("v"),
+                ),
+            )
+        changes, ver2 = follow_changes(spark, target, ver)
+        assert ver2 > ver
+        state = _fold(state, changes)
+        assert state == _snapshot(spark, target)
+        # no dead row surfaces: every k the deletes killed is gone
+        assert not any(k % 7 == step and k < 400 for k, _ in state)
+        ver = ver2
+    # idle pull: nothing new
+    changes, ver3 = follow_changes(spark, target, ver)
+    assert changes is None and ver3 == ver
+
+
+def test_concurrent_dv_deletes_while_pulling(spark, target):
+    """DV deletes land from a WRITER THREAD while the reader pulls:
+    each batch pins its version range at read time, so late commits
+    never tear a batch — the fold matches the snapshot at the pulled
+    version, and the reader converges to the final state after the
+    writer stops."""
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def writer():
+        try:
+            for i in range(12):
+                delete_rows(spark, target, f"k % 31 = {i}", mode="dv")
+        except Exception as e:  # surface, don't swallow
+            errors.append(e)
+        finally:
+            stop.set()
+
+    w = threading.Thread(target=writer)
+    _, ver = follow_changes(spark, target, None)
+    state = _snapshot(spark, target)
+    w.start()
+    pulls = 0
+    try:
+        while not (stop.is_set() and follow_changes(spark, target, ver)[0] is None):
+            changes, ver2 = follow_changes(spark, target, ver)
+            if changes is None:
+                continue
+            pinned = read_table(spark, target, version=ver2)
+            state = _fold(state, changes)
+            # internally consistent with the PINNED snapshot, even if
+            # more deletes landed while this batch was being read
+            assert state == Counter(
+                (r["k"], r["v"]) for r in pinned.collect()
+            )
+            ver = ver2
+            pulls += 1
+    finally:
+        w.join()
+    assert not errors
+    assert pulls >= 2  # the interleave actually exercised multiple batches
+    assert state == _snapshot(spark, target)
+    assert not any(k % 31 < 12 for k, _ in state)
+
+
+def test_backfill_respects_vacuum_horizon(spark, target):
+    """A pull whose range was vacuumed raises cleanly (Delta's
+    streaming source on pruned history), instead of emitting a
+    partial batch."""
+    v0 = manifest_versions(target)[-1]
+    delete_rows(spark, target, "k < 100", mode="cow")
+    delete_rows(spark, target, "k < 200", mode="cow")
+    vacuum_orphans(target, grace_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        changes, _ = follow_changes(spark, target, v0)
+        changes.collect()
+    # tailing from the current version still works
+    _, cur = follow_changes(spark, target, None)
+    delete_rows(spark, target, "k < 250", mode="dv")
+    changes, _ = follow_changes(spark, target, cur)
+    assert changes.filter("_change_type = 'delete'").count() == 50
