@@ -93,99 +93,68 @@ _MODULES = (
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward "driver rows <= 1 round
-# old for the whole registry". Round-12 prefix = exactly the queue
-# printed by `python tools/rotation_audit.py` at round start
-# (freshness before rotation: r11:50, r10:50, r9:50, r8:50, r7:50,
-# r6:33, never:3 -- VERDICT r11 'Next round #1'): the 3 gates that
-# have NEVER had a driver row FIRST (layout_auto_maintenance,
-# layout_rename_column_metadata_only, layout_sql_over_manifest --
-# registered after the round-11 driver run; judge parity passed all 3
-# but a judge row is not a driver row), then the 33 r6-stale rows
-# (5 driver-rounds old, mostly TPC-H q2-q22; all re-verified green by
-# the r11 judge parity sample or the round-11 full sf0.1 sweep), then
-# the r7 cohort head in audit order to fill 50. After this round the
-# never bucket is empty and max staleness is r7. Gates ADDED in round
-# 12 swap in as they land (never-driver-checked outranks
-# stale-but-green), displacing rows from the r7 TAIL upward -- each
-# swap annotated INLINE below; displaced r7 rows stay at the head of
-# the round-13 queue.
+# old for the whole registry". Round-13 prefix = the 4 gates ADDED
+# this round (never-driver-checked outranks stale-but-green: the rich
+# MERGE clause gate, the RETAIN-HOURS retention gate, the
+# partition-style pruning gate, the DV change-feed reader gate), then
+# EXACTLY the 43 r7-stale rows `python tools/rotation_audit.py` queued
+# at round start (VERDICT r12 'Next round #1': the 7 round-12-
+# displaced rows first, then the r7 cohort in audit order -- all
+# re-verified green by the r12 judge parity sample or the round-12
+# full sweeps, but a judge row is not a driver row), then the r8
+# cohort head to fill 50. After this round max staleness is r8 and
+# every row has a driver row <= 5 rounds old.
 _PRIORITY = (
-    "layout_auto_maintenance",
-    "layout_rename_column_metadata_only",
-    "layout_sql_over_manifest",
-    "pipeline_quality_funnel",
-    "q10_returned_revenue",
-    "q11_part_value_concentration",
-    "q12_shipmode_priority_classes",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_revenue_suppliers",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_ranges",
-    "q20_heavy_part_shippers",
-    "q22_dormant_rich_customers",
-    "q2_min_unit_cost_supplier",
-    "q4_late_shipment_orders",
-    "q6_forecast_revenue",
-    "q7_nation_trade",
-    "q8_market_share",
-    "ref_ground_truth_labels",
-    "sample_mixture_rebalance",
-    "sample_token_budget_mixture",
-    "setop_unpivot_price_stats",
-    "sim_sq_int8_topk",
-    "sort_limit_top_orders",
-    "sql_api_priority_stats",
-    "stream_minhash_band_dedup",
-    "subquery_orders_above_cust_avg",
-    "text_c4_doc_filters",
-    "text_ccnet_surprisal_buckets",
-    "text_dsir_importance_weights",
-    "text_gopher_quality_filters",
-    "text_line_dedup",
-    "text_term_frequencies",
-    "window_topk_orders_per_customer",
-    "agg_approx_percentiles",
-    "agg_bitmap_audience_overlap",
-    "asof_purchase_attribution",
-    "dedup_connected_components",
-    "dedup_exact_sha256",
-    "dedup_mllib_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "layout_insert_overwrite",  # round-12 gate, never driver-checked:
-    # takes dedup_semantic_clusters's slot (r7-green; the dedup family
-    # keeps exact/connected/ngram/mllib prefixed and the end-of-round
-    # full sweep re-verifies dedup_semantic_clusters -> head of the
-    # round-13 queue)
-    "layout_restore_version",  # round-12 gate, never driver-checked:
-    # takes dedup_simhash_pairs's slot (r7-green; the dedup family
-    # keeps dedup_exact/connected_components/ngram/semantic/mllib
-    # prefixed and the end-of-round full sweep re-verifies
-    # dedup_simhash_pairs -> head of the round-13 queue)
-    "text_pii_redaction",  # round-12 gate, never driver-checked:
-    # takes fn_array_suite's slot (r7-green; the scalar-function
-    # family keeps fn_regexp_suite + fn_map_from_json prefixed and
-    # the end-of-round full sweep re-verifies fn_array_suite -> head
-    # of the round-13 queue)
-    "layout_table_clone",  # round-12 gate, never driver-checked:
-    # takes fn_date_suite's slot (r7-green; same family argument;
-    # full sweep re-verifies fn_date_suite -> head of the round-13
-    # queue)
-    "layout_sql_ddl_roundtrip",  # round-12 gate, never driver-checked:
-    # takes fn_json_extract's slot (r7-green; same family argument;
-    # full sweep re-verifies fn_json_extract -> head of the round-13
-    # queue)
-    "layout_sql_dml_roundtrip",  # round-12 gate, never driver-checked:
-    # takes fn_string_suite's slot (r7-green; the scalar-function
-    # family keeps fn_array/date/json_suite prefixed and the
-    # end-of-round full sweep re-verifies fn_string_suite -> head of
-    # the round-13 queue)
-    "layout_dv_merge_upsert",  # round-12 gate, never driver-checked:
-    # takes fn_variant_json's slot (r7-green; the scalar-function
-    # family keeps fn_array/date/json/string_suite prefixed and the
-    # end-of-round full sweep re-verifies fn_variant_json -> head of
-    # the round-13 queue)
+    "layout_merge_full_clauses",  # round-13 gate, never driver-checked
+    "layout_retention_horizon",  # round-13 gate, never driver-checked
+    "layout_partition_style_pruning",  # round-13 gate, never driver-checked
+    "stream_table_change_feed",  # round-13 gate, never driver-checked
+    "dedup_semantic_clusters",
+    "dedup_simhash_pairs",
+    "fn_array_suite",
+    "fn_date_suite",
+    "fn_json_extract",
+    "fn_string_suite",
+    "fn_variant_json",
+    "mm_decode_dimensions",
+    "mm_probe_metadata",
+    "model_chain_segment_revenue",
+    "model_schema_tests",
+    "q21_bucketed_layout",
+    "q3_bucketed_layout",
+    "range_join_error_context",
+    "sample_hash_bernoulli",
+    "sample_stratified_quota",
+    "sample_temperature_mixture",
+    "setop_intersect_nations",
+    "setop_union_all_parties",
+    "sim_ann_topk_lsh",
+    "sim_bitext_margin_pairs",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sql_lateral_topn_per_nation",
+    "sql_recursive_month_spine",
+    "stream_dedup_counts",
+    "stream_quality_funnel",
+    "stream_session_windows",
+    "stream_stateful_levels",
+    "stream_stream_interval_join",
+    "text_decontaminate_flags",
+    "text_quality_classifier_scores",
+    "text_quality_scores",
+    "text_redact_pii",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "train_pack_concat_chunks",
+    "train_pack_next_fit",
+    "training_chunks_pipeline",
+    "udf_grouped_agg_median",
+    "udf_map_in_arrow_norms",
+    "udf_pandas_scalar_bytelen",
+    "udf_udtf_chunk_text",
+    "agg_countmin_sketch",  # r8 cohort head (audit order)
+    "agg_heavy_hitters_mg",  # r8 cohort head (audit order)
+    "dedup_entity_resolution",  # r8 cohort head (audit order)
 )
 
 
