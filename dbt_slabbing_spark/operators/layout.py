@@ -2058,6 +2058,45 @@ def table_snapshots(spark, path) -> DataFrame:
     )
 
 
+def table_detail(spark, path) -> DataFrame:
+    """Delta's ``DESCRIBE DETAIL``: ONE row of current-snapshot
+    metadata — location, version, commit time, live file count and
+    on-disk bytes, deletion-vector debt, clustering columns, and
+    governance surface counts (constraints, staged WAP batches,
+    column-mapping entries). Pure manifest read + file stats; no data
+    file is opened."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(path)
+    ensure_manifest(p)
+    doc = json.loads((p / _MANIFEST).read_text())
+    live = doc["files"]
+    dv_files = sorted({d for lst in doc.get("dv", {}).values() for d in lst})
+    size = sum((p / n).stat().st_size for n in live if (p / n).exists())
+    clu = doc.get("clustered")
+    return spark.createDataFrame(
+        [
+            (
+                str(p),
+                int(doc.get("version", 1)),
+                float(doc["ts"]) if doc.get("ts") is not None else None,
+                len(live),
+                int(size),
+                len(dv_files),
+                ",".join(clu["by"]) if clu else None,
+                len(doc.get("constraints", {})),
+                len(doc.get("staged", {})),
+                len(doc.get("column_map", {})),
+            )
+        ],
+        "location string, version bigint, ts double, n_files bigint, "
+        "size_bytes bigint, n_dv_files bigint, cluster_by string, "
+        "n_constraints bigint, n_staged_batches bigint, "
+        "n_renamed_columns bigint",
+    )
+
+
 def table_files(spark, path) -> DataFrame:
     """The current snapshot's file inventory as a queryable DataFrame
     (Iceberg's ``db.table.files``): name, on-disk bytes, whether the

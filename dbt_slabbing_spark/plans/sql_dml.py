@@ -77,6 +77,7 @@ from ..operators.layout import (
     register_table,
     rename_column,
     restore_table,
+    table_detail,
     table_snapshots,
     update_rows,
     vacuum_orphans,
@@ -148,6 +149,10 @@ _VACUUM_RE = re.compile(
 )
 _DESCRIBE_HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.I,
+)
+_DESCRIBE_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s*$",
     re.I,
 )
 _RESTORE_RE = re.compile(
@@ -360,6 +365,14 @@ class ManifestSession:
         m = _DESCRIBE_HISTORY_RE.match(stmt)
         if m:
             return table_snapshots(self.spark, self._path(m.group("table")))
+        m = _DESCRIBE_DETAIL_RE.match(stmt)
+        if m:
+            return table_detail(self.spark, self._path(m.group("table")))
+        if head == "DESCRIBE":
+            raise SqlDmlError(
+                f"unsupported DESCRIBE form (DESCRIBE HISTORY t | "
+                f"DESCRIBE DETAIL t): {stmt!r}"
+            )
         return self.spark.sql(self._rewrite_time_travel(stmt))
 
     def _optimize(self, stmt: str) -> dict:

@@ -302,3 +302,17 @@ def test_run_models_manifest_materialization(spark, tmp_path):
         .groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_describe_detail(spark, session):
+    ses, target, ev = session
+    row = ses.sql("DESCRIBE DETAIL tab").collect()[0]
+    assert row["location"] == target
+    assert row["n_files"] >= 1 and row["size_bytes"] > 0
+    assert row["n_dv_files"] == 0 and row["cluster_by"] is None
+    assert row["ts"] is not None
+    ses.sql("DELETE FROM tab WHERE event_id % 5 = 0")  # dv-mode session
+    row = ses.sql("DESCRIBE DETAIL tab").collect()[0]
+    assert row["n_dv_files"] == 1
+    with pytest.raises(SqlDmlError, match="unsupported DESCRIBE form"):
+        ses.sql("DESCRIBE EXTENDED tab")
