@@ -2976,6 +2976,7 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
 def _merge_rows_clauses(
     spark, p, source, keys, vers, live, dv_prev, mode, retain,
     upd, upd_cond, del_cond, ins, nmbs_del,
+    nmbs_upd=None, nmbs_upd_cond=None,
 ) -> dict:
     """Generic MERGE clause engine (see :func:`merge_rows` for the
     clause semantics and cost model). One declarative plan classifies
@@ -3010,12 +3011,13 @@ def _merge_rows_clauses(
         keep_file_col=(mode == "cow"), keep_pos_col=(mode == "dv"),
     )
     data_cols = [c for c in tgt.columns if c not in _META_COLS]
-    if isinstance(upd, dict):
-        unknown = [c for c in upd if c not in data_cols]
-        if unknown:
-            raise ValueError(
-                f"MERGE UPDATE SET references unknown columns {unknown}"
-            )
+    for assigns in (upd, nmbs_upd):
+        if isinstance(assigns, dict):
+            unknown = [c for c in assigns if c not in data_cols]
+            if unknown:
+                raise ValueError(
+                    f"MERGE UPDATE SET references unknown columns {unknown}"
+                )
     src = source.cache()
     t = tgt.alias("t")
     s = src.withColumn("__s_hit", F.lit(1)).alias("s")
@@ -3027,19 +3029,23 @@ def _merge_rows_clauses(
     c_del = _cond(del_cond, False)
     c_upd = _cond(upd_cond, True) if upd is not None else F.lit(False)
     c_nmbs = _cond(nmbs_del, False)
+    c_nmbs_upd = (
+        _cond(nmbs_upd_cond, True) if nmbs_upd is not None else F.lit(False)
+    )
     cls = t.join(F.broadcast(s), on=jcond, how="left").withColumn(
         "__action",
         F.when(matched & c_del, F.lit("D"))
         .when(matched & c_upd, F.lit("U"))
         .when(~matched & c_nmbs, F.lit("X"))
+        .when(~matched & c_nmbs_upd, F.lit("S"))
         .otherwise(F.lit("K")),
     ).cache()
 
     counts = {
         r["__action"]: int(r["count"])
-        for r in cls.groupBy("__action").count().collect()  # bounded: ≤4 rows
+        for r in cls.groupBy("__action").count().collect()  # bounded: ≤5 rows
     }
-    rows_updated = counts.get("U", 0)
+    rows_updated = counts.get("U", 0) + counts.get("S", 0)
     rows_deleted = counts.get("D", 0) + counts.get("X", 0)
     rows_before = sum(counts.values())
 
@@ -3062,6 +3068,18 @@ def _merge_rows_clauses(
         )
     else:
         images = None
+    # NOT MATCHED BY SOURCE UPDATE images: target columns only (there
+    # is no source row on this side of the join)
+    images_su = None
+    if nmbs_upd is not None:
+        images_su = cls.filter(F.col("__action") == "S").select(
+            *[
+                F.expr(nmbs_upd[c]).cast(tgt.schema[c].dataType).alias(c)
+                if c in nmbs_upd
+                else F.col(f"t.{c}").alias(c)
+                for c in data_cols
+            ]
+        )
     inserts = None
     if ins is not False:
         # no broadcast hint: the PROBE side (src) is the small one —
@@ -3071,7 +3089,7 @@ def _merge_rows_clauses(
         )
         if isinstance(ins, str):
             inserts = inserts.filter(F.coalesce(F.expr(ins), F.lit(False)))
-    for batch in (images, inserts):
+    for batch in (images, images_su, inserts):
         if batch is not None:
             _enforce_constraints(p, batch)
             _reject_dropped_collisions(p, _to_physical(p, batch))
@@ -3108,6 +3126,7 @@ def _merge_rows_clauses(
             .select("file").distinct().collect()  # bounded: affected files
         )
         _stage(images, "u")
+        _stage(images_su, "x")
         _stage(inserts, "i")
         shutil.rmtree(str(staging), ignore_errors=True)
         rows_inserted = (
@@ -3164,6 +3183,7 @@ def _merge_rows_clauses(
         )
         _stage(survivors, "r")
     _stage(images, "u")
+    _stage(images_su, "x")
     _stage(inserts, "i")
     shutil.rmtree(str(staging), ignore_errors=True)
     rows_inserted = (
@@ -3209,6 +3229,8 @@ def merge_rows(
     when_matched_delete: str | bool | None = None,
     when_not_matched_insert: str | bool = True,
     when_not_matched_by_source_delete: str | bool | None = None,
+    when_not_matched_by_source_update: dict | None = None,
+    when_not_matched_by_source_update_condition: str | None = None,
 ) -> dict:
     """MERGE INTO / upsert as a copy-on-write manifest commit:
     ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *``
@@ -3265,6 +3287,12 @@ def merge_rows(
       string over ``t.`` columns: target rows with NO source match
       satisfying it are DELETED (Delta's ``WHEN NOT MATCHED BY SOURCE
       THEN DELETE``).
+    - ``when_not_matched_by_source_update`` — ``{col: expr}`` over
+      ``t.`` columns only (there is no source row): target rows with
+      no source match get the assignments (Delta's ``WHEN NOT MATCHED
+      BY SOURCE THEN UPDATE`` — the mark-stale pattern), gated by
+      ``when_not_matched_by_source_update_condition``. The delete
+      clause is evaluated first when both are given.
 
     A matched row no clause claims survives unchanged — with clauses,
     files holding ONLY such rows are neither rewritten (cow) nor
@@ -3315,6 +3343,7 @@ def merge_rows(
         and when_matched_delete is None
         and when_not_matched_insert is True
         and when_not_matched_by_source_delete is None
+        and when_not_matched_by_source_update is None
     )
     if rich:
         return _merge_rows_clauses(
@@ -3322,6 +3351,8 @@ def merge_rows(
             when_matched_update, when_matched_update_condition,
             when_matched_delete, when_not_matched_insert,
             when_not_matched_by_source_delete,
+            when_not_matched_by_source_update,
+            when_not_matched_by_source_update_condition,
         )
     _enforce_constraints(p, source)  # CHECK constraints gate the source
     _reject_dropped_collisions(p, _to_physical(p, source))

@@ -709,8 +709,11 @@ class ManifestSession:
 
         upd: str | dict | None = None
         upd_cond = del_cond = nmbs_del = None
+        nmbs_upd: dict | None = None
+        nmbs_upd_cond = None
         ins: str | bool = False
         matched_seen: list[str] = []  # "update"/"delete" in statement order
+        nmbs_seen: list[str] = []
         for kind, cond, action in clauses:
             au = action.upper()
             if kind == "matched":
@@ -760,16 +763,44 @@ class ManifestSession:
                     )
                 ins = cond or True
             else:  # nmbs
-                if nmbs_del is not None:
-                    raise SqlDmlError(
-                        "duplicate WHEN NOT MATCHED BY SOURCE clause"
-                    )
-                if au != "DELETE":
+                if au == "DELETE":
+                    if "delete" in nmbs_seen:
+                        raise SqlDmlError(
+                            "duplicate WHEN NOT MATCHED BY SOURCE DELETE"
+                        )
+                    nmbs_del = cond or "true"
+                    nmbs_seen.append("delete")
+                elif au.startswith("UPDATE"):
+                    if "update" in nmbs_seen:
+                        raise SqlDmlError(
+                            "duplicate WHEN NOT MATCHED BY SOURCE UPDATE"
+                        )
+                    sm = re.match(r"^UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+                    if not sm or sm.group(1).strip() == "*":
+                        raise SqlDmlError(
+                            f"bad NOT MATCHED BY SOURCE action {action!r} "
+                            "(UPDATE SET col = expr — no source row, so no *)"
+                        )
+                    nmbs_upd = {}
+                    for assign in _split_top_level(sm.group(1).strip()):
+                        am = re.match(
+                            r"^(?:[A-Za-z_][A-Za-z0-9_]*\.)?"
+                            r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$",
+                            assign,
+                            re.S,
+                        )
+                        if not am:
+                            raise SqlDmlError(
+                                f"bad MERGE SET assignment: {assign!r}"
+                            )
+                        nmbs_upd[am.group(1)] = _requalify(am.group(2).strip())
+                    nmbs_upd_cond = cond
+                    nmbs_seen.append("update")
+                else:
                     raise SqlDmlError(
                         f"unsupported WHEN NOT MATCHED BY SOURCE action "
-                        f"{action!r} (only DELETE)"
+                        f"{action!r} (DELETE or UPDATE SET)"
                     )
-                nmbs_del = cond or "true"
         if matched_seen == ["update", "delete"]:
             # engine evaluates delete first; reproduce statement order
             if upd_cond is None:
@@ -777,6 +808,13 @@ class ManifestSession:
                     "a non-final WHEN MATCHED clause needs an AND condition"
                 )
             del_cond = f"({del_cond}) AND NOT ({upd_cond})"
+        if nmbs_seen == ["update", "delete"]:
+            if nmbs_upd_cond is None:
+                raise SqlDmlError(
+                    "a non-final WHEN NOT MATCHED BY SOURCE clause needs "
+                    "an AND condition"
+                )
+            nmbs_del = f"({nmbs_del}) AND NOT ({nmbs_upd_cond})"
 
         src: DataFrame = self.spark.sql(
             f"SELECT * FROM {src_sql} AS _merge_src"
@@ -794,6 +832,8 @@ class ManifestSession:
             when_matched_delete=del_cond,
             when_not_matched_insert=ins,
             when_not_matched_by_source_delete=nmbs_del,
+            when_not_matched_by_source_update=nmbs_upd,
+            when_not_matched_by_source_update_condition=nmbs_upd_cond,
         )
         self._refresh()
         return st

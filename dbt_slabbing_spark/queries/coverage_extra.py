@@ -2679,6 +2679,7 @@ def layout_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT t.event_id, t.user_id,
                CASE WHEN s.event_id IS NOT NULL THEN 'merged'
+                    WHEN t.event_id % 89 = 0 THEN 'stale'
                     ELSE t.event_type END AS event_type,
                CASE WHEN s.event_id IS NOT NULL THEN t.value + s.value
                     ELSE t.value END AS value
@@ -2696,6 +2697,8 @@ def layout_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(count(CASE WHEN event_type = 'merged' THEN 1 END)
                 AS BIGINT) AS n_merged,
+           CAST(count(CASE WHEN event_type = 'stale' THEN 1 END)
+                AS BIGINT) AS n_stale,
            round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
            CAST(0 AS BIGINT) AS n_files_rewritten_dv,
            TRUE AS cow_match,
@@ -2754,6 +2757,8 @@ def layout_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         when_not_matched_insert="s.value > 0",
         when_not_matched_by_source_delete="t.event_id % 97 = 0",
+        when_not_matched_by_source_update={"event_type": "'stale'"},
+        when_not_matched_by_source_update_condition="t.event_id % 89 = 0",
     )
 
     def _build(work):
@@ -2784,7 +2789,9 @@ def layout_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value = mrg_tab.value + mrg_chg.value, event_type = 'merged' "
             "WHEN NOT MATCHED AND mrg_chg.value > 0 THEN INSERT * "
             "WHEN NOT MATCHED BY SOURCE AND mrg_tab.event_id % 97 = 0 "
-            "THEN DELETE"
+            "THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND mrg_tab.event_id % 89 = 0 "
+            "THEN UPDATE SET event_type = 'stale'"
         )
         got = read_table(spark, works["dv"])
         twin = read_table(spark, works["cow"])
@@ -2806,9 +2813,12 @@ def layout_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(
                     F.when(F.col("event_type") == "merged", 1)
                 ).cast("bigint").alias("m"),
+                F.count(
+                    F.when(F.col("event_type") == "stale", 1)
+                ).cast("bigint").alias("st"),
                 dround(F.sum("value"), 2).alias("s"),
             ).collect()[0]
-            return (r["n"], r["u"], r["m"], float(r["s"]))
+            return (r["n"], r["u"], r["m"], r["st"], float(r["s"]))
 
         before = _agg(got)
         compact_table(spark, works["dv"], target_file_bytes=1 << 30)
@@ -2823,13 +2833,14 @@ def layout_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
                 after[1],
                 after[2],
                 after[3],
+                after[4],
                 int(st_dv["n_files_rewritten"]),
                 cow_match,
                 sql_match,
                 before == after,
             )
         ],
-        "n_rows bigint, n_users bigint, n_merged bigint, "
+        "n_rows bigint, n_users bigint, n_merged bigint, n_stale bigint, "
         "sum_value double, n_files_rewritten_dv bigint, "
         "cow_match boolean, sql_match boolean, post_optimize_match boolean",
     )

@@ -170,7 +170,7 @@ def test_sql_merge_rejections_name_the_clause(spark, base):
     cases = {
         "WHEN MATCHED THEN INSERT *": "unsupported WHEN MATCHED action",
         "WHEN NOT MATCHED THEN INSERT (k) VALUES (1)": "only INSERT \\*",
-        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 1": "only DELETE",
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *": "no source row",
         "WHEN MATCHED THEN UPDATE SET v = 1 WHEN MATCHED THEN DELETE": (
             "needs an AND condition"
         ),
@@ -180,3 +180,35 @@ def test_sql_merge_rejections_name_the_clause(spark, base):
             ses.sql(f"MERGE INTO mtab USING mchg ON mtab.k = mchg.k {clause}")
     # table untouched by all rejections
     assert read_table(spark, target).count() == 20
+
+
+@pytest.mark.parametrize("mode", ["cow", "dv"])
+def test_not_matched_by_source_update(spark, base, mode):
+    """Delta's WHEN NOT MATCHED BY SOURCE THEN UPDATE (mark-stale):
+    assignments see target columns only; delete clause wins first;
+    CDF pairs the stale rows as updates."""
+    target, src = base
+    v0 = manifest_versions(target)[-1]
+    st = merge_rows(
+        spark, target, src, on="k", mode=mode,
+        when_matched_update=None,
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="t.k < 2",
+        when_not_matched_by_source_update={"tag": "'stale'", "v": "t.v + 0.5"},
+        when_not_matched_by_source_update_condition="t.k >= 18",
+    )
+    assert st["rows_deleted"] == 2  # k=0,1
+    assert st["rows_updated"] == 2  # k=18,19
+    rows = {r["k"]: r for r in read_table(spark, target).collect()}
+    assert 0 not in rows and 1 not in rows
+    assert rows[18]["tag"] == "stale" and rows[18]["v"] == 18.5
+    assert rows[3]["tag"] == "old"  # matched but no matched clause
+    ch = read_changes(
+        spark, target, v0, manifest_versions(target)[-1], keys=["k"]
+    )
+    by = {}
+    for r in ch.collect():
+        by.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by["delete"] == {0, 1}
+    assert by["update_preimage"] == {18, 19}
+    assert by["update_postimage"] == {18, 19}

@@ -74,8 +74,13 @@ ADVERSARIAL = [
     ),
     (
         "MERGE INTO tab USING fuzz_src ON tab.event_id = fuzz_src.event_id "
-        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = 0",
-        "only DELETE",
+        "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
+        "unsupported WHEN NOT MATCHED BY SOURCE action",
+    ),
+    (
+        "MERGE INTO tab USING fuzz_src ON tab.event_id = fuzz_src.event_id "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+        "no source row",
     ),
     (
         "MERGE INTO tab USING fuzz_src ON tab.event_id = fuzz_src.event_id "
