@@ -337,6 +337,7 @@ def _commit_manifest(
     clustered: dict | None = None,
     column_map: dict | None = None,
     dropped_columns: list | None = None,
+    added_columns: dict | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -425,6 +426,7 @@ def _commit_manifest(
         prev_bloom_cfg, prev_staged = {}, {}
         prev_constraints, prev_clustered, prev_column_map = {}, {}, {}
         prev_dropped = []
+        prev_added = {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
@@ -438,6 +440,7 @@ def _commit_manifest(
             prev_clustered = prev.get("clustered", {})
             prev_column_map = prev.get("column_map", {})
             prev_dropped = prev.get("dropped_columns", [])
+            prev_added = prev.get("added_columns", {})
             # DELTA-encoded history entry (r9): store what the NEW
             # commit adds/removes relative to the displaced snapshot,
             # not the displaced snapshot's full file list. Full-list
@@ -510,6 +513,9 @@ def _commit_manifest(
         dc = dropped_columns if dropped_columns is not None else prev_dropped
         if dc:
             doc["dropped_columns"] = dc
+        ac = added_columns if added_columns is not None else prev_added
+        if ac:
+            doc["added_columns"] = ac
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
@@ -629,11 +635,12 @@ def _scan_with_dv(
     )
     cmap = _column_map(p)
     dropped = _dropped_cols(p)
+    added = _added_cols(p)
     if not dv_files and not keep_pos_col:
         df = reader.parquet(*paths)
         if keep_file_col:
             df = df.withColumn("_file", F.input_file_name())
-        return _to_logical(df, cmap, dropped)
+        return _to_logical(df, cmap, dropped, added)
     data_schema = reader.parquet(*paths).schema
     data_cols = data_schema.names
 
@@ -666,7 +673,7 @@ def _scan_with_dv(
         return df.select(*keep)
 
     if not dv_files:
-        return _to_logical(_conform(_with_meta(live)), cmap, dropped)
+        return _to_logical(_conform(_with_meta(live)), cmap, dropped, added)
     # the anti-join is paid ONLY by files that actually carry a DV —
     # clean files scan plain, exactly Delta's per-file DV application;
     # for a table where one file of hundreds holds deletes, the read
@@ -737,7 +744,7 @@ def _scan_with_dv(
     out = parts[0]
     for frame in parts[1:]:
         out = out.unionByName(frame)
-    return _to_logical(out, cmap, dropped)
+    return _to_logical(out, cmap, dropped, added)
 
 
 def ensure_manifest(path) -> list[str]:
@@ -1348,6 +1355,7 @@ def read_table(
                 reader.parquet(*[str(p / n) for n in full]).limit(0),
                 _column_map(p),
                 _dropped_cols(p),
+                _added_cols(p),
             )
         # deletion vectors of THIS snapshot (if any) drop their dead
         # positions inside the scan — prune-kept files with DVs still
@@ -1432,13 +1440,16 @@ def read_changes(
             )
         if not added:  # no-op range: empty frame, table schema
             base = reader.parquet(*[str(p / n) for n in sorted(f_to)]).limit(0)
-            return _to_logical(base, _column_map(p), _dropped_cols(p)).withColumn(
+            return _to_logical(
+                base, _column_map(p), _dropped_cols(p), _added_cols(p)
+            ).withColumn(
                 "_change_type", F.lit("insert")
             )
         return _to_logical(
             reader.parquet(*[str(p / n) for n in added]),
             _column_map(p),
             _dropped_cols(p),
+            _added_cols(p),
         ).withColumn("_change_type", F.lit("insert"))
     df_from = read_table(spark, path, merge_schema=True, version=v_from)
     df_to = read_table(spark, path, merge_schema=True, version=v_to)
@@ -1662,6 +1673,17 @@ def _dropped_cols(p) -> list[str]:
     return json.loads(mf.read_text()).get("dropped_columns", [])
 
 
+def _added_cols(p) -> dict:
+    """Columns added metadata-only (``{name: sql_type}`` — see
+    :func:`add_column`): typed NULL until a write materializes them."""
+    import json
+
+    mf = p / _MANIFEST
+    if not mf.exists():
+        return {}
+    return json.loads(mf.read_text()).get("added_columns", {})
+
+
 def _live_physical_columns(p, live: list[str]) -> set:
     """Union of PHYSICAL column names across the live files — from the
     manifest's write-time stats when available (the same metadata round
@@ -1718,15 +1740,22 @@ def _reject_dropped_collisions(p, physical_df: DataFrame) -> None:
         )
 
 
-def _to_logical(df: DataFrame, cmap: dict, dropped: list[str] = ()) -> DataFrame:
+def _to_logical(
+    df: DataFrame, cmap: dict, dropped: list[str] = (), added: dict | None = None
+) -> DataFrame:
     """Physical frame → logical schema (read boundary): renamed
-    columns take their logical names, dropped columns vanish."""
+    columns take their logical names, dropped columns vanish, and
+    metadata-only ADDED columns materialize as typed NULL when no
+    scanned file carries them yet (see :func:`add_column`)."""
     drop = [c for c in dropped if c in df.columns]
     if drop:
         df = df.drop(*drop)
     for logical, physical in cmap.items():
         if physical in df.columns:
             df = df.withColumnRenamed(physical, logical)
+    for name, dtype in (added or {}).items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(dtype))
     return df
 
 
@@ -1878,14 +1907,66 @@ def drop_column(path, col: str) -> dict:
     if physical in dropped:
         raise ValueError(f"column {col!r} already dropped")
     dropped.append(physical)
+    added = dict(doc.get("added_columns", {}))
+    added.pop(col, None)  # a dropped metadata-added column stays dropped
     version = _commit_manifest(
         p,
         live,
         expected_version=vers,
         column_map=cmap,
         dropped_columns=dropped,
+        added_columns=added,
     )
     return {"col": col, "physical": physical, "version": version}
+
+
+def add_column(path, col: str, dtype: str) -> dict:
+    """METADATA-ONLY column add (Delta/Iceberg ``ALTER TABLE ... ADD
+    COLUMN``, the third schema-evolution DDL next to
+    :func:`rename_column` and :func:`drop_column`): one manifest
+    commit registers ``{col: sql_type}``; every read materializes the
+    column as typed NULL until a write actually carries it (then the
+    scan's own values win — the metadata entry is a default, not an
+    override). No data file is touched; adding a column to a 100 TB
+    table is one metadata commit, exactly the Delta semantics.
+    Subsequent appends may include or omit the column (mergeSchema
+    reconciles), UPDATE/MERGE can SET it, and CHECK constraints may
+    reference it (NULL passes until written). Time travel applies the
+    CURRENT schema metadata to historical snapshots (the same
+    convention rename/drop follow), so pre-add versions read with the
+    column all-NULL. Rejects a name that is
+    already a live/renamed/added column or a retired dropped name
+    (reuse would resurrect old bytes — same rule as
+    :func:`rename_column`). Returns ``{"col", "dtype", "version"}``."""
+    import json
+    import pathlib
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    p = pathlib.Path(path)
+    _parse_datatype_string(dtype)  # validate the type string early
+    vers, live = _read_snapshot(p)
+    doc = json.loads((p / _MANIFEST).read_text()) if (p / _MANIFEST).exists() else {}
+    cmap = doc.get("column_map", {})
+    added = dict(doc.get("added_columns", {}))
+    if col in added or col in cmap:
+        raise ValueError(f"column {col!r} already exists")
+    if col in doc.get("dropped_columns", []):
+        raise ValueError(
+            f"{col!r} is a dropped physical name; reusing it would "
+            "resurrect old bytes — pick another name"
+        )
+    live_phys = _live_physical_columns(p, live) if live else set()
+    logical_live = {
+        next((lg for lg, ph in cmap.items() if ph == c), c) for c in live_phys
+    }
+    if col in logical_live:
+        raise ValueError(f"column {col!r} already exists")
+    added[col] = dtype
+    version = _commit_manifest(
+        p, live, expected_version=vers, added_columns=added
+    )
+    return {"col": col, "dtype": dtype, "version": version}
 
 
 class ConstraintViolationError(ValueError):
@@ -2217,6 +2298,7 @@ def read_staged(spark, path, audit_id: str) -> DataFrame:
         ),
         _column_map(p),
         _dropped_cols(p),
+        _added_cols(p),
     )
 
 
@@ -3613,6 +3695,7 @@ def clone_table(path, target) -> dict:
         clustered=doc.get("clustered"),
         column_map=doc.get("column_map", {}),
         dropped_columns=doc.get("dropped_columns", []),
+        added_columns=doc.get("added_columns", {}),
     )
     # bloom bitset sidecar rides along (metadata, not data)
     if (src / _BLOOM).exists():

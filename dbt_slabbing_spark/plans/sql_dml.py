@@ -18,16 +18,26 @@ and routes:
   refresh — dbt's ``table`` materialization; the pre-overwrite
   snapshot stays time-travelable/restorable),
 - ``DELETE FROM t [WHERE pred]``                    → ``delete_rows``,
-- ``UPDATE t SET c = expr, ... [WHERE pred]``       → ``update_rows``,
-- ``MERGE INTO t USING src ON k [AND k2 ...]
-  WHEN MATCHED THEN UPDATE SET *
-  WHEN NOT MATCHED THEN INSERT *``                  → ``merge_rows``
-  (the record-key upsert form — Delta's most common MERGE; richer
-  WHEN clauses take the DataFrame API),
-- DDL: ``CREATE TABLE t AS SELECT ...``             → a new manifest
-  table under the session's ``base_dir`` (one atomic first commit),
+- ``UPDATE t SET c = expr, ... [WHERE pred]``       → ``update_rows``
+  (WHERE boundary found with a paren/quote-aware scan, so scalar
+  subqueries and literals containing WHERE parse),
+- ``MERGE INTO t [AS a] USING src [AS b] ON k [AND k2 ...]`` with
+  Delta's FULL clause grammar                       → ``merge_rows``:
+  ``WHEN MATCHED [AND c] THEN DELETE | UPDATE SET * | UPDATE SET col
+  = expr, ...``, ``WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT
+  *``, ``WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET
+  col = expr`` — statement order of same-side clauses reproduced by
+  condition composition; aliases rewritten to the engine's t/s,
+- DDL: ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [PARTITIONED
+  BY (cols)] AS SELECT ...``                        → a new manifest
+  table under the session's ``base_dir`` (one atomic first commit;
+  OR REPLACE on an existing table is a one-commit full refresh with
+  history preserved; PARTITIONED BY maps to liquid clustering —
+  ``append_files(cluster_by=)``, see SCALE.md §Layout),
   ``ALTER TABLE t RENAME COLUMN a TO b``            → ``rename_column``
   (metadata-only),
+  ``ALTER TABLE t ADD COLUMN c TYPE``               → ``add_column``
+  (metadata-only typed-NULL column),
   ``ALTER TABLE t DROP COLUMN a``                   → ``drop_column``,
   ``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)``   → ``add_constraint``,
   ``ALTER TABLE t DROP CONSTRAINT n``               → ``drop_constraint``,
@@ -36,11 +46,16 @@ and routes:
 - maintenance (Delta's SQL verbs):
   ``OPTIMIZE t [ZORDER BY (a, b)]``                 → ``compact_table``
   (clustered when ZORDER BY is given),
-  ``VACUUM t [RETAIN n VERSIONS]``                  → ``vacuum_orphans``,
+  ``VACUUM t [RETAIN n VERSIONS | RETAIN h HOURS]`` → ``vacuum_orphans``
+  (version- or commit-timestamp-based retention),
   ``DESCRIBE HISTORY t``                            → ``table_snapshots``
-  (the version log as a DataFrame),
+  (the version log as a DataFrame, with commit ts + restorable),
+  ``DESCRIBE DETAIL t``                             → ``table_detail``,
+  ``SHOW TABLES``                                   → the session's
+  registered tables,
   ``RESTORE TABLE t TO VERSION AS OF n``            → ``restore_table``
-  (snapshot n becomes current via one new metadata commit),
+  (snapshot n becomes current via one new metadata commit; re-validated
+  against CURRENT CHECK constraints),
   ``CREATE TABLE x SHALLOW CLONE t``                → ``clone_table``
   (zero-copy fork under the session base_dir),
 - anything else (``SELECT``/``WITH``/``VALUES``)    → ``spark.sql``
@@ -54,6 +69,13 @@ mapping, CHECK constraints, CDF and time travel for free. The
 session's ``mode`` picks copy-on-write or merge-on-read (deletion
 vectors) for DELETE/UPDATE/MERGE — the same knob a Delta table's
 ``delta.enableDeletionVectors`` sets table-wide.
+
+Hardening (r13): the dispatcher REJECTS what it can't parse rather
+than mis-dispatch — one statement per call (top-level ';' rejected),
+unsupported verbs (TRUNCATE/COPY/...) and unknown clause actions fail
+with a named SqlDmlError pointing at the supported form, never a
+silent wrong dispatch (tests/test_sql_fuzz.py drives ~29 adversarial
+near-misses).
 """
 
 from __future__ import annotations
@@ -64,6 +86,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.layout import (
+    add_column,
     add_constraint,
     append_files,
     clone_table,
@@ -104,7 +127,9 @@ _UPDATE_HEAD_RE = re.compile(
     re.I | re.S,
 )
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"^\s*CREATE\s+(?:(?P<replace>OR\s+REPLACE\s+)?)TABLE"
+    r"(?:\s+(?P<ifnot>IF\s+NOT\s+EXISTS))?"
+    r"\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+(?:PARTITIONED|CLUSTER)\s+BY\s*\((?P<pcols>[^)]*)\))?"
     r"\s+AS\s+(?P<select>(?:SELECT|WITH|VALUES)\b.*)$",
     re.I | re.S,
@@ -113,6 +138,12 @@ _ALTER_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+"
     r"RENAME\s+COLUMN\s+(?P<old>[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+"
     r"(?P<new>[A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.I,
+)
+_ALTER_ADDCOL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"ADD\s+COLUMN\s+(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"(?P<dtype>[A-Za-z_][A-Za-z0-9_() ,<>]*?)\s*$",
     re.I,
 )
 _ALTER_DROPCOL_RE = re.compile(
@@ -362,6 +393,13 @@ class ManifestSession:
             )
             self._refresh()
             return st
+        if head == "SHOW":
+            if re.match(r"^\s*SHOW\s+TABLES\s*$", stmt, re.I):
+                return self.spark.createDataFrame(
+                    sorted(self.tables.items()) or [(None, None)],
+                    "name string, location string",
+                ).filter(F.col("name").isNotNull())
+            raise SqlDmlError(f"unsupported SHOW form (SHOW TABLES): {stmt!r}")
         m = _DESCRIBE_HISTORY_RE.match(stmt)
         if m:
             return table_snapshots(self.spark, self._path(m.group("table")))
@@ -456,7 +494,24 @@ class ManifestSession:
                 f"...): {stmt!r}"
             )
         name = m.group("table")
+        replace, ifnot = bool(m.group("replace")), bool(m.group("ifnot"))
+        if replace and ifnot:
+            raise SqlDmlError("OR REPLACE and IF NOT EXISTS are exclusive")
         if name in self.tables:
+            if ifnot:  # no-op, like SQL
+                return {"table": name, "created": False}
+            if replace:
+                # dbt's full refresh: the new content replaces the
+                # whole live list as ONE commit — history and
+                # time travel to the pre-replace table survive
+                # (unlike DROP + CREATE)
+                st = overwrite_table(
+                    self.spark,
+                    self._path(name),
+                    self.spark.sql(m.group("select")),
+                )
+                self._refresh()
+                return st
             raise SqlDmlError(f"table {name!r} already exists")
         if not self.base_dir:
             raise SqlDmlError(
@@ -491,6 +546,13 @@ class ManifestSession:
         if m:
             st = rename_column(
                 self._path(m.group("table")), m.group("old"), m.group("new")
+            )
+            self._refresh()
+            return st
+        m = _ALTER_ADDCOL_RE.match(stmt)
+        if m:
+            st = add_column(
+                self._path(m.group("table")), m.group("col"), m.group("dtype")
             )
             self._refresh()
             return st

@@ -109,6 +109,9 @@ _PRIORITY = (
     "layout_retention_horizon",  # round-13 gate, never driver-checked
     "layout_partition_style_pruning",  # round-13 gate, never driver-checked
     "stream_table_change_feed",  # round-13 gate, never driver-checked
+    "layout_add_column_evolution",  # round-13 gate, never driver-checked:
+    # takes dedup_entity_resolution's slot (r8-green; displaced to the
+    # round-14 queue head; the end-of-round full sweep re-verifies it)
     "dedup_semantic_clusters",
     "dedup_simhash_pairs",
     "fn_array_suite",
@@ -154,7 +157,6 @@ _PRIORITY = (
     "udf_udtf_chunk_text",
     "agg_countmin_sketch",  # r8 cohort head (audit order)
     "agg_heavy_hitters_mg",  # r8 cohort head (audit order)
-    "dedup_entity_resolution",  # r8 cohort head (audit order)
 )
 
 

@@ -3216,3 +3216,112 @@ def stream_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reconstructed_every_pull boolean, no_dead_rows boolean, "
         "idle_pull_empty boolean",
     )
+
+
+@register(
+    "layout_add_column_evolution",
+    # ALTER TABLE ADD COLUMN as one metadata commit (Delta/Iceberg
+    # semantics -- the third schema-evolution DDL next to RENAME and
+    # DROP): the new column reads as typed NULL everywhere until a
+    # write carries it, real values win once written, UPDATE can SET
+    # it on existing rows (pre-image semantics, dv mode: zero files
+    # rewritten), and CHECK constraints over it enforce on every
+    # subsequent write (NULL passes, per SQL CHECK). metadata_only is
+    # TRUE because the ADD commit itself rewrites/adds zero data
+    # files; constraint_enforced is TRUE because an INSERT violating
+    # the post-add constraint rejects atomically. The oracle restates
+    # the final content closed-form: score = value/10 for error rows
+    # (the UPDATE), 7.5 for the new inserted row, NULL elsewhere.
+    """
+    WITH final AS (
+        SELECT event_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN value / 8.0
+                    END AS score
+        FROM events
+        UNION ALL
+        SELECT 3000000001 AS event_id, 'manual' AS event_type,
+               42.0 AS value, 7.5 AS score
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(score) AS BIGINT) AS n_scored,
+           round(sum(score) * 100.0) / 100.0 + 0.0 AS sum_score,
+           TRUE AS metadata_only,
+           TRUE AS null_before_write,
+           TRUE AS constraint_enforced
+    FROM final
+    """,
+    "ALTER TABLE ADD COLUMN: metadata-only typed-NULL column, "
+    "UPDATE SET over it (dv, zero rewrites), inserts carrying it, "
+    "CHECK constraint over the added column enforced on later writes",
+    tags=("layout", "schema-evolution", "sql"),
+)
+def layout_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::add_column through the SQL
+    front-end: ADD COLUMN -> all-NULL read -> UPDATE SET (merge-on-
+    read) -> INSERT with the column -> ADD CONSTRAINT over it ->
+    violating INSERT rejected."""
+    import json
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..operators.layout import ConstraintViolationError, append_files
+    from ..plans.sql_dml import ManifestSession
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="addcol_gate_")
+    shutil.rmtree(work)
+    try:
+        append_files(spark, work, ev.coalesce(4))
+        p = pathlib.Path(work)
+        files_before = set(
+            json.loads((p / "_manifest.json").read_text())["files"]
+        )
+        ses = ManifestSession(spark, mode="dv").register("ac_tab", work)
+        ses.sql("ALTER TABLE ac_tab ADD COLUMN score DOUBLE")
+        files_after = set(
+            json.loads((p / "_manifest.json").read_text())["files"]
+        )
+        metadata_only = files_before == files_after
+        null_before = (
+            ses.sql("SELECT count(score) AS n FROM ac_tab").first()["n"] == 0
+        )
+        ses.sql(
+            "UPDATE ac_tab SET score = value / 8.0 "
+            "WHERE event_type = 'error'"
+        )
+        ses.sql(
+            "INSERT INTO ac_tab (event_id, event_type, value, score) "
+            "VALUES (3000000001, 'manual', 42.0, 7.5)"
+        )
+        ses.sql("ALTER TABLE ac_tab ADD CONSTRAINT score_pos CHECK (score >= 0)")
+        enforced = False
+        try:
+            ses.sql(
+                "INSERT INTO ac_tab (event_id, event_type, value, score) "
+                "VALUES (3000000002, 'manual', 1.0, -1.0)"
+            )
+        except ConstraintViolationError:
+            enforced = True
+        r = ses.sql("SELECT * FROM ac_tab").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("score").cast("bigint").alias("ns"),
+            dround(F.sum("score"), 2).alias("s"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["n"],
+                r["ns"],
+                float(r["s"]),
+                metadata_only,
+                null_before,
+                enforced,
+            )
+        ],
+        "n_rows bigint, n_scored bigint, sum_score double, "
+        "metadata_only boolean, null_before_write boolean, "
+        "constraint_enforced boolean",
+    )

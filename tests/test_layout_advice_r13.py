@@ -143,3 +143,64 @@ def test_update_where_inside_scalar_subquery_and_literal(spark, session):
     # and a statement with NO top-level WHERE updates everything
     ses.sql("UPDATE tab SET user_id = user_id")
     assert ses.sql("SELECT count(*) AS n FROM tab").first()["n"] == ev.count()
+
+
+def test_add_column_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: typed NULL everywhere until written,
+    real values win once written, survives mutations, time travel to
+    pre-add versions lacks it, dropped added names stay dropped."""
+    from dbt_slabbing_spark.operators.layout import (
+        add_column,
+        append_files,
+        delete_rows,
+        drop_column,
+        manifest_versions,
+        merge_rows,
+        read_table,
+    )
+
+    t = str(tmp_path / "t")
+    append_files(
+        spark, t, spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    )
+    v_pre = manifest_versions(t)[-1]
+    add_column(t, "score", "double")
+    out = read_table(spark, t)
+    assert out.schema["score"].dataType.typeName() == "double"
+    assert out.filter(F.col("score").isNotNull()).count() == 0
+    # time travel applies CURRENT schema metadata (same convention as
+    # rename/drop): the pre-add snapshot shows the column as all-NULL
+    tt = read_table(spark, t, version=v_pre)
+    assert "score" in tt.columns
+    assert tt.filter(F.col("score").isNotNull()).count() == 0
+    # a write carrying the column: real values win, NULLs elsewhere
+    append_files(
+        spark,
+        t,
+        spark.createDataFrame([(3, 30.0, 9.5)], "k long, v double, score double"),
+    )
+    vals = {r["k"]: r["score"] for r in read_table(spark, t).collect()}
+    assert vals == {1: None, 2: None, 3: 9.5}
+    # mutations see and preserve the added column (merge images too)
+    merge_rows(
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "k long"),
+        on="k",
+        when_matched_update={"score": "100.0"},
+        when_not_matched_insert=False,
+    )
+    vals = {r["k"]: r["score"] for r in read_table(spark, t).collect()}
+    assert vals[1] == 100.0 and vals[3] == 9.5
+    delete_rows(spark, t, "score IS NULL AND k = 2")
+    assert read_table(spark, t).count() == 2
+    # duplicate / collision guards
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(t, "v", "int")
+    drop_column(t, "score")
+    assert "score" not in read_table(spark, t).columns
+    with pytest.raises(ValueError, match="dropped physical name"):
+        add_column(t, "score", "int")
+    # bad type string rejects before any commit
+    with pytest.raises(Exception):
+        add_column(t, "x", "not_a_type!!")

@@ -1,6 +1,6 @@
 """Multi-writer OCC fuzz: four concurrent writers (append / DV delete /
-DV merge / copy-on-write update) plus a maintenance thread hammer ONE
-manifest table. Each writer's mutations touch only ITS OWN key space,
+DV merge / copy-on-write update / full-clause MERGE) plus a
+maintenance thread hammer ONE manifest table. Each writer's mutations touch only ITS OWN key space,
 so the final content is deterministic regardless of interleaving — any
 divergence means a lost update, a torn commit, or a vacuum eating a
 live file. The version log must also stay a consistent chain."""
@@ -77,6 +77,28 @@ def test_multi_writer_occ_fuzz(spark, tmp_path):
                     _retry(lambda: merge_rows(
                         spark, target, upd, on="k", mode="dv"
                     ))
+                elif rnd == 3:
+                    # full-clause MERGE restricted to this thread's
+                    # rnd-3 slice: matched delete + conditional update
+                    # + insert + not-matched-by-source delete, all
+                    # keyed to OUR key space so the outcome stays
+                    # interleaving-independent
+                    src = spark.createDataFrame(
+                        [(t, rnd, t * 1_000_000 + base + i, float(base + i))
+                         for i in range(20)]
+                        + [(t, rnd, t * 1_000_000 + 950_000 + i, 88.0)
+                           for i in range(3)],
+                        "t int, seq int, k int, v double",
+                    )
+                    _retry(lambda: merge_rows(
+                        spark, target, src, on="k", mode="dv",
+                        when_matched_delete=f"s.v < {base + 5}",
+                        when_matched_update={"v": "t.v + 0.25"},
+                        when_not_matched_insert="s.v > 80.0",
+                        when_not_matched_by_source_delete=(
+                            f"t.t = {t} AND t.seq = 3 AND t.v > {base + 35}"
+                        ),
+                    ))
                 else:
                     # COW update of this thread's round slice
                     _retry(lambda: update_rows(
@@ -134,6 +156,17 @@ def test_multi_writer_occ_fuzz(spark, tmp_path):
                 for i in range(5):
                     k = t * 1_000_000 + 900_000 + rnd * 10 + i
                     rows[k] = (t, rnd, k, 77.0)
+            elif rnd == 3:  # the full-clause MERGE
+                for i in range(5):
+                    rows.pop(t * 1_000_000 + base + i)
+                for i in range(5, 20):
+                    k = t * 1_000_000 + base + i
+                    rows[k] = (t, rnd, k, float(base + i) + 0.25)
+                for i in range(36, 40):
+                    rows.pop(t * 1_000_000 + base + i)
+                for i in range(3):
+                    k = t * 1_000_000 + 950_000 + i
+                    rows[k] = (t, rnd, k, 88.0)
             else:  # the COW update
                 rows = {
                     k: (r[0], r[1], r[2], r[3] + 1000.0)

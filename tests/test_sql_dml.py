@@ -316,3 +316,33 @@ def test_describe_detail(spark, session):
     assert row["n_dv_files"] == 1
     with pytest.raises(SqlDmlError, match="unsupported DESCRIBE form"):
         ses.sql("DESCRIBE EXTENDED tab")
+
+
+def test_create_or_replace_and_if_not_exists(spark, tmp_path, session):
+    ses, target, ev = session
+    ses.base_dir = str(tmp_path)
+    ses.sql("CREATE TABLE ctas1 AS SELECT 1 AS k, 'a' AS tag")
+    assert ses.sql("SELECT * FROM ctas1").count() == 1
+    # IF NOT EXISTS on an existing table: clean no-op
+    st = ses.sql("CREATE TABLE IF NOT EXISTS ctas1 AS SELECT 2 AS k, 'b' AS tag")
+    assert st == {"table": "ctas1", "created": False}
+    assert ses.sql("SELECT * FROM ctas1").first()["k"] == 1
+    # OR REPLACE: one-commit full refresh, history preserved
+    from dbt_slabbing_spark.operators.layout import manifest_versions
+
+    path = ses.tables["ctas1"]
+    v_before = manifest_versions(path)[-1]
+    ses.sql(
+        "CREATE OR REPLACE TABLE ctas1 AS "
+        "SELECT id AS k, 'b' AS tag FROM range(5)"
+    )
+    assert ses.sql("SELECT * FROM ctas1").count() == 5
+    assert (
+        ses.sql(f"SELECT * FROM ctas1 VERSION AS OF {v_before}").first()["k"]
+        == 1
+    )
+    # plain CREATE on an existing table still rejects
+    with pytest.raises(SqlDmlError, match="already exists"):
+        ses.sql("CREATE TABLE ctas1 AS SELECT 3 AS k")
+    with pytest.raises(SqlDmlError, match="exclusive"):
+        ses.sql("CREATE OR REPLACE TABLE IF NOT EXISTS ctas1 AS SELECT 3 AS k")

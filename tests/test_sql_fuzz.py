@@ -105,7 +105,7 @@ ADVERSARIAL = [
     ),
     # DDL / maintenance near-misses
     ("CREATE TABLE t2 (k INT)", "unsupported CREATE form"),
-    ("ALTER TABLE tab ADD COLUMN c INT", "unsupported ALTER form"),
+    ("ALTER TABLE tab ALTER COLUMN c TYPE INT", "unsupported ALTER form"),
     ("DROP TABLE tab CASCADE", "unsupported DROP form"),
     ("OPTIMIZE tab WHERE event_id > 5", "unsupported OPTIMIZE form"),
     ("VACUUM tab RETAIN 3 DAYS", "unsupported VACUUM form"),
