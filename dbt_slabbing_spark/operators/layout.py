@@ -955,6 +955,139 @@ def prune_file_list(path, files: list[str], col: str, lo, hi) -> list[str]:
     return keep
 
 
+def _predicate_conjuncts(pred: str) -> list[tuple[str, str, object]] | None:
+    """Conservative ``(col, op, literal)`` conjuncts derivable from a
+    predicate STRING for file-level pruning: top-level AND conjuncts
+    of the forms ``col <op> lit`` / ``lit <op> col`` with ``op`` in
+    {=, <, <=, >, >=} and a numeric or single-quoted-string literal.
+    Returns None (derive nothing) when the predicate contains
+    top-level OR / NOT / BETWEEN or unbalanced quoting — soundness
+    over coverage: a conjunct we can't read contributes no pruning,
+    and a structure we can't read disables pruning entirely."""
+    import re as _re
+
+    # split on top-level AND, bail on top-level OR/NOT/BETWEEN
+    parts, buf, depth, quote = [], [], 0, None
+    tokens_upper = []
+    i, n = 0, len(pred)
+    while i < n:
+        ch = pred[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch.isalpha():
+            m = _re.match(r"[A-Za-z_][A-Za-z0-9_]*", pred[i:])
+            word = m.group(0)
+            up = word.upper()
+            if up == "AND":
+                parts.append("".join(buf))
+                buf = []
+                i += len(word)
+                continue
+            if up in ("OR", "NOT", "BETWEEN", "IN", "LIKE", "RLIKE"):
+                tokens_upper.append(up)
+            buf.append(word)
+            i += len(word)
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    if quote is not None or tokens_upper:
+        return None
+    parts.append("".join(buf))
+
+    def _lit(text: str):
+        text = text.strip()
+        if _re.fullmatch(r"-?\d+", text):
+            return int(text)
+        if _re.fullmatch(r"-?\d*\.\d+(e-?\d+)?", text, _re.I):
+            return float(text)
+        m = _re.fullmatch(r"'([^']*)'", text)
+        if m:
+            return m.group(1)
+        return None
+
+    _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+    out = []
+    for part in parts:
+        m = _re.fullmatch(
+            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|<=|>=|<|>)\s*(.+?)\s*",
+            part,
+        )
+        if m and (lit := _lit(m.group(3))) is not None:
+            out.append((m.group(1), m.group(2), lit))
+            continue
+        m = _re.fullmatch(
+            r"\s*(.+?)\s*(=|<=|>=|<|>)\s*([A-Za-z_][A-Za-z0-9_]*)\s*",
+            part,
+        )
+        if m and (lit := _lit(m.group(1))) is not None:
+            out.append((m.group(3), _FLIP[m.group(2)], lit))
+        # any other conjunct shape: contributes no pruning (sound)
+    return out
+
+
+def _candidate_files(p, files: list[str], predicate) -> list[str]:
+    """Files that MAY hold rows satisfying ``predicate`` — the
+    mutation-scan twin of :func:`prune_file_list` (Delta's DELETE/
+    UPDATE/MERGE file pruning): a file is skipped only when a derived
+    ``col <op> literal`` conjunct is provably FALSE for its whole
+    min/max range, so skipped files can hold NO matching row — they
+    are neither scanned nor rewritten. At 100 TB this is what turns a
+    day-targeted DELETE on a clustered table from an O(table) scan
+    into an O(day) one. Column-object predicates and shapes the
+    conservative parser can't read prune nothing (full candidate
+    list)."""
+    if not isinstance(predicate, str):
+        return list(files)
+    conjs = _predicate_conjuncts(predicate)
+    if not conjs:
+        return list(files)
+    keep = list(files)
+    for col, op, lit in conjs:
+        stats = file_column_stats(p, keep, _phys_col(p, col))
+        nxt = []
+        for name in keep:
+            st = stats.get(name)
+            if st is None or st[0] is None:
+                nxt.append(name)
+                continue
+            lo, hi = st
+            if isinstance(lit, str) != isinstance(lo, str):
+                nxt.append(name)  # incomparable types: keep
+                continue
+            false_everywhere = (
+                (op == "=" and (hi < lit or lo > lit))
+                or (op == "<" and lo >= lit)
+                or (op == "<=" and lo > lit)
+                or (op == ">" and hi <= lit)
+                or (op == ">=" and hi < lit)
+            )
+            if not false_everywhere:
+                nxt.append(name)
+        keep = nxt
+    # schema-evolution guard: a pruned subset must still expose every
+    # column the full live set does, or a predicate referencing a
+    # column that lives only in pruned-away files fails to resolve —
+    # in that case prune nothing (sound, just not faster)
+    if keep and len(keep) < len(files):
+        if _live_physical_columns(p, keep) != _live_physical_columns(p, files):
+            return list(files)
+    return keep
+
+
 _BLOOM = "_bloom.json"
 
 #: Max dead positions per file inlined as a NOT-IN literal filter in
@@ -2804,23 +2937,41 @@ def delete_rows(
         return out
     dv_prev = _dv_at_version(p)
     if mode == "dv":
-        return _delete_rows_dv(spark, p, cond, vers, live, dv_prev)
+        return _delete_rows_dv(
+            spark, p, cond, vers, live, dv_prev, predicate=predicate
+        )
     live_paths = [str(p / n) for n in live]
     # rows_before: count-star compiles to a footer-metadata read (no
     # data pages) when the snapshot carries no deletion vectors; with
     # DVs the count must run through the DV-applied scan.
-    # mergeSchema: the predicate may reference a column added by a
-    # later append_files generation; files predating it read NULL there
-    # (predicate NULL → row survives, per the DELETE semantics below)
-    df = _scan_with_dv(
-        spark, p, live, dv_prev, merge_schema=True, keep_file_col=True
-    )
     if any(dv_prev.get(n) for n in live):
-        rows_before = df.count()
+        rows_before = _scan_with_dv(
+            spark, p, live, dv_prev, merge_schema=True
+        ).count()
     else:
         rows_before = (
             spark.read.option("mergeSchema", "true").parquet(*live_paths).count()
         )
+    # file pruning (Delta's DELETE file skipping): the matching scan
+    # runs over CANDIDATE files only — files whose stats prove the
+    # predicate false everywhere can hold no matching row, so they are
+    # neither scanned nor rewritten (at 100 TB: a day-targeted DELETE
+    # on a clustered table scans O(day), not O(table))
+    cand = _candidate_files(p, live, predicate)
+    if not cand:
+        return {
+            "rows_before": int(rows_before),
+            "rows_deleted": 0,
+            "rows_after": int(rows_before),
+            "n_files_total": len(live),
+            "n_files_rewritten": 0,
+        }
+    # mergeSchema: the predicate may reference a column added by a
+    # later append_files generation; files predating it read NULL there
+    # (predicate NULL → row survives, per the DELETE semantics below)
+    df = _scan_with_dv(
+        spark, p, cand, dv_prev, merge_schema=True, keep_file_col=True
+    )
     per_file = (
         df.filter(cond)
         .groupBy("_file")
@@ -2885,7 +3036,7 @@ def delete_rows(
     return stats
 
 
-def _delete_rows_dv(spark, p, cond, vers, live, dv_prev) -> dict:
+def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict:
     """Merge-on-read DELETE (see :func:`delete_rows` ``mode="dv"``):
     one DV parquet of matched (file, pos) pairs, one manifest commit
     mapping affected files to it, ZERO data-file rewrites. Existing
@@ -2899,9 +3050,12 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev) -> dict:
     import shutil
     import uuid
 
+    # file pruning, same contract as the cow path: the matching scan
+    # touches candidate files only (skipped files can hold no match)
+    cand = _candidate_files(p, live, predicate) if predicate else list(live)
     df = _scan_with_dv(
-        spark, p, live, dv_prev, merge_schema=True, keep_pos_col=True
-    )
+        spark, p, cand, dv_prev, merge_schema=True, keep_pos_col=True
+    ) if cand else None
     # rows_before WITHOUT a table scan: footer-metadata count minus the
     # snapshot's dead-position cardinality (DV parquets are tiny) — a
     # DV delete's cost must stay O(matched rows), not O(table)
@@ -2922,6 +3076,15 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev) -> dict:
         else 0
     )
     rows_before = base_count - dead_count
+    if df is None:  # every file provably unaffected
+        return {
+            "rows_before": int(rows_before),
+            "rows_deleted": 0,
+            "rows_after": int(rows_before),
+            "n_files_total": len(live),
+            "n_files_rewritten": 0,
+            "n_dv_files_added": 0,
+        }
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".dv-{token}")
     # the DV is O(matched rows): a handful of positions for a targeted
@@ -2963,6 +3126,32 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev) -> dict:
     return stats
 
 
+def _merge_candidates(spark, p, live, src, keys) -> list[str]:
+    """Target files that MAY hold a source join key — Delta's MERGE
+    file pruning: the min/max of each key over the (batch-sized,
+    cached) source prunes target files via write-time stats BEFORE any
+    target scan. One tiny driver-side agg; conservative per key
+    (whole-source range, intersected across keys); files without
+    stats, NULL-only ranges, and non-JSON-native key types prune
+    nothing. At 100 TB a record-key MERGE on a clustered/bucketed key
+    scans only the files overlapping the batch's key range."""
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    r = src.agg(*aggs).collect()[0]
+    keep = list(live)
+    for k in keys:
+        lo, hi = r[f"__lo_{k}"], r[f"__hi_{k}"]
+        if lo is None or not isinstance(lo, (int, float, str)):
+            continue
+        keep = prune_file_list(p, keep, k, lo, hi)
+    if keep and len(keep) < len(live):
+        # same schema-evolution guard as _candidate_files
+        if _live_physical_columns(p, keep) != _live_physical_columns(p, live):
+            return list(live)
+    return keep
+
+
 def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     """Merge-on-read MERGE (see :func:`merge_rows` ``mode="dv"``):
     matched target rows die by DELETION VECTOR (one small positions
@@ -2988,9 +3177,12 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     import shutil
     import uuid
 
+    cand = _merge_candidates(spark, p, live, src, keys)
     tgt = _scan_with_dv(
-        spark, p, live, dv_prev, merge_schema=True, keep_pos_col=True
+        spark, p, cand or live, dv_prev, merge_schema=True, keep_pos_col=True
     )
+    if not cand:
+        tgt = tgt.limit(0)
     src_keys = F.broadcast(src.select(*keys))
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".dvmerge-{token}")
@@ -3011,7 +3203,9 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     affected = sorted(r["file"] for r in per_file)
     matched_keys = src.join(tgt.select(*keys), on=keys, how="left_semi").count()
     if any(dv_prev.get(n) for n in live):
-        rows_before = tgt.count()
+        rows_before = _scan_with_dv(
+            spark, p, live, dv_prev, merge_schema=True
+        ).count()
     else:  # footer-metadata count (no data pages) when DV-free
         rows_before = (
             spark.read.option("mergeSchema", "true")
@@ -3088,10 +3282,21 @@ def _merge_rows_clauses(
             return F.lit(c)
         return F.coalesce(F.expr(c), F.lit(False))  # NULL cond = false
 
+    src = source.cache()
+    # source-key range pruning is sound ONLY without NOT MATCHED BY
+    # SOURCE clauses (those must see every unmatched target row)
+    can_prune = nmbs_del is None and nmbs_upd is None
+    cand = (
+        _merge_candidates(spark, p, live, src, keys)
+        if can_prune
+        else list(live)
+    )
     tgt = _scan_with_dv(
-        spark, p, live, dv_prev, merge_schema=True,
+        spark, p, cand or live, dv_prev, merge_schema=True,
         keep_file_col=(mode == "cow"), keep_pos_col=(mode == "dv"),
     )
+    if not cand:
+        tgt = tgt.limit(0)
     data_cols = [c for c in tgt.columns if c not in _META_COLS]
     for assigns in (upd, nmbs_upd):
         if isinstance(assigns, dict):
@@ -3100,7 +3305,6 @@ def _merge_rows_clauses(
                 raise ValueError(
                     f"MERGE UPDATE SET references unknown columns {unknown}"
                 )
-    src = source.cache()
     t = tgt.alias("t")
     s = src.withColumn("__s_hit", F.lit(1)).alias("s")
     jcond = functools.reduce(
@@ -3129,7 +3333,18 @@ def _merge_rows_clauses(
     }
     rows_updated = counts.get("U", 0) + counts.get("S", 0)
     rows_deleted = counts.get("D", 0) + counts.get("X", 0)
-    rows_before = sum(counts.values())
+    if sorted(cand) == sorted(live):
+        rows_before = sum(counts.values())  # the scan WAS the table
+    elif any(dv_prev.get(n) for n in live):
+        rows_before = _scan_with_dv(
+            spark, p, live, dv_prev, merge_schema=True
+        ).count()
+    else:  # footer-metadata count over the full live list
+        rows_before = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[str(p / n) for n in live])
+            .count()
+        )
 
     # updated images from the SAME classified join — '*' takes the
     # source row (schema evolution allowed), a dict applies pre-image
@@ -3443,11 +3658,15 @@ def merge_rows(
     if mode == "dv":
         return _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src)
 
-    # DV-applied target scan: a DV'd (dead) row must neither count as
-    # matched nor survive a rewrite
+    # DV-applied target scan over CANDIDATE files only (source-key
+    # range pruning, _merge_candidates): a DV'd (dead) row must
+    # neither count as matched nor survive a rewrite
+    cand = _merge_candidates(spark, p, live, src, keys)
     tgt = _scan_with_dv(
-        spark, p, live, dv_prev, merge_schema=True, keep_file_col=True
+        spark, p, cand or live, dv_prev, merge_schema=True, keep_file_col=True
     )
+    if not cand:
+        tgt = tgt.limit(0)
     src_keys = F.broadcast(src.select(*keys))
     per_file = (
         tgt.join(src_keys, on=keys, how="left_semi")
@@ -3460,7 +3679,9 @@ def merge_rows(
     affected_names = sorted({_uri_to_name(u) for u in affected_uris})
     matched_keys = src.join(tgt.select(*keys), on=keys, how="left_semi").count()
     if any(dv_prev.get(n) for n in live):
-        rows_before = tgt.count()
+        rows_before = _scan_with_dv(
+            spark, p, live, dv_prev, merge_schema=True
+        ).count()
     else:  # footer-metadata count (no data pages) when DV-free
         rows_before = spark.read.parquet(*[str(p / n) for n in live]).count()
     stats = {
@@ -3775,10 +3996,16 @@ def update_rows(
         return df.select(*proj)
 
     token = uuid.uuid4().hex[:12]
+    # file pruning (Delta's UPDATE file skipping): candidates only —
+    # see _candidate_files; rows_before always counts the FULL table
+    cand = _candidate_files(p, live, predicate)
     if mode == "dv":
         tgt = _scan_with_dv(
-            spark, p, live, dv_prev, merge_schema=True, keep_pos_col=True
+            spark, p, cand or live, dv_prev, merge_schema=True,
+            keep_pos_col=True,
         )
+        if not cand:
+            tgt = tgt.limit(0)
         matched = tgt.filter(cond)
         images = _apply_set(matched, only_matched=True)
         _enforce_constraints(p, images)
@@ -3796,7 +4023,7 @@ def update_rows(
         rows_updated = int(sum(r["count"] for r in per_file))
         affected = sorted(r["file"] for r in per_file)
         rows_before = (
-            tgt.count()
+            _scan_with_dv(spark, p, live, dv_prev, merge_schema=True).count()
             if any(dv_prev.get(n) for n in live)
             else spark.read.option("mergeSchema", "true")
             .parquet(*[str(p / n) for n in live]).count()
@@ -3835,10 +4062,12 @@ def update_rows(
         )
         return stats
 
-    # copy-on-write: rewrite only affected files
+    # copy-on-write: rewrite only affected files, scan only candidates
     tgt = _scan_with_dv(
-        spark, p, live, dv_prev, merge_schema=True, keep_file_col=True
+        spark, p, cand or live, dv_prev, merge_schema=True, keep_file_col=True
     )
+    if not cand:
+        tgt = tgt.limit(0)
     _enforce_constraints(p, _apply_set(tgt.filter(cond), only_matched=True))
     per_file = (
         tgt.filter(cond)
@@ -3850,7 +4079,7 @@ def update_rows(
     affected_uris = [r["_file"] for r in per_file]
     affected_names = sorted({_uri_to_name(u) for u in affected_uris})
     rows_before = (
-        tgt.count()
+        _scan_with_dv(spark, p, live, dv_prev, merge_schema=True).count()
         if any(dv_prev.get(n) for n in live)
         else spark.read.option("mergeSchema", "true")
         .parquet(*[str(p / n) for n in live]).count()
