@@ -1649,6 +1649,67 @@ def follow_changes(
     return read_changes(spark, p, int(last_version), cur, keys=keys), cur
 
 
+def replicate_changes(
+    spark, src_path, dst_path, keys: list[str], last_version: int | None
+) -> tuple:
+    """ONE incremental replication step: pull the upstream table's
+    change feed since ``last_version`` (:func:`follow_changes`) and
+    apply its NET effect to the downstream table — the CDC
+    table-to-table pipeline (Delta CDF → MERGE apply, the pattern
+    every silver/gold layer runs). Net effect per record key within
+    the batch: the key's ``update_postimage``/``insert`` row wins if
+    present, else a ``delete`` tombstones it — so a key that churned
+    many times inside the range applies once, and the downstream pays
+    O(changed keys), not O(change rows) or O(table) (MERGE's own
+    source-key pruning keeps the downstream scan O(affected files)).
+    The apply is two snapshot-isolated commits — a delete-only clause
+    merge for the tombstones, then the image upsert — so readers see
+    pre-, mid-, or post-batch snapshots, never a torn one. Returns
+    ``(stats | None, new_version)`` — checkpoint ``new_version`` like
+    any streaming offset; replaying the same range is idempotent
+    (same net effect merges to the same state). Requires ``keys`` to
+    be a record key upstream (one live row per key), the same
+    contract MERGE itself has."""
+    changes, new_version = follow_changes(
+        spark, src_path, last_version, keys=keys
+    )
+    if changes is None:
+        return None, new_version
+    data_cols = [c for c in changes.columns if c != "_change_type"]
+    # net effect per key: latest image wins, delete-only keys tombstone
+    img = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols).cache()
+    dead_keys = (
+        changes.filter(F.col("_change_type") == "delete")
+        .select(*keys)
+        .join(img.select(*keys), on=keys, how="left_anti")
+        .distinct()
+    )
+    # two commits, each snapshot-isolated: tombstones first (a
+    # delete-only clause merge), then the image upsert — readers see
+    # either the pre-batch, mid-batch, or post-batch snapshot, never
+    # a torn one; replaying the range re-applies the same net effect
+    stats: dict = {"rows_deleted": 0}
+    if dead_keys.limit(1).count():
+        st_d = merge_rows(
+            spark,
+            dst_path,
+            dead_keys,
+            on=keys,
+            when_matched_update=None,
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+        )
+        stats["rows_deleted"] = st_d["rows_deleted"]
+    st_u = merge_rows(spark, dst_path, img, on=keys)
+    img.unpersist()
+    stats.update(
+        rows_updated=st_u["rows_updated"], rows_inserted=st_u["rows_inserted"]
+    )
+    return stats, new_version
+
+
 def append_files(
     spark,
     path,

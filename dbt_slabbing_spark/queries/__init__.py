@@ -109,6 +109,9 @@ _PRIORITY = (
     "layout_retention_horizon",  # round-13 gate, never driver-checked
     "layout_partition_style_pruning",  # round-13 gate, never driver-checked
     "stream_table_change_feed",  # round-13 gate, never driver-checked
+    "layout_cdc_replication",  # round-13 gate, never driver-checked:
+    # takes agg_heavy_hitters_mg's slot (r8-green; displaced to the
+    # round-14 queue; the end-of-round full sweep re-verifies it)
     "layout_add_column_evolution",  # round-13 gate, never driver-checked:
     # takes dedup_entity_resolution's slot (r8-green; displaced to the
     # round-14 queue head; the end-of-round full sweep re-verifies it)
@@ -156,7 +159,6 @@ _PRIORITY = (
     "udf_pandas_scalar_bytelen",
     "udf_udtf_chunk_text",
     "agg_countmin_sketch",  # r8 cohort head (audit order)
-    "agg_heavy_hitters_mg",  # r8 cohort head (audit order)
 )
 
 

@@ -3325,3 +3325,137 @@ def layout_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metadata_only boolean, null_before_write boolean, "
         "constraint_enforced boolean",
     )
+
+
+@register(
+    "layout_cdc_replication",
+    # The CDC table-to-table pipeline (Delta CDF -> MERGE apply, the
+    # silver/gold-layer pattern): downstream bootstraps as a ZERO-COPY
+    # shallow clone, then each replicate_changes step pulls the
+    # upstream change feed since the checkpointed version, reduces it
+    # to the NET effect per record key (latest image wins; delete-only
+    # keys tombstone), and applies it as a delete-merge + image-upsert
+    # pair. in_sync is TRUE because the replicated table row-diffs
+    # empty against the upstream after two mutation batches (DV
+    # delete + cow update + re-keyed append, then churn: delete and
+    # re-insert the same key plus a delete-only key); replay_idempotent
+    # is TRUE because re-applying the same version range leaves the
+    # downstream unchanged. The oracle restates the final upstream
+    # content closed-form.
+    """
+    WITH final AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN value + 1000.0
+                    ELSE value END AS value
+        FROM events
+        WHERE value > 100.0 AND event_id % 13 <> 0
+        UNION ALL
+        SELECT event_id + 4000000000 AS event_id, value / 2.0 AS value
+        FROM events
+        WHERE event_id % 17 = 0 AND (event_id + 4000000000) % 13 <> 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST(count(CASE WHEN event_id >= 4000000000 THEN 1 END)
+                AS BIGINT) AS n_replicated_inserts,
+           TRUE AS in_sync,
+           TRUE AS replay_idempotent,
+           CAST(0 AS BIGINT) AS bytes_copied_at_bootstrap
+    FROM final
+    """,
+    "CDC replication: shallow-clone bootstrap + incremental change-"
+    "feed pulls reduced to net-effect-per-key and MERGE-applied "
+    "downstream; row-identical to upstream, replay-idempotent",
+    tags=("layout", "cdf", "merge", "replication"),
+)
+def layout_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives operators/layout.py::replicate_changes end-to-end over
+    clone_table + follow_changes + merge_rows: the incremental
+    downstream-table maintenance loop a 100 TB lakehouse runs instead
+    of full refreshes."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import (
+        append_files,
+        clone_table,
+        delete_rows,
+        follow_changes,
+        read_table,
+        replicate_changes,
+        update_rows,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    up = tempfile.mkdtemp(prefix="cdc_up_")
+    down = tempfile.mkdtemp(prefix="cdc_down_")
+    shutil.rmtree(up)
+    shutil.rmtree(down)
+    try:
+        append_files(spark, up, ev.coalesce(4))
+        st_clone = clone_table(up, down)  # zero-copy bootstrap
+        _, ver = follow_changes(spark, up, None)
+        v0 = ver
+        # batch 1: DV delete + cow update + re-keyed append
+        delete_rows(spark, up, "value <= 100.0", mode="dv")
+        update_rows(
+            spark, up, "event_type = 'click'", {"value": "value + 1000.0"},
+            mode="cow",
+        )
+        append_files(
+            spark,
+            up,
+            ev.filter(F.col("event_id") % 17 == 0).select(
+                (F.col("event_id") + 4_000_000_000).alias("event_id"),
+                F.lit("replicated").alias("event_type"),
+                (F.col("value") / 2.0).alias("value"),
+            ),
+        )
+        _, ver = replicate_changes(spark, up, down, ["event_id"], ver)
+        # batch 2 (churn): delete + delete-only keys
+        delete_rows(spark, up, "event_id % 13 = 0", mode="dv")
+        st2, ver = replicate_changes(spark, up, down, ["event_id"], ver)
+
+        def _content(path):
+            return (
+                read_table(spark, path)
+                .select("event_id", "value")
+                .sort("event_id", "value")
+            )
+
+        upc, downc = _content(up), _content(down)
+        in_sync = (
+            upc.exceptAll(downc).limit(1).count() == 0
+            and downc.exceptAll(upc).limit(1).count() == 0
+        )
+        # replay the FULL range against the already-synced downstream
+        replicate_changes(spark, up, down, ["event_id"], v0)
+        replay_ok = (
+            _content(down).exceptAll(upc).limit(1).count() == 0
+            and upc.exceptAll(_content(down)).limit(1).count() == 0
+        )
+        r = read_table(spark, down).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("s"),
+            F.count(F.when(F.col("event_id") >= 4_000_000_000, 1))
+            .cast("bigint")
+            .alias("ri"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(up, ignore_errors=True)
+        shutil.rmtree(down, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["n"],
+                float(r["s"]),
+                r["ri"],
+                in_sync,
+                replay_ok,
+                int(st_clone["n_bytes_copied"]),
+            )
+        ],
+        "n_rows bigint, sum_value double, n_replicated_inserts bigint, "
+        "in_sync boolean, replay_idempotent boolean, "
+        "bytes_copied_at_bootstrap bigint",
+    )

@@ -139,3 +139,51 @@ def test_backfill_respects_vacuum_horizon(spark, target):
     delete_rows(spark, target, "k < 250", mode="dv")
     changes, _ = follow_changes(spark, target, cur)
     assert changes.filter("_change_type = 'delete'").count() == 50
+
+
+def test_replicate_changes_end_to_end(spark, tmp_path):
+    """CDC replication: net-effect-per-key apply keeps the downstream
+    row-identical through delete/update/append churn; replaying an
+    already-applied range is a no-op; idle pulls return None."""
+    from dbt_slabbing_spark.operators.layout import (
+        clone_table,
+        replicate_changes,
+        update_rows,
+    )
+
+    up, down = str(tmp_path / "up"), str(tmp_path / "down")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    append_files(spark, up, df.coalesce(3))
+    clone_table(up, down)
+    _, v0 = follow_changes(spark, up, None)
+    ver = v0
+    delete_rows(spark, up, "k < 6", mode="dv")
+    update_rows(spark, up, "k >= 55", {"v": "v + 100"}, mode="cow")
+    append_files(
+        spark, up, spark.createDataFrame([(200, 1.5)], "k long, v double")
+    )
+    st, ver = replicate_changes(spark, up, down, ["k"], ver)
+    assert st["rows_deleted"] == 6
+    assert st["rows_updated"] == 5 and st["rows_inserted"] == 1
+
+    def _c(t):
+        return sorted(map(tuple, read_table(spark, t).collect()))
+
+    assert _c(up) == _c(down)
+    # churn: delete + re-insert same key, delete-only another
+    delete_rows(spark, up, "k = 10", mode="dv")
+    append_files(
+        spark, up, spark.createDataFrame([(10, 999.0)], "k long, v double")
+    )
+    delete_rows(spark, up, "k = 11", mode="dv")
+    st, ver = replicate_changes(spark, up, down, ["k"], ver)
+    assert st["rows_deleted"] == 1 and st["rows_updated"] == 1
+    assert _c(up) == _c(down)
+    # idempotent replay of the FULL range
+    replicate_changes(spark, up, down, ["k"], v0)
+    assert _c(up) == _c(down)
+    # idle
+    st, v2 = replicate_changes(spark, up, down, ["k"], ver)
+    assert st is None and v2 == ver
