@@ -1078,6 +1078,13 @@ def _candidate_files(p, files: list[str], predicate) -> list[str]:
             if not false_everywhere:
                 nxt.append(name)
         keep = nxt
+    # equality conjuncts additionally probe the bloom index when one
+    # exists (driver-side, microseconds, no-op otherwise): range stats
+    # cut by clustered dims, blooms cut by high-cardinality lookup
+    # keys — a point DELETE on a bloom-indexed key scans O(probe hits)
+    for col, op, lit in conjs:
+        if op == "=":
+            keep = prune_files_bloom(None, p, keep, col, lit)
     # schema-evolution guard: a pruned subset must still expose every
     # column the full live set does, or a predicate referencing a
     # column that lives only in pruned-away files fails to resolve —
@@ -1396,6 +1403,37 @@ def prune_files_bloom(spark, path, files: list[str], col: str, value) -> list[st
     ]
 
 
+def _parse_ts(ts) -> float:
+    """Epoch seconds from a float/int or an ISO-8601 string; naive
+    strings are interpreted in the local timezone (matching the epoch
+    wall times _commit_manifest records)."""
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    from datetime import datetime
+
+    return datetime.fromisoformat(str(ts)).timestamp()
+
+
+def _version_at_timestamp(p, ts) -> int:
+    """Latest snapshot whose commit wall time is <= ``ts`` — Delta's
+    ``TIMESTAMP AS OF`` resolution. Versions without a recorded ts
+    (pre-r13 commits) are skipped; a timestamp before every recorded
+    commit raises (like Delta's earliest-version error)."""
+    target = _parse_ts(ts)
+    ts_map = _version_timestamps(p)
+    eligible = [
+        v for v in manifest_versions(p)
+        if ts_map.get(v) is not None and ts_map[v] <= target
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot committed at or before {ts!r} (earliest "
+            f"recorded commit: "
+            f"{min((t for t in ts_map.values() if t), default=None)})"
+        )
+    return max(eligible)
+
+
 def read_table(
     spark,
     path,
@@ -1403,6 +1441,7 @@ def read_table(
     version: int | None = None,
     prune: tuple | None = None,
     point: tuple | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read a parquet directory through its manifest when one exists
     (the committed snapshot — orphan files from interrupted maintenance
@@ -1439,8 +1478,18 @@ def read_table(
     (:func:`prune_files_bloom`, built by :func:`create_bloom_index`).
     Same superset guarantee as ``prune`` and composable with it: range
     stats cut by the CLUSTERED dims, blooms cut by high-cardinality
-    lookup keys the layout isn't sorted on."""
+    lookup keys the layout isn't sorted on.
+
+    ``timestamp=`` (epoch seconds or ISO-8601 string) is ``TIMESTAMP
+    AS OF``: resolves to the latest snapshot committed at or before
+    that wall time (:func:`_version_at_timestamp`) and reads it like
+    ``version=``. Mutually exclusive with ``version``."""
     import pathlib
+
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version= or timestamp=, not both")
+        version = _version_at_timestamp(pathlib.Path(path), timestamp)
 
     p = pathlib.Path(path)
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
@@ -2583,6 +2632,7 @@ def discard_staged(path, audit_id: str) -> dict:
 def compact_table(
     spark, path, target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
+    where: str | None = None,
 ) -> dict:
     """OPTIMIZE for manifest tables (Delta's ``OPTIMIZE`` /
     Iceberg's ``rewrite_data_files``): rewrite the LIVE file list into
@@ -2607,7 +2657,14 @@ def compact_table(
     that). Same OCC/crash contract either way — clustering changes the
     LAYOUT of the rewrite, never the commit mechanics.
 
-    Cost: O(live bytes) data rewrite + O(1) metadata. Concurrency: a
+    ``where=<predicate>`` scopes the rewrite (Delta's ``OPTIMIZE t
+    WHERE ...``): only files that MAY hold matching rows
+    (:func:`_candidate_files`) are compacted/clustered; untouched
+    files keep their bytes, stats, DV entries and clustering
+    membership. Compacting one day of a day-clustered table is
+    O(day), not O(table).
+
+    Cost: O(scoped bytes) data rewrite + O(1) metadata. Concurrency: a
     DELETE/MERGE/append landing between our snapshot read and the
     commit raises :class:`ManifestConflictError` BEFORE anything is
     published (the staged files become orphans) — compaction is the
@@ -2627,7 +2684,19 @@ def compact_table(
     vers, live = _snapshot_for_update(p)
     if not live:  # freshly adopted empty dir: nothing to rewrite
         return {"n_files_before": 0, "n_files_after": 0, "version": vers}
-    total = sum((p / n).stat().st_size for n in live)
+    # predicate-scoped OPTIMIZE (Delta's `OPTIMIZE t WHERE ...`): only
+    # files that MAY hold matching rows rewrite — compacting one day
+    # of a clustered table is O(day), not O(table); untouched files
+    # keep their bytes, stats, and DV entries
+    scope = _candidate_files(p, live, where) if where else list(live)
+    untouched = [n for n in live if n not in set(scope)]
+    if not scope:
+        return {
+            "n_files_before": len(live),
+            "n_files_after": len(live),
+            "version": vers,
+        }
+    total = sum((p / n).stat().st_size for n in scope)
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".compact-{token}")
@@ -2635,7 +2704,7 @@ def compact_table(
     # rewritten files hold only live rows, and the commit's carry-
     # forward drops the displaced files' DV entries (OPTIMIZE's
     # merge-on-read → copy-on-write conversion)
-    df = _scan_with_dv(spark, p, live, _dv_at_version(p), merge_schema=True)
+    df = _scan_with_dv(spark, p, scope, _dv_at_version(p), merge_schema=True)
     if cluster_by:
         df = df.repartitionByRange(int(n_files), *cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
@@ -2648,22 +2717,32 @@ def compact_table(
         f.rename(p / name)
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
-    version = _commit_manifest(  # ATOMIC + OCC
+    clustered = None
+    if cluster_by:
+        # a clustered rewrite records its output as the table's
+        # clustering state (compact_incremental's baseline); a SCOPED
+        # clustered rewrite keeps previously-clustered untouched files
+        # in the state when the key matches
+        prev_clu = _clustered_state(p)
+        base = (
+            [n for n in prev_clu["files"] if n in set(untouched)]
+            if prev_clu and prev_clu["by"] == list(cluster_by)
+            else []
+        )
+        clustered = {"by": list(cluster_by), "files": base + new_names}
+    version = _commit_manifest(  # ATOMIC + OCC; an unclustered FULL
+        # rewrite displaces every file, so carry-forward drops any
+        # previous clustering state automatically
         p,
-        new_names,
+        untouched + new_names,
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
-        # a clustered rewrite records its output as the table's
-        # clustering state (compact_incremental's baseline); an
-        # unclustered rewrite displaces every file, so carry-forward
-        # drops any previous clustering state automatically
-        clustered=(
-            {"by": list(cluster_by), "files": new_names} if cluster_by else None
-        ),
+        clustered=clustered,
     )
     return {
         "n_files_before": len(live),
-        "n_files_after": len(new_names),
+        "n_files_after": len(untouched) + len(new_names),
+        "n_files_rewritten": len(scope),
         "version": version,
     }
 
@@ -3844,7 +3923,7 @@ def overwrite_table(spark, path, df: DataFrame) -> dict:
     }
 
 
-def restore_table(path, version: int, spark=None) -> dict:
+def restore_table(path, version: int | None = None, spark=None, timestamp=None) -> dict:
     """Delta's ``RESTORE TABLE ... TO VERSION AS OF n``: make snapshot
     ``version``'s content the CURRENT table state via one NEW metadata
     commit — no data file is copied or rewritten, and history is
@@ -3870,6 +3949,12 @@ def restore_table(path, version: int, spark=None) -> dict:
     import pathlib
 
     p = pathlib.Path(path)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version= or timestamp=, not both")
+        version = _version_at_timestamp(p, timestamp)
+    if version is None:
+        raise ValueError("restore_table needs version= or timestamp=")
     vers, _live = _read_snapshot(p)
     files = _files_at_version(p, int(version))
     dv = _dv_at_version(p, int(version))

@@ -169,8 +169,9 @@ _DROP_TABLE_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*$",
-    re.I,
+    re.I | re.S,
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
@@ -188,7 +189,8 @@ _DESCRIBE_DETAIL_RE = re.compile(
 )
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+"
-    r"VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*$",
+    r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*$",
     re.I,
 )
 _SHALLOW_CLONE_RE = re.compile(
@@ -199,6 +201,11 @@ _SHALLOW_CLONE_RE = re.compile(
 _VERSION_AS_OF_RE = re.compile(
     r"\b(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+"
     r"(?P<version>\d+)",
+    re.I,
+)
+_TIMESTAMP_AS_OF_RE = re.compile(
+    r"\b(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+"
+    r"'(?P<ts>[^']+)'",
     re.I,
 )
 _MERGE_HEAD_RE = re.compile(
@@ -388,8 +395,9 @@ class ManifestSession:
                 raise SqlDmlError(f"unsupported RESTORE form: {stmt!r}")
             st = restore_table(
                 self._path(m.group("table")),
-                int(m.group("version")),
+                int(m.group("version")) if m.group("version") else None,
                 spark=self.spark,
+                timestamp=m.group("ts"),
             )
             self._refresh()
             return st
@@ -423,7 +431,10 @@ class ManifestSession:
             else None
         )
         st = compact_table(
-            self.spark, self._path(m.group("table")), cluster_by=cols
+            self.spark,
+            self._path(m.group("table")),
+            cluster_by=cols,
+            where=m.group("where"),
         )
         self._refresh()
         return st
@@ -468,7 +479,23 @@ class ManifestSession:
             ).createOrReplaceTempView(view)
             return view
 
-        return _VERSION_AS_OF_RE.sub(_sub, stmt)
+        stmt = _VERSION_AS_OF_RE.sub(_sub, stmt)
+
+        def _sub_ts(m: re.Match) -> str:
+            name, ts = m.group("table"), m.group("ts")
+            if name not in self.tables:
+                return m.group(0)
+            from ..operators.layout import _version_at_timestamp
+            import pathlib as _pl
+
+            version = _version_at_timestamp(_pl.Path(self.tables[name]), ts)
+            view = f"_tt_{name}_v{version}"
+            read_table(
+                self.spark, self.tables[name], version=version
+            ).createOrReplaceTempView(view)
+            return view
+
+        return _TIMESTAMP_AS_OF_RE.sub(_sub_ts, stmt)
 
     def _create(self, stmt: str) -> dict:
         mc = _SHALLOW_CLONE_RE.match(stmt)

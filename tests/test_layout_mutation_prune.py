@@ -191,3 +191,66 @@ def test_append_cluster_by_state_and_mismatch(spark, tmp_path):
     append_files(spark, target, df.limit(5))
     doc = json.loads((pathlib.Path(target) / "_manifest.json").read_text())
     assert len(doc["clustered"]["files"]) == len(doc["files"]) - 1
+
+
+def test_optimize_where_scopes_the_rewrite(spark, clustered, tmp_path):
+    """Predicate-scoped OPTIMIZE: only in-scope files rewrite;
+    untouched files keep bytes, DV entries, and clustering state."""
+    import json
+    import pathlib
+
+    from dbt_slabbing_spark.operators.layout import compact_table
+    from dbt_slabbing_spark.plans.sql_dml import ManifestSession
+
+    target, base = clustered
+    p = pathlib.Path(target)
+    # fragment days 2..3 with extra appends + DV-delete some day-2 rows
+    for day in (2, 3):
+        append_files(
+            spark, target,
+            base.filter(F.col("d") == day).limit(10).coalesce(1),
+        )
+    delete_rows(spark, target, "d = 2 AND k < 10", mode="dv")
+    idents = {
+        f.name: f.stat().st_mtime_ns for f in p.glob("*.parquet")
+    }
+    before = sorted(map(tuple, read_table(spark, target).collect()))
+    ses = ManifestSession(spark, mode="cow").register("opt_tab", target)
+    st = ses.sql("OPTIMIZE opt_tab WHERE d >= 2 AND d <= 3")
+    assert st["n_files_rewritten"] == 4  # 2 base + 2 fragment files
+    doc = json.loads((p / "_manifest.json").read_text())
+    # day-2 DV materialized by the scoped rewrite
+    assert not doc.get("dv")
+    # out-of-scope files byte-identical and still live
+    untouched = [n for n in doc["files"] if not n.startswith("compact-")]
+    assert all(
+        (p / n).stat().st_mtime_ns == idents[n] for n in untouched
+    )
+    assert sorted(map(tuple, read_table(spark, target).collect())) == before
+    # no-match scope: metadata no-op
+    st = compact_table(spark, target, where="d = 99")
+    assert st["n_files_before"] == st["n_files_after"]
+
+
+def test_bloom_index_prunes_point_delete(spark, tmp_path, monkeypatch):
+    """A point DELETE on a bloom-indexed high-cardinality key scans
+    only the files whose bitset may contain the key."""
+    from dbt_slabbing_spark.operators.layout import create_bloom_index
+
+    target = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket")
+    )
+    # 4 files sharing the SAME k range stats (hash layout: range
+    # pruning can't help) but disjoint key sets
+    for b in range(4):
+        append_files(
+            spark, target, df.filter(F.col("k") % 4 == b).coalesce(1)
+        )
+    create_bloom_index(spark, target, "k")
+    seen = _spy_scans(monkeypatch)
+    st = delete_rows(spark, target, "k = 1337", mode="dv")
+    assert st["rows_deleted"] == 1
+    # range stats keep all 4 files; the bloom probe cuts to ~1
+    assert min(seen) <= 2
+    assert read_table(spark, target).count() == 3999

@@ -121,3 +121,33 @@ def test_history_ts_and_restorable_columns(spark, versioned):
     cur = manifest_versions(target)[-1]
     assert not snaps[v_full]["restorable"]
     assert snaps[cur]["restorable"]
+
+
+def test_timestamp_as_of_read_and_restore(spark, versioned):
+    """TIMESTAMP AS OF resolves to the latest commit <= ts; ISO and
+    epoch forms; SQL read + RESTORE forms; too-early ts raises."""
+    import time
+    from datetime import datetime
+
+    from dbt_slabbing_spark.plans.sql_dml import ManifestSession
+
+    target, v_full = versioned
+    # backdate the full snapshot 2h, leave the delete commit current
+    _backdate(target, 2, versions=range(0, v_full + 1))
+    mid = time.time() - 3600
+    assert read_table(spark, target, timestamp=mid).count() == 100
+    assert read_table(spark, target, timestamp=time.time()).count() == 70
+    iso = datetime.fromtimestamp(mid).isoformat()
+    assert read_table(spark, target, timestamp=iso).count() == 100
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_table(spark, target, timestamp=mid - 24 * 3600)
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, target, version=v_full, timestamp=mid)
+    ses = ManifestSession(spark, mode="cow").register("ts_tab", target)
+    assert (
+        ses.sql(f"SELECT count(*) AS n FROM ts_tab TIMESTAMP AS OF '{iso}'")
+        .first()["n"]
+        == 100
+    )
+    ses.sql(f"RESTORE TABLE ts_tab TO TIMESTAMP AS OF '{iso}'")
+    assert ses.sql("SELECT count(*) AS n FROM ts_tab").first()["n"] == 100

@@ -107,9 +107,10 @@ ADVERSARIAL = [
     ("CREATE TABLE t2 (k INT)", "unsupported CREATE form"),
     ("ALTER TABLE tab ALTER COLUMN c TYPE INT", "unsupported ALTER form"),
     ("DROP TABLE tab CASCADE", "unsupported DROP form"),
-    ("OPTIMIZE tab WHERE event_id > 5", "unsupported OPTIMIZE form"),
+    ("OPTIMIZE tab FULL", "unsupported OPTIMIZE form"),
+    ("OPTIMIZE tab ZORDER event_id", "unsupported OPTIMIZE form"),
     ("VACUUM tab RETAIN 3 DAYS", "unsupported VACUUM form"),
-    ("RESTORE TABLE tab TO TIMESTAMP AS OF '2025-01-01'", "RESTORE form"),
+    ("RESTORE TABLE tab TO VERSION 3", "RESTORE form"),
 ]
 
 
@@ -145,3 +146,7 @@ def test_awkward_but_legal_forms_still_dispatch(spark, ses):
         "SELECT event_type, value FROM tab WHERE event_id = 99999991"
     ).first()
     assert row["event_type"] == "ab" and row["value"] == pytest.approx(1.23)
+    # TIMESTAMP AS OF predating every commit: clean named error, no
+    # mutation (a supported form with an unsatisfiable operand)
+    with pytest.raises(ValueError, match="no snapshot"):
+        ses.sql("RESTORE TABLE tab TO TIMESTAMP AS OF '2020-01-01'")
