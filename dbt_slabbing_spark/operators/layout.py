@@ -2633,6 +2633,7 @@ def compact_table(
     spark, path, target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
     where: str | None = None,
+    scope_files: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE for manifest tables (Delta's ``OPTIMIZE`` /
     Iceberg's ``rewrite_data_files``): rewrite the LIVE file list into
@@ -2662,7 +2663,9 @@ def compact_table(
     (:func:`_candidate_files`) are compacted/clustered; untouched
     files keep their bytes, stats, DV entries and clustering
     membership. Compacting one day of a day-clustered table is
-    O(day), not O(table).
+    O(day), not O(table). ``scope_files=[...]`` scopes by explicit
+    file name instead (maintenance callers that already know the
+    dirty set — :func:`maintain_table`'s DV materialization).
 
     Cost: O(scoped bytes) data rewrite + O(1) metadata. Concurrency: a
     DELETE/MERGE/append landing between our snapshot read and the
@@ -2688,7 +2691,15 @@ def compact_table(
     # files that MAY hold matching rows rewrite — compacting one day
     # of a clustered table is O(day), not O(table); untouched files
     # keep their bytes, stats, and DV entries
-    scope = _candidate_files(p, live, where) if where else list(live)
+    if where and scope_files is not None:
+        raise ValueError("pass where= or scope_files=, not both")
+    scope = (
+        [n for n in live if n in set(scope_files)]
+        if scope_files is not None
+        else _candidate_files(p, live, where)
+        if where
+        else list(live)
+    )
     untouched = [n for n in live if n not in set(scope)]
     if not scope:
         return {
@@ -4328,11 +4339,10 @@ def maintain_table(
                 actions.append("compact_incremental:skipped-conflict")
             doc = json.loads((p / _MANIFEST).read_text())
             live = doc["files"]
-    dv_debt = len(
-        {d for lst in doc.get("dv", {}).values() for d in lst}
-    )
+    dv_map = doc.get("dv", {})
+    dv_debt = len({d for lst in dv_map.values() for d in lst})
     fragmented = not clu and len(live) >= min_unclustered
-    if dv_debt >= max_dv_files or fragmented:
+    if fragmented:
         try:
             compact_table(
                 spark,
@@ -4341,6 +4351,21 @@ def maintain_table(
                 cluster_by=clu["by"] if clu else None,
             )
             actions.append("optimize")
+        except ManifestConflictError:
+            actions.append("optimize:skipped-conflict")
+    elif dv_debt >= max_dv_files:
+        # materialize ONLY the dirty files (the files carrying DV
+        # entries): the read-tax clears at O(dirty bytes), not a full
+        # table rewrite — clean files keep their bytes and clustering
+        try:
+            compact_table(
+                spark,
+                p,
+                target_file_bytes=target_file_bytes,
+                cluster_by=clu["by"] if clu else None,
+                scope_files=[n for n in live if dv_map.get(n)],
+            )
+            actions.append("optimize:dv-materialize")
         except ManifestConflictError:
             actions.append("optimize:skipped-conflict")
     removed = vacuum_orphans(

@@ -2033,7 +2033,9 @@ def layout_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 "compact_incremental" in st1["actions"],
-                "optimize" in st2["actions"],
+                # DV-debt maintenance now scopes to the dirty files
+                # (optimize:dv-materialize); any optimize flavor counts
+                any(a.startswith("optimize") for a in st2["actions"]),
                 st2["n_vacuumed"] > 0,
                 "dv" not in doc,
                 row["n"],

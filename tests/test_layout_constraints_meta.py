@@ -165,7 +165,8 @@ def test_maintain_table_policy_loop(spark, base):
     st = maintain_table(
         spark, target, max_dv_files=2, min_unclustered=99, grace_seconds=0.0
     )
-    assert st["actions"] == ["optimize"] and st["n_vacuumed"] > 0
+    assert st["actions"] == ["optimize:dv-materialize"]
+    assert st["n_vacuumed"] > 0
     doc = json.loads((pathlib.Path(target) / _MANIFEST).read_text())
     assert "dv" not in doc and "clustered" in doc
     got = {r["event_id"] for r in read_table(spark, target).collect()}
