@@ -3403,7 +3403,7 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
 def _merge_rows_clauses(
     spark, p, source, keys, vers, live, dv_prev, mode, retain,
     upd, upd_cond, del_cond, ins, nmbs_del,
-    nmbs_upd=None, nmbs_upd_cond=None,
+    nmbs_upd=None, nmbs_upd_cond=None, ins_values=None,
 ) -> dict:
     """Generic MERGE clause engine (see :func:`merge_rows` for the
     clause semantics and cost model). One declarative plan classifies
@@ -3537,6 +3537,28 @@ def _merge_rows_clauses(
         )
         if isinstance(ins, str):
             inserts = inserts.filter(F.coalesce(F.expr(ins), F.lit(False)))
+        if ins_values is not None:
+            # column-list INSERT (cols) VALUES (exprs): build the row
+            # from the source-side expressions, typed-NULL-fill the
+            # rest of the target schema (SQL column-list semantics)
+            unknown = [c for c in ins_values if c not in data_cols]
+            if unknown:
+                raise ValueError(
+                    f"MERGE INSERT references unknown target columns "
+                    f"{unknown}"
+                )
+            if not set(keys) <= set(ins_values):
+                raise ValueError(
+                    "MERGE INSERT column list must include the join keys"
+                )
+            inserts = inserts.select(
+                *[
+                    F.expr(ins_values[c]).cast(tgt.schema[c].dataType).alias(c)
+                    if c in ins_values
+                    else F.lit(None).cast(tgt.schema[c].dataType).alias(c)
+                    for c in data_cols
+                ]
+            )
     for batch in (images, images_su, inserts):
         if batch is not None:
             _enforce_constraints(p, batch)
@@ -3676,6 +3698,7 @@ def merge_rows(
     when_matched_update_condition: str | None = None,
     when_matched_delete: str | bool | None = None,
     when_not_matched_insert: str | bool = True,
+    when_not_matched_insert_values: dict | None = None,
     when_not_matched_by_source_delete: str | bool | None = None,
     when_not_matched_by_source_update: dict | None = None,
     when_not_matched_by_source_update_condition: str | None = None,
@@ -3790,6 +3813,7 @@ def merge_rows(
         and when_matched_update_condition is None
         and when_matched_delete is None
         and when_not_matched_insert is True
+        and when_not_matched_insert_values is None
         and when_not_matched_by_source_delete is None
         and when_not_matched_by_source_update is None
     )
@@ -3801,6 +3825,7 @@ def merge_rows(
             when_not_matched_by_source_delete,
             when_not_matched_by_source_update,
             when_not_matched_by_source_update_condition,
+            when_not_matched_insert_values,
         )
     _enforce_constraints(p, source)  # CHECK constraints gate the source
     _reject_dropped_collisions(p, _to_physical(p, source))

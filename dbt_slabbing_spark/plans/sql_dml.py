@@ -123,7 +123,9 @@ _DELETE_RE = re.compile(
     re.I | re.S,
 )
 _UPDATE_HEAD_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(?P<rest>.*)$",
+    r"^\s*UPDATE\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?"
+    r"\s+SET\s+(?P<rest>.*)$",
     re.I | re.S,
 )
 _CTAS_RE = re.compile(
@@ -298,6 +300,14 @@ def _split_at_keyword(text: str, keyword: str) -> tuple[str, str | None]:
                 return text[:i].rstrip(), text[j:].strip()
         i += 1
     return text, None
+
+
+def _sub_outside_quotes(pattern: "re.Pattern", repl: str, text: str) -> str:
+    """Apply ``pattern.sub`` only OUTSIDE single-quoted literals."""
+    parts = re.split(r"('(?:[^']*)')", text)
+    return "".join(
+        p if i % 2 else pattern.sub(repl, p) for i, p in enumerate(parts)
+    )
 
 
 def _merge_keys(on_clause: str, table: str, aliases: tuple) -> list[str]:
@@ -715,6 +725,13 @@ class ManifestSession:
         # inside a scalar-subquery SET expression or a string literal
         # must NOT split the statement
         sets_part, pred = _split_at_keyword(m.group("rest"), "WHERE")
+        # table alias (UPDATE t AS u SET ... WHERE u.x): strip the
+        # qualifier — update_rows expressions bind unqualified
+        alias = m.group("alias")
+        if alias:
+            qual = re.compile(rf"\b{re.escape(alias)}\s*\.", re.I)
+            sets_part = _sub_outside_quotes(qual, "", sets_part)
+            pred = _sub_outside_quotes(qual, "", pred) if pred else pred
         sets = {}
         for assign in _split_top_level(sets_part):
             am = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", assign, re.S)
@@ -801,6 +818,7 @@ class ManifestSession:
         nmbs_upd: dict | None = None
         nmbs_upd_cond = None
         ins: str | bool = False
+        ins_values: dict | None = None
         matched_seen: list[str] = []  # "update"/"delete" in statement order
         nmbs_seen: list[str] = []
         for kind, cond, action in clauses:
@@ -844,11 +862,30 @@ class ManifestSession:
             elif kind == "nmbt":
                 if ins is not False:
                     raise SqlDmlError("duplicate WHEN NOT MATCHED clause")
-                if au != "INSERT *":
+                im = re.match(
+                    r"^INSERT\s*\((?P<cols>[^)]*)\)\s*"
+                    r"VALUES\s*\((?P<vals>.*)\)\s*$",
+                    action,
+                    re.I | re.S,
+                )
+                if au == "INSERT *":
+                    pass
+                elif im:
+                    cols_l = [c.strip() for c in im.group("cols").split(",")]
+                    vals_l = _split_top_level(im.group("vals"))
+                    if len(cols_l) != len(vals_l):
+                        raise SqlDmlError(
+                            f"MERGE INSERT column/value count mismatch: "
+                            f"{len(cols_l)} vs {len(vals_l)}"
+                        )
+                    ins_values = {
+                        c: _requalify(v.strip())
+                        for c, v in zip(cols_l, vals_l)
+                    }
+                else:
                     raise SqlDmlError(
                         f"unsupported WHEN NOT MATCHED action {action!r} "
-                        "(only INSERT * — use the DataFrame API for "
-                        "column-list inserts)"
+                        "(INSERT * or INSERT (cols) VALUES (exprs))"
                     )
                 ins = cond or True
             else:  # nmbs
@@ -920,6 +957,7 @@ class ManifestSession:
             when_matched_update_condition=upd_cond,
             when_matched_delete=del_cond,
             when_not_matched_insert=ins,
+            when_not_matched_insert_values=ins_values,
             when_not_matched_by_source_delete=nmbs_del,
             when_not_matched_by_source_update=nmbs_upd,
             when_not_matched_by_source_update_condition=nmbs_upd_cond,

@@ -3357,7 +3357,8 @@ def layout_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_id % 17 = 0 AND (event_id + 4000000000) % 13 <> 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(value) * 100.0) / 100.0 + 0.0 AS sum_value,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
            CAST(count(CASE WHEN event_id >= 4000000000 THEN 1 END)
                 AS BIGINT) AS n_replicated_inserts,
            TRUE AS in_sync,
@@ -3436,9 +3437,14 @@ def layout_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             _content(down).exceptAll(upc).limit(1).count() == 0
             and upc.exceptAll(_content(down)).limit(1).count() == 0
         )
+        # integer-cents sum: per-row dround then exact integer
+        # addition — immune to float-summation-order flips at a
+        # 2-decimal rounding boundary (the sf0.001 parity flake)
         r = read_table(spark, down).agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            dround(F.sum("value"), 2).alias("s"),
+            F.sum(dround(F.col("value") * 100, 0).cast("long"))
+            .cast("bigint")
+            .alias("s"),
             F.count(F.when(F.col("event_id") >= 4_000_000_000, 1))
             .cast("bigint")
             .alias("ri"),
@@ -3450,14 +3456,15 @@ def layout_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 r["n"],
-                float(r["s"]),
+                int(r["s"]),
                 r["ri"],
                 in_sync,
                 replay_ok,
                 int(st_clone["n_bytes_copied"]),
             )
         ],
-        "n_rows bigint, sum_value double, n_replicated_inserts bigint, "
+        "n_rows bigint, sum_value_cents bigint, "
+        "n_replicated_inserts bigint, "
         "in_sync boolean, replay_idempotent boolean, "
         "bytes_copied_at_bootstrap bigint",
     )

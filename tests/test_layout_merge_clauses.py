@@ -169,7 +169,8 @@ def test_sql_merge_rejections_name_the_clause(spark, base):
     src.createOrReplaceTempView("mchg")
     cases = {
         "WHEN MATCHED THEN INSERT *": "unsupported WHEN MATCHED action",
-        "WHEN NOT MATCHED THEN INSERT (k) VALUES (1)": "only INSERT \\*",
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (1)": "count mismatch",
+        "WHEN NOT MATCHED THEN INSERT ROW": "unsupported WHEN NOT MATCHED",
         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *": "no source row",
         "WHEN MATCHED THEN UPDATE SET v = 1 WHEN MATCHED THEN DELETE": (
             "needs an AND condition"
@@ -212,3 +213,59 @@ def test_not_matched_by_source_update(spark, base, mode):
     assert by["delete"] == {0, 1}
     assert by["update_preimage"] == {18, 19}
     assert by["update_postimage"] == {18, 19}
+
+
+@pytest.mark.parametrize("mode", ["cow", "dv"])
+def test_insert_column_list_values(spark, base, mode):
+    """WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): the insert
+    row builds from source-side expressions, unlisted target columns
+    NULL-fill; the column list must include the join keys."""
+    target, src = base
+    st = merge_rows(
+        spark, target, src, on="k", mode=mode,
+        when_matched_update=None,
+        when_not_matched_insert="s.v > 0",
+        when_not_matched_insert_values={"k": "s.k", "v": "s.v * 2"},
+    )
+    assert st["rows_inserted"] == 1  # k=30 (v=50); k=31 filtered
+    rows = {r["k"]: r for r in read_table(spark, target).collect()}
+    assert rows[30]["v"] == 100.0 and rows[30]["tag"] is None
+    with pytest.raises(ValueError, match="join keys"):
+        merge_rows(
+            spark, target, src, on="k",
+            when_matched_update=None,
+            when_not_matched_insert_values={"v": "s.v"},
+        )
+    with pytest.raises(ValueError, match="unknown target columns"):
+        merge_rows(
+            spark, target, src, on="k",
+            when_matched_update=None,
+            when_not_matched_insert_values={"k": "s.k", "nope": "1"},
+        )
+
+
+def test_sql_insert_column_list_and_update_alias(spark, base):
+    target, src = base
+    ses = ManifestSession(spark, mode="cow").register("mtab", target)
+    src.createOrReplaceTempView("mchg")
+    st = ses.sql(
+        "MERGE INTO mtab USING mchg ON mtab.k = mchg.k "
+        "WHEN NOT MATCHED AND mchg.v > 0 THEN "
+        "INSERT (k, v) VALUES (mchg.k, mchg.v * 2)"
+    )
+    assert st["rows_inserted"] == 1 and st["rows_updated"] == 0
+    rows = {r["k"]: r for r in read_table(spark, target).collect()}
+    assert rows[30]["v"] == 100.0 and rows[30]["tag"] is None
+    # count mismatch is a named rejection
+    with pytest.raises(SqlDmlError, match="count mismatch"):
+        ses.sql(
+            "MERGE INTO mtab USING mchg ON mtab.k = mchg.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (mchg.k)"
+        )
+    # UPDATE with a table alias; literal containing the alias survives
+    ses.sql("UPDATE mtab AS u SET u.tag = 'u.kept' WHERE u.k = 2")
+    assert rows_tag(ses, 2) == "u.kept"
+
+
+def rows_tag(ses, k):
+    return ses.sql(f"SELECT tag FROM mtab WHERE k = {k}").first()[0]

@@ -49,7 +49,7 @@ ADVERSARIAL = [
     ("INSERT INTO tab (event_id VALUES (1)", "unsupported INSERT form"),
     ("INSERT OVERWRITE tab SET value = 1", "unsupported INSERT form"),
     # UPDATE near-misses
-    ("UPDATE tab AS u SET value = 1", "unsupported UPDATE form"),
+    ("UPDATE tab u v SET value = 1", "unsupported UPDATE form"),
     ("UPDATE tab SET 5 = value", "bad SET assignment"),
     ("UPDATE tab SET value value WHERE 1=1", "bad SET assignment"),
     # MERGE near-misses: every rejection names the unsupported clause
@@ -69,8 +69,8 @@ ADVERSARIAL = [
     ),
     (
         "MERGE INTO tab USING fuzz_src ON tab.event_id = fuzz_src.event_id "
-        "WHEN NOT MATCHED THEN INSERT (event_id) VALUES (1)",
-        "only INSERT",
+        "WHEN NOT MATCHED THEN INSERT (event_id) VALUES (1, 2)",
+        "count mismatch",
     ),
     (
         "MERGE INTO tab USING fuzz_src ON tab.event_id = fuzz_src.event_id "
