@@ -3249,12 +3249,15 @@ def stream_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(score) * 100.0) / 100.0 + 0.0 AS sum_score,
            TRUE AS metadata_only,
            TRUE AS null_before_write,
-           TRUE AS constraint_enforced
+           TRUE AS constraint_enforced,
+           TRUE AS library_read_consistent
     FROM final
     """,
     "ALTER TABLE ADD COLUMN: metadata-only typed-NULL column, "
     "UPDATE SET over it (dv, zero rewrites), inserts carrying it, "
-    "CHECK constraint over the added column enforced on later writes",
+    "CHECK constraint over the added column enforced on later writes, "
+    "and the plain-library read path (read_table, no SQL session) "
+    "agrees with the SQL path on the evolved table's content",
     tags=("layout", "schema-evolution", "sql"),
 )
 def layout_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3310,6 +3313,23 @@ def layout_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("score").cast("bigint").alias("ns"),
             dround(F.sum("score"), 2).alias("s"),
         ).collect()[0]
+        # round-14 (VERDICT r13 finding #1): the PLAIN library read
+        # path — read_table with its merge_schema=False default, no
+        # SQL session — must see the same evolved content; before the
+        # _schema_heterogeneous fix this was a footer-sampling coin
+        # flip that silently nulled stored score values
+        from ..operators.layout import read_table
+
+        lib = read_table(spark, work).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("score").cast("bigint").alias("ns"),
+            dround(F.sum("score"), 2).alias("s"),
+        ).collect()[0]
+        lib_consistent = (
+            lib["n"] == r["n"]
+            and lib["ns"] == r["ns"]
+            and float(lib["s"]) == float(r["s"])
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
@@ -3321,11 +3341,12 @@ def layout_add_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 metadata_only,
                 null_before,
                 enforced,
+                lib_consistent,
             )
         ],
         "n_rows bigint, n_scored bigint, sum_score double, "
         "metadata_only boolean, null_before_write boolean, "
-        "constraint_enforced boolean",
+        "constraint_enforced boolean, library_read_consistent boolean",
     )
 
 
