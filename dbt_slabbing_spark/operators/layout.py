@@ -225,6 +225,7 @@ def write_hilbert_clustered(
 
 
 _MANIFEST = "_manifest.json"
+_CHANGES_DIR = "_changes"  # commit-time CDC rows (Delta's _change_data)
 # scan-attribution metadata columns _scan_with_dv can attach; matched
 # by EXACT name everywhere (a user column named '_filename' is data)
 _META_COLS = ("_file", "__dv_name", "__dv_pos")
@@ -345,6 +346,7 @@ def _commit_manifest(
     column_map: dict | None = None,
     dropped_columns: list | None = None,
     added_columns: dict | None = None,
+    cdc: dict | None = None,
 ) -> int:
     """Atomically publish the live file list: write a temp file, then
     ``os.replace`` over ``_manifest.json`` — the single commit point of
@@ -468,6 +470,16 @@ def _commit_manifest(
                 entry["ts"] = prev["ts"]
             if prev_dv:  # record displaced snapshot's DV state (small)
                 entry["dv"] = prev_dv
+            # commit-time CDC record for the cur -> cur+1 transition
+            # (Delta CDF's _change_data contract): {"type": "append"}
+            # (inserts = this entry's added files), {"type": "noop"}
+            # (no row changed: DDL, compaction, clustering, staging),
+            # or {"type": "rows", "files": [...]} (explicit change rows
+            # staged under _changes/ by the mutation). Absent = unknown
+            # (pre-r14 commit, overwrite, restore) — read_changes falls
+            # back to the endpoint snapshot diff for ranges crossing it.
+            if cdc is not None:
+                entry["cdc"] = cdc
             history.append(entry)
         else:
             cur = 0
@@ -1411,7 +1423,8 @@ def create_bloom_index(
     for _ in range(10):
         try:
             version = _commit_manifest(
-                p, live, expected_version=vers, bloom_cfg=cfg
+                p, live, expected_version=vers, bloom_cfg=cfg,
+                cdc={"type": "noop"},
             )
             break
         except ManifestConflictError:
@@ -1623,8 +1636,97 @@ def read_table(
     ).parquet(str(p))
 
 
+def _stage_change_rows(
+    p, parts: list[tuple[DataFrame, str]], token: str
+) -> list[str]:
+    """Write a mutation's change rows at COMMIT TIME — Delta CDF's
+    ``_change_data`` design: every mutation already has its classified
+    rows in hand (a DV DELETE scanned exactly the matching rows, MERGE
+    classified every target row, UPDATE computed pre/post images), so
+    persisting them costs one bounded job over O(changed rows) and
+    buys :func:`read_changes` an extraction path that NEVER rescans
+    the table — the alternative (diffing two full snapshots per
+    incremental pull) is O(table) scan + shuffle per pull, which a
+    streaming consumer tailing a 100 TB table under steady DV deletes
+    pays per batch.
+
+    ``parts`` is ``[(frame, change_type), ...]`` in LOGICAL schema;
+    frames are tagged, union'd by name (schema evolution between the
+    table and a merge source is allowed), converted to physical names,
+    and staged under ``_changes/`` — OUTSIDE the data-file namespace,
+    so table scans and vacuum's data-file glob never see them. The
+    files are invisible until the commit's history entry references
+    them (crash pre-commit leaves orphans; :func:`vacuum_orphans`
+    reclaims unreferenced change files past the grace window).
+    Returns the staged names relative to the table root."""
+    import pathlib
+    import shutil
+
+    frames = []
+    for df, tag in parts:
+        if df is None:
+            continue
+        frames.append(
+            _to_physical(p, df).withColumn("_change_type", F.lit(tag))
+        )
+    if not frames:
+        return []
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    staging = pathlib.Path(str(p) + f".cdc-{token}")
+    out.write.mode("overwrite").parquet(str(staging))
+    cdir = p / _CHANGES_DIR
+    cdir.mkdir(exist_ok=True)
+    names = []
+    moved = 0
+    for f in sorted(staging.glob("*.parquet")):
+        if f.stat().st_size and _parquet_has_rows(f):
+            name = f"{_CHANGES_DIR}/cdc-{token}-{moved:05d}.parquet"
+            f.rename(cdir / f"cdc-{token}-{moved:05d}.parquet")
+            names.append(name)
+            moved += 1
+    shutil.rmtree(str(staging), ignore_errors=True)
+    return names
+
+
+def _parquet_has_rows(f) -> bool:
+    """Footer-only row-count probe (drops empty part files a sparse
+    change write can emit — one per empty scan partition)."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(str(f)).metadata.num_rows > 0
+    except OSError:
+        return True
+
+
+def _cdc_range_records(p, v_from: int, v_to: int) -> list[dict] | None:
+    """History entries carrying CDC records for every transition in
+    ``(v_from, v_to]`` — the entry stored under ``version=v`` records
+    the v → v+1 transition. Returns None when ANY transition lacks a
+    record (pre-r14 commit, overwrite, restore): the caller must take
+    the endpoint-diff fallback for that range."""
+    import json
+
+    doc = json.loads((p / _MANIFEST).read_text())
+    entries = {int(h["version"]): h for h in doc.get("history", [])}
+    recs = []
+    for v in range(int(v_from), int(v_to)):
+        h = entries.get(v)
+        if h is None or "cdc" not in h:
+            return None
+        recs.append(h)
+    return recs
+
+
 def read_changes(
-    spark, path, v_from: int, v_to: int, keys: list[str] | None = None
+    spark,
+    path,
+    v_from: int,
+    v_to: int,
+    keys: list[str] | None = None,
+    with_commit_version: bool = False,
 ) -> DataFrame:
     """Row-level change-data-feed between two snapshots of a manifest
     table: the rows ADDED and REMOVED going from ``v_from`` to
@@ -1665,7 +1767,15 @@ def read_changes(
     (usually small, broadcastable) changed-key intersection — no new
     scan. A key changed by multiple rows (non-unique ``keys``) tags
     ALL its rows update; pass the table's record key for exact
-    semantics."""
+    semantics.
+
+    ``with_commit_version=True`` adds Delta CDF's ``_commit_version``
+    column (the version each change row landed AT) — the ordering
+    authority an order-aware consumer needs: without it, a range where
+    a key was inserted then deleted is ambiguous to a per-key reducer
+    (:func:`replicate_changes` replays would resurrect the key). The
+    fallback path tags every row ``v_to`` (its diff IS one net
+    pseudo-commit)."""
     import pathlib
 
     p = pathlib.Path(path)
@@ -1681,7 +1791,11 @@ def read_changes(
     # leaving the file list identical, which the file-level diff is
     # blind to — those ranges take the row-level fallback (whose
     # version reads apply each snapshot's DVs)
-    if f_from <= f_to and _dv_at_version(p, v_from) == _dv_at_version(p, v_to):
+    if (
+        not with_commit_version
+        and f_from <= f_to
+        and _dv_at_version(p, v_from) == _dv_at_version(p, v_to)
+    ):
         added = sorted(f_to - f_from)
         missing = [n for n in added if not (p / n).exists()]
         if missing:
@@ -1701,12 +1815,58 @@ def read_changes(
             _dropped_cols(p),
             _added_cols(p),
         ).withColumn("_change_type", F.lit("insert"))
+    # COMMIT-TIME CDC path (round 14): every mutation stages its change
+    # rows when it commits (_stage_change_rows), so a range whose every
+    # transition carries a record serves from per-commit change files +
+    # appended-file scans — O(changed data), never a table scan. The
+    # endpoint exceptAll diff below survives ONLY as the fallback for
+    # ranges crossing a record-less commit (pre-r14 history, overwrite,
+    # restore).
+    recs = _cdc_range_records(p, v_from, v_to)
+    if recs is None and with_commit_version and f_from <= f_to and _dv_at_version(
+        p, v_from
+    ) == _dv_at_version(p, v_to):
+        # pre-r14 history but append-only net effect: every transition
+        # only adds files, so the delta-encoded entries themselves are
+        # exact per-commit append records
+        import json
+
+        doc = json.loads((p / _MANIFEST).read_text())
+        entries = {int(h["version"]): h for h in doc.get("history", [])}
+        if all(v in entries for v in range(int(v_from), int(v_to))):
+            recs = [
+                {
+                    "version": v,
+                    "added": entries[v].get("added", []),
+                    "cdc": {"type": "append"},
+                }
+                for v in range(int(v_from), int(v_to))
+            ]
+    if recs is not None:
+        return _compose_changes(
+            spark, p, recs, sorted(f_to), keys, with_commit_version
+        )
     df_from = read_table(spark, path, merge_schema=True, version=v_from)
     df_to = read_table(spark, path, merge_schema=True, version=v_to)
     inserts = df_to.exceptAll(df_from).withColumn("_change_type", F.lit("insert"))
     deletes = df_from.exceptAll(df_to).withColumn("_change_type", F.lit("delete"))
-    if not keys:
-        return inserts.unionByName(deletes)
+    out = (
+        inserts.unionByName(deletes)
+        if not keys
+        else _pair_updates(inserts, deletes, keys)
+    )
+    if with_commit_version:
+        out = out.withColumn("_commit_version", F.lit(int(v_to)))
+    return out
+
+
+def _pair_updates(inserts, deletes, keys: list[str]) -> DataFrame:
+    """Upgrade insert/delete change rows to Delta CDF's four-word
+    vocabulary: a record key present on BOTH sides is an UPDATE, so
+    its old row tags ``update_preimage`` and its new row
+    ``update_postimage``; one-sided keys stay insert/delete. Two
+    semi/anti equi-joins against the (small, changed-keys-only)
+    intersection — no new scan."""
     upd = (
         deletes.select(*keys)
         .intersect(inserts.select(*keys))  # distinct changed keys on BOTH sides
@@ -1722,6 +1882,114 @@ def read_changes(
     return ins_only.unionByName(del_only).unionByName(pre).unionByName(post)
 
 
+def _compose_changes(
+    spark,
+    p,
+    recs: list[dict],
+    f_to: list[str],
+    keys: list[str] | None,
+    with_commit_version: bool = False,
+) -> DataFrame:
+    """Serve a change range from per-commit CDC records: appended data
+    files read as inserts (immutable, names never reused — the file IS
+    the change), staged ``_changes/`` files carry explicit tagged rows,
+    noop transitions contribute nothing. Plan shape: scans touch ONLY
+    changed data — no snapshot read, no exceptAll, no table-wide
+    shuffle; a compaction-spanning range costs zero rows by
+    construction instead of a diff that proves emptiness the hard way.
+
+    Vocabulary: with ``keys`` the stored ``update_pre/postimage`` tags
+    pass through and residual insert/delete rows sharing a key pair up
+    (:func:`_pair_updates`, matching the fallback's semantics); without
+    ``keys`` stored update tags downgrade to delete/insert (the
+    two-word contract). Note the per-commit granularity: intra-range
+    churn (insert then delete of the same row) surfaces as BOTH change
+    rows — a consumer folding the multiset (+insert/−delete) still
+    reconstructs every snapshot exactly, and per-key reducers
+    (:func:`replicate_changes`) are unaffected."""
+    reader = spark.read.option("mergeSchema", "true")
+    cmap, dropped, added = _column_map(p), _dropped_cols(p), _added_cols(p)
+    # (commit_version, files) groups — lumped into single multi-file
+    # scans when the consumer doesn't need per-commit ordering (fewer
+    # scan legs), per-commit legs when it does (with_commit_version)
+    ins_groups: list[tuple[int, list[str]]] = []
+    chg_groups: list[tuple[int, list[str]]] = []
+    for h in recs:
+        c = h["cdc"]
+        v_commit = int(h["version"]) + 1
+        if c["type"] == "append":
+            if h.get("added"):
+                ins_groups.append((v_commit, list(h["added"])))
+        elif c["type"] == "rows":
+            if c.get("files"):
+                chg_groups.append((v_commit, list(c["files"])))
+            # a MERGE's pure-insert rows are served from its freshly
+            # written insert DATA files (immutable, exactly the insert
+            # set) instead of a second copy of the rows
+            if c.get("insert_files"):
+                ins_groups.append((v_commit, list(c["insert_files"])))
+        # "noop": no row changed
+    all_files = [n for _, fs in ins_groups + chg_groups for n in fs]
+    missing = [n for n in all_files if not (p / n).exists()]
+    if missing:
+        raise FileNotFoundError(
+            f"change range references vacuumed files: {missing}"
+        )
+    if not with_commit_version:  # lump: one scan per kind
+        ins_groups = (
+            [(0, [n for _, fs in ins_groups for n in fs])] if ins_groups else []
+        )
+        chg_groups = (
+            [(0, [n for _, fs in chg_groups for n in fs])] if chg_groups else []
+        )
+    parts = []
+    for v_commit, fs in ins_groups:
+        q = _to_logical(
+            reader.parquet(*[str(p / n) for n in fs]), cmap, dropped, added
+        ).withColumn("_change_type", F.lit("insert"))
+        if with_commit_version:
+            q = q.withColumn("_commit_version", F.lit(v_commit))
+        parts.append(q)
+    for v_commit, fs in chg_groups:
+        q = _to_logical(
+            reader.parquet(*[str(p / n) for n in fs]), cmap, dropped, added
+        )
+        if with_commit_version:
+            q = q.withColumn("_commit_version", F.lit(v_commit))
+        parts.append(q)
+    if not parts:  # noop-only range: empty frame, table schema
+        base = reader.parquet(*[str(p / n) for n in f_to]).limit(0)
+        out = _to_logical(base, cmap, dropped, added).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        if with_commit_version:
+            out = out.withColumn("_commit_version", F.lit(0))
+        return out
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q, allowMissingColumns=True)
+    if not keys:
+        return out.withColumn(
+            "_change_type",
+            F.when(
+                F.col("_change_type") == "update_preimage", F.lit("delete")
+            )
+            .when(
+                F.col("_change_type") == "update_postimage", F.lit("insert")
+            )
+            .otherwise(F.col("_change_type")),
+        )
+    tagged = out.filter(
+        F.col("_change_type").isin("update_preimage", "update_postimage")
+    )
+    paired = _pair_updates(
+        out.filter(F.col("_change_type") == "insert"),
+        out.filter(F.col("_change_type") == "delete"),
+        keys,
+    )
+    return paired.unionByName(tagged)
+
+
 def _clustered_state(p) -> dict | None:
     """Current clustering state ``{"by": [col, ...], "files": [...]}``
     or None (see :func:`compact_table` ``cluster_by``)."""
@@ -1734,7 +2002,11 @@ def _clustered_state(p) -> dict | None:
 
 
 def follow_changes(
-    spark, path, last_version: int | None = None, keys: list[str] | None = None
+    spark,
+    path,
+    last_version: int | None = None,
+    keys: list[str] | None = None,
+    with_commit_version: bool = False,
 ) -> tuple:
     """ONE micro-batch pull of the table's change stream — the shape
     of Delta's streaming source on a table with deletion vectors: a
@@ -1763,7 +2035,17 @@ def follow_changes(
     cur = manifest_versions(p)[-1]
     if last_version is None or last_version == cur:
         return None, cur
-    return read_changes(spark, p, int(last_version), cur, keys=keys), cur
+    return (
+        read_changes(
+            spark,
+            p,
+            int(last_version),
+            cur,
+            keys=keys,
+            with_commit_version=with_commit_version,
+        ),
+        cur,
+    )
 
 
 def replicate_changes(
@@ -1787,21 +2069,42 @@ def replicate_changes(
     (same net effect merges to the same state). Requires ``keys`` to
     be a record key upstream (one live row per key), the same
     contract MERGE itself has."""
+    from pyspark.sql.window import Window
+
     changes, new_version = follow_changes(
-        spark, src_path, last_version, keys=keys
+        spark, src_path, last_version, keys=keys, with_commit_version=True
     )
     if changes is None:
         return None, new_version
-    data_cols = [c for c in changes.columns if c != "_change_type"]
-    # net effect per key: latest image wins, delete-only keys tombstone
-    img = changes.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(*data_cols).cache()
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_commit_version")
+    ]
+    # net effect per key = the key's LAST action in commit order
+    # (_commit_version is the ordering authority — without it, a key
+    # inserted then deleted inside the range would resurrect on
+    # replay): rank each key's change rows by (commit version, image
+    # flag) and keep the top row; an image there upserts, a
+    # delete/preimage there tombstones. The reduction runs over CHANGE
+    # ROWS only — O(changed keys), never the table.
+    ranked = changes.withColumn(
+        "__img",
+        F.col("_change_type")
+        .isin("insert", "update_postimage")
+        .cast("int"),
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_commit_version").desc(), F.col("__img").desc()
+    )
+    last = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .cache()
+    )
+    img = last.filter(F.col("__img") == 1).select(*data_cols).cache()
     dead_keys = (
-        changes.filter(F.col("_change_type") == "delete")
-        .select(*keys)
-        .join(img.select(*keys), on=keys, how="left_anti")
-        .distinct()
+        last.filter(F.col("__img") == 0).select(*keys).distinct()
     )
     # two commits, each snapshot-isolated: tombstones first (a
     # delete-only clause merge), then the image upsert — readers see
@@ -1821,6 +2124,7 @@ def replicate_changes(
         stats["rows_deleted"] = st_d["rows_deleted"]
     st_u = merge_rows(spark, dst_path, img, on=keys)
     img.unpersist()
+    last.unpersist()
     stats.update(
         rows_updated=st_u["rows_updated"], rows_inserted=st_u["rows_inserted"]
     )
@@ -1919,7 +2223,8 @@ def append_files(
                     "files": base + added,
                 }
             _commit_manifest(
-                p, live + added, expected_version=vers, stats=added_stats, **kw
+                p, live + added, expected_version=vers, stats=added_stats,
+                cdc={"type": "append"}, **kw
             )
             break
         except ManifestConflictError:
@@ -2164,6 +2469,7 @@ def rename_column(path, old: str, new: str) -> dict:
         bloom_cfg=bloom_cfg,
         clustered=clustered,
         column_map=cmap,
+        cdc={"type": "noop"},
     )
     side = _bloom_sidecar(p)
     if old in side:  # re-key the sidecar too (best effort, lock-held)
@@ -2227,6 +2533,7 @@ def drop_column(path, col: str) -> dict:
         column_map=cmap,
         dropped_columns=dropped,
         added_columns=added,
+        cdc={"type": "noop"},
     )
     return {"col": col, "physical": physical, "version": version}
 
@@ -2275,7 +2582,8 @@ def add_column(path, col: str, dtype: str) -> dict:
         raise ValueError(f"column {col!r} already exists")
     added[col] = dtype
     version = _commit_manifest(
-        p, live, expected_version=vers, added_columns=added
+        p, live, expected_version=vers, added_columns=added,
+        cdc={"type": "noop"},
     )
     return {"col": col, "dtype": dtype, "version": version}
 
@@ -2352,7 +2660,8 @@ def add_constraint(spark, path, name: str, expr: str) -> dict:
     for _ in range(10):
         try:
             version = _commit_manifest(
-                p, live, expected_version=vers, constraints=cons
+                p, live, expected_version=vers, constraints=cons,
+                cdc={"type": "noop"},
             )
             break
         except ManifestConflictError:
@@ -2402,7 +2711,9 @@ def drop_constraint(path, name: str) -> dict:
     if name not in cons:
         raise ValueError(f"no constraint {name!r}")
     cons.pop(name)
-    version = _commit_manifest(p, live, expected_version=vers, constraints=cons)
+    version = _commit_manifest(
+        p, live, expected_version=vers, constraints=cons, cdc={"type": "noop"}
+    )
     return {"name": name, "version": version}
 
 
@@ -2580,7 +2891,8 @@ def stage_append(spark, path, df: DataFrame, audit_id: str | None = None) -> dic
                 raise ValueError(f"audit_id {audit_id!r} already staged")
             reg[audit_id] = added
             version = _commit_manifest(
-                p, live, expected_version=vers, staged=reg
+                p, live, expected_version=vers, staged=reg,
+                cdc={"type": "noop"},
             )
             break
         except ManifestConflictError:
@@ -2644,7 +2956,8 @@ def publish_staged(spark, path, audit_id: str) -> dict:
     for _ in range(10):
         try:
             version = _commit_manifest(
-                p, live + added, expected_version=vers, stats=stats, staged=reg
+                p, live + added, expected_version=vers, stats=stats,
+                staged=reg, cdc={"type": "append"},
             )
             break
         except ManifestConflictError:
@@ -2674,7 +2987,10 @@ def discard_staged(path, audit_id: str) -> dict:
     dropped = reg.pop(audit_id)
     for _ in range(10):
         try:
-            _commit_manifest(p, live, expected_version=vers, staged=reg)
+            _commit_manifest(
+                p, live, expected_version=vers, staged=reg,
+                cdc={"type": "noop"},
+            )
             break
         except ManifestConflictError:
             vers, live = _read_snapshot(p)
@@ -2817,6 +3133,7 @@ def compact_table(
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
         clustered=clustered,
+        cdc={"type": "noop"},
     )
     return {
         "n_files_before": len(live),
@@ -2895,6 +3212,7 @@ def compact_incremental(
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
         clustered={"by": by, "files": sorted(clustered_files | set(new_names))},
+        cdc={"type": "noop"},
     )
     for n in unclustered:  # post-commit cleanup; failure → orphans only
         _unlink_quiet(p / n)
@@ -2996,6 +3314,25 @@ def vacuum_orphans(
             removed.append(f.name)
     if removed:
         _drop_stats_entries(p, removed)
+    # commit-time CDC files: one referenced by ANY remaining history
+    # entry stays readable (read_changes can serve any un-pruned
+    # range); the rest — crash orphans and files whose entries
+    # prune_history dropped — reclaim past the same grace window
+    cdir = p / _CHANGES_DIR
+    if cdir.is_dir():
+        import json
+
+        doc = json.loads((p / _MANIFEST).read_text())
+        referenced = {
+            f
+            for h in doc.get("history", [])
+            for f in h.get("cdc", {}).get("files", [])
+        }
+        for f in cdir.glob("*.parquet"):
+            rel = f"{_CHANGES_DIR}/{f.name}"
+            if rel not in referenced and f.stat().st_mtime <= cutoff:
+                f.unlink()
+                removed.append(rel)
     return sorted(removed)
 
 
@@ -3056,6 +3393,12 @@ def prune_history(path, retain_versions: int) -> list[int]:
         tmp = p / (_MANIFEST + ".tmp")
         tmp.write_text(json.dumps(doc))
         os.replace(str(tmp), str(mf))
+        # pruned transitions are no longer queryable via read_changes:
+        # drop their staged change files (best effort — a leftover is
+        # unreferenced garbage vacuum_orphans also reclaims)
+        for h in hist[: len(hist) - len(keep)]:
+            for f in h.get("cdc", {}).get("files", []):
+                _unlink_quiet(p / f)
         return pruned
     finally:
         _manifest_unlock(p, fd)
@@ -3214,6 +3557,12 @@ def delete_rows(
     # TRUE (coalesce keeps predicate-NULL rows, per DELETE semantics)
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".delete-{token}")
+    # commit-time CDC (Delta CDF): the deleted rows are exactly the
+    # matching rows of this scoped scan — stage them once so
+    # read_changes never re-derives them by diffing snapshots
+    cdc_files = _stage_change_rows(
+        p, [(df.filter(cond).drop("_file"), "delete")], token
+    )
     survivors = (
         df.filter(F.col("_file").isin(affected_uris) & ~F.coalesce(cond, F.lit(False)))
         .drop("_file")
@@ -3239,6 +3588,7 @@ def delete_rows(
         [n for n in live if n not in gone] + new_names,
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
+        cdc={"type": "rows", "files": cdc_files},
     )
     if not retain:  # the DEFAULT (retain=True) keeps displaced
         # originals on disk — a CONCURRENT READER may be mid-scan of
@@ -3339,9 +3689,25 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict
     new_dv = {n: list(lst) for n, lst in dv_prev.items()}
     for n in affected:
         new_dv.setdefault(n, []).append(dv_name)
+    # commit-time CDC: the dead rows' full images come from the SAME
+    # scoped dirty-file scan that minted the DV positions — one more
+    # bounded job here saves every future read_changes pull over this
+    # range a full-snapshot diff (the DV commit leaves the file list
+    # unchanged, so the file-diff fast path is blind to it)
+    cdc_files = _stage_change_rows(
+        p,
+        [(df.filter(cond).drop("__dv_name", "__dv_pos"), "delete")],
+        token,
+    )
     # ATOMIC + OCC: a conflicting commit raises before anything is
     # published; the staged DV parquet is an orphan for vacuum
-    _commit_manifest(p, list(live), expected_version=vers, dv=new_dv)
+    _commit_manifest(
+        p,
+        list(live),
+        expected_version=vers,
+        dv=new_dv,
+        cdc={"type": "rows", "files": cdc_files},
+    )
     return stats
 
 
@@ -3439,6 +3805,25 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
         f.rename(p / name)
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
+    # commit-time CDC: matched target rows (pre-images) come from the
+    # same pruned scan, matched source rows are the post-images, and
+    # unmatched source rows the inserts — all in hand, no extra
+    # table-wide work
+    tkeys = tgt.select(*keys)
+    cdc_files = _stage_change_rows(
+        p,
+        [
+            (
+                tgt.join(src_keys, on=keys, how="left_semi").drop(
+                    "__dv_name", "__dv_pos"
+                ),
+                "update_preimage",
+            ),
+            (src.join(tkeys, on=keys, how="left_semi"), "update_postimage"),
+            (src.join(tkeys, on=keys, how="left_anti"), "insert"),
+        ],
+        token,
+    )
     src.unpersist()
     stats = {
         "rows_before": int(rows_before),
@@ -3464,6 +3849,7 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
         expected_version=vers,
         dv=new_dv,
         stats=_stats_for_added(p, new_names),
+        cdc={"type": "rows", "files": cdc_files},
     )
     return stats
 
@@ -3649,6 +4035,40 @@ def _merge_rows_clauses(
             new_names.append(name)
         return len(new_names) - n0
 
+    def _t_rows(action: str) -> DataFrame:
+        return cls.filter(F.col("__action") == action).select(
+            *[F.col(f"t.{c}").alias(c) for c in data_cols]
+        )
+
+    def _stage_cdc() -> dict:
+        """Commit-time CDC from the CACHED classified join: D/X rows
+        are deletes, U/S rows pair pre-images with their written
+        post-image files' rows, and inserts are referenced as the
+        freshly-written insert DATA files (immutable, exactly the
+        insert set — no second copy of their rows)."""
+        parts = [
+            (_t_rows("D"), "delete"),
+            (_t_rows("X"), "delete"),
+        ]
+        if images is not None:
+            parts += [
+                (_t_rows("U"), "update_preimage"),
+                (images, "update_postimage"),
+            ]
+        if images_su is not None:
+            parts += [
+                (_t_rows("S"), "update_preimage"),
+                (images_su, "update_postimage"),
+            ]
+        rec = {
+            "type": "rows",
+            "files": _stage_change_rows(p, parts, token),
+        }
+        ins_names = [n for n in new_names if f"-{token}-i" in n]
+        if ins_names:
+            rec["insert_files"] = ins_names
+        return rec
+
     if mode == "dv":
         # changed positions → ONE DV parquet; zero files rewritten
         dead = cls.filter(F.col("__action") != "K").select(
@@ -3680,6 +4100,7 @@ def _merge_rows_clauses(
                 new_dv.setdefault(n, []).append(dv_name)
         else:
             _unlink_quiet(p / dv_name)
+        cdc = _stage_cdc()
         cls.unpersist()
         src.unpersist()
         _commit_manifest(
@@ -3688,6 +4109,7 @@ def _merge_rows_clauses(
             expected_version=vers,
             dv=new_dv,
             stats=_stats_for_added(p, new_names),
+            cdc=cdc,
         )
         return {
             "rows_before": rows_before,
@@ -3731,6 +4153,7 @@ def _merge_rows_clauses(
         if any(f"-{token}-i" in n for n in new_names)
         else 0
     )
+    cdc = _stage_cdc()
     cls.unpersist()
     src.unpersist()
     gone = set(affected_names)
@@ -3739,6 +4162,7 @@ def _merge_rows_clauses(
         [n for n in live if n not in gone] + new_names,
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
+        cdc=cdc,
     )
     if not retain:
         for n in affected_names:
@@ -3961,6 +4385,21 @@ def merge_rows(
         f.rename(p / name)
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
+    # commit-time CDC: pre-images from the pruned scan, post-images and
+    # inserts from the (cached, batch-sized) source — O(changed rows)
+    tkeys = tgt.select(*keys)
+    cdc_files = _stage_change_rows(
+        p,
+        [
+            (
+                tgt.join(src_keys, on=keys, how="left_semi").drop("_file"),
+                "update_preimage",
+            ),
+            (src.join(tkeys, on=keys, how="left_semi"), "update_postimage"),
+            (src.join(tkeys, on=keys, how="left_anti"), "insert"),
+        ],
+        token,
+    )
     src.unpersist()
     stats["n_files_added"] = len(new_names)
 
@@ -3971,6 +4410,7 @@ def merge_rows(
         [n for n in live if n not in gone] + new_names,
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
+        cdc={"type": "rows", "files": cdc_files},
     )
     if not retain:
         for n in affected_names:
@@ -4303,12 +4743,26 @@ def update_rows(
         new_dv = {n: list(lst) for n, lst in dv_prev.items()}
         for n in affected:
             new_dv.setdefault(n, []).append(dv_name)
+        # commit-time CDC: pre-images = the matched rows of the pruned
+        # scan, post-images = the computed SET projection over them
+        cdc_files = _stage_change_rows(
+            p,
+            [
+                (
+                    matched.drop("__dv_name", "__dv_pos"),
+                    "update_preimage",
+                ),
+                (images, "update_postimage"),
+            ],
+            token,
+        )
         _commit_manifest(
             p,
             list(live) + new_names,
             expected_version=vers,
             dv=new_dv,
             stats=_stats_for_added(p, new_names),
+            cdc={"type": "rows", "files": cdc_files},
         )
         return stats
 
@@ -4357,12 +4811,25 @@ def update_rows(
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
     stats["n_files_added"] = len(new_names)
+    # commit-time CDC: matched rows (pre) + their SET projection (post)
+    cdc_files = _stage_change_rows(
+        p,
+        [
+            (tgt.filter(cond).drop("_file"), "update_preimage"),
+            (
+                _apply_set(tgt.filter(cond), only_matched=True).drop("_file"),
+                "update_postimage",
+            ),
+        ],
+        token,
+    )
     gone = set(affected_names)
     _commit_manifest(  # ATOMIC + OCC: conflict aborts BEFORE any unlink
         p,
         [n for n in live if n not in gone] + new_names,
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
+        cdc={"type": "rows", "files": cdc_files},
     )
     if not retain:
         for n in affected_names:

@@ -93,74 +93,64 @@ _MODULES = (
 
 # The driver's correctness gate checks the registry PREFIX (50 entries),
 # so the prefix is rotated each round toward "driver rows <= 1 round
-# old for the whole registry". Round-13 prefix = the 4 gates ADDED
-# this round (never-driver-checked outranks stale-but-green: the rich
-# MERGE clause gate, the RETAIN-HOURS retention gate, the
-# partition-style pruning gate, the DV change-feed reader gate), then
-# EXACTLY the 43 r7-stale rows `python tools/rotation_audit.py` queued
-# at round start (VERDICT r12 'Next round #1': the 7 round-12-
-# displaced rows first, then the r7 cohort in audit order -- all
-# re-verified green by the r12 judge parity sample or the round-12
-# full sweeps, but a judge row is not a driver row), then the r8
-# cohort head to fill 50. After this round max staleness is r8 and
-# every row has a driver row <= 5 rounds old.
+# old for the whole registry". Round-14 prefix (VERDICT r13 'Next
+# round #3'): the ONE gate added this round (never-driver-checked
+# outranks stale-but-green: the commit-time CDC extraction gate),
+# then EXACTLY the 49 r8-stale rows `python tools/rotation_audit.py`
+# queued at round start, in audit order. After this round max
+# staleness is r9 and every row has a driver row <= 5 rounds old.
 _PRIORITY = (
-    "layout_merge_full_clauses",  # round-13 gate, never driver-checked
-    "layout_retention_horizon",  # round-13 gate, never driver-checked
-    "layout_partition_style_pruning",  # round-13 gate, never driver-checked
-    "stream_table_change_feed",  # round-13 gate, never driver-checked
-    "layout_cdc_replication",  # round-13 gate, never driver-checked:
-    # takes agg_heavy_hitters_mg's slot (r8-green; displaced to the
-    # round-14 queue; the end-of-round full sweep re-verifies it)
-    "layout_add_column_evolution",  # round-13 gate, never driver-checked:
-    # takes dedup_entity_resolution's slot (r8-green; displaced to the
-    # round-14 queue head; the end-of-round full sweep re-verifies it)
-    "dedup_semantic_clusters",
-    "dedup_simhash_pairs",
-    "fn_array_suite",
-    "fn_date_suite",
-    "fn_json_extract",
-    "fn_string_suite",
-    "fn_variant_json",
-    "mm_decode_dimensions",
-    "mm_probe_metadata",
-    "model_chain_segment_revenue",
-    "model_schema_tests",
-    "q21_bucketed_layout",
-    "q3_bucketed_layout",
-    "range_join_error_context",
-    "sample_hash_bernoulli",
-    "sample_stratified_quota",
-    "sample_temperature_mixture",
-    "setop_intersect_nations",
-    "setop_union_all_parties",
-    "sim_ann_topk_lsh",
-    "sim_bitext_margin_pairs",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sql_lateral_topn_per_nation",
-    "sql_recursive_month_spine",
-    "stream_dedup_counts",
-    "stream_quality_funnel",
-    "stream_session_windows",
-    "stream_stateful_levels",
-    "stream_stream_interval_join",
-    "text_decontaminate_flags",
-    "text_quality_classifier_scores",
-    "text_quality_scores",
-    "text_redact_pii",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "train_pack_concat_chunks",
-    "train_pack_next_fit",
-    "training_chunks_pipeline",
-    "udf_grouped_agg_median",
-    "udf_map_in_arrow_norms",
-    "udf_pandas_scalar_bytelen",
-    "udf_udtf_chunk_text",
-    "agg_countmin_sketch",  # r8 cohort head (audit order)
+    "layout_cdc_commit_time",  # round-14 gate, never driver-checked
+    "agg_heavy_hitters_mg",
+    "dedup_entity_resolution",
+    "dedup_semantic_trained",
+    "dedup_sorted_neighborhood",
+    "graph_common_neighbors",
+    "join_bloom_prefilter_membership",
+    "layout_manifest_delete",
+    "layout_merge_upsert",
+    "layout_time_travel",
+    "ml_als_rank1",
+    "ml_assoc_rules_pairs",
+    "ml_decision_stump",
+    "ml_item_cofiltering",
+    "ml_kmeans_cells",
+    "ml_kn_trigram_lm",
+    "ml_logreg_gd",
+    "ml_naive_bayes_langid",
+    "ml_power_iteration_pc1",
+    "ml_psi_value_drift",
+    "profile_benford_digits",
+    "profile_chi2_independence",
+    "profile_gini_concentration",
+    "profile_ks_two_sample",
+    "profile_mad_outliers",
+    "sample_weighted_noreplacement",
+    "sim_brp_euclidean_topk",
+    "sim_ivf_trained_topk",
+    "sim_neardup_pairs_lsh",
+    "sql_recursive_reachability",
+    "stream_domain_cap",
+    "stream_ewma_alert",
+    "stream_hourly_type_counts",
+    "stream_trending_topk",
+    "text_bigram_surprisal",
+    "text_bpe_encode_tokens",
+    "text_bpe_learn_merges",
+    "text_domain_filter",
+    "text_pmi_collocations",
+    "text_proximity_search",
+    "train_contrastive_negatives",
+    "ts_attribution_position_based",
+    "ts_cusum_changepoint",
+    "ts_event_transition_matrix",
+    "ts_ewma_smoothing",
+    "ts_forward_fill_hourly",
+    "ts_rfm_segments",
+    "ts_session_paths_topk",
+    "window_running_revenue",
+    "window_sessionize_batch",
 )
-
 
 def registry() -> dict[str, Query]:
     """Import all corpus modules (populating the registry) and return it,

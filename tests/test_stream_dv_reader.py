@@ -124,14 +124,26 @@ def test_concurrent_dv_deletes_while_pulling(spark, target):
 
 
 def test_backfill_respects_vacuum_horizon(spark, target):
-    """A pull whose range was vacuumed raises cleanly (Delta's
-    streaming source on pruned history), instead of emitting a
-    partial batch."""
+    """Vacuum interaction, both sides of the r14 commit-time-CDC line:
+    with change files retained, a pull over a vacuumed COW range now
+    SUCCEEDS (the feed reads staged change rows, not displaced
+    snapshot files — Delta CDF's property; pre-r14 this raised); once
+    the change files themselves are gone (history pruned, then
+    vacuumed), the pull raises cleanly instead of emitting a partial
+    batch."""
+    from dbt_slabbing_spark.operators.layout import prune_history
+
     v0 = manifest_versions(target)[-1]
     delete_rows(spark, target, "k < 100", mode="cow")
     delete_rows(spark, target, "k < 200", mode="cow")
     vacuum_orphans(target, grace_seconds=0)
-    with pytest.raises(FileNotFoundError):
+    changes, _ = follow_changes(spark, target, v0)
+    assert changes.filter("_change_type = 'delete'").count() == 200
+    assert changes.filter("_change_type = 'insert'").count() == 0
+    # drop the change-file history too: the range is now unservable
+    prune_history(target, retain_versions=0)
+    vacuum_orphans(target, grace_seconds=0)
+    with pytest.raises((FileNotFoundError, ValueError)):
         changes, _ = follow_changes(spark, target, v0)
         changes.collect()
     # tailing from the current version still works
