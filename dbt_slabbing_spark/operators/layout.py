@@ -3737,6 +3737,50 @@ def _merge_candidates(spark, p, live, src, keys) -> list[str]:
     return keep
 
 
+def _broadcast_if_small(spark, df: DataFrame) -> DataFrame:
+    """Broadcast hint with a SIZE GATE (VERDICT r13 'Next round #4'):
+    MERGE sources are contractually batch-sized, so the broadcast
+    classified join is the fast path — but an unconditional hint turns
+    an oversized source (a CDC backfill batch, a fat table mistaken
+    for a batch) into a driver OOM. Catalyst's plan-time size estimate
+    is compared against 8× the session's autoBroadcastJoinThreshold
+    (the hint tolerates more than the optimizer's automatic choice —
+    that's the point of the contract — but not unboundedly): past the
+    cap the hint is dropped and the join degrades gracefully to a
+    shuffle join, same results, no driver blow-up. Estimate
+    unavailable → broadcast (the contract's default)."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        raw = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).lower().rstrip("b")
+        mult = 1
+        for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if raw.endswith(suf):
+                raw, mult = raw[:-1], m
+                break
+        thr = int(raw) * mult
+    except Exception:  # py4j / conf-format edge: keep the contract path
+        return F.broadcast(df)
+    cap = 8 * (thr if thr > 0 else 10 * 1024 * 1024)
+    if est >= (1 << 60):
+        # RDD-backed sources (createDataFrame batches — the NORMAL
+        # merge source) report Long.MaxValue, i.e. "no stats", not
+        # "huge": probe the row count, bounded by the cap — the probe
+        # scans at most cap+1 rows, one cheap job
+        n = df.limit(_BROADCAST_ROW_CAP + 1).count()
+        return F.broadcast(df) if n <= _BROADCAST_ROW_CAP else df
+    return F.broadcast(df) if est <= cap else df
+
+
+# row-count ceiling for broadcast of a stats-less (RDD-backed) merge
+# source: 1M rows ≈ low-hundreds of MB at typical CDC-row widths —
+# the batch-sized contract with headroom; past it, shuffle join
+_BROADCAST_ROW_CAP = 1_000_000
+
+
 def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     """Merge-on-read MERGE (see :func:`merge_rows` ``mode="dv"``):
     matched target rows die by DELETION VECTOR (one small positions
@@ -3768,7 +3812,7 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     )
     if not cand:
         tgt = tgt.limit(0)
-    src_keys = F.broadcast(src.select(*keys))
+    src_keys = _broadcast_if_small(spark, src.select(*keys))
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".dvmerge-{token}")
     # matched target rows → ONE DV parquet of (file, pos): O(matched)
@@ -3923,7 +3967,7 @@ def _merge_rows_clauses(
     c_nmbs_upd = (
         _cond(nmbs_upd_cond, True) if nmbs_upd is not None else F.lit(False)
     )
-    cls = t.join(F.broadcast(s), on=jcond, how="left").withColumn(
+    cls = t.join(_broadcast_if_small(spark, s), on=jcond, how="left").withColumn(
         "__action",
         F.when(matched & c_del, F.lit("D"))
         .when(matched & c_upd, F.lit("U"))
@@ -4270,6 +4314,10 @@ def merge_rows(
     broadcast of the full source instead of its key column — merge
     sources are batch-sized by contract (the CDC/upsert pattern); a
     table-sized source should be a join-and-overwrite, not a MERGE.
+    The broadcast hint is SIZE-GATED (:func:`_broadcast_if_small`):
+    a source past 8× the session's autoBroadcastJoinThreshold drops
+    the hint and the classified join degrades to a shuffle join —
+    identical results, no driver OOM on an oversized backfill batch.
 
     Returns ``{"rows_before", "rows_updated", "rows_deleted",
     "rows_inserted", "rows_after", "n_files_total",
@@ -4335,7 +4383,7 @@ def merge_rows(
     )
     if not cand:
         tgt = tgt.limit(0)
-    src_keys = F.broadcast(src.select(*keys))
+    src_keys = _broadcast_if_small(spark, src.select(*keys))
     per_file = (
         tgt.join(src_keys, on=keys, how="left_semi")
         .groupBy("_file")
