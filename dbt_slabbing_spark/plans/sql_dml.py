@@ -210,6 +210,11 @@ _TIMESTAMP_AS_OF_RE = re.compile(
     r"'(?P<ts>[^']+)'",
     re.I,
 )
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes\s*\(\s*'(?P<table>[A-Za-z_][A-Za-z0-9_]*)'\s*,\s*"
+    r"(?P<vfrom>\d+)\s*,\s*(?P<vto>\d+)\s*\)",
+    re.I,
+)
 _MERGE_HEAD_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_][A-Za-z0-9_]*))?\s+"
@@ -505,7 +510,32 @@ class ManifestSession:
             ).createOrReplaceTempView(view)
             return view
 
-        return _TIMESTAMP_AS_OF_RE.sub(_sub_ts, stmt)
+        stmt = _TIMESTAMP_AS_OF_RE.sub(_sub_ts, stmt)
+
+        def _sub_tc(m: re.Match) -> str:
+            # table_changes('t', v_from, v_to) — Delta's CDF TVF with
+            # THIS engine's snapshot-range convention (read_changes:
+            # changes going from snapshot v_from to snapshot v_to;
+            # Delta's TVF takes commit versions — subtract 1 from its
+            # startingVersion to translate). Rows carry _change_type
+            # and _commit_version.
+            name = m.group("table")
+            if name not in self.tables:
+                return m.group(0)
+            v_from, v_to = int(m.group("vfrom")), int(m.group("vto"))
+            view = f"_tc_{name}_v{v_from}_v{v_to}"
+            from ..operators.layout import read_changes
+
+            read_changes(
+                self.spark,
+                self.tables[name],
+                v_from,
+                v_to,
+                with_commit_version=True,
+            ).createOrReplaceTempView(view)
+            return view
+
+        return _TABLE_CHANGES_RE.sub(_sub_tc, stmt)
 
     def _create(self, stmt: str) -> dict:
         mc = _SHALLOW_CLONE_RE.match(stmt)

@@ -268,3 +268,58 @@ def test_fast_path_still_serves_pure_appends(spark, tmp_path):
     assert [(r["k"], r["_change_type"]) for r in ch.collect()] == [(2, "insert")]
     scanned = _scanned_files(ch)
     assert all(n.startswith("append-") for n in scanned)
+
+
+def test_feed_across_schema_evolution(spark, tmp_path):
+    """Change files staged before an ADD COLUMN conform to the current
+    logical schema at read: the evolved column reads typed-NULL on old
+    change rows, real values on post-evolution ones."""
+    from dbt_slabbing_spark.operators.layout import add_column
+
+    t = str(tmp_path / "t")
+    append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0)]).coalesce(1))
+    v0 = manifest_versions(t)[-1]
+    delete_rows(spark, t, "k = 1", mode="dv")  # change rows: (k, v) only
+    add_column(t, "tag", "string")
+    append_files(
+        spark,
+        t,
+        spark.createDataFrame([(3, 3.0, "new")], "k int, v double, tag string"),
+    )
+    v3 = manifest_versions(t)[-1]
+    ch = read_changes(spark, t, v0, v3)
+    got = sorted(
+        (r["k"], r["tag"], r["_change_type"]) for r in ch.collect()
+    )
+    assert got == [(1, None, "delete"), (3, "new", "insert")]
+    assert "Except" not in _plan(ch)
+
+
+def test_sql_table_changes_tvf(spark, tmp_path):
+    """Delta-style table_changes('t', v_from, v_to) through the SQL
+    front-end: plain SELECT over the change feed, _commit_version
+    included, ordinary SQL composition on top."""
+    from dbt_slabbing_spark.plans.sql_dml import ManifestSession
+
+    t = str(tmp_path / "t")
+    append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]).coalesce(1))
+    ses = ManifestSession(spark, mode="dv").register("tc_tab", t)
+    v0 = manifest_versions(t)[-1]
+    ses.sql("DELETE FROM tc_tab WHERE k = 2")
+    ses.sql("UPDATE tc_tab SET v = v + 10.0 WHERE k = 3")
+    v2 = manifest_versions(t)[-1]
+    rows = ses.sql(
+        f"SELECT k, v, _change_type, _commit_version "
+        f"FROM table_changes('tc_tab', {v0}, {v2}) ORDER BY _commit_version, k, _change_type"
+    ).collect()
+    got = [(r["k"], r["v"], r["_change_type"]) for r in rows]
+    assert got == [(2, 2.0, "delete"), (3, 3.0, "delete"), (3, 13.0, "insert")]
+    # versions are the commit each change landed AT, monotone over the range
+    vs = [r["_commit_version"] for r in rows]
+    assert vs == sorted(vs) and vs[0] == v0 + 1 and vs[-1] == v2
+    # aggregating SQL composes over the TVF like any relation
+    n = ses.sql(
+        f"SELECT count(*) AS n FROM table_changes('tc_tab', {v0}, {v2}) "
+        f"WHERE _change_type = 'delete'"
+    ).first()["n"]
+    assert n == 2
