@@ -1701,23 +1701,40 @@ def _parquet_has_rows(f) -> bool:
         return True
 
 
-def _cdc_range_records(p, v_from: int, v_to: int) -> list[dict] | None:
-    """History entries carrying CDC records for every transition in
-    ``(v_from, v_to]`` — the entry stored under ``version=v`` records
-    the v → v+1 transition. Returns None when ANY transition lacks a
-    record (pre-r14 commit, overwrite, restore): the caller must take
-    the endpoint-diff fallback for that range."""
+def _cdc_history_entries(p) -> dict:
+    """``{version: history entry}`` for the manifest's retained log."""
     import json
 
     doc = json.loads((p / _MANIFEST).read_text())
-    entries = {int(h["version"]): h for h in doc.get("history", [])}
-    recs = []
-    for v in range(int(v_from), int(v_to)):
-        h = entries.get(v)
-        if h is None or "cdc" not in h:
-            return None
-        recs.append(h)
-    return recs
+    return {int(h["version"]): h for h in doc.get("history", [])}
+
+
+def _cdc_range_records(p, v_from: int, v_to: int) -> list[dict] | None:
+    """History entries carrying CDC records for every transition in
+    ``(v_from, v_to]`` — the entry stored under ``version=v`` records
+    the v → v+1 transition. ``invert`` records (RESTORE — its change
+    set is the inverse of the range it undoes) are validated
+    RECURSIVELY: the undone range must itself be fully recorded.
+    Returns None when any required transition lacks a record (pre-r14
+    commit, OVERWRITE): the caller must take the endpoint-diff
+    fallback for that range."""
+    entries = _cdc_history_entries(p)
+
+    def _ok(a: int, b: int) -> bool:
+        for v in range(a, b):
+            h = entries.get(v)
+            if h is None or "cdc" not in h:
+                return False
+            c = h["cdc"]
+            if c["type"] == "invert" and not _ok(
+                int(c["v_from"]), int(c["v_to"])
+            ):
+                return False
+        return True
+
+    if not _ok(int(v_from), int(v_to)):
+        return None
+    return [entries[v] for v in range(int(v_from), int(v_to))]
 
 
 def read_changes(
@@ -1909,51 +1926,88 @@ def _compose_changes(
     (:func:`replicate_changes`) are unaffected."""
     reader = spark.read.option("mergeSchema", "true")
     cmap, dropped, added = _column_map(p), _dropped_cols(p), _added_cols(p)
-    # (commit_version, files) groups — lumped into single multi-file
-    # scans when the consumer doesn't need per-commit ordering (fewer
-    # scan legs), per-commit legs when it does (with_commit_version)
-    ins_groups: list[tuple[int, list[str]]] = []
-    chg_groups: list[tuple[int, list[str]]] = []
-    for h in recs:
-        c = h["cdc"]
-        v_commit = int(h["version"]) + 1
-        if c["type"] == "append":
-            if h.get("added"):
-                ins_groups.append((v_commit, list(h["added"])))
-        elif c["type"] == "rows":
-            if c.get("files"):
-                chg_groups.append((v_commit, list(c["files"])))
-            # a MERGE's pure-insert rows are served from its freshly
-            # written insert DATA files (immutable, exactly the insert
-            # set) instead of a second copy of the rows
-            if c.get("insert_files"):
-                ins_groups.append((v_commit, list(c["insert_files"])))
-        # "noop": no row changed
-    all_files = [n for _, fs in ins_groups + chg_groups for n in fs]
+    entries = _cdc_history_entries(p)
+    # (commit_version, files, flipped) groups. `flipped` is the invert
+    # parity: a RESTORE's change set is the INVERSE of the range it
+    # undoes (its appends become deletes, its change rows swap tags),
+    # composed from records already on disk — zero new change files
+    # staged, still O(changed data). Nested restores toggle the
+    # parity again. All rows beneath an invert are attributed to the
+    # RESTORE commit's version (the restore is one commit).
+    ins_groups: list[tuple[int, list[str], bool]] = []
+    chg_groups: list[tuple[int, list[str], bool]] = []
+
+    def _walk(hs: list[dict], v_override: int | None, flipped: bool) -> None:
+        for h in hs:
+            c = h["cdc"]
+            vc = v_override if v_override is not None else int(h["version"]) + 1
+            if c["type"] == "append":
+                if h.get("added"):
+                    ins_groups.append((vc, list(h["added"]), flipped))
+            elif c["type"] == "rows":
+                if c.get("files"):
+                    chg_groups.append((vc, list(c["files"]), flipped))
+                # a MERGE's pure-insert rows are served from its
+                # freshly written insert DATA files (immutable,
+                # exactly the insert set) — no second copy of the rows
+                if c.get("insert_files"):
+                    ins_groups.append((vc, list(c["insert_files"]), flipped))
+            elif c["type"] == "invert":
+                _walk(
+                    [
+                        entries[v]
+                        for v in range(int(c["v_from"]), int(c["v_to"]))
+                    ],
+                    vc,
+                    not flipped,
+                )
+            # "noop": no row changed
+
+    _walk(recs, None, False)
+    all_files = [n for _, fs, _f in ins_groups + chg_groups for n in fs]
     missing = [n for n in all_files if not (p / n).exists()]
     if missing:
         raise FileNotFoundError(
             f"change range references vacuumed files: {missing}"
         )
-    if not with_commit_version:  # lump: one scan per kind
-        ins_groups = (
-            [(0, [n for _, fs in ins_groups for n in fs])] if ins_groups else []
-        )
-        chg_groups = (
-            [(0, [n for _, fs in chg_groups for n in fs])] if chg_groups else []
-        )
+    if not with_commit_version:  # lump: one scan per (kind, parity)
+        ins_groups = [
+            (0, [n for _, fs, f in ins_groups if f is flip for n in fs], flip)
+            for flip in (False, True)
+            if any(f is flip for _, _fs, f in ins_groups)
+        ]
+        chg_groups = [
+            (0, [n for _, fs, f in chg_groups if f is flip for n in fs], flip)
+            for flip in (False, True)
+            if any(f is flip for _, _fs, f in chg_groups)
+        ]
+    _FLIP = {
+        "insert": "delete",
+        "delete": "insert",
+        "update_preimage": "update_postimage",
+        "update_postimage": "update_preimage",
+    }
     parts = []
-    for v_commit, fs in ins_groups:
+    for v_commit, fs, flipped in ins_groups:
         q = _to_logical(
             reader.parquet(*[str(p / n) for n in fs]), cmap, dropped, added
-        ).withColumn("_change_type", F.lit("insert"))
+        ).withColumn(
+            "_change_type", F.lit("delete" if flipped else "insert")
+        )
         if with_commit_version:
             q = q.withColumn("_commit_version", F.lit(v_commit))
         parts.append(q)
-    for v_commit, fs in chg_groups:
+    for v_commit, fs, flipped in chg_groups:
         q = _to_logical(
             reader.parquet(*[str(p / n) for n in fs]), cmap, dropped, added
         )
+        if flipped:
+            mapping = F.col("_change_type")
+            for src_tag, dst_tag in _FLIP.items():
+                mapping = F.when(
+                    F.col("_change_type") == src_tag, F.lit(dst_tag)
+                ).otherwise(mapping)
+            q = q.withColumn("_change_type", mapping)
         if with_commit_version:
             q = q.withColumn("_commit_version", F.lit(v_commit))
         parts.append(q)
@@ -4537,6 +4591,10 @@ def restore_table(path, version: int | None = None, spark=None, timestamp=None) 
     scan (falls back to the active session); a constraint-free table
     restores without touching data. OCC like every commit: a
     concurrent writer's commit between read and publish raises.
+    The commit records an ``invert`` CDC pointer — the restore's
+    change feed is the inverse composition of the range it undoes
+    (:func:`_compose_changes`), so change-feed consumers ride through
+    a rollback at O(changed data) instead of an O(table) diff.
     Returns ``{"restored_version", "version", "n_files"}``."""
     import pathlib
 
@@ -4591,6 +4649,16 @@ def restore_table(path, version: int | None = None, spark=None, timestamp=None) 
         expected_version=vers,
         dv={n: list(lst) for n, lst in dv.items() if n in set(files)},
         stats=_stats_for_added(p, statless) if statless else None,
+        # commit-time CDC: a restore's change set is the INVERSE of
+        # the range it undoes — recorded as a pointer, composed at
+        # read time from the undone range's own records (zero change
+        # files staged; read_changes falls back only if that inner
+        # range is itself unrecorded)
+        cdc=(
+            {"type": "invert", "v_from": int(version), "v_to": int(vers)}
+            if int(version) <= int(vers)
+            else None
+        ),
     )
     return {
         "restored_version": int(version),

@@ -323,3 +323,60 @@ def test_sql_table_changes_tvf(spark, tmp_path):
         f"WHERE _change_type = 'delete'"
     ).first()["n"]
     assert n == 2
+
+
+def test_restore_feed_is_inverse_of_undone_range(spark, tmp_path):
+    """RESTORE records an invert pointer: its change rows are the
+    inverse composition of the undone range — appends surface as
+    deletes, DV deletes as re-inserts — with no new change files
+    staged and no snapshot diff in the plan."""
+    from dbt_slabbing_spark.operators.layout import restore_table
+
+    t = str(tmp_path / "t")
+    append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0)]).coalesce(1))
+    v0 = manifest_versions(t)[-1]
+    delete_rows(spark, t, "k = 1", mode="dv")
+    append_files(spark, t, _mk(spark, [(3, 3.0)]).coalesce(1))
+    v2 = manifest_versions(t)[-1]
+    restore_table(t, version=v0, spark=spark)
+    v3 = manifest_versions(t)[-1]
+    # the restore commit alone: exactly the inverse of (v0 -> v2)
+    ch = read_changes(spark, t, v2, v3)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    assert got == [(1, "insert"), (3, "delete")]
+    assert "Except" not in _plan(ch)
+    # the whole range (v0 -> v3) folds to nothing: table is back at v0
+    full = read_changes(spark, t, v0, v3)
+    assert "Except" not in _plan(full)
+    folded = _fold(read_table(spark, t, version=v0), full)
+    assert folded.count() == read_table(spark, t).count() == 2
+    back = {(r["k"], r["v"]) for r in folded.collect()}
+    assert back == {(1, 1.0), (2, 2.0)}
+
+
+def test_restore_of_restore_feed(spark, tmp_path):
+    """Nested inverts: restoring a restore away flips parity twice —
+    the feed over the second restore equals the original forward
+    changes, and a tailer folding through BOTH restores tracks every
+    snapshot."""
+    from dbt_slabbing_spark.operators.layout import restore_table
+
+    t = str(tmp_path / "t")
+    append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0)]).coalesce(1))
+    v0 = manifest_versions(t)[-1]
+    delete_rows(spark, t, "k = 2", mode="dv")
+    v1 = manifest_versions(t)[-1]
+    restore_table(t, version=v0, spark=spark)  # undo the delete
+    v2 = manifest_versions(t)[-1]
+    restore_table(t, version=v1, spark=spark)  # redo it
+    v3 = manifest_versions(t)[-1]
+    ch = read_changes(spark, t, v2, v3)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    assert got == [(2, "delete")]  # the redo re-deletes k=2
+    assert "Except" not in _plan(ch)
+    state = read_table(spark, t, version=v0)
+    for a, b in ((v0, v1), (v1, v2), (v2, v3)):
+        state = _fold(state, read_changes(spark, t, a, b))
+    assert {(r["k"], r["v"]) for r in state.collect()} == {
+        (r["k"], r["v"]) for r in read_table(spark, t).collect()
+    }
