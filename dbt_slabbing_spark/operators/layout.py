@@ -1936,6 +1936,10 @@ def _compose_changes(
     # RESTORE commit's version (the restore is one commit).
     ins_groups: list[tuple[int, list[str], bool]] = []
     chg_groups: list[tuple[int, list[str], bool]] = []
+    # OVERWRITE ("replace"): the change set is the whole displaced
+    # snapshot as deletes + the new files as inserts — served by
+    # scanning both sides (the change set's true size), no exceptAll
+    snap_groups: list[tuple[int, int, bool]] = []
 
     def _walk(hs: list[dict], v_override: int | None, flipped: bool) -> None:
         for h in hs:
@@ -1952,6 +1956,10 @@ def _compose_changes(
                 # exactly the insert set) — no second copy of the rows
                 if c.get("insert_files"):
                     ins_groups.append((vc, list(c["insert_files"]), flipped))
+            elif c["type"] == "replace":
+                snap_groups.append((vc, int(h["version"]), flipped))
+                if h.get("added"):
+                    ins_groups.append((vc, list(h["added"]), flipped))
             elif c["type"] == "invert":
                 _walk(
                     [
@@ -2008,6 +2016,26 @@ def _compose_changes(
                     F.col("_change_type") == src_tag, F.lit(dst_tag)
                 ).otherwise(mapping)
             q = q.withColumn("_change_type", mapping)
+        if with_commit_version:
+            q = q.withColumn("_commit_version", F.lit(v_commit))
+        parts.append(q)
+    for v_commit, snap_v, flipped in snap_groups:
+        files_v = _files_at_version(p, snap_v)
+        if not files_v:
+            continue  # overwrite of an empty table: no delete side
+        dv_v = _dv_at_version(p, snap_v)
+        needed = list(files_v) + sorted(
+            {d for lst in dv_v.values() for d in lst}
+        )
+        miss = [n for n in needed if not (p / n).exists()]
+        if miss:
+            raise FileNotFoundError(
+                f"change range references vacuumed files: {miss}"
+            )
+        q = _scan_with_dv(spark, p, files_v, dv_v, merge_schema=True)
+        q = q.withColumn(
+            "_change_type", F.lit("insert" if flipped else "delete")
+        )
         if with_commit_version:
             q = q.withColumn("_commit_version", F.lit(v_commit))
         parts.append(q)
@@ -4559,6 +4587,12 @@ def overwrite_table(spark, path, df: DataFrame) -> dict:
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
         clustered=None,
+        # commit-time CDC: an overwrite's change set is the WHOLE old
+        # snapshot as deletes + the new files as inserts (Delta CDF's
+        # overwrite semantics) — recorded as a pointer, served by
+        # scanning both sides directly: O(both snapshots) scan, which
+        # is the change set's true size, but NO exceptAll shuffle
+        cdc={"type": "replace"},
     )
     rows_after = spark.read.parquet(*[str(p / n) for n in new_names]).count()
     return {

@@ -3592,7 +3592,10 @@ def layout_cdc_commit_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1 = manifest_versions(work)[-1]
         feed = read_changes(spark, work, v0, v1)
         # plan guard: the pull contains NO snapshot diff
-        no_except = "Except" not in feed._jdf.queryExecution().optimizedPlan().toString()
+        no_except = (
+            "Except"
+            not in feed._jdf.queryExecution().analyzed().toString()
+        )
         # scan-width spy: only change-data + appended files, no table file
         scanned = {
             r[0].rsplit("/", 1)[-1]

@@ -50,7 +50,9 @@ def _mk(spark, rows):
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+    # ANALYZED plan: the optimizer rewrites ExceptAll into a
+    # replicaterows/union form, so "Except" only survives pre-rewrite
+    return df._jdf.queryExecution().analyzed().toString()
 
 
 def _scanned_files(df) -> set:
@@ -217,17 +219,50 @@ def test_tailing_consumer_under_maintenance(spark, tmp_path):
     )
 
 
-def test_fallback_on_overwrite_range(spark, tmp_path):
-    """OVERWRITE has no CDC record (its change set IS the table): the
-    range falls back to the endpoint diff and stays exact."""
+def test_overwrite_range_replace_record(spark, tmp_path):
+    """OVERWRITE records a 'replace' pointer — Delta CDF's overwrite
+    semantics: the WHOLE displaced snapshot surfaces as deletes and
+    every new row as an insert (rows identical across the overwrite
+    included — per-commit, not net). Served by scanning both sides,
+    no exceptAll; the fold still reconstructs exactly."""
     t = str(tmp_path / "t")
     append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0)]).coalesce(1))
     v0 = manifest_versions(t)[-1]
+    snap0 = read_table(spark, t)
     overwrite_table(spark, t, _mk(spark, [(2, 2.0), (3, 3.0)]).coalesce(1))
     v1 = manifest_versions(t)[-1]
     ch = read_changes(spark, t, v0, v1)
     got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
-    assert got == [(1, "delete"), (3, "insert")]
+    assert got == [
+        (1, "delete"),
+        (2, "delete"),
+        (2, "insert"),
+        (3, "insert"),
+    ]
+    assert "Except" not in _plan(ch)
+    folded = {(r["k"], r["v"]) for r in _fold(snap0, ch).collect()}
+    assert folded == {(2, 2.0), (3, 3.0)}
+
+
+def test_fallback_on_unrecorded_history(spark, tmp_path):
+    """A range crossing a commit WITHOUT a CDC record (simulated
+    pre-r14 history) falls back to the endpoint diff and stays exact
+    (net semantics there)."""
+    t = str(tmp_path / "t")
+    p = pathlib.Path(t)
+    append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0)]).coalesce(1))
+    v0 = manifest_versions(t)[-1]
+    delete_rows(spark, t, "k = 1")  # cow, records cdc
+    v1 = manifest_versions(t)[-1]
+    # strip the record, as a pre-r14 commit would look
+    doc = json.loads((p / _MANIFEST).read_text())
+    for h in doc["history"]:
+        h.pop("cdc", None)
+    (p / _MANIFEST).write_text(json.dumps(doc))
+    ch = read_changes(spark, t, v0, v1)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    assert got == [(1, "delete")]
+    assert "Except" in _plan(ch)  # the fallback IS the diff
 
 
 def test_change_file_lifecycle(spark, tmp_path):
