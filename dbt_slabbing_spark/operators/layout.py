@@ -1424,7 +1424,7 @@ def create_bloom_index(
         try:
             version = _commit_manifest(
                 p, live, expected_version=vers, bloom_cfg=cfg,
-                cdc={"type": "noop"},
+                cdc={"type": "noop", "op": "CREATE INDEX"},
             )
             break
         except ManifestConflictError:
@@ -2306,7 +2306,7 @@ def append_files(
                 }
             _commit_manifest(
                 p, live + added, expected_version=vers, stats=added_stats,
-                cdc={"type": "append"}, **kw
+                cdc={"type": "append", "op": "WRITE"}, **kw
             )
             break
         except ManifestConflictError:
@@ -2551,7 +2551,7 @@ def rename_column(path, old: str, new: str) -> dict:
         bloom_cfg=bloom_cfg,
         clustered=clustered,
         column_map=cmap,
-        cdc={"type": "noop"},
+        cdc={"type": "noop", "op": "RENAME COLUMN"},
     )
     side = _bloom_sidecar(p)
     if old in side:  # re-key the sidecar too (best effort, lock-held)
@@ -2615,7 +2615,7 @@ def drop_column(path, col: str) -> dict:
         column_map=cmap,
         dropped_columns=dropped,
         added_columns=added,
-        cdc={"type": "noop"},
+        cdc={"type": "noop", "op": "DROP COLUMN"},
     )
     return {"col": col, "physical": physical, "version": version}
 
@@ -2665,7 +2665,7 @@ def add_column(path, col: str, dtype: str) -> dict:
     added[col] = dtype
     version = _commit_manifest(
         p, live, expected_version=vers, added_columns=added,
-        cdc={"type": "noop"},
+        cdc={"type": "noop", "op": "ADD COLUMN"},
     )
     return {"col": col, "dtype": dtype, "version": version}
 
@@ -2743,7 +2743,7 @@ def add_constraint(spark, path, name: str, expr: str) -> dict:
         try:
             version = _commit_manifest(
                 p, live, expected_version=vers, constraints=cons,
-                cdc={"type": "noop"},
+                cdc={"type": "noop", "op": "ADD CONSTRAINT"},
             )
             break
         except ManifestConflictError:
@@ -2794,7 +2794,7 @@ def drop_constraint(path, name: str) -> dict:
         raise ValueError(f"no constraint {name!r}")
     cons.pop(name)
     version = _commit_manifest(
-        p, live, expected_version=vers, constraints=cons, cdc={"type": "noop"}
+        p, live, expected_version=vers, constraints=cons, cdc={"type": "noop", "op": "DROP CONSTRAINT"}
     )
     return {"name": name, "version": version}
 
@@ -2816,15 +2816,25 @@ def table_snapshots(spark, path) -> DataFrame:
     versions = manifest_versions(p)
     cur = versions[-1]
     ts_map = _version_timestamps(p)
+    # operation label (Delta's DESCRIBE HISTORY `operation` column):
+    # snapshot v was produced by the transition recorded under history
+    # entry v-1 — its commit-time CDC record carries the op name.
+    # Version 1 is table creation; pre-r14 commits have no record.
+    entries = _cdc_history_entries(p)
     rows = []
     prev_files: set[str] = set()
     for v in versions:
         fs = set(_files_at_version(p, v))
         dv = _dv_at_version(p, v)
         refs = fs | {d for lst in dv.values() for d in lst}
+        if v == versions[0]:
+            op = "CREATE"
+        else:
+            op = entries.get(v - 1, {}).get("cdc", {}).get("op")
         rows.append(
             (
                 v,
+                op,
                 len(fs),
                 len(fs - prev_files),
                 len(prev_files - fs),
@@ -2837,9 +2847,9 @@ def table_snapshots(spark, path) -> DataFrame:
         prev_files = fs
     return spark.createDataFrame(
         rows,
-        "version bigint, n_files bigint, n_added bigint, n_removed bigint, "
-        "n_files_with_dv bigint, is_current boolean, ts double, "
-        "restorable boolean",
+        "version bigint, operation string, n_files bigint, n_added bigint, "
+        "n_removed bigint, n_files_with_dv bigint, is_current boolean, "
+        "ts double, restorable boolean",
     )
 
 
@@ -2974,7 +2984,7 @@ def stage_append(spark, path, df: DataFrame, audit_id: str | None = None) -> dic
             reg[audit_id] = added
             version = _commit_manifest(
                 p, live, expected_version=vers, staged=reg,
-                cdc={"type": "noop"},
+                cdc={"type": "noop", "op": "WAP STAGE"},
             )
             break
         except ManifestConflictError:
@@ -3039,7 +3049,7 @@ def publish_staged(spark, path, audit_id: str) -> dict:
         try:
             version = _commit_manifest(
                 p, live + added, expected_version=vers, stats=stats,
-                staged=reg, cdc={"type": "append"},
+                staged=reg, cdc={"type": "append", "op": "WAP PUBLISH"},
             )
             break
         except ManifestConflictError:
@@ -3071,7 +3081,7 @@ def discard_staged(path, audit_id: str) -> dict:
         try:
             _commit_manifest(
                 p, live, expected_version=vers, staged=reg,
-                cdc={"type": "noop"},
+                cdc={"type": "noop", "op": "WAP DISCARD"},
             )
             break
         except ManifestConflictError:
@@ -3215,7 +3225,7 @@ def compact_table(
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
         clustered=clustered,
-        cdc={"type": "noop"},
+        cdc={"type": "noop", "op": "OPTIMIZE"},
     )
     return {
         "n_files_before": len(live),
@@ -3294,7 +3304,7 @@ def compact_incremental(
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
         clustered={"by": by, "files": sorted(clustered_files | set(new_names))},
-        cdc={"type": "noop"},
+        cdc={"type": "noop", "op": "OPTIMIZE"},
     )
     for n in unclustered:  # post-commit cleanup; failure → orphans only
         _unlink_quiet(p / n)
@@ -3670,7 +3680,7 @@ def delete_rows(
         [n for n in live if n not in gone] + new_names,
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
-        cdc={"type": "rows", "files": cdc_files},
+        cdc={"type": "rows", "files": cdc_files, "op": "DELETE"},
     )
     if not retain:  # the DEFAULT (retain=True) keeps displaced
         # originals on disk — a CONCURRENT READER may be mid-scan of
@@ -3788,7 +3798,7 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict
         list(live),
         expected_version=vers,
         dv=new_dv,
-        cdc={"type": "rows", "files": cdc_files},
+        cdc={"type": "rows", "files": cdc_files, "op": "DELETE"},
     )
     return stats
 
@@ -3975,7 +3985,7 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
         expected_version=vers,
         dv=new_dv,
         stats=_stats_for_added(p, new_names),
-        cdc={"type": "rows", "files": cdc_files},
+        cdc={"type": "rows", "files": cdc_files, "op": "MERGE"},
     )
     return stats
 
@@ -4189,6 +4199,7 @@ def _merge_rows_clauses(
         rec = {
             "type": "rows",
             "files": _stage_change_rows(p, parts, token),
+            "op": "MERGE",
         }
         ins_names = [n for n in new_names if f"-{token}-i" in n]
         if ins_names:
@@ -4540,7 +4551,7 @@ def merge_rows(
         [n for n in live if n not in gone] + new_names,
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
-        cdc={"type": "rows", "files": cdc_files},
+        cdc={"type": "rows", "files": cdc_files, "op": "MERGE"},
     )
     if not retain:
         for n in affected_names:
@@ -4592,7 +4603,7 @@ def overwrite_table(spark, path, df: DataFrame) -> dict:
         # overwrite semantics) — recorded as a pointer, served by
         # scanning both sides directly: O(both snapshots) scan, which
         # is the change set's true size, but NO exceptAll shuffle
-        cdc={"type": "replace"},
+        cdc={"type": "replace", "op": "OVERWRITE"},
     )
     rows_after = spark.read.parquet(*[str(p / n) for n in new_names]).count()
     return {
@@ -4689,7 +4700,8 @@ def restore_table(path, version: int | None = None, spark=None, timestamp=None) 
         # files staged; read_changes falls back only if that inner
         # range is itself unrecorded)
         cdc=(
-            {"type": "invert", "v_from": int(version), "v_to": int(vers)}
+            {"type": "invert", "v_from": int(version), "v_to": int(vers),
+             "op": "RESTORE"}
             if int(version) <= int(vers)
             else None
         ),
@@ -4912,7 +4924,7 @@ def update_rows(
             expected_version=vers,
             dv=new_dv,
             stats=_stats_for_added(p, new_names),
-            cdc={"type": "rows", "files": cdc_files},
+            cdc={"type": "rows", "files": cdc_files, "op": "UPDATE"},
         )
         return stats
 
@@ -4979,7 +4991,7 @@ def update_rows(
         [n for n in live if n not in gone] + new_names,
         expected_version=vers,
         stats=_stats_for_added(p, new_names),
-        cdc={"type": "rows", "files": cdc_files},
+        cdc={"type": "rows", "files": cdc_files, "op": "UPDATE"},
     )
     if not retain:
         for n in affected_names:

@@ -415,3 +415,42 @@ def test_restore_of_restore_feed(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in state.collect()} == {
         (r["k"], r["v"]) for r in read_table(spark, t).collect()
     }
+
+
+def test_describe_history_operation_labels(spark, tmp_path):
+    """DESCRIBE HISTORY gains Delta's `operation` column, derived from
+    the commit-time CDC records."""
+    from dbt_slabbing_spark.operators.layout import (
+        restore_table,
+        table_snapshots,
+    )
+
+    t = str(tmp_path / "t")
+    append_files(spark, t, _mk(spark, [(1, 1.0), (2, 2.0)]).coalesce(1))
+    v0 = manifest_versions(t)[-1]
+    append_files(spark, t, _mk(spark, [(3, 3.0)]).coalesce(1))
+    delete_rows(spark, t, "k = 1", mode="dv")
+    update_rows(spark, t, "k = 2", {"v": "20.0"})
+    merge_rows(spark, t, _mk(spark, [(9, 9.0)]), on="k")
+    compact_table(spark, t)
+    overwrite_table(spark, t, _mk(spark, [(5, 5.0)]).coalesce(1))
+    restore_table(t, version=v0, spark=spark)
+    ops = [
+        r["operation"]
+        for r in sorted(
+            table_snapshots(spark, t).collect(), key=lambda r: r["version"]
+        )
+    ]
+    # the first append on a fresh dir is two commits: adoption
+    # (CREATE) + the append itself (WRITE)
+    assert ops == [
+        "CREATE",
+        "WRITE",
+        "WRITE",
+        "DELETE",
+        "UPDATE",
+        "MERGE",
+        "OPTIMIZE",
+        "OVERWRITE",
+        "RESTORE",
+    ]
