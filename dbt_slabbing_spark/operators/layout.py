@@ -3626,35 +3626,43 @@ def delete_rows(
     df = _scan_with_dv(
         spark, p, cand, dv_prev, merge_schema=True, keep_file_col=True
     )
-    per_file = (
-        df.filter(cond)
-        .groupBy("_file")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .collect()  # bounded: one row per AFFECTED file
-    )
-    rows_deleted = sum(r["_hits"] for r in per_file)
-    affected_uris = [r["_file"] for r in per_file]
-    affected_names = sorted({_uri_to_name(u) for u in affected_uris})
-    stats = {
-        "rows_before": int(rows_before),
-        "rows_deleted": int(rows_deleted),
-        "rows_after": int(rows_before - rows_deleted),
-        "n_files_total": len(live),
-        "n_files_rewritten": len(affected_names),
-    }
-    if not affected_names:
-        return stats
+    token = uuid.uuid4().hex[:12]
+    cdcstage = pathlib.Path(str(p) + f".delstage-{token}")
+    # ONE matching scan stages the deleted rows (with their file
+    # attribution); the per-file counts AND the commit's CDC change
+    # file derive from that O(matched rows) artifact instead of
+    # re-scanning the candidates (same discipline as _delete_rows_dv)
+    try:
+        df.filter(cond).write.mode("overwrite").parquet(
+            str(cdcstage / "matched")
+        )
+        m = spark.read.parquet(str(cdcstage / "matched"))
+        per_file = (
+            m.groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+            .collect()  # bounded: one row per AFFECTED file
+        )
+        rows_deleted = sum(r["_hits"] for r in per_file)
+        affected_uris = [r["_file"] for r in per_file]
+        affected_names = sorted({_uri_to_name(u) for u in affected_uris})
+        stats = {
+            "rows_before": int(rows_before),
+            "rows_deleted": int(rows_deleted),
+            "rows_after": int(rows_before - rows_deleted),
+            "n_files_total": len(live),
+            "n_files_rewritten": len(affected_names),
+        }
+        if not affected_names:
+            return stats
+        cdc_files = _stage_change_rows(
+            p, [(m.drop("_file"), "delete")], token
+        )
+    finally:
+        shutil.rmtree(str(cdcstage), ignore_errors=True)
 
     # survivors = rows of affected files where the predicate is NOT
     # TRUE (coalesce keeps predicate-NULL rows, per DELETE semantics)
-    token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".delete-{token}")
-    # commit-time CDC (Delta CDF): the deleted rows are exactly the
-    # matching rows of this scoped scan — stage them once so
-    # read_changes never re-derives them by diffing snapshots
-    cdc_files = _stage_change_rows(
-        p, [(df.filter(cond).drop("_file"), "delete")], token
-    )
     survivors = (
         df.filter(F.col("_file").isin(affected_uris) & ~F.coalesce(cond, F.lit(False)))
         .drop("_file")
@@ -3748,49 +3756,57 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict
         }
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".dv-{token}")
-    # the DV is O(matched rows): a handful of positions for a targeted
-    # delete — coalesce(1) is deliberate (one sidecar per DELETE, the
-    # Delta DV granularity); a predicate matching half the table is
-    # what mode="cow" is for
-    df.filter(cond).select(
-        F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
-    ).coalesce(1).write.mode("overwrite").parquet(str(staging))
-    part = sorted(staging.glob("*.parquet"))[0]
-    dv_name = f"dv-{token}-00000.parquet"
-    part.rename(p / dv_name)
-    shutil.rmtree(str(staging), ignore_errors=True)
-    per_file = (
-        spark.read.parquet(str(p / dv_name))
-        .groupBy("file")
-        .count()
-        .collect()  # bounded: one row per AFFECTED file
-    )
-    rows_deleted = int(sum(r["count"] for r in per_file))
-    affected = sorted(r["file"] for r in per_file)
-    stats = {
-        "rows_before": int(rows_before),
-        "rows_deleted": rows_deleted,
-        "rows_after": int(rows_before - rows_deleted),
-        "n_files_total": len(live),
-        "n_files_rewritten": 0,
-        "n_dv_files_added": 1 if affected else 0,
-    }
-    if not affected:  # nothing matched: no commit, drop the empty DV
-        _unlink_quiet(p / dv_name)
-        return stats
-    new_dv = {n: list(lst) for n, lst in dv_prev.items()}
-    for n in affected:
-        new_dv.setdefault(n, []).append(dv_name)
-    # commit-time CDC: the dead rows' full images come from the SAME
-    # scoped dirty-file scan that minted the DV positions — one more
-    # bounded job here saves every future read_changes pull over this
-    # range a full-snapshot diff (the DV commit leaves the file list
-    # unchanged, so the file-diff fast path is blind to it)
-    cdc_files = _stage_change_rows(
-        p,
-        [(df.filter(cond).drop("__dv_name", "__dv_pos"), "delete")],
-        token,
-    )
+    # ONE candidate scan materializes the matched rows (full images +
+    # position meta) into a small staging parquet; the DV parquet, the
+    # per-file counts, AND the commit's change file all derive from
+    # that O(matched rows) artifact — the pre-r14 writer paid this
+    # same single scan for the DV alone, so commit-time CDC costs the
+    # mutation two tiny derived jobs, not a second table scan
+    # (measured: the naive re-scan doubled DV-delete cost at 10M rows)
+    try:
+        df.filter(cond).write.mode("overwrite").parquet(
+            str(staging / "matched")
+        )
+        m = spark.read.parquet(str(staging / "matched"))
+        # the DV is O(matched rows): a handful of positions for a
+        # targeted delete — coalesce(1) is deliberate (one sidecar per
+        # DELETE, the Delta DV granularity); a predicate matching half
+        # the table is what mode="cow" is for
+        m.select(
+            F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
+        ).coalesce(1).write.mode("overwrite").parquet(str(staging / "dv"))
+        part = sorted((staging / "dv").glob("*.parquet"))[0]
+        dv_name = f"dv-{token}-00000.parquet"
+        part.rename(p / dv_name)
+        per_file = (
+            m.groupBy("__dv_name")
+            .count()
+            .collect()  # bounded: one row per AFFECTED file
+        )
+        rows_deleted = int(sum(r["count"] for r in per_file))
+        affected = sorted(r["__dv_name"] for r in per_file)
+        stats = {
+            "rows_before": int(rows_before),
+            "rows_deleted": rows_deleted,
+            "rows_after": int(rows_before - rows_deleted),
+            "n_files_total": len(live),
+            "n_files_rewritten": 0,
+            "n_dv_files_added": 1 if affected else 0,
+        }
+        if not affected:  # nothing matched: no commit, drop the empty DV
+            _unlink_quiet(p / dv_name)
+            return stats
+        new_dv = {n: list(lst) for n, lst in dv_prev.items()}
+        for n in affected:
+            new_dv.setdefault(n, []).append(dv_name)
+        # commit-time CDC: dead-row images from the staged artifact
+        cdc_files = _stage_change_rows(
+            p,
+            [(m.drop("__dv_name", "__dv_pos"), "delete")],
+            token,
+        )
+    finally:
+        shutil.rmtree(str(staging), ignore_errors=True)
     # ATOMIC + OCC: a conflicting commit raises before anything is
     # published; the staged DV parquet is an orphan for vacuum
     _commit_manifest(
@@ -3907,22 +3923,30 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     src_keys = _broadcast_if_small(spark, src.select(*keys))
     token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".dvmerge-{token}")
-    # matched target rows → ONE DV parquet of (file, pos): O(matched)
-    tgt.join(src_keys, on=keys, how="left_semi").select(
+    # ONE target scan stages the matched rows (images + positions);
+    # the DV parquet, per-file counts, matched-key count, and the
+    # commit's CDC pre-images all derive from that O(matched) artifact
+    tgt.join(src_keys, on=keys, how="left_semi").write.mode(
+        "overwrite"
+    ).parquet(str(staging / "matched"))
+    m = spark.read.parquet(str(staging / "matched"))
+    m.select(
         F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
     ).coalesce(1).write.mode("overwrite").parquet(str(staging / "dv"))
     part = sorted((staging / "dv").glob("*.parquet"))[0]
     dv_name = f"dv-{token}-00000.parquet"
     part.rename(p / dv_name)
     per_file = (
-        spark.read.parquet(str(p / dv_name))
-        .groupBy("file")
+        m.groupBy("__dv_name")
         .count()
         .collect()  # bounded: one row per AFFECTED file
     )
     rows_updated = int(sum(r["count"] for r in per_file))
-    affected = sorted(r["file"] for r in per_file)
-    matched_keys = src.join(tgt.select(*keys), on=keys, how="left_semi").count()
+    affected = sorted(r["__dv_name"] for r in per_file)
+    # matched SOURCE keys == distinct matched target keys (the source
+    # is duplicate-free by contract) — derived from the artifact, no
+    # second target scan
+    matched_keys = m.select(*keys).distinct().count()
     if any(dv_prev.get(n) for n in live):
         rows_before = _scan_with_dv(
             spark, p, live, dv_prev, merge_schema=True
@@ -3940,26 +3964,19 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
         name = f"part-merge-{token}-i{i:05d}.parquet"
         f.rename(p / name)
         new_names.append(name)
-    shutil.rmtree(str(staging), ignore_errors=True)
-    # commit-time CDC: matched target rows (pre-images) come from the
-    # same pruned scan, matched source rows are the post-images, and
-    # unmatched source rows the inserts — all in hand, no extra
-    # table-wide work
-    tkeys = tgt.select(*keys)
+    # commit-time CDC: pre-images from the staged artifact; post-images
+    # and inserts split the (cached, batch-sized) source by matched key
+    mkeys = m.select(*keys).distinct()
     cdc_files = _stage_change_rows(
         p,
         [
-            (
-                tgt.join(src_keys, on=keys, how="left_semi").drop(
-                    "__dv_name", "__dv_pos"
-                ),
-                "update_preimage",
-            ),
-            (src.join(tkeys, on=keys, how="left_semi"), "update_postimage"),
-            (src.join(tkeys, on=keys, how="left_anti"), "insert"),
+            (m.drop("__dv_name", "__dv_pos"), "update_preimage"),
+            (src.join(mkeys, on=keys, how="left_semi"), "update_postimage"),
+            (src.join(mkeys, on=keys, how="left_anti"), "insert"),
         ],
         token,
     )
+    shutil.rmtree(str(staging), ignore_errors=True)
     src.unpersist()
     stats = {
         "rows_before": int(rows_before),
@@ -4477,16 +4494,24 @@ def merge_rows(
     if not cand:
         tgt = tgt.limit(0)
     src_keys = _broadcast_if_small(spark, src.select(*keys))
+    token = uuid.uuid4().hex[:12]
+    cdcstage = pathlib.Path(str(p) + f".mergestage-{token}")
+    # ONE target scan stages the matched rows; per-file counts,
+    # matched-key count, and the commit's CDC pre-images all derive
+    # from the O(matched) artifact (no candidate re-scans)
+    tgt.join(src_keys, on=keys, how="left_semi").write.mode(
+        "overwrite"
+    ).parquet(str(cdcstage / "matched"))
+    m = spark.read.parquet(str(cdcstage / "matched"))
     per_file = (
-        tgt.join(src_keys, on=keys, how="left_semi")
-        .groupBy("_file")
+        m.groupBy("_file")
         .agg(F.count(F.lit(1)).alias("_hits"))
         .collect()  # bounded: one row per AFFECTED file
     )
     rows_updated = sum(r["_hits"] for r in per_file)
     affected_uris = [r["_file"] for r in per_file]
     affected_names = sorted({_uri_to_name(u) for u in affected_uris})
-    matched_keys = src.join(tgt.select(*keys), on=keys, how="left_semi").count()
+    matched_keys = m.select(*keys).distinct().count()
     if any(dv_prev.get(n) for n in live):
         rows_before = _scan_with_dv(
             spark, p, live, dv_prev, merge_schema=True
@@ -4502,7 +4527,6 @@ def merge_rows(
         "n_files_rewritten": len(affected_names),
     }
 
-    token = uuid.uuid4().hex[:12]
     staging = pathlib.Path(str(p) + f".merge-{token}")
     new_names = []
     if affected_names:
@@ -4526,21 +4550,19 @@ def merge_rows(
         f.rename(p / name)
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
-    # commit-time CDC: pre-images from the pruned scan, post-images and
-    # inserts from the (cached, batch-sized) source — O(changed rows)
-    tkeys = tgt.select(*keys)
+    # commit-time CDC: pre-images from the staged artifact; post-images
+    # and inserts split the (cached, batch-sized) source by matched key
+    mkeys = m.select(*keys).distinct()
     cdc_files = _stage_change_rows(
         p,
         [
-            (
-                tgt.join(src_keys, on=keys, how="left_semi").drop("_file"),
-                "update_preimage",
-            ),
-            (src.join(tkeys, on=keys, how="left_semi"), "update_postimage"),
-            (src.join(tkeys, on=keys, how="left_anti"), "insert"),
+            (m.drop("_file"), "update_preimage"),
+            (src.join(mkeys, on=keys, how="left_semi"), "update_postimage"),
+            (src.join(mkeys, on=keys, how="left_anti"), "insert"),
         ],
         token,
     )
+    shutil.rmtree(str(cdcstage), ignore_errors=True)
     src.unpersist()
     stats["n_files_added"] = len(new_names)
 
@@ -4858,66 +4880,75 @@ def update_rows(
         )
         if not cand:
             tgt = tgt.limit(0)
-        matched = tgt.filter(cond)
-        images = _apply_set(matched, only_matched=True)
-        _enforce_constraints(p, images)
         staging = pathlib.Path(str(p) + f".dvupdate-{token}")
-        matched.select(
-            F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
-        ).coalesce(1).write.mode("overwrite").parquet(str(staging / "dv"))
-        part = sorted((staging / "dv").glob("*.parquet"))[0]
-        dv_name = f"dv-{token}-00000.parquet"
-        part.rename(p / dv_name)
-        per_file = (
-            spark.read.parquet(str(p / dv_name))
-            .groupBy("file").count().collect()
-        )
-        rows_updated = int(sum(r["count"] for r in per_file))
-        affected = sorted(r["file"] for r in per_file)
-        rows_before = (
-            _scan_with_dv(spark, p, live, dv_prev, merge_schema=True).count()
-            if any(dv_prev.get(n) for n in live)
-            else spark.read.option("mergeSchema", "true")
-            .parquet(*[str(p / n) for n in live]).count()
-        )
-        new_names = []
-        if rows_updated:
-            _to_physical(p, images).write.mode("overwrite").parquet(
-                str(staging / "images")
+        # ONE candidate scan stages the matched rows (images + position
+        # meta); the DV parquet, per-file counts, updated images, and
+        # the commit's CDC pre/post files all derive from that small
+        # artifact — no second table scan (same discipline as
+        # _delete_rows_dv)
+        try:
+            tgt.filter(cond).write.mode("overwrite").parquet(
+                str(staging / "matched")
             )
-            for i, f in enumerate(sorted((staging / "images").glob("*.parquet"))):
-                name = f"part-update-{token}-u{i:05d}.parquet"
-                f.rename(p / name)
-                new_names.append(name)
-        shutil.rmtree(str(staging), ignore_errors=True)
-        stats = {
-            "rows_before": int(rows_before),
-            "rows_updated": rows_updated,
-            "rows_after": int(rows_before),
-            "n_files_total": len(live),
-            "n_files_rewritten": 0,
-            "n_files_added": len(new_names),
-            "n_dv_files_added": 1 if affected else 0,
-        }
-        if not affected:
-            _unlink_quiet(p / dv_name)
-            return stats
-        new_dv = {n: list(lst) for n, lst in dv_prev.items()}
-        for n in affected:
-            new_dv.setdefault(n, []).append(dv_name)
-        # commit-time CDC: pre-images = the matched rows of the pruned
-        # scan, post-images = the computed SET projection over them
-        cdc_files = _stage_change_rows(
-            p,
-            [
-                (
-                    matched.drop("__dv_name", "__dv_pos"),
-                    "update_preimage",
-                ),
-                (images, "update_postimage"),
-            ],
-            token,
-        )
+            matched = spark.read.parquet(str(staging / "matched"))
+            images = _apply_set(matched, only_matched=True)
+            _enforce_constraints(p, images)
+            matched.select(
+                F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
+            ).coalesce(1).write.mode("overwrite").parquet(str(staging / "dv"))
+            part = sorted((staging / "dv").glob("*.parquet"))[0]
+            dv_name = f"dv-{token}-00000.parquet"
+            part.rename(p / dv_name)
+            per_file = matched.groupBy("__dv_name").count().collect()
+            rows_updated = int(sum(r["count"] for r in per_file))
+            affected = sorted(r["__dv_name"] for r in per_file)
+            rows_before = (
+                _scan_with_dv(spark, p, live, dv_prev, merge_schema=True).count()
+                if any(dv_prev.get(n) for n in live)
+                else spark.read.option("mergeSchema", "true")
+                .parquet(*[str(p / n) for n in live]).count()
+            )
+            new_names = []
+            if rows_updated:
+                _to_physical(p, images).write.mode("overwrite").parquet(
+                    str(staging / "images")
+                )
+                for i, f in enumerate(
+                    sorted((staging / "images").glob("*.parquet"))
+                ):
+                    name = f"part-update-{token}-u{i:05d}.parquet"
+                    f.rename(p / name)
+                    new_names.append(name)
+            stats = {
+                "rows_before": int(rows_before),
+                "rows_updated": rows_updated,
+                "rows_after": int(rows_before),
+                "n_files_total": len(live),
+                "n_files_rewritten": 0,
+                "n_files_added": len(new_names),
+                "n_dv_files_added": 1 if affected else 0,
+            }
+            if not affected:
+                _unlink_quiet(p / dv_name)
+                return stats
+            new_dv = {n: list(lst) for n, lst in dv_prev.items()}
+            for n in affected:
+                new_dv.setdefault(n, []).append(dv_name)
+            # commit-time CDC: pre-images = the staged matched rows,
+            # post-images = the SET projection over them
+            cdc_files = _stage_change_rows(
+                p,
+                [
+                    (
+                        matched.drop("__dv_name", "__dv_pos"),
+                        "update_preimage",
+                    ),
+                    (images, "update_postimage"),
+                ],
+                token,
+            )
+        finally:
+            shutil.rmtree(str(staging), ignore_errors=True)
         _commit_manifest(
             p,
             list(live) + new_names,
@@ -4934,32 +4965,50 @@ def update_rows(
     )
     if not cand:
         tgt = tgt.limit(0)
-    _enforce_constraints(p, _apply_set(tgt.filter(cond), only_matched=True))
-    per_file = (
-        tgt.filter(cond)
-        .groupBy("_file")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .collect()  # bounded: one row per AFFECTED file
-    )
-    rows_updated = int(sum(r["_hits"] for r in per_file))
-    affected_uris = [r["_file"] for r in per_file]
-    affected_names = sorted({_uri_to_name(u) for u in affected_uris})
-    rows_before = (
-        _scan_with_dv(spark, p, live, dv_prev, merge_schema=True).count()
-        if any(dv_prev.get(n) for n in live)
-        else spark.read.option("mergeSchema", "true")
-        .parquet(*[str(p / n) for n in live]).count()
-    )
-    stats = {
-        "rows_before": int(rows_before),
-        "rows_updated": rows_updated,
-        "rows_after": int(rows_before),
-        "n_files_total": len(live),
-        "n_files_rewritten": len(affected_names),
-        "n_files_added": 0,
-    }
-    if not affected_names:
-        return stats
+    cdcstage = pathlib.Path(str(p) + f".updstage-{token}")
+    # ONE matching scan stages the matched rows; constraint check,
+    # per-file counts, and the commit's CDC pre/post files all derive
+    # from the staged artifact (no candidate re-scans)
+    try:
+        tgt.filter(cond).write.mode("overwrite").parquet(
+            str(cdcstage / "matched")
+        )
+        m = spark.read.parquet(str(cdcstage / "matched"))
+        _enforce_constraints(p, _apply_set(m, only_matched=True))
+        per_file = (
+            m.groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+            .collect()  # bounded: one row per AFFECTED file
+        )
+        rows_updated = int(sum(r["_hits"] for r in per_file))
+        affected_uris = [r["_file"] for r in per_file]
+        affected_names = sorted({_uri_to_name(u) for u in affected_uris})
+        rows_before = (
+            _scan_with_dv(spark, p, live, dv_prev, merge_schema=True).count()
+            if any(dv_prev.get(n) for n in live)
+            else spark.read.option("mergeSchema", "true")
+            .parquet(*[str(p / n) for n in live]).count()
+        )
+        stats = {
+            "rows_before": int(rows_before),
+            "rows_updated": rows_updated,
+            "rows_after": int(rows_before),
+            "n_files_total": len(live),
+            "n_files_rewritten": len(affected_names),
+            "n_files_added": 0,
+        }
+        if not affected_names:
+            return stats
+        cdc_files = _stage_change_rows(
+            p,
+            [
+                (m.drop("_file"), "update_preimage"),
+                (_apply_set(m, only_matched=True), "update_postimage"),
+            ],
+            token,
+        )
+    finally:
+        shutil.rmtree(str(cdcstage), ignore_errors=True)
     staging = pathlib.Path(str(p) + f".update-{token}")
     rewritten = _apply_set(
         tgt.filter(F.col("_file").isin(affected_uris)).drop("_file"),
@@ -4973,18 +5022,6 @@ def update_rows(
         new_names.append(name)
     shutil.rmtree(str(staging), ignore_errors=True)
     stats["n_files_added"] = len(new_names)
-    # commit-time CDC: matched rows (pre) + their SET projection (post)
-    cdc_files = _stage_change_rows(
-        p,
-        [
-            (tgt.filter(cond).drop("_file"), "update_preimage"),
-            (
-                _apply_set(tgt.filter(cond), only_matched=True).drop("_file"),
-                "update_postimage",
-            ),
-        ],
-        token,
-    )
     gone = set(affected_names)
     _commit_manifest(  # ATOMIC + OCC: conflict aborts BEFORE any unlink
         p,

@@ -78,6 +78,25 @@ def main() -> int:
             n = read_changes(spark, work, v0, v1).count()
             return time.time() - t, n
 
+        # writer-side A/B: what does staging change rows cost the
+        # mutation itself? Same deletes on a fresh clone of the table
+        # with staging no-op'd (the pre-r14 writer shape).
+        work2 = tempfile.mkdtemp(prefix="cdc_ab_nostage_")
+        shutil.rmtree(work2)
+        append_files(spark, work2, ev.repartition(args.files))
+        real_stage = layout._stage_change_rows
+        layout._stage_change_rows = lambda *a, **k: []
+        try:
+            t0 = time.time()
+            for i in range(args.n_deletes):
+                delete_rows(
+                    spark, work2, f"event_id % 100000 = {i}", mode="dv"
+                )
+            mutate_nostage_s = time.time() - t0
+        finally:
+            layout._stage_change_rows = real_stage
+            shutil.rmtree(work2, ignore_errors=True)
+
         # warm + measure the commit-time path (median of 3)
         _pull()
         a_times, a_n = [], 0
@@ -106,6 +125,10 @@ def main() -> int:
                     "rows_deleted": int(deleted),
                     "build_s": round(build_s, 2),
                     "mutate_s": round(mutate_s, 2),
+                    "mutate_nostage_s": round(mutate_nostage_s, 2),
+                    "writer_overhead_pct": round(
+                        100.0 * (mutate_s - mutate_nostage_s) / mutate_nostage_s, 1
+                    ),
                     "pull_commit_time_cdc_s": round(a, 3),
                     "pull_fallback_s": round(b, 3),
                     "speedup": round(b / a, 1) if a > 0 else None,
