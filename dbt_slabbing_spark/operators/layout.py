@@ -3636,7 +3636,15 @@ def delete_rows(
         df.filter(cond).write.mode("overwrite").parquet(
             str(cdcstage / "matched")
         )
-        m = spark.read.parquet(str(cdcstage / "matched"))
+        m = _read_staged_or_none(spark, cdcstage / "matched")
+        if m is None:  # nothing matched: no rewrite, no commit
+            return {
+                "rows_before": int(rows_before),
+                "rows_deleted": 0,
+                "rows_after": int(rows_before),
+                "n_files_total": len(live),
+                "n_files_rewritten": 0,
+            }
         per_file = (
             m.groupBy("_file")
             .agg(F.count(F.lit(1)).alias("_hits"))
@@ -3705,6 +3713,19 @@ def delete_rows(
     return stats
 
 
+def _read_staged_or_none(spark, d) -> DataFrame | None:
+    """Read a staged matched-rows artifact, or None when the write
+    produced NO part files — AQE can collapse an empty result to zero
+    partitions, in which case nothing (not even a schema-only file)
+    lands and a read would raise UNABLE_TO_INFER_SCHEMA. None means
+    "the mutation matched nothing"."""
+    import pathlib
+
+    if not any(pathlib.Path(str(d)).glob("*.parquet")):
+        return None
+    return spark.read.parquet(str(d))
+
+
 def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict:
     """Merge-on-read DELETE (see :func:`delete_rows` ``mode="dv"``):
     one DV parquet of matched (file, pos) pairs, one manifest commit
@@ -3767,7 +3788,16 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict
         df.filter(cond).write.mode("overwrite").parquet(
             str(staging / "matched")
         )
-        m = spark.read.parquet(str(staging / "matched"))
+        m = _read_staged_or_none(spark, staging / "matched")
+        if m is None:  # nothing matched: no DV, no commit
+            return {
+                "rows_before": int(rows_before),
+                "rows_deleted": 0,
+                "rows_after": int(rows_before),
+                "n_files_total": len(live),
+                "n_files_rewritten": 0,
+                "n_dv_files_added": 0,
+            }
         # the DV is O(matched rows): a handful of positions for a
         # targeted delete — coalesce(1) is deliberate (one sidecar per
         # DELETE, the Delta DV granularity); a predicate matching half
@@ -3929,7 +3959,9 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     tgt.join(src_keys, on=keys, how="left_semi").write.mode(
         "overwrite"
     ).parquet(str(staging / "matched"))
-    m = spark.read.parquet(str(staging / "matched"))
+    m = _read_staged_or_none(spark, staging / "matched")
+    if m is None:  # insert-only merge: empty artifact stands in
+        m = tgt.limit(0)
     m.select(
         F.col("__dv_name").alias("file"), F.col("__dv_pos").alias("pos")
     ).coalesce(1).write.mode("overwrite").parquet(str(staging / "dv"))
@@ -4502,7 +4534,9 @@ def merge_rows(
     tgt.join(src_keys, on=keys, how="left_semi").write.mode(
         "overwrite"
     ).parquet(str(cdcstage / "matched"))
-    m = spark.read.parquet(str(cdcstage / "matched"))
+    m = _read_staged_or_none(spark, cdcstage / "matched")
+    if m is None:  # insert-only merge: empty artifact stands in
+        m = tgt.limit(0)
     per_file = (
         m.groupBy("_file")
         .agg(F.count(F.lit(1)).alias("_hits"))
@@ -4890,7 +4924,25 @@ def update_rows(
             tgt.filter(cond).write.mode("overwrite").parquet(
                 str(staging / "matched")
             )
-            matched = spark.read.parquet(str(staging / "matched"))
+            matched = _read_staged_or_none(spark, staging / "matched")
+            if matched is None:  # nothing matched: no DV, no commit
+                rows_before = (
+                    _scan_with_dv(
+                        spark, p, live, dv_prev, merge_schema=True
+                    ).count()
+                    if any(dv_prev.get(n) for n in live)
+                    else spark.read.option("mergeSchema", "true")
+                    .parquet(*[str(p / n) for n in live]).count()
+                )
+                return {
+                    "rows_before": int(rows_before),
+                    "rows_updated": 0,
+                    "rows_after": int(rows_before),
+                    "n_files_total": len(live),
+                    "n_files_rewritten": 0,
+                    "n_files_added": 0,
+                    "n_dv_files_added": 0,
+                }
             images = _apply_set(matched, only_matched=True)
             _enforce_constraints(p, images)
             matched.select(
@@ -4973,7 +5025,24 @@ def update_rows(
         tgt.filter(cond).write.mode("overwrite").parquet(
             str(cdcstage / "matched")
         )
-        m = spark.read.parquet(str(cdcstage / "matched"))
+        m = _read_staged_or_none(spark, cdcstage / "matched")
+        if m is None:  # nothing matched: no rewrite, no commit
+            rows_before = (
+                _scan_with_dv(
+                    spark, p, live, dv_prev, merge_schema=True
+                ).count()
+                if any(dv_prev.get(n) for n in live)
+                else spark.read.option("mergeSchema", "true")
+                .parquet(*[str(p / n) for n in live]).count()
+            )
+            return {
+                "rows_before": int(rows_before),
+                "rows_updated": 0,
+                "rows_after": int(rows_before),
+                "n_files_total": len(live),
+                "n_files_rewritten": 0,
+                "n_files_added": 0,
+            }
         _enforce_constraints(p, _apply_set(m, only_matched=True))
         per_file = (
             m.groupBy("_file")

@@ -181,3 +181,21 @@ def test_multi_writer_occ_fuzz(spark, tmp_path):
     versions = manifest_versions(target)
     assert versions == sorted(set(versions))
     assert len(versions) >= N_THREADS * N_ROUNDS  # every commit recorded
+
+    # round-14: the change feed composed over the ENTIRE contended
+    # history (every commit type above is CDC-recorded; maintenance
+    # compactions are recorded noops) folds the seed snapshot to the
+    # final content — losers' retries must not leak change rows, and
+    # the pull must be the composed path (no snapshot-diff Except)
+    from dbt_slabbing_spark.operators.layout import read_changes
+
+    feed = read_changes(spark, target, versions[1], versions[-1])
+    assert "Except" not in feed._jdf.queryExecution().analyzed().toString()
+    cols = ["t", "seq", "k", "v"]
+    seed = read_table(spark, target, version=versions[1]).select(*cols)
+    plus = feed.filter(F.col("_change_type") == "insert").select(*cols)
+    minus = feed.filter(F.col("_change_type") == "delete").select(*cols)
+    folded = sorted(
+        map(tuple, seed.unionByName(plus).exceptAll(minus).collect())
+    )
+    assert folded == sorted(expected)
