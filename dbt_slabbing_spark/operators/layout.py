@@ -1978,17 +1978,6 @@ def _compose_changes(
         raise FileNotFoundError(
             f"change range references vacuumed files: {missing}"
         )
-    if not with_commit_version:  # lump: one scan per (kind, parity)
-        ins_groups = [
-            (0, [n for _, fs, f in ins_groups if f is flip for n in fs], flip)
-            for flip in (False, True)
-            if any(f is flip for _, _fs, f in ins_groups)
-        ]
-        chg_groups = [
-            (0, [n for _, fs, f in chg_groups if f is flip for n in fs], flip)
-            for flip in (False, True)
-            if any(f is flip for _, _fs, f in chg_groups)
-        ]
     _FLIP = {
         "insert": "delete",
         "delete": "insert",
@@ -1996,29 +1985,73 @@ def _compose_changes(
         "update_postimage": "update_preimage",
     }
     parts = []
-    for v_commit, fs, flipped in ins_groups:
-        q = _to_logical(
-            reader.parquet(*[str(p / n) for n in fs]), cmap, dropped, added
-        ).withColumn(
-            "_change_type", F.lit("delete" if flipped else "insert")
-        )
-        if with_commit_version:
-            q = q.withColumn("_commit_version", F.lit(v_commit))
-        parts.append(q)
-    for v_commit, fs, flipped in chg_groups:
-        q = _to_logical(
-            reader.parquet(*[str(p / n) for n in fs]), cmap, dropped, added
-        )
-        if flipped:
-            mapping = F.col("_change_type")
-            for src_tag, dst_tag in _FLIP.items():
-                mapping = F.when(
-                    F.col("_change_type") == src_tag, F.lit(dst_tag)
-                ).otherwise(mapping)
-            q = q.withColumn("_change_type", mapping)
-        if with_commit_version:
-            q = q.withColumn("_commit_version", F.lit(v_commit))
-        parts.append(q)
+
+    def _emit(groups: list, is_change_rows: bool) -> None:
+        """ONE scan per parity class, regardless of how many commits
+        the range spans — the plan must stay O(1) scans for a
+        1000-commit backfill pull, not O(commits) union legs. When the
+        consumer wants ``_commit_version``, it is derived from the
+        SOURCE FILE of each row (file names are unique per commit) via
+        a literal filename→version map over ``input_file_name()``; a
+        file appearing twice in one parity class at different versions
+        (nested-invert shapes) overflows to its own leg — vanishingly
+        rare, bounded by restore nesting depth."""
+        for flip in (False, True):
+            sel = [(vc, fs) for vc, fs, f in groups if f is flip]
+            if not sel:
+                continue
+            fmap: dict[str, tuple[int, str]] = {}  # base -> (version, rel)
+            overflow: list[tuple[int, str]] = []
+            for vc, fs in sel:
+                for n in fs:
+                    base = n.rsplit("/", 1)[-1]
+                    if base in fmap and fmap[base][0] != vc:
+                        overflow.append((vc, n))
+                    else:
+                        fmap[base] = (vc, n)
+
+            def _leg(paths: list[str], version_col) -> None:
+                q = reader.parquet(*[str(p / n) for n in paths])
+                if with_commit_version:
+                    q = q.withColumn("_commit_version", version_col)
+                q = _to_logical(q, cmap, dropped, added)
+                if is_change_rows:
+                    if flip:
+                        mapping = F.col("_change_type")
+                        for src_tag, dst_tag in _FLIP.items():
+                            mapping = F.when(
+                                F.col("_change_type") == src_tag,
+                                F.lit(dst_tag),
+                            ).otherwise(mapping)
+                        q = q.withColumn("_change_type", mapping)
+                else:
+                    q = q.withColumn(
+                        "_change_type",
+                        F.lit("delete" if flip else "insert"),
+                    )
+                parts.append(q)
+
+            if with_commit_version:
+                kv = []
+                for base, (vc, _rel) in fmap.items():
+                    kv += [F.lit(base), F.lit(int(vc))]
+                vmap = F.create_map(*kv)
+                vcol = F.element_at(
+                    vmap,
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                ).cast("int")
+                _leg([rel for _vc, rel in fmap.values()], vcol)
+                for vc, rel in overflow:
+                    _leg([rel], F.lit(int(vc)))
+            else:
+                _leg(
+                    [rel for _vc, rel in fmap.values()]
+                    + [rel for _vc, rel in overflow],
+                    None,
+                )
+
+    _emit(ins_groups, is_change_rows=False)
+    _emit(chg_groups, is_change_rows=True)
     for v_commit, snap_v, flipped in snap_groups:
         files_v = _files_at_version(p, snap_v)
         if not files_v:
