@@ -75,7 +75,12 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     sc._dbt_slabbing_pyfiled = True
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: bool | tuple[str, ...] = False,
+) -> DataFrame:
     """Read one TESTDATA table as a DataFrame.
 
     ``events.ts`` has shipped in two physical encodings across testdata
@@ -87,6 +92,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     re-interprets the naive values as UTC instants — exactly how the
     DuckDB oracle treats them — and downstream event-time code
     (watermarks, ``unix_millis``, window frames) sees one stable type.
+
+    ``spread`` (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read"): opt-in for queries whose
+    per-row compute between the scan and the first exchange dominates
+    (shingling, hashing, regex). Parquet's atomic split unit is the ROW
+    GROUP, and the local testdata files carry exactly ONE — so every
+    scan is a single non-empty task no matter the split size (measured:
+    6 splits of sf0.1 lineitem → rows per task [0,0,600000,0,0,0]).
+    When the input cannot feed the cores (:func:`scan_slices` <
+    shuffle.partitions), one extra exchange redistributes the rows so
+    the expensive map work parallelizes; on a well-split input (any
+    real lake layout — thousands of row groups) the condition is false
+    and this is a NO-OP, so the shuffle is never paid at scale.
+    ``spread=True`` → round-robin (keeps downstream key exchanges as
+    reuse points); a column tuple → hash partitioning on those columns
+    (no sort-before-repartition pass, and a downstream groupBy/window
+    on a superset of them needs no further exchange).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -94,8 +116,58 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return _normalize_event_time(df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _normalize_event_time(df)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        df = _spread_small_scan(spark, sf_dir, name, df, spread)
+    return df
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string → bytes ('2097152', '128m', '134217728b')."""
+    v = v.strip().lower()
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+    for suffix, mult in units.items():
+        if v.endswith(suffix):
+            return int(v[: -len(suffix)]) * mult
+    return int(v)
+
+
+def scan_slices(sf_dir: str, name: str, split_bytes: int) -> int:
+    """Upper bound on the non-empty scan tasks this parquet input can
+    yield: min(size-based splits, row groups) for a single local file —
+    row groups are the unit Spark can actually parallelize over. A
+    directory (multi-file table) or unreadable footer is assumed
+    well-split (returns a large number → spread stays off)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.isfile(path):
+        return 1 << 30
+    try:
+        import pyarrow.parquet as pq
+
+        n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return 1 << 30
+    n_splits = max(1, -(-os.path.getsize(path) // max(split_bytes, 1)))
+    return min(n_rg, n_splits)
+
+
+def _spread_small_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df: DataFrame,
+    spread: bool | tuple[str, ...],
+) -> DataFrame:
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    cores = spark.sparkContext.defaultParallelism
+    if scan_slices(sf_dir, name, split) >= min(target, cores):
+        return df  # input already feeds the cores — never pay the shuffle
+    if spread is True:
+        return df.repartition(target)
+    return df.repartition(target, *[F.col(c) for c in spread])
 
 
 def _normalize_event_time(df: DataFrame) -> DataFrame:

@@ -215,7 +215,15 @@ def dedup_normalized_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # spread=True (round-robin, guide §2.5): the shingle+md5 pass is the
+    # dominant cost and sits BELOW the signature exchange, so a
+    # single-row-group input runs it on one core. Round-robin (not
+    # hash(doc_id)) keeps the sig-agg exchange in the plan as the band
+    # self-join's reuse point — hash(doc_id) would satisfy the groupBy
+    # distribution, delete that exchange, and make BOTH join sides
+    # recompute the md5 pass from the spread exchange (measured slower).
+    # r14 A/B at sf0.1: 873 → 310 ms. No-op on well-split inputs.
+    docs = table(spark, sf_dir, "documents", spread=True)
     # Fused band-join: the signature arrays ride through the band-key
     # self-join, so similarity needs no extra joins and nothing is
     # persisted (round 2 leaked a .persist() here). The self-join's two

@@ -42,13 +42,27 @@ def test_q3_preagg_below_join_no_fact_broadcast(spark):
 
 
 def test_window_topk_group_limit_pushed_below_exchange(spark):
-    """The rank-filter top-k must run as WindowGroupLimit on BOTH sides
-    of the exchange (partial before the shuffle, final after): only ≤k
-    rows per group cross the wire. Losing the partial pass (e.g. by
+    """The rank-filter top-k must run as WindowGroupLimit so only ≤k
+    rows per group survive the rank. Two admissible shapes (r14):
+    spread fired (single-row-group local input) → ONE exchange on the
+    window key and the sort+rank parallelized behind it; spread off
+    (well-split input) → WindowGroupLimit on BOTH sides of the window's
+    own exchange (partial before the shuffle — the 100 TB shape: ≤k
+    rows per group cross the wire). Losing WGL entirely (e.g. by
     filtering on a derived column Catalyst can't see through) would
-    shuffle the whole fact at 100 TB."""
-    plan = _executed_plan(registry()["window_topk_orders_per_customer"].fn(spark, SF_SMOKE))
-    assert plan.count("WindowGroupLimit") >= 2, plan[:3000]
+    rank every row at 100 TB."""
+    q = registry()["window_topk_orders_per_customer"].fn
+    plan = _executed_plan(q(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert plan.count("hashpartitioning(o_custkey") == 1, plan[:3000]
+    # force the no-spread path and require the partial WGL back
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        plan = _executed_plan(q(spark, SF_SMOKE))
+        assert plan.count("WindowGroupLimit") >= 2, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_q2_single_fact_shuffle(spark):
