@@ -31,13 +31,38 @@ def _cell_distances(vec_col: str, centroids: list[tuple[int, list[float]]]):
     NB: linear-size expression. A chained when(d < best_dist, …)
     formulation re-inlines the running best per step and the tree grows
     2^k — it hung the analyzer outright at k=16.
+
+    r14 (guide §7.3 "driver planning cost"): the centroid matrix ships
+    as ONE nested-array literal walked by ``transform`` instead of
+    k×dim×3 individual ``F.lit`` nodes — the old form put ~1500
+    expression nodes through analysis/optimization/codegen PER CALL
+    (and k-means re-plans it every iteration with fresh literals, so
+    nothing was cached); the new tree is ~score of nodes. Arithmetic is
+    bit-identical: ``dot`` is the same left fold over the same values
+    in the same order (‖c‖² is pre-folded in Python with the identical
+    accumulation order), pinned by tests/test_cell_distances_literal.py.
+    Measured: kmeans_fit(k=8, iters=2, dim=64) 4.4 s → see
+    OPTIMIZATION_r14.md.
     """
-    per_cell = []
-    for cid, c in centroids:
-        c_col = F.array(*[F.lit(float(x)) for x in c])
-        d = dot(F.col(vec_col), F.col(vec_col)) - 2 * dot(F.col(vec_col), c_col) + dot(c_col, c_col)
-        per_cell.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
-    return F.array(*per_cell)
+    cells = [int(cid) for cid, _ in centroids]
+    mat = [[float(x) for x in c] for _, c in centroids]
+    cc = []
+    for c in mat:  # ‖c‖², same left fold as dot(c_col, c_col)
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        cc.append(acc)
+    C = F.lit(mat)
+    CC = F.lit(cc)
+    CID = F.lit(cells)
+    vv = dot(F.col(vec_col), F.col(vec_col))
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(cells))),
+        lambda i: F.struct(
+            (vv - 2 * dot(F.col(vec_col), F.element_at(C, i)) + F.element_at(CC, i)).alias("d"),
+            F.element_at(CID, i).alias("cell"),
+        ),
+    )
 
 
 def _cell_assignment(vectors: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str):

@@ -462,6 +462,42 @@ SELECT node, CAST(min(d) AS INT) AS depth
 FROM reach GROUP BY node
 """
 
+# Engine-side twin of _REACH_SQL with the guide-§3.2/§8 semi-join
+# prefilter: the recursion is depth-bounded (r.d < 2) from ONE start
+# supplier, so the only traversable edges are (a) s→p edges of the start
+# supplier itself (frontier d=0 is exactly that node) and (b) p→s edges
+# whose part is one of the start supplier's parts (frontier d=1 is
+# exactly those p-nodes; d=2 nodes are never expanded). Pre-filtering
+# lineitem by that knowledge shrinks each iteration's DISTINCT edge
+# build from the whole fact (~600 k rows at sf0.1, recomputed EVERY
+# loop step by the UnionLoop) to the ~0.3 % of rows touching the start
+# supplier's parts. Result-identical by the frontier argument above —
+# r14 A/B: 10.5 s → 1.9 s at sf0.1, rows byte-equal; the DuckDB oracle
+# keeps the unfiltered statement of the semantics.
+_REACH_SQL_ENGINE = """
+WITH RECURSIVE reach(node, d) AS (
+    SELECT concat('s', CAST((SELECT min(s_suppkey) FROM {supplier}) AS STRING)), 0
+    UNION ALL
+    SELECT e.dst, r.d + 1
+    FROM reach r JOIN (
+        SELECT DISTINCT concat('s', CAST(l_suppkey AS STRING)) AS src,
+                        concat('p', CAST(l_partkey AS STRING)) AS dst
+        FROM {lineitem}
+        WHERE l_suppkey = (SELECT min(s_suppkey) FROM {supplier})
+        UNION ALL
+        SELECT DISTINCT concat('p', CAST(l_partkey AS STRING)),
+                        concat('s', CAST(l_suppkey AS STRING))
+        FROM {lineitem}
+        WHERE l_partkey IN (
+            SELECT l_partkey FROM {lineitem}
+            WHERE l_suppkey = (SELECT min(s_suppkey) FROM {supplier}))
+    ) e ON e.src = r.node
+    WHERE r.d < 2
+)
+SELECT node, CAST(min(d) AS INT) AS depth
+FROM reach GROUP BY node
+"""
+
 
 @register(
     "sql_recursive_reachability",
@@ -480,10 +516,15 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     (path counts, not closed sets -- unbounded depth on a dense graph
     multiplies paths; the iterative operators in operators/graph.py
     with per-round dedup are the unbounded-depth tool). min(d) per
-    node collapses duplicate paths at the end."""
+    node collapses duplicate paths at the end.
+
+    r14: executes _REACH_SQL_ENGINE — same recursion, same native
+    UnionLoop path, but each iteration's edge build is pre-filtered to
+    the rows the depth bound can ever traverse (see the twin's comment
+    for the equivalence argument; 10.5 s → 1.9 s at sf0.1)."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("_adv_li")
     table(spark, sf_dir, "supplier").createOrReplaceTempView("_adv_supp")
-    return spark.sql(_REACH_SQL.format(supplier="_adv_supp", lineitem="_adv_li"))
+    return spark.sql(_REACH_SQL_ENGINE.format(supplier="_adv_supp", lineitem="_adv_li"))
 
 
 _PIVOT_SQL = """

@@ -277,19 +277,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accuracy=10000 → rank error ≤ n/10000; the ±0.005-quantile band is ~50×
     # looser, so a healthy sketch always passes and a broken one never does.
+    #
+    # r14 (guide §1.2 "per-task work"): both percentile functions take an
+    # ARRAY of percentages, so the 4 approx + 8 exact single-percentage
+    # aggregates — 12 independent per-group buffers, 4 identical GK
+    # sketch builds and 8 identical full-column sort buffers over the
+    # whole fact — fuse into ONE GK sketch and ONE exact-percentile
+    # buffer queried at every band edge. Same sketch, same exact
+    # algorithm, same per-percentage answers (pinned by
+    # tests/test_percentile_fused.py); measured 11.1 s → see
+    # OPTIMIZATION_r14.md.
     col = "l_extendedprice"
-    aggs = []
-    for p in (0.25, 0.50, 0.75, 0.95):
-        tag = f"q{int(p * 100)}"
-        aggs += [
-            F.percentile_approx(col, F.lit(p), 10000).alias(f"_a_{tag}"),
-            F.percentile(col, F.lit(max(p - 0.005, 0.0))).alias(f"_lo_{tag}"),
-            F.percentile(col, F.lit(min(p + 0.005, 1.0))).alias(f"_hi_{tag}"),
-        ]
-    grouped = table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(*aggs)
+    ps = [0.25, 0.50, 0.75, 0.95]
+    lo_hi = [max(p - 0.005, 0.0) for p in ps] + [min(p + 0.005, 1.0) for p in ps]
+    grouped = table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.percentile_approx(col, F.lit(ps), 10000).alias("_a"),
+        F.percentile(col, F.lit(lo_hi)).alias("_b"),
+    )
     checks = [
-        F.col(f"_a_q{t}").between(F.col(f"_lo_q{t}"), F.col(f"_hi_q{t}")).alias(f"q{t}_ok")
-        for t in (25, 50, 75, 95)
+        F.element_at("_a", i + 1)
+        .between(F.element_at("_b", i + 1), F.element_at("_b", i + 1 + len(ps)))
+        .alias(f"q{int(p * 100)}_ok")
+        for i, p in enumerate(ps)
     ]
     return grouped.select("l_returnflag", *checks)
 
