@@ -325,7 +325,9 @@ def sim_brp_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import dot
 
-    emb = table(spark, sf_dir, "embeddings")
+    # r14: spread (guide §2.5) — vectorization + 4 hyperplane hashes per
+    # row ran single-task; interleaved noop A/B: 748 → 613 ms.
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     feats = emb.select(
         "vec_id",
         "embedding",
@@ -1322,7 +1324,10 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_topk
     from ..operators.kmeans import kmeans_fit
 
-    emb = table(spark, sf_dir, "embeddings")
+    # r14: spread (guide §2.5) — per-iteration argmin, assignment and
+    # probe maps ran single-task; interleaved noop A/B: 831 → 444 ms,
+    # centroids bit-equal. No-op on well-split inputs.
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     cents, _counts = kmeans_fit(emb, k=8, iters=2, round_dp=9)
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=3, nprobe=2, centroids=cents)

@@ -1210,7 +1210,12 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     every emitted token."""
     from ..operators.bpe import apply_merges, learn_bpe_merges, symbolize
 
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — the encode map (split → symbolize → 6
+    # chained replaces) ran as ONE task on the single-row-group input;
+    # interleaved noop A/B: 880 → 176 ms. On a well-split input the
+    # spread no-ops and the plan is the pure map-only single pass the
+    # plan guard's no-spread branch still asserts.
+    docs = table(spark, sf_dir, "documents", spread=True)
     words = (
         docs.select(
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")

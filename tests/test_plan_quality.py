@@ -466,13 +466,26 @@ def test_bpe_encode_is_map_only(spark):
     """The ENCODE side of the learned tokenizer ships the 6-row merge
     table as plan literals (chained replace inside a transform lambda):
     the returned plan must be one map over the documents scan — no
-    join, no shuffle, no aggregation, no Python UDF. The learning phase
-    runs its own bounded jobs beforehand; what prices per-corpus-byte
-    at 100 TB is exactly this single pass."""
-    plan = _executed_plan(registry()["text_bpe_encode_tokens"].fn(spark, SF_SMOKE))
-    for op in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython", "Aggregate"):
+    join, no aggregation, no Python UDF. The learning phase runs its
+    own bounded jobs beforehand; what prices per-corpus-byte at 100 TB
+    is exactly this single pass. r14: a single-row-group local input
+    additionally gets ONE spread exchange so the map uses the cores —
+    the no-spread branch below re-asserts the pure zero-exchange shape
+    a well-split input gets."""
+    q = registry()["text_bpe_encode_tokens"].fn
+    plan = _executed_plan(q(spark, SF_SMOKE))
+    for op in ("Join", "BatchEvalPython", "ArrowEvalPython", "Aggregate"):
         assert op not in plan, f"unexpected {op} in map-only encode plan\n" + plan[:3000]
+    assert plan.count("Exchange") <= 1, plan[:3000]  # the spread, nothing else
     assert "FileScan parquet" in plan
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")  # spread off
+        plan = _executed_plan(q(spark, SF_SMOKE))
+        for op in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython", "Aggregate"):
+            assert op not in plan, f"unexpected {op} in map-only encode plan\n" + plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_pca_projection_is_map_only(spark):
