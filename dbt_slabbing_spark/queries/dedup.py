@@ -259,7 +259,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.05)
+    # r14: spread (guide §2.5) — parallelizes the heavy pre-exchange map work
+    # on single-row-group local inputs; no-op on well-split layouts.
+    # Interleaved noop A/B at sf0.1 in OPTIMIZATION_r14.md §5.
+    return _jaccard_pairs(table(spark, sf_dir, "documents", spread=True), threshold=0.05)
 
 
 @register(
@@ -288,7 +291,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — parallelizes the heavy pre-exchange map work
+    # on single-row-group local inputs; no-op on well-split layouts.
+    # Interleaved noop A/B at sf0.1 in OPTIMIZATION_r14.md §5.
+    docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_df(docs, "doc_id", "text")
 
 
@@ -335,7 +341,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is docs × 8 rows vs the n²/2 BroadcastNestedLoop the naive
     theta join costs (the round-1 plan this replaces).
     """
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    docs = table(spark, sf_dir, "documents", spread=True)
     sh = simhash_df(docs, "doc_id", "text")
     blocks = sh.select(
         "doc_id",
@@ -405,7 +412,8 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mllib_lsh import mllib_minhash_pairs
     from ..operators.text import normalized
 
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    docs = table(spark, sf_dir, "documents", spread=True)
     pairs = mllib_minhash_pairs(docs)  # id_a, id_b, jaccard_distance
 
     # eligible corpus = docs with ≥1 shingle (≥3 tokens), matching the
@@ -559,7 +567,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped shingle equi-join (bounded fan-out), one aggregation for
     sizes, one for intersections — no cross join.
     """
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    docs = table(spark, sf_dir, "documents", spread=True)
     shingle = capped_shingles(docs)
     sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingle.alias("a")
@@ -649,7 +658,8 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verdict precedence: exact > near > new; near match picks the
     highest rounded Jaccard (corpus doc_id tiebreak).
     """
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    docs = table(spark, sf_dir, "documents", spread=True)
     is_batch = F.col("doc_id") % 2 == 1
     hashed = docs.select("doc_id", F.md5(normalized(F.col("text"))).alias("h"))
     b_hash = hashed.filter(is_batch)
@@ -853,7 +863,8 @@ def dedup_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated partials (the corpus invariant's budget)."""
     from ..rounding import dround as _dround
 
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    docs = table(spark, sf_dir, "documents", spread=True)
     truth = _jaccard_pairs(docs, threshold=0.5).select(
         "id_a", "id_b", F.lit(1).alias("in_true")
     )

@@ -174,8 +174,11 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The guard is the contract: this query IS an n²/2 BroadcastNestedLoop
     # scan (the exactness oracle next to the LSH twin below). The ceiling
     # makes the scale misuse loud instead of an executor-melting surprise.
+    # r14: spread (guide §2.5) — the n²/2 pair scan streamed from ONE
+    # scan task; spreading the probe side runs it 16-wide (noop A/B:
+    # 29.4 s → 2.6 s). The exact-scan guard and O(n²) contract unchanged.
     emb = require_exact_scan_small(
-        table(spark, sf_dir, "embeddings"), what="sim_neardup_pairs"
+        table(spark, sf_dir, "embeddings", spread=True), what="sim_neardup_pairs"
     )
     # Precompute each vector's norm ONCE (n rows) instead of inside the
     # pair expression (n²/2 pairs × 2 norms): the naive cosine() does
@@ -518,7 +521,9 @@ def sim_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.quantize import sq8_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    # r14: spread (guide §2.5) — encode + integer dots ran single-task
+    # (noop A/B: 1618 → 1083 ms); no-op on well-split inputs.
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 

@@ -502,7 +502,9 @@ def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep-first marker is min(struct(doc_id, i)) inside the df
     aggregate — no window, no second shuffle. At 100 TB every stage is
     a keyed hash aggregate or equi-join on gram/doc keys."""
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — the 5-gram posexplode ran single-task
+    # (noop A/B: 2603 → 1326 ms); no-op on well-split inputs.
+    docs = table(spark, sf_dir, "documents", spread=True)
     occ = docs.select(
         "doc_id",
         F.posexplode(T.word_shingles(F.col("text"), 5)).alias("i0", "sh"),
