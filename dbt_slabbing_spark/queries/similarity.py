@@ -281,7 +281,8 @@ def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 5)
     ann = ivf_topk(emb, queries, k=3)
     exact10 = brute_force_topk(emb, queries, k=10)
@@ -472,7 +473,8 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.pq import pq_adc_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     return pq_adc_topk(
         emb, n_queries=5, k=3, m=4, sub_dim=16, ks=16, round_fn=lambda c: dround(c, 6)
     )
@@ -681,7 +683,8 @@ def sim_lshpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.pq import fixed_codebook, pq_codes, subvectors
 
-    emb = table(spark, sf_dir, "embeddings")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     planes = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
     )
@@ -1054,7 +1057,8 @@ def sim_ann_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.ivf import ivf_topk, ivf_train_centroids
 
-    emb = table(spark, sf_dir, "embeddings")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 5)
     cents = ivf_train_centroids(emb, n_cells=16)
     exact3 = brute_force_topk(emb, queries, k=3).select(

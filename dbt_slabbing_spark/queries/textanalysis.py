@@ -361,8 +361,10 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = T.rolling_min_hash(F.col("text"), k=16, base=131, mod=1_000_000_007)
+    # r14: spread (guide §2.5) — the Rabin-Karp rolling hash ran single-
+    # task (noop A/B: 2723 → 556 ms); no-op on well-split inputs.
     return (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", spread=True)
         .select("doc_id", fp.alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
@@ -409,7 +411,8 @@ def text_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
     equi-join, all map-side combinable; shuffle volume is bounded by
     the gram count, which is bounded by corpus token count.
     """
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    docs = table(spark, sf_dir, "documents", spread=True)
     grams = docs.select(
         "doc_id", F.explode(T.word_shingles(F.col("text"), 5)).alias("sh")
     )
@@ -757,7 +760,8 @@ def text_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing.py conventions)."""
     from ..operators.hashing import hex_to_long
 
-    docs = table(spark, sf_dir, "documents")
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    docs = table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "doc_id", "lang", F.explode(T.words(F.col("text"))).alias("tok")
     ).select(

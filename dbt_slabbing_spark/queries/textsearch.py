@@ -183,7 +183,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "training"),
 )
 def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
+    # r14: spread (guide §2.5) — single-row-group input; no-op at scale.
+    docs = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", T.words(F.col("text")).alias("w")
     )
     uni = (

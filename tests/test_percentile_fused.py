@@ -39,6 +39,18 @@ def test_fused_percentiles_match_singletons(spark):
             assert r["_b"][i] == s[f"_b{i}"]
 
 
+def test_exact_distribution_engine_twin_equals_oracle_form(spark):
+    from dbt_slabbing_spark.queries.advanced_sql import _DIST_SQL, _DIST_SQL_ENGINE
+
+    table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("_pct_li")
+    ref = spark.sql(_DIST_SQL.format(lineitem="_pct_li")).toPandas()
+    opt = spark.sql(_DIST_SQL_ENGINE.format(lineitem="_pct_li")).toPandas()
+    ref = ref.sort_values("l_returnflag").reset_index(drop=True)
+    opt = opt.sort_values("l_returnflag").reset_index(drop=True)
+    assert len(ref) > 1
+    assert ref.equals(opt[ref.columns])
+
+
 def test_gate_still_all_true(spark):
     rows = registry()["agg_approx_percentiles"].fn(spark, SF_SMOKE).collect()
     assert len(rows) > 1
