@@ -22,6 +22,35 @@ from pyspark.sql import functions as F
 from ..rounding import dround
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _capped_shuffle(spark: SparkSession, cap: int | None = None):
+    """Cap shuffle partitions for the duration of a replay stream run.
+
+    A stateful operator's state-store partition count is frozen from
+    spark.sql.shuffle.partitions at the query's FIRST micro-batch and
+    baked into the checkpoint; it is a deliberate per-pipeline sizing
+    decision, not something to inherit from an ambient session default.
+    Every state partition pays a per-micro-batch fixed cost (state-store
+    provider instantiation — RocksDB here — plus a Python worker for
+    applyInPandasWithState), so the cap tracks the cores actually
+    available: min(32, defaultParallelism). r14 measured on the vanilla
+    local[8] drive at sf0.01, band-dedup replay: 200 partitions 183 s →
+    32 partitions 73 s → 8 partitions 19.7 s. Restored after the run; a
+    real deployment sizes this to key cardinality.
+    """
+    cap = cap or min(32, spark.sparkContext.defaultParallelism)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(old) > cap:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.ts ships as either TIMESTAMP(NANOS) or NTZ micros depending
     # on the testdata generation; normalize to a session-TZ TIMESTAMP so
@@ -50,11 +79,8 @@ def _run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:
     the session owner sizes this to the key cardinality.
     """
     spark = result.sparkSession
-    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    try:
-        if int(old_shuffle) > 32:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    with _capped_shuffle(spark):
         q = (
             result.writeStream.outputMode(output_mode)
             .format("memory")
@@ -65,8 +91,6 @@ def _run_to_completion(result: DataFrame, output_mode: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return spark.table(name)
 
 
@@ -219,15 +243,16 @@ def foreach_batch_totals(spark: SparkSession, sf_dir: str, sink_dir: str) -> Dat
     stays correct under batch replay — asserted by the test suite.
     """
     stream = _events_stream(spark, sf_dir)
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(batch_partition_writer(sink_dir))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _capped_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(batch_partition_writer(sink_dir))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.read.parquet(sink_dir)
         .groupBy("event_type")
@@ -607,7 +632,7 @@ def streaming_band_dedup(
         if not verdicts.isEmpty():
             verdicts.write.mode("append").parquet(verdict_dir)
 
-    with _state_store_provider(spark, state_store_provider):
+    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark):
         q = (
             claims.writeStream.outputMode("update")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -739,7 +764,7 @@ def streaming_quality_funnel(
         if not batch_df.isEmpty():
             batch_df.write.mode("append").parquet(verdict_dir)
 
-    with _state_store_provider(spark, state_store_provider):
+    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark):
         q = (
             claims.writeStream.outputMode("update")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -820,7 +845,7 @@ def streaming_domain_cap(
         if not batch_df.isEmpty():
             batch_df.write.mode("append").parquet(verdict_dir)
 
-    with _state_store_provider(spark, state_store_provider):
+    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark):
         q = (
             claims.writeStream.outputMode("update")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -928,7 +953,7 @@ def streaming_ewma_alert(
         if not batch_df.isEmpty():
             batch_df.write.mode("append").parquet(verdict_dir)
 
-    with _state_store_provider(spark, state_store_provider):
+    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark):
         q = (
             tracked.writeStream.outputMode("update")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -992,16 +1017,17 @@ def streaming_manifest_append(
         if not batch_df.isEmpty():
             append_batch_idempotent(spark, table_dir, batch_df, batch_id)
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/checkpoint")
-        .foreachBatch(land)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _capped_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .foreachBatch(land)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         read_table(spark, table_dir)
         .groupBy("event_type")
@@ -1090,16 +1116,17 @@ def streaming_cdf_incremental_mart(
             state["v"] = manifest_versions(table_dir)[-1] - 1
         consume_changes()
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/checkpoint")
-        .foreachBatch(land)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _capped_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .foreachBatch(land)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     rows = [
         (t, int(n), float(s)) for t, (n, s) in sorted(state["mart"].items())
     ]
@@ -1270,16 +1297,17 @@ def streaming_wap_landing(
             stage_append(spark, table_dir, batch_df, audit_id=aid)
         _audit_and_resolve(aid)  # crash mid-audit resumes here on replay
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work_dir}/checkpoint")
-        .foreachBatch(land)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _capped_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .foreachBatch(land)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # the poison batch: audited, FAILS, discarded — no reader saw it
     poison = spark.createDataFrame(
         [(-1, 0, "poison", -1.0)],
