@@ -239,7 +239,7 @@ def test_c4_keep_rules_on_synthetic_docs(spark, text, keep):
     import dbt_slabbing_spark.queries.textanalysis as TA
     from unittest.mock import patch
 
-    with patch.object(TA, "table", lambda s, sf, name: df):
+    with patch.object(TA, "table", lambda s, sf, name, **kw: df):
         [row] = _REG["text_c4_doc_filters"].fn(spark, SF_SMOKE).collect()
     assert row["keep"] == keep
 
@@ -328,7 +328,7 @@ def test_incremental_batch_exact_beats_near(spark):
     import dbt_slabbing_spark.queries.dedup as DD
     from unittest.mock import patch
 
-    with patch.object(DD, "table", lambda s, sf, name: df):
+    with patch.object(DD, "table", lambda s, sf, name, **kw: df):
         got = {
             r["doc_id"]: (r["verdict"], r["match_id"], r["score"])
             for r in _REG["dedup_incremental_batch"].fn(spark, SF_SMOKE).collect()
