@@ -125,13 +125,26 @@ def table(
 
 
 def _parse_bytes(v: str) -> int:
-    """Spark size-conf string → bytes ('2097152', '128m', '134217728b')."""
+    """Spark size-conf string → bytes ('2097152', '128m', '128mb', '1gb').
+
+    Accepts every unit Spark's own byte-string parser does (b/k/kb/m/mb/
+    g/gb/t/tb/p/pb). Unparseable values return 0 instead of raising: the
+    sole caller divides file size by this, and ``scan_slices`` clamps a
+    0 divisor to 1, so the size-based bound drops out and the gate is
+    decided by the parquet row-group count alone — the physical truth —
+    rather than crashing the hot read path on an odd conf string.
+    """
     v = v.strip().lower()
-    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
-    for suffix, mult in units.items():
-        if v.endswith(suffix):
-            return int(v[: -len(suffix)]) * mult
-    return int(v)
+    if v.endswith("b") and not v[:-1].rstrip("0123456789") in ("", "-"):
+        v = v[:-1]  # strip the 'b' of kb/mb/gb/tb/pb, keep bare '...b'
+    units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    try:
+        for suffix, mult in units.items():
+            if v.endswith(suffix):
+                return int(v[: -len(suffix)]) * mult
+        return int(v)
+    except ValueError:
+        return 0
 
 
 def scan_slices(sf_dir: str, name: str, split_bytes: int) -> int:
@@ -160,9 +173,12 @@ def _spread_small_scan(
     df: DataFrame,
     spread: bool | tuple[str, ...],
 ) -> DataFrame:
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
-    cores = spark.sparkContext.defaultParallelism
+    try:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        return df  # unparseable session conf → spread off, same as scan_slices' fail-open
     if scan_slices(sf_dir, name, split) >= min(target, cores):
         return df  # input already feeds the cores — never pay the shuffle
     if spread is True:

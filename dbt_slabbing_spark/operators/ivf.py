@@ -44,6 +44,11 @@ def _cell_distances(vec_col: str, centroids: list[tuple[int, list[float]]]):
     Measured: kmeans_fit(k=8, iters=2, dim=64) 4.4 s → see
     OPTIMIZATION_r14.md.
     """
+    if not centroids:
+        # F.sequence(1, 0) is DESCENDING [1, 0] and element_at(C, 0)
+        # raises INVALID_INDEX_OF_ZERO — preserve the pre-r14 empty
+        # result instead.
+        return F.array()
     cells = [int(cid) for cid, _ in centroids]
     mat = [[float(x) for x in c] for _, c in centroids]
     cc = []

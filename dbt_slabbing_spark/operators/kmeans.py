@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..rounding import dround
+from ..rounding import sql_round
 from .ivf import _cell_assignment
 
 
@@ -82,19 +82,29 @@ def kmeans_fit(
         return [], {}
     dim = len(cents[0][1])
     counts: dict[int, int] = {cid: 0 for cid, _ in cents}
+    # The update aggregation as ONE parsed SQL string (guide §7.3 driver
+    # planning cost): the column-object form issued ~5 py4j round-trips
+    # per component (element_at/cast/avg/round/alias ≈ 320 per iteration
+    # at dim=64), rebuilt with fresh literals every iteration — ~1 s of
+    # driver chatter per iteration measured in the r14 sweep. One
+    # F.expr(...) is a single round-trip; the parsed tree is the SAME
+    # aggregate expression (sql_round spells dround verbatim), so
+    # centroids stay bit-identical (pinned by tests/test_kmeans.py).
+    comp_aggs = ", ".join(
+        sql_round(f"avg(cast(element_at(`{vec_col}`, {i + 1}) as double))", round_dp)
+        + f" as _c{i}"
+        for i in range(dim)
+    )
+    update_expr = f"struct(count(1) as _n, {comp_aggs})"
     for _ in range(iters):
         assigned = vectors.select(
             F.col(vec_col),
             _cell_assignment(vectors, cents, vec_col).cast("long").alias("cell"),
         )
-        aggs = [F.count(F.lit(1)).alias("_n")] + [
-            dround(F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), round_dp).alias(
-                f"_c{i}"
-            )
-            for i in range(dim)
-        ]
-        rows = assigned.groupBy("cell").agg(*aggs).collect()  # bounded: ≤ k rows
-        by_cell = {int(r["cell"]): r for r in rows}
+        rows = (
+            assigned.groupBy("cell").agg(F.expr(update_expr).alias("_s")).collect()
+        )  # bounded: ≤ k rows
+        by_cell = {int(r["cell"]): r["_s"] for r in rows}
         nxt: list[tuple[int, list[float]]] = []
         counts = {}
         for cid, prev in cents:

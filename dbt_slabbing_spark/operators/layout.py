@@ -436,12 +436,14 @@ def _commit_manifest(
         prev_constraints, prev_clustered, prev_column_map = {}, {}, {}
         prev_dropped = []
         prev_added = {}
+        prev_rows = {}
         if mf.exists():
             prev = json.loads(mf.read_text())
             cur = int(prev.get("version", 1))
             version = cur + 1
             history = prev.get("history", [])
             prev_stats = prev.get("stats", {})
+            prev_rows = prev.get("rows", {})
             prev_dv = prev.get("dv", {})
             prev_bloom_cfg = prev.get("bloom_cfg", {})
             prev_staged = prev.get("staged", {})
@@ -493,6 +495,25 @@ def _commit_manifest(
         merged_stats = {n: s for n, s in prev_stats.items() if n in live_set}
         if stats:
             merged_stats.update({n: s for n, s in stats.items() if n in live_set})
+        # per-file ROW COUNTS (r15, separate key from "stats" — a pseudo
+        # column inside the stats records would break the schema-set
+        # comparison of _schema_heterogeneous): carried forward for
+        # still-live files (data files are immutable), footer-read once
+        # per NEWLY-live file at commit time — so every mutation's
+        # rows_before becomes a manifest lookup (_live_row_count), not a
+        # count() job over the table (Delta/Iceberg record exactly this
+        # in their add-file actions). A file whose footer can't be read
+        # here simply stays uncovered; readers fall back per file.
+        merged_rows = {n: r for n, r in prev_rows.items() if n in live_set}
+        uncounted = [n for n in files if n not in merged_rows]
+        if uncounted:
+            import pyarrow.parquet as _pq
+
+            for n in uncounted:
+                try:
+                    merged_rows[n] = int(_pq.ParquetFile(str(p / n)).metadata.num_rows)
+                except Exception:
+                    pass  # footer unreadable now: reader falls back
         base_dv = dv if dv is not None else prev_dv
         merged_dv = {n: d for n, d in base_dv.items() if n in live_set and d}
         import time as _time
@@ -509,6 +530,8 @@ def _commit_manifest(
             # snapshots count as older than any horizon.
             "ts": _time.time(),
         }
+        if merged_rows:
+            doc["rows"] = merged_rows
         if merged_dv:
             doc["dv"] = merged_dv
         cfg = bloom_cfg if bloom_cfg is not None else prev_bloom_cfg
@@ -813,6 +836,49 @@ def _scan_with_dv(
     for frame in parts[1:]:
         out = out.unionByName(frame)
     return _to_logical(out, cmap, dropped, added)
+
+
+def _live_row_count(p, live: list[str], dv_map: dict) -> int:
+    """Live row count of a snapshot WITHOUT a Spark job (r15; guide §7
+    driver cost — every mutation paid a full-table ``count()`` for its
+    ``rows_before``): base rows from the manifest's per-file ``rows``
+    record (footer-read once per file at commit time; pyarrow footer
+    fallback for files predating the record), minus the snapshot's
+    distinct dead (file, pos) pairs read driver-side from the DV
+    parquets — which are broadcast-sized BY CONTRACT (the read path
+    inlines/broadcasts the same set on every scan; big deletes take
+    mode="cow" and rewrite). Matches ``_scan_with_dv(...).count()``
+    exactly: clean files count whole, dirty files subtract the distinct
+    positions of the DV parquets they reference."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    rows_rec: dict = {}
+    mf = p / _MANIFEST
+    if mf.exists():
+        try:
+            rows_rec = json.loads(mf.read_text()).get("rows", {})
+        except (OSError, ValueError):
+            rows_rec = {}
+    base = 0
+    for n in live:
+        r = rows_rec.get(n)
+        if r is None:
+            r = int(pq.ParquetFile(str(p / n)).metadata.num_rows)
+        base += int(r)
+    live_set = set(live)
+    dv_files = sorted({d for n, lst in dv_map.items() if n in live_set for d in lst})
+    if not dv_files:
+        return base
+    dirty = {n for n in live if dv_map.get(n)}
+    seen: set = set()
+    for d in dv_files:
+        t = pq.read_table(str(p / d), columns=["file", "pos"])
+        for f_name, pos in zip(t.column("file").to_pylist(), t.column("pos").to_pylist()):
+            if f_name in dirty:
+                seen.add((f_name, pos))
+    return base - len(seen)
 
 
 def ensure_manifest(path) -> list[str]:
@@ -3627,18 +3693,9 @@ def delete_rows(
         return _delete_rows_dv(
             spark, p, cond, vers, live, dv_prev, predicate=predicate
         )
-    live_paths = [str(p / n) for n in live]
-    # rows_before: count-star compiles to a footer-metadata read (no
-    # data pages) when the snapshot carries no deletion vectors; with
-    # DVs the count must run through the DV-applied scan.
-    if any(dv_prev.get(n) for n in live):
-        rows_before = _scan_with_dv(
-            spark, p, live, dv_prev, merge_schema=True
-        ).count()
-    else:
-        rows_before = (
-            spark.read.option("mergeSchema", "true").parquet(*live_paths).count()
-        )
+    # rows_before: manifest row record minus DV dead positions — pure
+    # driver metadata, no Spark job (r15; see _live_row_count)
+    rows_before = _live_row_count(p, live, dv_prev)
     # file pruning (Delta's DELETE file skipping): the matching scan
     # runs over CANDIDATE files only — files whose stats prove the
     # predicate false everywhere can hold no matching row, so they are
@@ -3779,26 +3836,10 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict
     df = _scan_with_dv(
         spark, p, cand, dv_prev, merge_schema=True, keep_pos_col=True
     ) if cand else None
-    # rows_before WITHOUT a table scan: footer-metadata count minus the
-    # snapshot's dead-position cardinality (DV parquets are tiny) — a
-    # DV delete's cost must stay O(matched rows), not O(table)
-    base_count = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[str(p / n) for n in live])
-        .count()
-    )
-    prev_dv_files = sorted(
-        {d for n, lst in dv_prev.items() if n in set(live) for d in lst}
-    )
-    dead_count = (
-        spark.read.parquet(*[str(p / d) for d in prev_dv_files])
-        .filter(F.col("file").isin(list(live)))
-        .distinct()
-        .count()
-        if prev_dv_files
-        else 0
-    )
-    rows_before = base_count - dead_count
+    # rows_before WITHOUT any Spark job (r15): manifest row record minus
+    # the snapshot's dead-position cardinality (DV parquets are tiny by
+    # contract) — a DV delete's cost must stay O(matched rows)
+    rows_before = _live_row_count(p, live, dv_prev)
     if df is None:  # every file provably unaffected
         return {
             "rows_before": int(rows_before),
@@ -4012,16 +4053,8 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     # is duplicate-free by contract) — derived from the artifact, no
     # second target scan
     matched_keys = m.select(*keys).distinct().count()
-    if any(dv_prev.get(n) for n in live):
-        rows_before = _scan_with_dv(
-            spark, p, live, dv_prev, merge_schema=True
-        ).count()
-    else:  # footer-metadata count (no data pages) when DV-free
-        rows_before = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[str(p / n) for n in live])
-            .count()
-        )
+    # manifest row record minus DV dead positions — no Spark job (r15)
+    rows_before = _live_row_count(p, live, dv_prev)
     # the whole source (updated images + inserts) lands as fresh files
     _to_physical(p, src).write.mode("overwrite").parquet(str(staging / "insert"))
     new_names = []
@@ -4158,16 +4191,8 @@ def _merge_rows_clauses(
     rows_deleted = counts.get("D", 0) + counts.get("X", 0)
     if sorted(cand) == sorted(live):
         rows_before = sum(counts.values())  # the scan WAS the table
-    elif any(dv_prev.get(n) for n in live):
-        rows_before = _scan_with_dv(
-            spark, p, live, dv_prev, merge_schema=True
-        ).count()
-    else:  # footer-metadata count over the full live list
-        rows_before = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[str(p / n) for n in live])
-            .count()
-        )
+    else:  # manifest row record minus DV dead positions — no job (r15)
+        rows_before = _live_row_count(p, live, dv_prev)
 
     # updated images from the SAME classified join — '*' takes the
     # source row (schema evolution allowed), a dict applies pre-image
@@ -4579,12 +4604,8 @@ def merge_rows(
     affected_uris = [r["_file"] for r in per_file]
     affected_names = sorted({_uri_to_name(u) for u in affected_uris})
     matched_keys = m.select(*keys).distinct().count()
-    if any(dv_prev.get(n) for n in live):
-        rows_before = _scan_with_dv(
-            spark, p, live, dv_prev, merge_schema=True
-        ).count()
-    else:  # footer-metadata count (no data pages) when DV-free
-        rows_before = spark.read.parquet(*[str(p / n) for n in live]).count()
+    # manifest row record minus DV dead positions — no Spark job (r15)
+    rows_before = _live_row_count(p, live, dv_prev)
     stats = {
         "rows_before": int(rows_before),
         "rows_updated": int(rows_updated),
@@ -4694,7 +4715,8 @@ def overwrite_table(spark, path, df: DataFrame) -> dict:
         # is the change set's true size, but NO exceptAll shuffle
         cdc={"type": "replace", "op": "OVERWRITE"},
     )
-    rows_after = spark.read.parquet(*[str(p / n) for n in new_names]).count()
+    # fresh files carry no DVs: count from the footers just committed
+    rows_after = _live_row_count(p, new_names, {})
     return {
         "n_files_before": len(live),
         "n_files_after": len(new_names),
@@ -4959,14 +4981,7 @@ def update_rows(
             )
             matched = _read_staged_or_none(spark, staging / "matched")
             if matched is None:  # nothing matched: no DV, no commit
-                rows_before = (
-                    _scan_with_dv(
-                        spark, p, live, dv_prev, merge_schema=True
-                    ).count()
-                    if any(dv_prev.get(n) for n in live)
-                    else spark.read.option("mergeSchema", "true")
-                    .parquet(*[str(p / n) for n in live]).count()
-                )
+                rows_before = _live_row_count(p, live, dv_prev)
                 return {
                     "rows_before": int(rows_before),
                     "rows_updated": 0,
@@ -4987,12 +5002,8 @@ def update_rows(
             per_file = matched.groupBy("__dv_name").count().collect()
             rows_updated = int(sum(r["count"] for r in per_file))
             affected = sorted(r["__dv_name"] for r in per_file)
-            rows_before = (
-                _scan_with_dv(spark, p, live, dv_prev, merge_schema=True).count()
-                if any(dv_prev.get(n) for n in live)
-                else spark.read.option("mergeSchema", "true")
-                .parquet(*[str(p / n) for n in live]).count()
-            )
+            # manifest row record minus DV dead positions — no job (r15)
+            rows_before = _live_row_count(p, live, dv_prev)
             new_names = []
             if rows_updated:
                 _to_physical(p, images).write.mode("overwrite").parquet(
@@ -5060,14 +5071,7 @@ def update_rows(
         )
         m = _read_staged_or_none(spark, cdcstage / "matched")
         if m is None:  # nothing matched: no rewrite, no commit
-            rows_before = (
-                _scan_with_dv(
-                    spark, p, live, dv_prev, merge_schema=True
-                ).count()
-                if any(dv_prev.get(n) for n in live)
-                else spark.read.option("mergeSchema", "true")
-                .parquet(*[str(p / n) for n in live]).count()
-            )
+            rows_before = _live_row_count(p, live, dv_prev)
             return {
                 "rows_before": int(rows_before),
                 "rows_updated": 0,
@@ -5085,12 +5089,8 @@ def update_rows(
         rows_updated = int(sum(r["_hits"] for r in per_file))
         affected_uris = [r["_file"] for r in per_file]
         affected_names = sorted({_uri_to_name(u) for u in affected_uris})
-        rows_before = (
-            _scan_with_dv(spark, p, live, dv_prev, merge_schema=True).count()
-            if any(dv_prev.get(n) for n in live)
-            else spark.read.option("mergeSchema", "true")
-            .parquet(*[str(p / n) for n in live]).count()
-        )
+        # manifest row record minus DV dead positions — no job (r15)
+        rows_before = _live_row_count(p, live, dv_prev)
         stats = {
             "rows_before": int(rows_before),
             "rows_updated": rows_updated,

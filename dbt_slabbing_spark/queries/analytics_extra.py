@@ -1873,18 +1873,33 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     lam, sweeps, dp = 0.1, 2, 9
     ev = table(spark, sf_dir, "events")
+    # r15 re-plan (guide §2.1/§2.4 partitioning reuse; VERDICT r14 #5):
+    # hash-partition the purchase rows by USER once, ahead of the rating
+    # aggregate. HashPartitioning(u) satisfies every downstream
+    # ClusteredDistribution on u — the (u, i) rating groupBy, both
+    # sweeps' p-update groupBy(u), and every factor join on u — so the
+    # whole alternating loop rides ONE fact exchange (ReusedExchange
+    # from the second consumer on). The item-side factor frame q is
+    # explicitly broadcast (rank-1: one double per distinct item — the
+    # bounded catalog side; the user side, which scales with the fact
+    # table, is never broadcast), so the p-update join adds no exchange
+    # either. The only remaining per-sweep exchange is the q-update's
+    # partial-agg'd groupBy(i) (≤ #items rows per map partition).
     r = (
         ev.filter(F.col("event_type") == "purchase")
-        .groupBy(
+        .select(
             F.col("user_id").alias("u"),
             F.get_json_object("props", "$.k").cast("int").alias("i"),
+            "value",
         )
+        .repartition(F.col("u"))
+        .groupBy("u", "i")
         .agg(dround(F.avg("value"), dp).alias("rating"))
     )
     q = r.select("i").distinct().withColumn("q", F.lit(1.0))
     for _ in range(sweeps):
         p = (
-            r.join(q, "i")
+            r.join(F.broadcast(q), "i")
             .groupBy("u")
             .agg(
                 dround(
@@ -1908,7 +1923,7 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.col("rating") - F.col("p") * F.col("q")
     rmse = (
         r.join(p, "u")
-        .join(q, "i")
+        .join(F.broadcast(q), "i")
         .agg(dround(F.sqrt(F.avg(err * err)), 6).alias("rmse"))
     )
     users = p.select(

@@ -35,16 +35,22 @@ def _capped_shuffle(spark: SparkSession, cap: int | None = None):
     decision, not something to inherit from an ambient session default.
     Every state partition pays a per-micro-batch fixed cost (state-store
     provider instantiation — RocksDB here — plus a Python worker for
-    applyInPandasWithState), so the cap tracks the cores actually
-    available: min(32, defaultParallelism). r14 measured on the vanilla
-    local[8] drive at sf0.01, band-dedup replay: 200 partitions 183 s →
-    32 partitions 73 s → 8 partitions 19.7 s. Restored after the run; a
-    real deployment sizes this to key cardinality.
+    applyInPandasWithState), so the default cap is the cores actually
+    available (``defaultParallelism`` — NO constant: a 2000-core cluster
+    session keeps 2000 state partitions for high-cardinality state) and
+    a runner expecting few distinct keys passes a smaller ``cap``
+    explicitly. r14 measured on the vanilla local[8] drive at sf0.01,
+    band-dedup replay: 200 partitions 183 s → 32 partitions 73 s → 8
+    partitions 19.7 s. Restored after the run.
     """
-    cap = cap or min(32, spark.sparkContext.defaultParallelism)
+    cap = cap or spark.sparkContext.defaultParallelism
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        if int(old) > cap:
+        old_n = int(old)
+    except ValueError:
+        old_n = None  # non-integer session value (e.g. "auto"): leave it alone
+    try:
+        if old_n is not None and old_n > cap:
             spark.conf.set("spark.sql.shuffle.partitions", str(cap))
         yield
     finally:

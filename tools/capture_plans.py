@@ -56,16 +56,14 @@ def main() -> int:
 
     only = {n for n in args.only.split(",") if n}
     reg = registry()
-    # the bench's per-query AQE pin, so the captured plan == the timed plan
-    from bench import main as _  # noqa: F401  (import check only)
+    # the bench's per-query AQE pin, imported from bench.py itself so
+    # the captured plan == the timed plan even when pins change
+    from bench import AQE_PIN as aqe_pin
+    from bench import LONGTAIL
 
-    aqe_pin = {
-        "q1": "off", "q3": "off", "q5": "off", "window_topk": "off",
-        "events_hourly": "off", "q9": "off", "q21": "on", "minhash": "off",
-        "bitmap_rollup": "off", "q3_bucketed": "off", "q21_bucketed": "off",
-        "decontaminate": "off", "manifest_prune": "off", "dv_read": "off",
-    }
-    for short, name, _summed in HEADLINE:
+    rows = [(s, n, None) for s, n, _summed in HEADLINE]
+    rows += [(s, n, None) for s, n in LONGTAIL]
+    for short, name, _ in rows:
         if only and short not in only:
             continue
         fn = reg[name].fn if name else _CUSTOM_FNS[short]
