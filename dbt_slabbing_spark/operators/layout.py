@@ -3714,7 +3714,7 @@ def delete_rows(
     # later append_files generation; files predating it read NULL there
     # (predicate NULL → row survives, per the DELETE semantics below)
     df = _scan_with_dv(
-        spark, p, cand, dv_prev, merge_schema=True, keep_file_col=True
+        spark, p, cand, dv_prev, merge_schema=False, keep_file_col=True
     )
     token = uuid.uuid4().hex[:12]
     cdcstage = pathlib.Path(str(p) + f".delstage-{token}")
@@ -3834,7 +3834,7 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict
     # touches candidate files only (skipped files can hold no match)
     cand = _candidate_files(p, live, predicate) if predicate else list(live)
     df = _scan_with_dv(
-        spark, p, cand, dv_prev, merge_schema=True, keep_pos_col=True
+        spark, p, cand, dv_prev, merge_schema=False, keep_pos_col=True
     ) if cand else None
     # rows_before WITHOUT any Spark job (r15): manifest row record minus
     # the snapshot's dead-position cardinality (DV parquets are tiny by
@@ -3923,22 +3923,26 @@ def _delete_rows_dv(spark, p, cond, vers, live, dv_prev, predicate=None) -> dict
     return stats
 
 
-def _merge_candidates(spark, p, live, src, keys) -> list[str]:
+def _merge_candidates(spark, p, live, src, keys, ranges=None) -> list[str]:
     """Target files that MAY hold a source join key — Delta's MERGE
     file pruning: the min/max of each key over the (batch-sized,
     cached) source prunes target files via write-time stats BEFORE any
-    target scan. One tiny driver-side agg; conservative per key
-    (whole-source range, intersected across keys); files without
-    stats, NULL-only ranges, and non-JSON-native key types prune
-    nothing. At 100 TB a record-key MERGE on a clustered/bucketed key
-    scans only the files overlapping the batch's key range."""
-    aggs = []
-    for k in keys:
-        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
-    r = src.agg(*aggs).collect()[0]
+    target scan. One tiny driver-side agg (skipped when the caller
+    already computed the ``ranges`` in its combined source pass — r15);
+    conservative per key (whole-source range, intersected across keys);
+    files without stats, NULL-only ranges, and non-JSON-native key
+    types prune nothing. At 100 TB a record-key MERGE on a clustered/
+    bucketed key scans only the files overlapping the batch's key
+    range."""
+    if ranges is None:
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        r = src.agg(*aggs).collect()[0]
+        ranges = {k: (r[f"__lo_{k}"], r[f"__hi_{k}"]) for k in keys}
     keep = list(live)
     for k in keys:
-        lo, hi = r[f"__lo_{k}"], r[f"__hi_{k}"]
+        lo, hi = ranges[k]
         if lo is None or not isinstance(lo, (int, float, str)):
             continue
         keep = prune_file_list(p, keep, k, lo, hi)
@@ -3993,7 +3997,7 @@ def _broadcast_if_small(spark, df: DataFrame) -> DataFrame:
 _BROADCAST_ROW_CAP = 1_000_000
 
 
-def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
+def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src, ranges=None) -> dict:
     """Merge-on-read MERGE (see :func:`merge_rows` ``mode="dv"``):
     matched target rows die by DELETION VECTOR (one small positions
     parquet, like :func:`_delete_rows_dv`), and the whole source —
@@ -4018,9 +4022,9 @@ def _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src) -> dict:
     import shutil
     import uuid
 
-    cand = _merge_candidates(spark, p, live, src, keys)
+    cand = _merge_candidates(spark, p, live, src, keys, ranges=ranges)
     tgt = _scan_with_dv(
-        spark, p, cand or live, dv_prev, merge_schema=True, keep_pos_col=True
+        spark, p, cand or live, dv_prev, merge_schema=False, keep_pos_col=True
     )
     if not cand:
         tgt = tgt.limit(0)
@@ -4148,7 +4152,7 @@ def _merge_rows_clauses(
         else list(live)
     )
     tgt = _scan_with_dv(
-        spark, p, cand or live, dv_prev, merge_schema=True,
+        spark, p, cand or live, dv_prev, merge_schema=False,
         keep_file_col=(mode == "cow"), keep_pos_col=(mode == "dv"),
     )
     if not cand:
@@ -4535,9 +4539,6 @@ def merge_rows(
     vers, live = _snapshot_for_update(p)
     dv_prev = _dv_at_version(p)
 
-    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
-    if dup:
-        raise ValueError("merge source has duplicate record keys")
     if mode not in ("cow", "dv"):
         raise ValueError(f"unknown merge mode {mode!r} (cow|dv)")
     if not (
@@ -4558,6 +4559,11 @@ def merge_rows(
         and when_not_matched_by_source_update is None
     )
     if rich:
+        dup = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError("merge source has duplicate record keys")
         return _merge_rows_clauses(
             spark, p, source, keys, vers, live, dv_prev, mode, retain,
             when_matched_update, when_matched_update_condition,
@@ -4567,19 +4573,37 @@ def merge_rows(
             when_not_matched_by_source_update_condition,
             when_not_matched_insert_values,
         )
+    src = source.cache()
+    # ONE pass over the (cached) source answers the duplicate-key gate,
+    # n_src, AND the per-key min/max ranges _merge_candidates prunes
+    # with — previously three separate source jobs (guide §7; r15)
+    _ks_aggs = [F.sum("_c").alias("_n"), F.max("_c").alias("_maxdup")]
+    for k in keys:
+        _ks_aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    ks = (
+        src.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(*_ks_aggs)
+        .collect()[0]
+    )
+    if (ks["_maxdup"] or 0) > 1:
+        src.unpersist()
+        raise ValueError("merge source has duplicate record keys")
     _enforce_constraints(p, source)  # CHECK constraints gate the source
     _reject_dropped_collisions(p, _to_physical(p, source))
-    src = source.cache()
-    n_src = src.count()
+    n_src = int(ks["_n"] or 0)
+    ranges = {k: (ks[f"__lo_{k}"], ks[f"__hi_{k}"]) for k in keys}
     if mode == "dv":
-        return _merge_rows_dv(spark, p, src, keys, vers, live, dv_prev, n_src)
+        return _merge_rows_dv(
+            spark, p, src, keys, vers, live, dv_prev, n_src, ranges=ranges
+        )
 
     # DV-applied target scan over CANDIDATE files only (source-key
     # range pruning, _merge_candidates): a DV'd (dead) row must
     # neither count as matched nor survive a rewrite
-    cand = _merge_candidates(spark, p, live, src, keys)
+    cand = _merge_candidates(spark, p, live, src, keys, ranges=ranges)
     tgt = _scan_with_dv(
-        spark, p, cand or live, dv_prev, merge_schema=True, keep_file_col=True
+        spark, p, cand or live, dv_prev, merge_schema=False, keep_file_col=True
     )
     if not cand:
         tgt = tgt.limit(0)
@@ -4964,7 +4988,7 @@ def update_rows(
     cand = _candidate_files(p, live, predicate)
     if mode == "dv":
         tgt = _scan_with_dv(
-            spark, p, cand or live, dv_prev, merge_schema=True,
+            spark, p, cand or live, dv_prev, merge_schema=False,
             keep_pos_col=True,
         )
         if not cand:
@@ -5057,7 +5081,7 @@ def update_rows(
 
     # copy-on-write: rewrite only affected files, scan only candidates
     tgt = _scan_with_dv(
-        spark, p, cand or live, dv_prev, merge_schema=True, keep_file_col=True
+        spark, p, cand or live, dv_prev, merge_schema=False, keep_file_col=True
     )
     if not cand:
         tgt = tgt.limit(0)

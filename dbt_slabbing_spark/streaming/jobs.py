@@ -522,6 +522,7 @@ def streaming_band_dedup(
     work_dir: str,
     rows_per_batch: int = 200,
     state_store_provider: str | None = ROCKSDB_PROVIDER,
+    shuffle_cap: int | None = None,
 ) -> DataFrame:
     """Streaming near-dup dedup over a document stream: band-first-wins.
 
@@ -638,7 +639,7 @@ def streaming_band_dedup(
         if not verdicts.isEmpty():
             verdicts.write.mode("append").parquet(verdict_dir)
 
-    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark):
+    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark, shuffle_cap):
         q = (
             claims.writeStream.outputMode("update")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -660,6 +661,7 @@ def streaming_quality_funnel(
     state_store_provider: str | None = ROCKSDB_PROVIDER,
     classifier_weights: list[float] | None = None,
     classifier_bias: float = 0.0625,
+    shuffle_cap: int | None = None,
 ) -> DataFrame:
     """The pretraining funnel's cheap stages AT INGEST: quality rules →
     exact dedup, per micro-batch, over the document replay stream.
@@ -770,7 +772,7 @@ def streaming_quality_funnel(
         if not batch_df.isEmpty():
             batch_df.write.mode("append").parquet(verdict_dir)
 
-    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark):
+    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark, shuffle_cap):
         q = (
             claims.writeStream.outputMode("update")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -791,6 +793,7 @@ def streaming_domain_cap(
     cap: int = 15,
     rows_per_batch: int = 200,
     state_store_provider: str | None = ROCKSDB_PROVIDER,
+    shuffle_cap: int | None = None,
 ) -> DataFrame:
     """Per-domain document cap AT INGEST: the first ``cap`` docs of
     each domain (arrival order) are kept, the rest rejected -- the
@@ -851,7 +854,7 @@ def streaming_domain_cap(
         if not batch_df.isEmpty():
             batch_df.write.mode("append").parquet(verdict_dir)
 
-    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark):
+    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark, shuffle_cap):
         q = (
             claims.writeStream.outputMode("update")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -872,6 +875,7 @@ def streaming_ewma_alert(
     threshold: float = 50.0,
     rows_per_batch: int = 2000,
     state_store_provider: str | None = ROCKSDB_PROVIDER,
+    shuffle_cap: int | None = None,
 ) -> DataFrame:
     """Per-user EWMA anomaly monitor AT INGEST: each arriving event is
     scored against the user's smoothed value baseline (alpha=0.5 EWMA)
@@ -959,7 +963,7 @@ def streaming_ewma_alert(
         if not batch_df.isEmpty():
             batch_df.write.mode("append").parquet(verdict_dir)
 
-    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark):
+    with _state_store_provider(spark, state_store_provider), _capped_shuffle(spark, shuffle_cap):
         q = (
             tracked.writeStream.outputMode("update")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -980,6 +984,7 @@ def streaming_manifest_append(
     sf_dir: str,
     work_dir: str,
     rows_per_batch: int = 2000,
+    shuffle_cap: int | None = None,
 ) -> DataFrame:
     """Streaming landing zone AS A MANIFEST TABLE: each micro-batch of
     the event stream is appended through the lakehouse manifest commit
@@ -1023,7 +1028,7 @@ def streaming_manifest_append(
         if not batch_df.isEmpty():
             append_batch_idempotent(spark, table_dir, batch_df, batch_id)
 
-    with _capped_shuffle(spark):
+    with _capped_shuffle(spark, shuffle_cap):
         q = (
             stream.writeStream.outputMode("append")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -1049,6 +1054,7 @@ def streaming_cdf_incremental_mart(
     sf_dir: str,
     work_dir: str,
     rows_per_batch: int = 2000,
+    shuffle_cap: int | None = None,
 ) -> DataFrame:
     """The end-to-end incremental pipeline over a streaming landing
     zone: a PRODUCER lands each micro-batch as an idempotent manifest
@@ -1122,7 +1128,7 @@ def streaming_cdf_incremental_mart(
             state["v"] = manifest_versions(table_dir)[-1] - 1
         consume_changes()
 
-    with _capped_shuffle(spark):
+    with _capped_shuffle(spark, shuffle_cap):
         q = (
             stream.writeStream.outputMode("append")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
@@ -1233,6 +1239,7 @@ def streaming_wap_landing(
     sf_dir: str,
     work_dir: str,
     rows_per_batch: int = 2000,
+    shuffle_cap: int | None = None,
 ) -> DataFrame:
     """Quality-gated streaming ingest: every micro-batch lands through
     WRITE-AUDIT-PUBLISH (`operators/layout.py::stage_append` →
@@ -1303,7 +1310,7 @@ def streaming_wap_landing(
             stage_append(spark, table_dir, batch_df, audit_id=aid)
         _audit_and_resolve(aid)  # crash mid-audit resumes here on replay
 
-    with _capped_shuffle(spark):
+    with _capped_shuffle(spark, shuffle_cap):
         q = (
             stream.writeStream.outputMode("append")
             .option("checkpointLocation", f"{work_dir}/checkpoint")
