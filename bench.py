@@ -352,12 +352,18 @@ AQE_PIN = {
     # is scan + one agg, same barrier-tax territory as
     # manifest_prune; majority keeps the default off.
     "dv_read": "off",
-    # round-15 long-tail extras: pins from fresh interleaved sf0.1
-    # A/Bs (OPTIMIZATION_r15.md §bench-extras).
-    "sim_neardup_pairs": "on",
+    # round-15 long-tail extras: pins from 3-round interleaved sf0.1
+    # A/Bs (construction included, matching _time_longtail):
+    # sim_neardup_pairs off 3/3 (2.37/2.12, 2.20/1.93, 2.18/2.05 on/off),
+    # agg_approx_percentiles off 3/3 (1.40/1.31, 1.28/1.24, 1.56/1.23),
+    # dedup_simhash off 2/3 noise band (0.87/0.92, 0.84/0.83, 0.82/0.80),
+    # sql_recursive_reachability ON 3/3 decisively (1.88/2.50, 1.78/2.13,
+    # 1.79/2.07) — the per-iteration UnionLoop stages benefit from AQE's
+    # runtime coalescing of the frontier shuffles.
+    "sim_neardup_pairs": "off",
     "agg_approx_percentiles": "off",
     "dedup_simhash": "off",
-    "sql_recursive_reachability": "off",
+    "sql_recursive_reachability": "on",
 }
 
 
